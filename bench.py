@@ -1,0 +1,51 @@
+"""Benchmark harness: times every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect); results are
+small (aggregates / top-k), so collect cost is negligible. A warmup
+query first absorbs one-time JVM/codegen startup so per-query numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
+    from utc_cuip_kafka_aws_connector_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warmup: trigger JVM init + whole-stage codegen once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+
+    timings: dict[str, float] = {}
+    for name, entry in CATALOG.items():
+        t0 = time.perf_counter()
+        entry.builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
