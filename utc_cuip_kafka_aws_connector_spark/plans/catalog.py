@@ -129,3 +129,551 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.B "Joins") over the star schema
+# ===========================================================================
+
+
+@query(
+    "q02_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join -> agg. Scale: region/nation are broadcast
+    explicitly (always tiny); customer/orders go through shuffled
+    hash / sort-merge joins that AQE can re-plan; the final group-by
+    key space is 5 rows so partial agg collapses everything map-side.
+    """
+    li, orders = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
+    cust, nat, reg = T(spark, sf_dir, "customer"), T(spark, sf_dir, "nation"), T(spark, sf_dir, "region")
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "q03_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q03_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregate.
+    count(o_orderkey) counts non-null matches, so no-order customers
+    contribute c_count = 0 (outer-join semantics preserved)."""
+    cust, orders = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q04_semi_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having a line with quantity>49."""
+    orders, li = T(spark, sf_dir, "orders"), T(spark, sf_dir, "lineitem")
+    hits = li.filter(F.col("l_quantity") > 49)
+    return (
+        orders.join(hits, orders.o_orderkey == hits.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q05_anti_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    cust, orders = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q06_full_outer_join",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1)
+    SELECT coalesce(s.k, c.k) AS nationkey,
+           coalesce(s.n_supp, 0) AS n_supp,
+           coalesce(c.n_cust, 0) AS n_cust
+    FROM s FULL OUTER JOIN c ON s.k = c.k
+    """,
+)
+def q06_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation supplier/customer counts; unmatched
+    sides surface as zero after coalesce (kept non-null so numeric
+    dtypes stay stable across engines)."""
+    supp, cust = T(spark, sf_dir, "supplier"), T(spark, sf_dir, "customer")
+    s = supp.groupBy(F.col("s_nationkey").alias("k_s")).agg(F.count("*").alias("n_supp"))
+    c = cust.groupBy(F.col("c_nationkey").alias("k_c")).agg(F.count("*").alias("n_cust"))
+    return s.join(c, s.k_s == c.k_c, "full").select(
+        F.coalesce("k_s", "k_c").alias("nationkey"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+    )
+
+
+@query(
+    "q07_theta_self_join",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+    """,
+)
+def q07_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: same-region nation pairs, non-equi predicate on name.
+    The equi part (regionkey) keys the join; the `<` lands as a join
+    filter -- not a cartesian product. Both sides broadcastable."""
+    nat = T(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_regionkey").alias("rk1"), F.col("n_name").alias("nation_a"))
+    n2 = nat.select(F.col("n_regionkey").alias("rk2"), F.col("n_name").alias("nation_b"))
+    return (
+        n1.join(F.broadcast(n2), (F.col("rk1") == F.col("rk2")) & (F.col("nation_a") < F.col("nation_b")))
+        .select("nation_a", "nation_b")
+    )
+
+
+@query(
+    "q08_interval_join",
+    oracle="""
+    SELECT e.event_id, CAST(count(r.event_id) AS BIGINT) AS n_next5m
+    FROM events e LEFT JOIN events r
+      ON r.user_id = e.user_id
+     AND r.ts > e.ts AND r.ts <= e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via the bucketized interval_join operator
+    (operators/ranges.py): per error event, events of the same user in
+    the following 5 minutes. Bucketizing turns Spark's would-be
+    broadcast-nested-loop into a shuffled equi-join."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ranges import interval_join
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("l_ts")
+    )
+    others = ev.select(F.col("event_id").alias("r_event_id"), "user_id", F.col("ts").alias("r_ts"))
+    matched = interval_join(errors, others, "user_id", "l_ts", "r_ts", 0, 5 * 60 * 1000)
+    counts = matched.groupBy("event_id").agg(F.count("*").alias("n_match"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_match", F.lit(0)).alias("n_next5m")
+    )
+
+
+@query(
+    "q09_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           coalesce(epoch_ms(max(c.ts)), -1) AS last_click_ms
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-trick operator (operators/asof.py): for
+    each purchase, the most recent prior click of the same user. One
+    shuffle, no inequality-join blow-up (the oracle's LEFT JOIN + max
+    is the O(n^2) semantics-reference, not the plan)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.unix_millis("ts").alias("click_ms"))
+    )
+    joined = asof_join(purchases, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+                       value_col="click_ms", value_alias="last_click_ms_raw")
+    return joined.select(
+        "event_id", "user_id", F.coalesce("last_click_ms_raw", F.lit(-1)).alias("last_click_ms")
+    )
+
+
+# ===========================================================================
+# Aggregation variants (distinct, rollup/cube, having)
+# ===========================================================================
+
+
+@query(
+    "q10_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q11_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (flag, status), (flag), ()."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(dec2("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q12_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q13_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def q13_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(dec2("o_totalprice")).alias("total_spend"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "q14_distinct_months",
+    oracle="""
+    SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month
+    FROM lineitem
+    """,
+)
+def q14_distinct_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R11 parity (df_manager.py:60-62): the distinct calendar
+    months present -- done as a distinct over a derived month string,
+    no driver-side collect."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")).distinct()
+
+
+# ===========================================================================
+# Window functions
+# ===========================================================================
+
+
+@query(
+    "q15_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number window + filter. The orderkey
+    tiebreak makes results deterministic across engines."""
+    orders = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "q16_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame; decimal-exact."""
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "q17_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w, -1) AS gap_ms,
+           coalesce(lead(event_type) OVER w, 'none') AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q17_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user inter-event gap and next event type."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(ms - F.lag(ms).over(w), F.lit(-1)).alias("gap_ms"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+    )
+
+
+@query(
+    "q18_rank_ntile",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+)
+def q18_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    w_rank = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    w_tile = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.dense_rank().over(w_rank).alias("price_rank"),
+        F.ntile(4).over(w_tile).alias("quartile"),
+    )
+
+
+# ===========================================================================
+# Sort / limit / set operations
+# ===========================================================================
+
+
+@query(
+    "q19_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q19_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition top-k + driver merge) -- no full sort at scale."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q20_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q20_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@query(
+    "q21_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o).distinct() if False else f.subtract(o)
+
+
+@query(
+    "q22_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src FROM orders
+    UNION ALL BY NAME
+    SELECT c_custkey AS id, 'customer' AS src FROM customer
+    """,
+)
+def q22_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-union semantics of the reference's read-back append
+    (df_manager.py:90, pandas append sort=False): unionByName with
+    allowMissingColumns fills absent columns with NULL."""
+    orders, cust = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    a = orders.select(F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount"), F.lit("order").alias("src"))
+    b = cust.select(F.col("c_custkey").alias("id"), F.lit("customer").alias("src"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ===========================================================================
+# Predicates / projection / conditionals (reference R3/R6/R13/R15 parity)
+# ===========================================================================
+
+
+@query(
+    "q23_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount > 0.05 OR l_tax < 0.03)
+    """,
+)
+def q23_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates + BETWEEN + IN (reference
+    R13/R15 analog, df_manager.py:69-75,80). All sargable -> pushed
+    into the parquet scan."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 10)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.03))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+
+
+@query(
+    "q24_conditional_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 150000 THEN 'high'
+                WHEN o_totalprice >= 50000  THEN 'mid'
+                ELSE 'low' END AS tier,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q24_conditional_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional expression (reference R3 analog,
+    run.py:49-50 drift repair) feeding an aggregate."""
+    orders = T(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("tier")
+    )
+    return orders.groupBy(tier).agg(
+        F.count("*").alias("n"), dsum(dec2("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "q25_null_filter",
+    oracle="""
+    WITH s AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT c.c_nationkey AS nationkey, count(*) AS n_cust
+    FROM customer c LEFT JOIN s ON c.c_nationkey = s.s_nationkey
+    WHERE s.s_nationkey IS NULL
+    GROUP BY c.c_nationkey
+    """,
+)
+def q25_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL predicate over outer-join output (reference R6/R16
+    analog, df_manager.py:36-38,104-105): customer nations with no
+    supplier presence."""
+    cust, supp = T(spark, sf_dir, "customer"), T(spark, sf_dir, "supplier")
+    s = supp.select("s_nationkey").distinct()
+    return (
+        cust.join(s, cust.c_nationkey == s.s_nationkey, "left")
+        .filter(F.col("s_nationkey").isNull())
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )

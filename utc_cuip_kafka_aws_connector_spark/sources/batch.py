@@ -29,7 +29,20 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one synthetic table (schema from footers)."""
+    """Parquet scan of one synthetic table (schema from footers).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the footer, which Spark's
+    vectorized reader rejects; read it as raw nanos (legacy conf is
+    runtime-settable) and floor-convert to a microsecond timestamp.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
