@@ -677,3 +677,223 @@ def q25_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count("*").alias("n_cust"))
     )
+
+
+# ===========================================================================
+# Scalar function library (SURVEY §2.B "Scalar functions"; M2)
+# ===========================================================================
+
+
+@query(
+    "q26_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                           AS name_upper,
+           length(p_name)                          AS name_len,
+           substring(p_name, 1, 4)                 AS name_prefix,
+           concat_ws('|', p_brand, p_type)         AS brand_type,
+           split_part(p_name, ' ', 1)              AS first_word,
+           regexp_extract(p_name, '(\\w+)$', 1)    AS last_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+           p_type LIKE '%ECO%'                     AS is_eco,
+           trim(concat(' ', p_brand, ' '))         AS brand_trim
+    FROM part
+    """,
+)
+def q26_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part.p_name/p_brand/p_type."""
+    part = T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("devoweled"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@query(
+    "q27_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)    AS yr,
+           month(o_orderdate)   AS mon,
+           day(o_orderdate)     AS dom,
+           quarter(o_orderdate) AS qtr,
+           isodow(o_orderdate)  AS iso_dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m
+    FROM orders
+    """,
+)
+def q27_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (reference R10/R11 analogs, df_manager.py:58,61).
+    iso_dow uses weekday()+1 == DuckDB isodow (Monday=1)."""
+    orders = T(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+    )
+
+
+@query(
+    "q28_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                    AS disc_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS price_floor,
+           sqrt(l_quantity)                          AS qty_sqrt,
+           round(ln(l_extendedprice), 6)             AS price_ln,
+           round(pow(l_quantity, 2), 6)              AS qty_sq,
+           l_partkey % 7                             AS pk_mod,
+           l_partkey // 7                            AS pk_div
+    FROM lineitem
+    """,
+)
+def q28_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded (bit-identical across
+    engines); ln/pow are rounded to 1e-6 -- far above their 1-ulp
+    implementation differences. ceil/floor of doubles cast to BIGINT
+    (Spark returns BIGINT, DuckDB DOUBLE)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+        F.expr("l_partkey div 7").alias("pk_div"),
+    )
+
+
+@query(
+    "q29_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                        AS dim,
+           CAST(embedding[1] AS DOUBLE)          AS first_val,
+           CAST(list_max(embedding) AS DOUBLE)   AS max_val,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order functions (reference R4 analog generalized,
+    run.py:49-51): size, element access, max, fold (sum of squares),
+    filter -- all JVM-side, no Python UDF."""
+    emb = T(spark, sf_dir, "embeddings")
+    x_sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x_sq(x)), 6
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "q30_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           to_json(struct_pack(event_type := event_type))::VARCHAR AS type_json
+    FROM events
+    """,
+)
+def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + serialization (reference R2/R4 parity,
+    run.py:45,51): typed scalar out of a JSON string column, struct
+    back to a JSON string."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.to_json(F.struct("event_type")).alias("type_json"),
+    )
+
+
+@query(
+    "q31_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map_keys(map([event_type], [value]))   AS mkeys,
+           CAST(map([event_type], [value])[event_type][1] AS DOUBLE) AS mval
+    FROM events
+    """,
+)
+def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value access."""
+    ev = T(spark, sf_dir, "events")
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.element_at(m, F.col("event_type")).cast("double").alias("mval"),
+    )
+
+
+@query(
+    "q32_epoch_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_iso
+    FROM events
+    """,
+)
+def q32_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R9/R10 parity (df_manager.py:55-58): epoch-ms column
+    derived from the event time and the timestamp-iso string rebuilt
+    from it (timestamp_millis == pd.to_datetime(unit='ms'))."""
+    ev = T(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        ms.alias("ts_ms"),
+        F.date_format(F.timestamp_millis(ms), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_iso"),
+    )
+
+
+@query(
+    "q33_calendar_month_agg",
+    oracle="""
+    SELECT year(ts) AS yr, month(ts) AS mon, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q33_calendar_month_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R11/R13 parity with bug B1 fixed: calendar-month
+    tumbling buckets as derived (year, month) group keys -- closed-open
+    by construction, no row is dropped at month boundaries
+    (df_manager.py:69-75 dropped the whole last day)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("yr"), F.month("ts").alias("mon"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum(dec2("value")).alias("total_value"))
