@@ -1,0 +1,101 @@
+"""Pipeline-parity test (SURVEY §5.2 item 3): batch replay of the
+reference's ingest semantics (R2-R18, with bugs B1-B3 fixed) over a
+synthetic vision/air-quality fixture; asserts golden partitioned
+layout ``<entity>=<v>/year=Y/month=M/`` and row routing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.pipeline import (
+    AIR_SCHEMA,
+    VISION_SCHEMA,
+    normalize_air,
+    normalize_vision,
+    route_topics,
+)
+from utc_cuip_kafka_aws_connector_spark.sources.kafka import decode_json_payload
+from utc_cuip_kafka_aws_connector_spark.sources.sinks import write_partitioned
+
+MS_2021_01_15 = 1610668800000
+MS_LAST_JAN = 1612137599999  # 2021-01-31 23:59:59.999 (bug-B1 victim row)
+MS_FEB_START = 1612137600000  # 2021-02-01 00:00:00.000 (month-start midnight)
+
+VISION_MSGS = [
+    {"timestamp": MS_2021_01_15, "camera_id": "cam-a",
+     "locations": [{"x": 1.0, "y": 2.0, "label": "car"}], "hit_counts": 1},
+    {"timestamp": MS_LAST_JAN, "camera_id": "cam-a",  # hit_counts missing -> repair
+     "locations": [{"x": 1.0, "y": 2.0, "label": "car"}, {"x": 3.0, "y": 4.0, "label": "bus"}]},
+    {"timestamp": MS_FEB_START, "camera_id": "cam-b", "locations": []},
+    {"camera_id": "cam-a", "locations": []},  # no timestamp -> dropped (R6)
+    {"timestamp": 0, "camera_id": "cam-b", "locations": []},  # epoch garbage -> dropped (R12)
+]
+
+AIR_MSGS = [
+    {"timestamp": MS_2021_01_15, "nicename": "mlk-1", "pm2_5": 1.5, "pm10": 3.0,
+     "temperature": 20.0, "humidity": 40.0},
+    {"timestamp": MS_FEB_START, "pm2_5": 9.9},  # null nicename -> dropped (R16)
+    {"nicename": "mlk-2"},  # no timestamp -> dropped
+]
+
+
+@pytest.fixture()
+def kafka_batch(spark):
+    rows = (
+        [("cuip_vision_events", json.dumps(m)) for m in VISION_MSGS]
+        + [("MLK_CENTRAL_AIR_QUALITY", json.dumps(m)) for m in AIR_MSGS]
+        + [("mystery_topic", json.dumps({"timestamp": MS_2021_01_15}))]
+    )
+    return spark.createDataFrame(rows, "topic string, value string")
+
+
+def test_routing_and_dead_letter(kafka_batch):
+    vision, air, dead = route_topics(kafka_batch)
+    assert vision.count() == len(VISION_MSGS)
+    assert air.count() == len(AIR_MSGS)
+    assert dead.count() == 1  # R19: quarantined, not dropped
+
+
+def test_vision_normalization(kafka_batch):
+    vision_raw, _, _ = route_topics(kafka_batch)
+    vision = normalize_vision(decode_json_payload(vision_raw, VISION_SCHEMA))
+    rows = {r["timestamp"]: r for r in vision.collect()}
+    # R6/R12 drops: no-timestamp and 1970 rows gone
+    assert set(rows) == {MS_2021_01_15, MS_LAST_JAN, MS_FEB_START}
+    # R3 drift repair: missing hit_counts := len(locations)
+    assert rows[MS_LAST_JAN]["hit_counts"] == 2
+    assert rows[MS_FEB_START]["hit_counts"] == 0
+    assert rows[MS_2021_01_15]["hit_counts"] == 1
+    # R4: locations serialized to a JSON string (one row per event)
+    assert json.loads(rows[MS_LAST_JAN]["locations"])[1]["label"] == "bus"
+
+
+def test_golden_partition_layout(spark, kafka_batch, tmp_path):
+    vision_raw, air_raw, _ = route_topics(kafka_batch)
+    vision = normalize_vision(decode_json_payload(vision_raw, VISION_SCHEMA))
+    air = normalize_air(decode_json_payload(air_raw, AIR_SCHEMA))
+
+    vdir, adir = str(tmp_path / "video-events"), str(tmp_path / "air-quality")
+    write_partitioned(vision, vdir, entity_col="camera_id")
+    write_partitioned(air, adir, entity_col="nicename")
+
+    # golden layout: <entity>=<v>/year=Y/month=M (df_manager.py:82-84)
+    assert os.path.isdir(f"{vdir}/camera_id=cam-a/year=2021/month=1")
+    assert os.path.isdir(f"{vdir}/camera_id=cam-b/year=2021/month=2")
+    assert os.path.isdir(f"{adir}/nicename=mlk-1/year=2021/month=1")
+
+    # row routing: B1 fixed -- the last-day-of-month row is in month=1
+    jan = spark.read.parquet(f"{vdir}/camera_id=cam-a/year=2021/month=1")
+    assert sorted(r["timestamp"] for r in jan.collect()) == [MS_2021_01_15, MS_LAST_JAN]
+
+    # read-time partition pruning works over the layout
+    back = spark.read.parquet(vdir)
+    assert back.filter((F.col("year") == 2021) & (F.col("month") == 2)).count() == 1
+
+    # air: null-nicename and no-timestamp rows never reached the sink
+    assert spark.read.parquet(adir).count() == 1

@@ -897,3 +897,77 @@ def q33_calendar_month_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.year("ts").alias("yr"), F.month("ts").alias("mon"), "event_type"
     ).agg(F.count("*").alias("n"), dsum(dec2("value")).alias("total_value"))
+
+
+# ===========================================================================
+# Sources / sinks (SURVEY §2.B "Sources / sinks"): scan roundtrips are
+# oracle-checked by writing a deterministic copy and reading it back.
+# ===========================================================================
+
+_IO_SCRATCH = "/tmp/spark_graft_io"
+
+
+@query(
+    "q34_csv_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q34_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan roundtrip (reference R18/R17, df_manager.py:87-92):
+    header CSV written then read back with an explicit schema -- never
+    inferSchema in a production path."""
+    nat = T(spark, sf_dir, "nation")
+    path = f"{_IO_SCRATCH}/q34_nation_csv"
+    nat.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(path)
+    )
+
+
+@query(
+    "q35_json_scan",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q35_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan roundtrip (reference R2, run.py:45):
+    schema-first read; doubles survive exactly (shortest-repr JSON)."""
+    supp = T(spark, sf_dir, "supplier")
+    path = f"{_IO_SCRATCH}/q35_supplier_json"
+    supp.write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+        .json(path)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+@query(
+    "q36_partitioned_sink",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(year(l_shipdate) AS INTEGER)  AS year,
+           CAST(month(l_shipdate) AS INTEGER) AS month,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def q36_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink roundtrip (reference R18,
+    df_manager.py:82-84 layout): write lineitem partitioned by
+    (entity, year, month), read it back through partition discovery,
+    aggregate per partition. Proves layout + pruning + no row loss at
+    month boundaries (bug B1 fixed)."""
+    from utc_cuip_kafka_aws_connector_spark.sources.sinks import write_partitioned
+
+    li = T(spark, sf_dir, "lineitem").withColumn("timestamp_iso", F.col("l_shipdate"))
+    path = f"{_IO_SCRATCH}/q36_lineitem_part"
+    write_partitioned(li, path, entity_col="l_returnflag", mode="overwrite")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag", F.col("year").cast("int").alias("year"),
+                     F.col("month").cast("int").alias("month"))
+        .agg(F.count("*").alias("n"), dsum(dec2("l_quantity")).alias("sum_qty"))
+    )
