@@ -1,0 +1,158 @@
+"""Property checks for the non-SQL-expressible LLM ops (SURVEY §5.2
+item 5): MinHash-LSH recall against exact n-gram Jaccard, SimHash
+hamming behavior, LSH-ANN recall against numpy brute force, and the
+multimodal plumbing's determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_byte_features,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.similarity import cosine_topk, lsh_ann_pairs
+from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings_np(spark):
+    rows = load_table(spark, SF, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_exact_dedup_partitions_corpus(spark, documents):
+    out = exact_dedup(documents, id_col="doc_id")
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == documents.count()
+    # keep_id is a real doc id and unique per hash
+    assert out.count() == out.select("keep_id").distinct().count()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, documents):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, id_col="doc_id", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(documents, id_col="doc_id", jaccard_threshold=0.5).collect()
+    }
+    # every returned pair is exact-verified >= threshold by construction
+    assert found <= set(exact)
+    # recall on strong pairs (jaccard >= 0.7) must be high
+    strong = {p for p, j in exact.items() if j >= 0.7}
+    if strong:
+        recall = len(found & strong) / len(strong)
+        assert recall >= 0.8, f"minhash recall {recall} on {len(strong)} strong pairs"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, documents):
+    sh = {r["doc_id"]: r["simhash64"] for r in simhash(documents, id_col="doc_id").collect()}
+    pairs = ngram_jaccard_pairs(documents, id_col="doc_id", threshold=0.7).collect()
+    assert pairs, "need strong near-dup pairs for the hamming check"
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dists = [hamming(sh[r["doc_a"]], sh[r["doc_b"]]) for r in pairs]
+    assert max(dists) <= 12, f"near-dup hamming distances too large: {dists}"
+    # unrelated docs sit farther out -- note the corpus is same-vocab
+    # word salad, so "far" is ~18 bits here, not the ~32 of random text
+    ids = sorted(sh)
+    dup_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    rand = [
+        hamming(sh[a], sh[b])
+        for a in ids[:20]
+        for b in ids[:20]
+        if a < b and (a, b) not in dup_pairs
+    ]
+    assert np.mean(rand) > 14
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings_np):
+    ids, mat = embeddings_np
+    q = mat[ids == 0][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(ids[i], sims[i]) for i in range(len(ids)) if ids[i] != 0],
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    expected = [int(i) for i, _ in order]
+
+    emb = load_table(spark, SF, "embeddings")
+    got = cosine_topk(emb, [float(x) for x in q], k=10, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got] == expected
+    for r, (_, s) in zip(got, order):
+        assert abs(r["cos_sim"] - s) < 1e-3
+
+
+def test_lsh_ann_recall(spark, embeddings_np):
+    """The fixture's random vectors top out at cos ~0.48 (no true
+    near-dups), so plant noisy duplicates -- the workload sign-LSH is
+    for -- and check recall + exact-verification precision."""
+    ids, mat = embeddings_np
+    rng = np.random.RandomState(7)
+    n_dup = 50
+    dups = mat[:n_dup] + rng.normal(scale=0.01, size=(n_dup, mat.shape[1]))
+    all_mat = np.vstack([mat, dups])
+    all_ids = np.concatenate([ids, np.arange(100000, 100000 + n_dup)])
+
+    norms = np.linalg.norm(all_mat, axis=1)
+    cos = (all_mat @ all_mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(all_ids), k=1)
+    true_pairs = {
+        tuple(sorted((int(all_ids[i]), int(all_ids[j]))))
+        for i, j in zip(*iu)
+        if cos[i, j] >= 0.95
+    }
+    assert len(true_pairs) >= n_dup  # the planted duplicates at minimum
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(all_ids, all_mat)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in lsh_ann_pairs(df, cos_threshold=0.95).collect()
+    }
+    assert got <= true_pairs  # exact verification: no false positives
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(true_pairs)} true pairs"
+
+
+def test_multimodal_plumbing(spark, documents):
+    feats = extract_byte_features(attach_binary_payload(documents)).collect()
+    docs = {r["doc_id"]: r["text"] for r in documents.collect()}
+    assert len(feats) == len(docs)
+    for r in feats[:25]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["first_byte"] == raw[0]
+        assert abs(r["mean_byte"] - sum(raw) / len(raw)) < 1e-9
+        assert r["mime"] == "application/octet-stream"
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY §2.B "Similarity search"):
+- ``cosine_topk``: brute-force exact scan -- the correctness baseline.
+  One pass, no shuffle except the final top-k; the dot product is a
+  built-in higher-order fold (JVM-side, no Python).
+- ``lsh_ann_pairs`` / ``lsh_buckets``: random-hyperplane (sign) LSH
+  with multiple tables -- the 100 TB path. Bucket keys are computed
+  per row from deterministic hash-derived hyperplanes (no model
+  state to broadcast), candidates meet in an equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+I64_MAX = float(2**63 - 1)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Order-stable double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id",
+                vec_col: str = "embedding", exclude_id: int | None = None) -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector.
+
+    The query vector is a plan literal (broadcast to every task for
+    free); Spark plans orderBy+limit as TakeOrderedAndProject, so the
+    full corpus is never sorted -- each partition keeps k rows.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.withColumn("cos_sim", cosine(F.col(vec_col), q))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    planes_per_table: int = 16,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """One row per (vector, table): sign-LSH bucket key.
+
+    bucket[t] = bits of sign(v . h(t,p)) for p in 0..planes-1; for
+    cosine s the candidate probability is
+    1-(1-((1-acos(s)/pi))^planes)^tables (~0.99 at s=0.99 with 8x16,
+    while 16-bit buckets keep unrelated vectors apart so the candidate
+    join stays near-linear).
+
+    The sign bits are one numpy matmul per Arrow batch (pandas UDF):
+    vectorized BLAS beats 128 per-plane expression folds by orders of
+    magnitude, and bucketing needs no cross-engine float determinism.
+    The plane matrix is seed-deterministic and ships to executors in
+    the task closure (tables*planes*dim doubles -- a few KB).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.random.RandomState(seed).normal(size=(num_tables * planes_per_table, dim))
+    weights = (1 << np.arange(planes_per_table - 1, -1, -1, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0  # (n, tables*planes)
+        bits = bits.reshape(len(mat), num_tables, planes_per_table)
+        keys = (bits * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(keys))
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(bucket_keys(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    planes_per_table: int = 16,
+    cos_threshold: float = 0.9,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: vectors sharing any
+    (table, bucket) are candidates; exact cosine verifies. The join is
+    an equi-join on the bucket key -- candidate volume, not n^2,
+    drives cost."""
+    dim = len(df.select(vec_col).head()[0])
+    b = lsh_buckets(df, id_col, vec_col, num_tables, planes_per_table, dim=dim)
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table_id", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table_id", "bucket")
+    return (
+        left.join(right, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= cos_threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,107 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+All hot-path computation is built-in ``pyspark.sql.functions``
+expressions (JVM-side, whole-stage-codegen'd, no Python UDFs): at
+100 TB these run inside the scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword
+# language-ID heuristic. Real pipelines plug in fastText et al.; the
+# operator contract (ratio features + argmax) is what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def words(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word-count / ratio features (SURVEY §2.B "Text stats").
+
+    avg_word_len and stopword_ratio are integer-ratio divisions --
+    bit-deterministic across engines.
+    """
+    w = words(text_col)
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_words": n_words,
+            "avg_word_len": (n_alpha.cast("double") / n_words),
+            "stopword_ratio": (n_stop.cast("double") / n_words),
+            "alpha_ratio": (n_alpha.cast("double") / n_chars),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: penalize very short docs, low
+    alpha ratio, and stopword-free word salad (C4/Gopher-style rules)."""
+    scored = text_stats(df, text_col)
+    len_ok = F.least(F.col("n_words").cast("double") / 50.0, F.lit(1.0))
+    return scored.withColumn(
+        "quality",
+        (len_ok * 0.4 + F.col("alpha_ratio") * 0.3 + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.3),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per-language marker ratio features +
+    argmax prediction. Deterministic, SQL-expressible, one scan."""
+    w = words(F.lower(F.col(text_col)))
+    n_words = F.size(w)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+        out = out.withColumn(f"score_{lang}", hits.cast("double") / n_words)
+    best = None
+    for lang in LANG_MARKERS:
+        cond = F.lit(True)
+        for other in LANG_MARKERS:
+            if other != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return out.withColumn("predicted_lang", best.otherwise("unknown"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish estimate: regex word/number/
+    symbol pieces, plus chars/4 as the classic LLM rule-of-thumb."""
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(words(text_col)),
+            "bpe_ish_tokens": F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")),
+            "approx_tokens_c4": F.ceil(F.length(text_col) / 4).cast("long"),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace/case-normalized text
+    (exact-dedup key), plus a 64-bit rolling-style content hash
+    (xxhash64 over the normalized word sequence)."""
+    norm = F.concat_ws(" ", words(F.lower(F.trim(F.col(text_col)))))
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_hash64": F.xxhash64(norm),
+        }
+    )

@@ -971,3 +971,229 @@ def q36_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("month").cast("int").alias("month"))
         .agg(F.count("*").alias("n"), dsum(dec2("l_quantity")).alias("sum_qty"))
     )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (SURVEY §2.B; M5/M6 in §7.2) over
+# documents + embeddings
+# ===========================================================================
+
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content hash (operators/dedup.py): map-side
+    combining groupBy, not a window sort."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(T(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+@query(
+    "q41_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(regexp_split_to_array(text, '\\s+')) AS n_words,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\\s+')) AS avg_word_len,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\\s+')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio
+    FROM documents
+    """,
+)
+def q41_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text stats (operators/text.py): all integer-ratio features,
+    bit-deterministic."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import text_stats
+
+    return text_stats(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_calc", "n_words", "avg_word_len", "stopword_ratio", "alpha_ratio"
+    )
+
+
+@query(
+    "q42_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_words,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+               / len(regexp_split_to_array(text, '\\s+')) AS stopword_ratio
+      FROM documents)
+    SELECT doc_id,
+           least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+             + alpha_ratio * 0.3
+             + least(stopword_ratio * 4, 1.0) * 0.3 AS quality
+    FROM s
+    """,
+)
+def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristic; every term is derived from
+    integer ratios, so the composite double is engine-identical."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
+
+    return quality_score(T(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+@query(
+    "q43_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens_c4
+    FROM documents
+    """,
+)
+def q43_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utc_cuip_kafka_aws_connector_spark.operators.text import token_count
+
+    return token_count(T(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens", "approx_tokens_c4"
+    )
+
+
+@query(
+    "q44_language_id",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(list_filter(ws, x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE) / len(ws) AS score_en,
+        CAST(len(list_filter(ws, x -> list_contains(['der','die','und','das','ist'], x))) AS DOUBLE) / len(ws) AS score_de,
+        CAST(len(list_filter(ws, x -> list_contains(['el','la','de','que','los'], x))) AS DOUBLE) / len(ws) AS score_es,
+        CAST(len(list_filter(ws, x -> list_contains(['le','la','les','des','est'], x))) AS DOUBLE) / len(ws) AS score_fr
+      FROM w)
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM s
+    """,
+)
+def q44_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (operators/text.py). The synthetic corpus
+    is same-vocabulary word salad, so this verifies operator mechanics,
+    not linguistic accuracy."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import language_id
+
+    return language_id(T(spark, sf_dir, "documents")).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "predicted_lang"
+    )
+
+
+@query(
+    "q45_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp_md5
+    FROM documents
+    """,
+)
+def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (operators/text.py). The 64-bit
+    rolling hash variant (fp_hash64, xxhash64) has no DuckDB
+    equivalent and is covered by unit tests instead."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import fingerprint
+
+    return fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@query("q46_minhash_lsh_pairs", oracle=None)
+def q46_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
+    verification (operators/dedup.py). No SQL oracle (signature
+    banding is not ANSI-expressible); property-tested against the
+    exact n-gram Jaccard operator in tests/test_llm_ops.py."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+@query("q47_simhash", oracle=None)
+def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (operators/dedup.py); rows-only
+    check + hamming-distance property tests."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import simhash
+
+    return simhash(T(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+@query(
+    "q48_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id, round(raw_sim, 4) AS cos_sim
+    FROM sims
+    ORDER BY raw_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q48_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine similarity (operators/
+    similarity.py): literal query vector, JVM higher-order dot product,
+    TakeOrderedAndProject top-k (no global sort)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return cosine_topk(emb, qv, k=10, exclude_id=0)
+
+
+@query("q49_lsh_ann_pairs", oracle=None)
+def q49_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate near-neighbor pairs (operators/
+    similarity.py), exact-cosine verified; recall property-tested
+    against numpy brute force."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import lsh_ann_pairs
+
+    return lsh_ann_pairs(T(spark, sf_dir, "embeddings"), cos_threshold=0.9)
+
+
+@query("q50_multimodal_features", oracle=None)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (operators/multimodal.py):
+    opaque payload + typed metadata -> Arrow-batched mapInPandas
+    feature extraction (decode stage stubbed; batch shape real)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_byte_features,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_byte_features(attach_binary_payload(docs))
+
+
+@query("q51_ngram_jaccard_pairs", oracle=None)
+def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index
+    (operators/dedup.py) -- the verification-grade ground truth the
+    MinHash property tests compare against."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), id_col="doc_id")
