@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
@@ -23,14 +24,17 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warmup: trigger JVM init + whole-stage codegen once
+    # warmup: trigger JVM init + whole-stage codegen + shuffle machinery
+    # once, so per-query numbers reflect steady-state execution
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+    CATALOG["q01_pricing_summary"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, entry in CATALOG.items():
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -89,7 +89,8 @@ def lsh_buckets(
         keys = (bits * weights).sum(axis=2)  # (n, tables)
         return pd.Series(list(keys))
 
-    return df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(bucket_keys(F.col(vec_col))).alias("table_id", "bucket"),
@@ -110,13 +111,22 @@ def lsh_ann_pairs(
     drives cost."""
     dim = len(df.select(vec_col).head()[0])
     b = lsh_buckets(df, id_col, vec_col, num_tables, planes_per_table, dim=dim)
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table_id", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table_id", "bucket")
-    return (
+    # candidate generation on ids only -- deduping (id_a, id_b) pairs is
+    # a cheap long-pair distinct; vectors join back afterwards, so the
+    # float arrays never ride through the bucket join or the distinct.
+    left = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cand = (
         left.join(right, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_sim") >= cos_threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))

@@ -40,9 +40,15 @@ def write_partitioned(
     for free; parquet is the default at-rest format (columnar,
     predicate pushdown) with CSV kept for reference byte-compatibility.
     """
+    part = with_partition_columns(df, ts_col)
+    # Cluster rows by their target partition before the write: without
+    # this every task writes a file into every partition dir
+    # (tasks x partitions small files -- the classic scale failure).
+    # maxRecordsPerFile re-splits genuinely hot partitions.
     writer = (
-        with_partition_columns(df, ts_col)
+        part.repartition(F.col(entity_col), F.col("year"), F.col("month"))
         .write.partitionBy(entity_col, "year", "month")
+        .option("maxRecordsPerFile", 5_000_000)
         .mode(mode)
         .format(fmt)
     )
