@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # module-scope: pandas-UDF type hints resolve here
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1197,3 +1198,435 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+# ===========================================================================
+# Extended coverage: pivot, grouping sets, multiset ops, frames,
+# subqueries, SQL API, approx aggs, UDF surface, sessionization,
+# skew-handling, streaming replay (SURVEY §2.B remainder)
+# ===========================================================================
+
+
+@query(
+    "q52_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q52_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (== conditional aggregation, so
+    Catalyst needs no extra value-discovery pass -- the scale-correct
+    form). Missing combinations coalesce to 0."""
+    orders = T(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in ("F", "O", "P")],
+    )
+
+
+@query(
+    "q53_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q53_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() markers via the SQL API
+    (same Catalyst plan as the DataFrame form)."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q54_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q54_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics -- keeps surplus copies)."""
+    orders = T(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o)
+
+
+@query(
+    "q55_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w4 AS first_in_frame,
+           last_value(o_totalprice)  OVER w4 AS last_in_frame,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+    FROM orders
+    WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q55_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS and RANGE frames with first/last_value (values are
+    pass-through doubles -- no arithmetic, no determinism risk)."""
+    orders = T(spark, sf_dir, "orders")
+    w4 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    wr = W.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w4).alias("first_in_frame"),
+        F.last("o_totalprice").over(w4).alias("last_in_frame"),
+        F.count("*").over(wr).alias("n_within_1000"),
+    )
+
+
+@query(
+    "q56_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, hand-decorrelated the way Catalyst
+    does it: per-nation aggregate + equi-join + filter. The nation
+    average uses the decimal-exact pattern so the comparison threshold
+    is bit-identical across engines."""
+    cust = T(spark, sf_dir, "customer")
+    per_nation = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (dsum(dec2("c_acctbal")) / F.count("*")).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(per_nation), cust.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@query(
+    "q57_sql_cte_top_orders",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderkey, o.o_orderdate, r.revenue
+    FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    ORDER BY r.revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q57_sql_cte_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API query with a CTE (TPC-H Q3 shape): agg -> join -> top-k.
+    Same Catalyst plan as the DataFrame form; exercises the engine's
+    SQL surface end-to-end."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderkey, o.o_orderdate, r.revenue
+        FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        ORDER BY r.revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    ).withColumn("o_orderdate", F.col("o_orderdate"))
+
+
+@query(
+    "q58_approx_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q58_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct checked as a *property*: the sketch
+    estimate must land within 10% of the exact count (emitted as a
+    boolean the oracle expects TRUE). HLL++ values differ across
+    engines by design, so the estimate itself is not hash-compared."""
+    orders = T(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    ok = (
+        F.abs(F.col("n_approx").cast("double") - F.col("n_exact")) / F.col("n_exact") < 0.10
+    )
+    return agg.select("o_orderpriority", "n_exact", ok.alias("approx_ok"))
+
+
+@query(
+    "q59_approx_median",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, TRUE AS median_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q59_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx checked as a property: 40-60% of each group's
+    rows must fall below the approximate median."""
+    orders = T(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5).alias("amed")
+    )
+    joined = orders.join(F.broadcast(med), "o_orderstatus")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("amed"), 1).otherwise(0)).alias("n_below"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            ((F.col("n_below") / F.col("n") > 0.4) & (F.col("n_below") / F.col("n") < 0.6)).alias(
+                "median_ok"
+            ),
+        )
+    )
+
+
+@query(
+    "q60_streaming_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q60_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming replay with a SQL oracle: events
+    re-materialized as a file stream, watermarked 1-hour tumbling
+    window counts via Trigger.AvailableNow (the reference's CRON
+    catch-up mode, README.md:5,35) into a memory sink -- the streaming
+    result must equal the batch group-by."""
+    import uuid
+
+    from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table
+    from utc_cuip_kafka_aws_connector_spark.streaming.ops import tumbling_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    path = f"{_IO_SCRATCH}/q60_events"
+    events.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="10 minutes", keys=["event_type"])
+    name = f"q60_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{_IO_SCRATCH}/q60_ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "q61_python_udf",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS name_reversed
+    FROM part
+    """,
+)
+def q61_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, kept off hot loops --
+    SURVEY §2.B UDF surface). Oracle reimplements the logic in SQL."""
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def reverse_words(s: str) -> str:
+        return " ".join(reversed(s.split(" ")))
+
+    part = T(spark, sf_dir, "part")
+    return part.select("p_partkey", reverse_words("p_name").alias("name_reversed"))
+
+
+@query(
+    "q62_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price_udf
+    FROM lineitem
+    """,
+)
+def q62_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF. Element-wise double
+    arithmetic is IEEE-deterministic (no reductions), so the values
+    hash-match the SQL expression exactly."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", disc_price("l_extendedprice", "l_discount").alias("disc_price_udf")
+    )
+
+
+@query(
+    "q63_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER) AS rnk
+    FROM events
+    """,
+)
+def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas frame in/out):
+    per-user rank by (value, event_id). Oracle is the equivalent
+    window function -- same ordering on identical doubles."""
+    ev = T(spark, sf_dir, "events")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        pdf["rnk"] = (pdf.index + 1).astype("int32")
+        return pdf[["event_id", "user_id", "rnk"]]
+
+    return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        rank_group, schema="event_id long, user_id long, rnk int"
+    )
+
+
+@query(
+    "q64_udtf_word_split",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(list_transform(string_split(text, ' '), (x, i) -> CAST(i - 1 AS INTEGER))) AS pos
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def q64_udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark >=3.5): one input row -> many output rows
+    (word, position), applied via LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class WordSplit:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("q64_word_split", WordSplit)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM documents d, LATERAL q64_word_split(d.text) s
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+@query(
+    "q65_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def q65_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min): lag -> new-session flag ->
+    running sum as session id -> per-session aggregate. The batch
+    analog of streaming session_window."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_session = F.when(ms - F.lag(ms).over(w) > 1_800_000, 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_seq"
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "q66_salted_aggregation",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def q66_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation: salt the key, partial
+    aggregate on (key, salt), then final aggregate on key. Semantics
+    identical to a plain group-by (the oracle); at 100 TB this is the
+    manual defense when one key dominates a shuffle partition and
+    AQE's skew handling can't split an agg. Partial sums stay DECIMAL
+    until the final cast, so exactness survives both stages."""
+    li = T(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(8)))
+    partial = salted.groupBy("l_partkey", "salt").agg(
+        F.sum(dec2("l_quantity")).alias("psum"), F.count("*").alias("pn")
+    )
+    return partial.groupBy("l_partkey").agg(
+        F.sum("psum").cast("double").alias("sum_qty"), F.sum("pn").alias("n")
+    )
