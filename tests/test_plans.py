@@ -1,0 +1,88 @@
+"""Physical-plan regression tests (SURVEY §4 discipline): the point is
+not that queries return right answers (the oracle gate does that) but
+that they keep the *plans* a 100 TB deployment needs -- pushdown,
+broadcast, no nested-loop joins, top-k without global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CATALOG[name].builder(spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # 7-column projection reaches the scan: the untouched columns don't
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q02_star_join_has_no_nested_loop(spark):
+    p = plan_of(spark, "q02_revenue_by_region")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q08_interval_join_is_equi_join(spark):
+    """The bucketized interval join must plan as a hash/sort-merge
+    equi-join -- a raw inequality join would be BroadcastNestedLoop."""
+    p = plan_of(spark, "q08_interval_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_q09_asof_join_has_no_join_at_all(spark):
+    """The union-trick as-of join is windows-only: no join operator,
+    hence no possibility of an O(n^2) blow-up."""
+    p = plan_of(spark, "q09_asof_join")
+    assert "Join" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    for name in ("q19_global_topk", "q48_cosine_topk"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the
+    join key needs no Exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+            "li_bucketed"
+        )
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "orders_bucketed"
+        )
+        j = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert j.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

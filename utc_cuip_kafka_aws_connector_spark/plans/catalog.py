@@ -1630,3 +1630,89 @@ def q66_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_partkey").agg(
         F.sum("psum").cast("double").alias("sum_qty"), F.sum("pn").alias("n")
     )
+
+
+@query(
+    "q67_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT c_custkey,
+                      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+               FROM customer),
+         b AS (SELECT DISTINCT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+               FROM customer)
+    SELECT count(*) AS n_matched,
+           count(DISTINCT a.c_custkey) AS n_custs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def q67_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of dropping out."""
+    cust = T(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_mktsegment"))
+    a = cust.select("c_custkey", seg.alias("seg_a"))
+    b = cust.select(seg.alias("seg_b")).distinct()
+    return a.join(b, F.col("seg_a").eqNullSafe(F.col("seg_b"))).agg(
+        F.count("*").alias("n_matched"), F.countDistinct("c_custkey").alias("n_custs")
+    )
+
+
+@query(
+    "q68_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q68_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (bag semantics)."""
+    orders = T(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+@query(
+    "q69_nulls_last_topk",
+    oracle="""
+    SELECT c_custkey, seg
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS seg
+          FROM customer)
+    ORDER BY seg DESC NULLS LAST, c_custkey
+    LIMIT 25
+    """,
+)
+def q69_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering in a top-k (engines default differently:
+    Spark DESC = nulls last, DuckDB DESC = nulls first -- the explicit
+    NULLS LAST pins both)."""
+    cust = T(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    return (
+        cust.select("c_custkey", seg.alias("seg"))
+        .orderBy(F.col("seg").desc_nulls_last(), F.col("c_custkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q70_from_json_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def q70_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType (schema-on-read over the props JSON --
+    reference R2 generalized): typed map access + cardinality."""
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
