@@ -1716,3 +1716,70 @@ def q70_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_from_map"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "q71_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS w FROM events
+      UNION ALL
+      SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate (1 h window, 30 min slide) in batch
+    mode -- each event lands in window/slide = 2 buckets. The oracle
+    derives the same assignment via two shifted 30-minute buckets."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q72_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, seq
+    """,
+)
+def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30 min inactivity gap) in batch mode; the
+    oracle rebuilds identical sessions with the lag/cumsum rewrite.
+    Session start = first event's (second-truncated) timestamp."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

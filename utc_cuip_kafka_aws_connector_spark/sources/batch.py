@@ -34,7 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in the footer, which Spark's
     vectorized reader rejects; read it as raw nanos (legacy conf is
     runtime-settable) and floor-convert to a microsecond timestamp.
+
+    The session timezone is pinned to UTC on every load: the driver
+    harness supplies its own SparkSession, and epoch-ms conversions /
+    date formatting must match DuckDB's UTC-naive timestamps
+    regardless of that session's original configuration.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
