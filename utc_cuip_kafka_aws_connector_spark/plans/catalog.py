@@ -1337,7 +1337,7 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY l_orderkey)
-    SELECT o.o_orderkey, o.o_orderdate, r.revenue
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, r.revenue
     FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
     ORDER BY r.revenue DESC, o.o_orderkey
@@ -1357,13 +1357,13 @@ def q57_sql_cte_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
           FROM lineitem GROUP BY l_orderkey)
-        SELECT o.o_orderkey, o.o_orderdate, r.revenue
+        SELECT o.o_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date, r.revenue
         FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
         WHERE o.o_orderstatus = 'O'
         ORDER BY r.revenue DESC, o.o_orderkey
         LIMIT 10
         """
-    ).withColumn("o_orderdate", F.col("o_orderdate"))
+    )
 
 
 @query(
@@ -1460,11 +1460,17 @@ def q60_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name).select(
+    result = spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
     )
+    out = result.localCheckpoint(eager=True)  # detach from the memory sink
+    import shutil
+
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(f"{_IO_SCRATCH}/q60_ckpt_{name}", ignore_errors=True)
+    return out
 
 
 @query(
@@ -1782,4 +1788,128 @@ def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_events",
         )
+    )
+
+
+# ===========================================================================
+# Composition queries: multi-operator TPC-H-shaped analytics
+# ===========================================================================
+
+
+@query(
+    "q73_nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q73_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year -- a 6-way
+    join with two roles for nation (aliased broadcasts) + calendar
+    extraction + decimal-exact volume."""
+    li = T(spark, sf_dir, "lineitem")
+    supp, orders, cust = T(spark, sf_dir, "supplier"), T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    vol = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(vol).alias("volume"))
+    )
+
+
+@query(
+    "q74_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-subquery max. The max is
+    over decimal-exact doubles, so the equality predicate is stable."""
+    li, supp = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q75_promo_share",
+    oracle="""
+    SELECT year(l.l_shipdate) AS yr,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q75_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional decimal aggregation over a
+    broadcast dimension join (promo revenue share per ship year)."""
+    li, part = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "part")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(dsum(promo).alias("promo_revenue"), dsum(rev).alias("total_revenue"))
+    )
+
+
+@query(
+    "q76_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS size_d,
+                 p_retailprice AS price_d
+          FROM part)
+    UNPIVOT (val FOR metric IN (size_d, price_d))
+    """,
+)
+def q76_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long) via stack(): the inverse of q52's
+    pivot; values pass through as doubles."""
+    part = T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size_d"),
+        F.col("p_retailprice").alias("price_d"),
+    ).selectExpr(
+        "p_partkey",
+        "stack(2, 'size_d', size_d, 'price_d', price_d) AS (metric, val)",
     )
