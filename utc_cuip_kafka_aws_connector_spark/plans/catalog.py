@@ -1913,3 +1913,36 @@ def q76_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "stack(2, 'size_d', size_d, 'price_d', price_d) AS (metric, val)",
     )
+
+
+@query(
+    "q77_explode_dimension_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, (x, i) -> CAST(i - 1 AS INTEGER))) AS pos,
+             unnest(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE))) AS val
+      FROM embeddings)
+    SELECT pos,
+           count(*) AS n,
+           CAST(min(val) AS DOUBLE) AS min_val,
+           CAST(max(val) AS DOUBLE) AS max_val
+    FROM flat
+    GROUP BY pos
+    """,
+)
+def q77_explode_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over the embedding column -> per-dimension extremes
+    (min/max select existing elements, so no float-summation
+    nondeterminism). Array -> rows is the last §2.B array-family form
+    not yet exercised as a query."""
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("v").cast("double")).alias("min_val"),
+            F.max(F.col("v").cast("double")).alias("max_val"),
+        )
+    )
