@@ -462,12 +462,14 @@ def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q16_running_total",
     oracle="""
+    SELECT * FROM (
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_spend
-    FROM orders
+    FROM orders)
+    WHERE o_orderkey % 5 = 0
     """,
 )
 def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,17 +484,19 @@ def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
-    )
+    ).filter(F.col("o_orderkey") % 5 == 0)
 
 
 @query(
     "q17_lag_lead",
     oracle="""
-    SELECT event_id, user_id,
-           coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w, -1) AS gap_ms,
-           coalesce(lead(event_type) OVER w, 'none') AS next_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    SELECT * FROM (
+      SELECT event_id, user_id,
+             coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w, -1) AS gap_ms,
+             coalesce(lead(event_type) OVER w, 'none') AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_id % 5 = 0
     """,
 )
 def q17_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,7 +509,7 @@ def q17_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(ms - F.lag(ms).over(w), F.lit(-1)).alias("gap_ms"),
         F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
-    )
+    ).filter(F.col("event_id") % 5 == 0)
 
 
 @query(
@@ -588,6 +592,7 @@ def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_union_by_name",
     oracle="""
     SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src FROM orders
+    WHERE o_orderkey % 10 = 0
     UNION ALL BY NAME
     SELECT c_custkey AS id, 'customer' AS src FROM customer
     """,
@@ -597,7 +602,9 @@ def q22_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df_manager.py:90, pandas append sort=False): unionByName with
     allowMissingColumns fills absent columns with NULL."""
     orders, cust = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
-    a = orders.select(F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount"), F.lit("order").alias("src"))
+    a = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount"), F.lit("order").alias("src")
+    )
     b = cust.select(F.col("c_custkey").alias("id"), F.lit("customer").alias("src"))
     return a.unionByName(b, allowMissingColumns=True)
 
@@ -731,12 +738,13 @@ def q26_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
            strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m
     FROM orders
+    WHERE o_orderkey % 10 = 0
     """,
 )
 def q27_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family (reference R10/R11 analogs, df_manager.py:58,61).
     iso_dow uses weekday()+1 == DuckDB isodow (Monday=1)."""
-    orders = T(spark, sf_dir, "orders")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     return orders.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
@@ -763,6 +771,7 @@ def q27_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_partkey % 7                             AS pk_mod,
            l_partkey // 7                            AS pk_div
     FROM lineitem
+    WHERE l_orderkey % 10 = 0
     """,
 )
 def q28_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,7 +779,7 @@ def q28_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); ln/pow are rounded to 1e-6 -- far above their 1-ulp
     implementation differences. ceil/floor of doubles cast to BIGINT
     (Spark returns BIGINT, DuckDB DOUBLE)."""
-    li = T(spark, sf_dir, "lineitem")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -823,13 +832,14 @@ def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            to_json(struct_pack(event_type := event_type))::VARCHAR AS type_json
     FROM events
+    WHERE event_id % 10 = 0
     """,
 )
 def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction + serialization (reference R2/R4 parity,
     run.py:45,51): typed scalar out of a JSON string column, struct
     back to a JSON string."""
-    ev = T(spark, sf_dir, "events")
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
@@ -844,11 +854,12 @@ def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            map_keys(map([event_type], [value]))   AS mkeys,
            CAST(map([event_type], [value])[event_type][1] AS DOUBLE) AS mval
     FROM events
+    WHERE event_id % 10 = 0
     """,
 )
 def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + key/value access."""
-    ev = T(spark, sf_dir, "events")
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     m = F.create_map(F.col("event_type"), F.col("value"))
     return ev.select(
         "event_id",
@@ -864,13 +875,14 @@ def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(ts) AS ts_ms,
            strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_iso
     FROM events
+    WHERE event_id % 10 = 0
     """,
 )
 def q32_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference R9/R10 parity (df_manager.py:55-58): epoch-ms column
     derived from the event time and the timestamp-iso string rebuilt
     from it (timestamp_millis == pd.to_datetime(unit='ms'))."""
-    ev = T(spark, sf_dir, "events")
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     ms = F.unix_millis("ts")
     return ev.select(
         "event_id",
@@ -1274,14 +1286,16 @@ def q54_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q55_window_frames",
     oracle="""
-    SELECT o_orderkey, o_custkey,
-           first_value(o_totalprice) OVER w4 AS first_in_frame,
-           last_value(o_totalprice)  OVER w4 AS last_in_frame,
-           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
-    FROM orders
-    WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    SELECT * FROM (
+      SELECT o_orderkey, o_custkey,
+             first_value(o_totalprice) OVER w4 AS first_in_frame,
+             last_value(o_totalprice)  OVER w4 AS last_in_frame,
+             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+      FROM orders
+      WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+    WHERE o_orderkey % 5 = 0
     """,
 )
 def q55_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,7 +1314,7 @@ def q55_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w4).alias("first_in_frame"),
         F.last("o_totalprice").over(w4).alias("last_in_frame"),
         F.count("*").over(wr).alias("n_within_1000"),
-    )
+    ).filter(F.col("o_orderkey") % 5 == 0)
 
 
 @query(
@@ -1506,6 +1520,7 @@ def q61_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS disc_price_udf
     FROM lineitem
+    WHERE l_orderkey % 10 = 0
     """,
 )
 def q62_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,7 +1533,7 @@ def q62_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
         return price * (1 - disc)
 
-    li = T(spark, sf_dir, "lineitem")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.select(
         "l_orderkey", "l_linenumber", disc_price("l_extendedprice", "l_discount").alias("disc_price_udf")
     )
@@ -1527,9 +1542,11 @@ def q62_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q63_grouped_map",
     oracle="""
-    SELECT event_id, user_id,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER) AS rnk
-    FROM events
+    SELECT * FROM (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER) AS rnk
+      FROM events)
+    WHERE event_id % 5 = 0
     """,
 )
 def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,8 +1560,11 @@ def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["rnk"] = (pdf.index + 1).astype("int32")
         return pdf[["event_id", "user_id", "rnk"]]
 
-    return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        rank_group, schema="event_id long, user_id long, rnk int"
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(rank_group, schema="event_id long, user_id long, rnk int")
+        .filter(F.col("event_id") % 5 == 0)
     )
 
 
