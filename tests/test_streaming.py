@@ -172,3 +172,16 @@ def test_stateful_running_stats(spark, events_dir, tmp_path):
         fn, ftotal, fvmax = final[k]
         assert fn == n and fvmax == vmax
         assert abs(ftotal - total) < 1e-6
+
+
+def test_scheduler_pool_tags_jobs(spark):
+    """R21 parity: the priority helper must tag jobs with the pool name
+    (pool weights themselves come from the allocation file on a real
+    cluster)."""
+    from utc_cuip_kafka_aws_connector_spark.streaming.priority import scheduler_pool
+
+    sc = spark.sparkContext
+    with scheduler_pool(spark, "vision"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "vision"
+        assert spark.range(10).count() == 10  # a job actually runs in the pool
+    assert sc.getLocalProperty("spark.scheduler.pool") is None

@@ -1972,3 +1972,69 @@ def q77_explode_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("v").cast("double")).alias("max_val"),
         )
     )
+
+
+@query(
+    "q78_near_dup_pairs_exact",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 1000))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q78_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED near-duplicate detection: word-3-gram Jaccard
+    pairs (threshold 0.5) over string shingles.
+
+    The oracle brute-forces all O(n^2) pairs; the Spark plan uses the
+    inverted shingle index, whose recall is exactly 100% for any pair
+    above a positive threshold (they must share >=1 shingle) -- so the
+    scalable plan must produce the *identical* pair set. Jaccard is an
+    integer ratio: bit-deterministic. Bounded to doc_id < 1000 so the
+    oracle side stays cheap at every scale factor.
+    """
+    docs_raw = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    n_parts = spark.sparkContext.defaultParallelism
+    w = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        )
+    )
+    docs = (
+        docs_raw.select(F.col("doc_id").alias("doc"), "text")
+        .repartition(n_parts)
+        .select("doc", sh.alias("sh"))
+        .cache()
+    )
+    inv = docs.select("doc", F.explode("sh").alias("s"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), "s")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jacc = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
