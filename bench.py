@@ -17,6 +17,45 @@ import sys
 import time
 
 
+def _bench_reference_pipeline(spark, sf_dir: str) -> float:
+    """Reference-parity ingest throughput (the workload the original
+    repo actually runs): JSON lines -> schema-drift repair ->
+    epoch-ms normalization -> Hive-partitioned sink. Vision-shaped
+    messages are synthesized from the events table (one JSON object
+    per event) outside the timed region."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.pipeline import VISION_SCHEMA, normalize_vision
+    from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table, read_json_lines
+    from utc_cuip_kafka_aws_connector_spark.sources.sinks import write_partitioned
+
+    scratch = "/tmp/spark_graft_io/bench_pipeline"
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_millis("ts").alias("timestamp"),
+                F.concat(F.lit("cam-"), (F.col("user_id") % 4).cast("string")).alias("camera_id"),
+                F.array(
+                    F.struct(
+                        F.col("value").alias("x"),
+                        F.col("value").alias("y"),
+                        F.col("event_type").alias("label"),
+                    )
+                ).alias("locations"),
+            )
+        ).alias("value")
+    )
+    msgs.write.mode("overwrite").text(f"{scratch}/input")
+
+    t0 = time.perf_counter()
+    df = normalize_vision(read_json_lines(spark, f"{scratch}/input", VISION_SCHEMA))
+    write_partitioned(df, f"{scratch}/lake", entity_col="camera_id", mode="overwrite")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
@@ -35,6 +74,9 @@ def main() -> None:
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    timings["pipeline_ingest"] = round(_bench_reference_pipeline(spark, sf_dir), 4)
+    print(f"  pipeline_ingest: {timings['pipeline_ingest']}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
