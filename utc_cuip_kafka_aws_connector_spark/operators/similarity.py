@@ -131,3 +131,83 @@ def lsh_ann_pairs(
         .filter(F.col("cos_sim") >= cos_threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse
+    quantizer). One BLAS matmul per Arrow batch; centroids ship in the
+    task closure (n_centroids x dim doubles -- KBs)."""
+    from pyspark.sql.types import IntegerType
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ c_norm.T).argmax(axis=1).astype("int32"))
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts).select(
+        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid buckets,
+    then search each query only in its ``nprobe`` nearest buckets.
+
+    Centroids default to a deterministic corpus sample (IVF-lite; a
+    production build would run k-means|| -- the operator contract and
+    plan shape are identical). The probe list per query is computed on
+    the driver (queries are few); candidates meet the corpus in a
+    bucket equi-join, so cost ~ corpus/n_centroids * nprobe * |Q|,
+    never |corpus| * |Q|.
+
+    Returns (query_id, vec_id, cos_sim) with per-query top-k.
+    """
+    from pyspark.sql.window import Window as W
+
+    if centroids is None:
+        sample = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        centroids = np.array([r[0] for r in sample], dtype=np.float64)
+    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+
+    probe_rows = []
+    for qid, qv in query_vecs:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        for cid in (q @ c_norm.T).argsort()[::-1][:nprobe]:
+            probe_rows.append((qid, int(cid), [float(x) for x in qv]))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, centroid_id int, q_vec array<double>"
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .withColumn("cos_sim", cosine(F.col(vec_col), F.col("q_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"))
+    )

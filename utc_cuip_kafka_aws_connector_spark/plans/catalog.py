@@ -2038,3 +2038,17 @@ def q78_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query("q79_ivf_ann_topk", oracle=None)
+def q79_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (operators/similarity.py): the
+    scale path for similarity search -- coarse quantize, probe a few
+    buckets per query, exact-rescore candidates. Rows-only check;
+    recall property-tested against numpy brute force."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+          for r in emb.filter(F.col("vec_id") < 5).collect()]
+    return ivf_topk(emb, qs, k=10)
