@@ -24,7 +24,7 @@ from pyspark.sql import SparkSession
 
 from utc_cuip_kafka_aws_connector_spark.pipeline import (
     AIR_SCHEMA,
-    AIR_SUFFIX,
+    AIR_MARKER,
     VISION_SCHEMA,
     VISION_TOPIC,
     normalize_air,
@@ -43,7 +43,7 @@ def run_ingest(
         df = normalize_vision(read_json_lines(spark, input_path, VISION_SCHEMA))
         write_partitioned(df, output_path, entity_col="camera_id", fmt=fmt)
         return "vision"
-    if topic.endswith(AIR_SUFFIX):
+    if AIR_MARKER in topic:
         df = normalize_air(read_json_lines(spark, input_path, AIR_SCHEMA))
         write_partitioned(df, output_path, entity_col="nicename", fmt=fmt)
         return "air"

@@ -32,13 +32,20 @@ def interval_join(
     right_ts: str,
     lo_ms: int,
     hi_ms: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Pairs (left row, right row) with
+    """Inner join of (left row, right row) pairs with
     ``left.left_ts + lo_ms < right.right_ts <= left.left_ts + hi_ms``.
 
     Column names must be disjoint across the two sides except ``key``
     (pre-select/rename before calling).
+
+    Inner-only by design: the exact-predicate re-check after the
+    bucketized equi-join would drop null-extended rows of an outer
+    join, and the exploded left side would duplicate unmatched left
+    rows. A left-outer variant needs a unique left-row id (tag ->
+    inner interval_join -> anti-join the tagged left against matched
+    ids -> unionByName with nulls); compose it from this operator
+    rather than passing a join mode through.
     """
     assert hi_ms > lo_ms, "empty interval"
     width = hi_ms - lo_ms
@@ -52,4 +59,4 @@ def interval_join(
     exact = (F.col(right_ts) > F.col(left_ts) + F.expr(f"INTERVAL {lo_ms} MILLISECONDS")) & (
         F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {hi_ms} MILLISECONDS")
     )
-    return l.join(r, on=[key, _BUCKET], how=how).filter(exact).drop(_BUCKET)
+    return l.join(r, on=[key, _BUCKET], how="inner").filter(exact).drop(_BUCKET)

@@ -14,23 +14,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.functions import cosine, dot  # noqa: F401
+
 I64_MAX = float(2**63 - 1)
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Order-stable double dot product of two float arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id",

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VISION_TOPIC = "cuip_vision_events"
-AIR_SUFFIX = "_AIR_QUALITY"
+# Reference parity: df_manager.py:94 routes any topic containing the
+# substring "AIR_QUALITY" (not just the "_AIR_QUALITY" suffix), so
+# "AIR_QUALITY" or "AIR_QUALITY_EAST" route to the air family too.
+AIR_MARKER = "AIR_QUALITY"
 
 # Explicit, versioned topic-family schemas (SURVEY §1.3). The reference
 # let pandas infer the union of keys per batch (df_manager.py:54); here
@@ -102,7 +105,7 @@ def route_topics(df: DataFrame, topic_col: str = "topic") -> tuple[DataFrame, Da
     here it routes to a quarantine DataFrame instead.
     """
     is_vision = F.col(topic_col) == VISION_TOPIC
-    is_air = F.col(topic_col).endswith(AIR_SUFFIX)
+    is_air = F.col(topic_col).contains(AIR_MARKER)
     return (
         df.filter(is_vision),
         df.filter(is_air),

@@ -29,10 +29,11 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd  # module-scope: pandas-UDF type hints resolve here
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from utc_cuip_kafka_aws_connector_spark.functions import dec2, dsum
 from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table
 
 
@@ -66,14 +67,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def dec2(name: str) -> Column:
-    """Money/ratio column (<=2 intrinsic decimal places) as exact decimal."""
-    return F.col(name).cast("decimal(18,2)")
-
-
-def dsum(expr: Column) -> Column:
-    """Exact decimal sum, emitted as a bit-deterministic double."""
-    return F.sum(expr).cast("double")
+# dec2 / dsum (decimal-exact money helpers) live in the shared
+# functions package; re-exported here for the catalog's query bodies.
 
 
 # ===========================================================================
@@ -585,7 +580,7 @@ def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.exceptAll(o).distinct() if False else f.subtract(o)
+    return f.subtract(o)
 
 
 @query(
@@ -851,19 +846,25 @@ def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_map_funcs",
     oracle="""
     SELECT event_id,
-           map_keys(map([event_type], [value]))   AS mkeys,
-           CAST(map([event_type], [value])[event_type][1] AS DOUBLE) AS mval
+           array_to_string(map_keys(map([event_type], [value])), ',') AS mkeys,
+           CAST(len(map_keys(map([event_type], [value]))) AS BIGINT)  AS n_keys,
+           CAST(map([event_type], [value])[event_type][1] AS DOUBLE)  AS mval
     FROM events
     WHERE event_id % 10 = 0
     """,
 )
 def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + key/value access."""
+    """Map construction + key/value access. The key list is serialized
+    with array_join (both sides): the driver's hash canonicalizer
+    factorizes object columns and cannot hash raw list values, so
+    catalog queries never emit array/map-typed columns
+    (CORRECTNESS_r01 q31 regression)."""
     ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     m = F.create_map(F.col("event_type"), F.col("value"))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(m, F.col("event_type")).cast("double").alias("mval"),
     )
 
