@@ -3,10 +3,17 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect); results are
-small (aggregates / top-k), so collect cost is negligible. A warmup
-query first absorbs one-time JVM/codegen startup so per-query numbers
-reflect steady-state execution.
+Methodology: warm engine, cold data. Each query runs twice -- an
+untimed warmup that absorbs one-time JVM/codegen/Python-worker
+startup, then the timed run. ``spark.catalog.clearCache()`` runs
+between the two so any ``.cache()`` an operator builds internally
+(sketch frames etc.) is dropped: the timed run re-does ALL data work
+from the parquet scan up; only engine warmup (JIT, codegen cache,
+worker processes) carries over. That is the steady-state throughput a
+long-running cluster job sees, and it makes per-query numbers
+independent of catalog ordering. Queries that intentionally memoize
+scratch results across runs (streaming replay) are timed on their
+first, materializing run instead.
 """
 
 from __future__ import annotations
@@ -68,11 +75,20 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
     CATALOG["q01_pricing_summary"].builder(spark, sf_dir).collect()
 
+    # Queries that memoize scratch state across invocations (the
+    # streaming replay materializes once per SF): a second run would
+    # measure only the read-back, so time the first run for these.
+    single_run = {"q60_streaming_tumbling"}
+
     timings: dict[str, float] = {}
     for name, entry in CATALOG.items():
+        if name not in single_run:
+            entry.builder(spark, sf_dir).collect()  # warmup (untimed)
+            spark.catalog.clearCache()  # timed run starts data-cold
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     timings["pipeline_ingest"] = round(_bench_reference_pipeline(spark, sf_dir), 4)

@@ -26,3 +26,109 @@ def test_ingest_vision_and_dead_letter(spark, tmp_path):
 
     assert run_ingest(spark, "totally_unknown", str(src), lake) == "dead_letter"
     assert spark.read.text(f"{lake}/dead_letter/totally_unknown").count() == 2
+
+
+AIR = [
+    {"timestamp": 1610668800000, "nicename": "mlk-central", "pm2_5": 5.0, "pm10": 9.0,
+     "temperature": 21.0, "humidity": 40.0},
+    {"timestamp": 1612137600000, "nicename": "mlk-douglas", "pm2_5": 7.5, "pm10": 11.0,
+     "temperature": 19.5, "humidity": 44.0},
+]
+
+REFERENCE_TOPICS = [
+    "cuip_vision_events",
+    "MLK_CENTRAL_AIR_QUALITY",
+    "MLK_DOUGLAS_AIR_QUALITY",
+    "MLK_GEORGIA_AIR_QUALITY",
+    "MLK_HOUSTON_AIR_QUALITY",
+    "MLK_LINDSAY_AIR_QUALITY",
+    "MLK_MAGNOLIA_AIR_QUALITY",
+    "MLK_PEEPLES_AIR_QUALITY",
+]
+
+
+def test_ingest_config_all_topic_families(spark, tmp_path):
+    """Reference main() parity (run.py:59-131): one invocation reads a
+    reference-shaped config, ingests every topic with an input file,
+    routes all three families, and quarantines unknowns."""
+    from utc_cuip_kafka_aws_connector_spark.cli import run_ingest_config
+
+    cfg = tmp_path / "config.yaml"
+    topics = REFERENCE_TOPICS + ["mystery_topic"]
+    cfg.write_text(
+        "kafka:\n  - bootstrap-servers: \"broker:9092\"\n    group-id: \"g1\"\n    topics: ["
+        + ", ".join(f'"{t}"' for t in topics)
+        + "]\n"
+    )
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "cuip_vision_events.jsonl").write_text(
+        "\n".join(json.dumps(m) for m in VISION)
+    )
+    (incoming / "MLK_CENTRAL_AIR_QUALITY.jsonl").write_text(json.dumps(AIR[0]))
+    (incoming / "MLK_DOUGLAS_AIR_QUALITY.jsonl").write_text(json.dumps(AIR[1]))
+    (incoming / "mystery_topic.jsonl").write_text('{"x": 1}')
+    lake = str(tmp_path / "lake")
+
+    routes = run_ingest_config(spark, str(cfg), str(incoming), lake)
+    assert routes == {
+        "cuip_vision_events": "vision",
+        "MLK_CENTRAL_AIR_QUALITY": "air",
+        "MLK_DOUGLAS_AIR_QUALITY": "air",
+        "mystery_topic": "dead_letter",
+    }
+    assert spark.read.parquet(f"{lake}/vision").count() == 2
+    air_df = spark.read.parquet(f"{lake}/air_quality")
+    assert air_df.count() == 2  # both air topics in ONE family write
+    assert os.path.isdir(f"{lake}/air_quality/nicename=mlk-central/year=2021/month=1")
+    assert os.path.isdir(f"{lake}/air_quality/nicename=mlk-douglas/year=2021/month=2")
+    assert spark.read.text(f"{lake}/dead_letter/mystery_topic").count() == 1
+
+
+def test_stream_subcommand_idempotent_layout(spark, tmp_path):
+    """The CRON job as one command: availableNow drains the input into
+    the epoch-keyed idempotent sink; a second run with the same
+    checkpoint sees no new files and writes nothing new."""
+    from utc_cuip_kafka_aws_connector_spark.cli import run_stream
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.jsonl").write_text("\n".join(json.dumps(m) for m in AIR))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    run_stream(spark, "MLK_CENTRAL_AIR_QUALITY", str(incoming), out, ckpt)
+    got = spark.read.parquet(f"{out}/batch_id=*")
+    assert got.count() == 2
+    assert os.path.isdir(f"{out}/batch_id=0/nicename=mlk-central/year=2021/month=1")
+
+    run_stream(spark, "MLK_CENTRAL_AIR_QUALITY", str(incoming), out, ckpt)
+    assert spark.read.parquet(f"{out}/batch_id=*").count() == 2  # no duplicates
+
+
+def test_dual_destination_write_mirrors(spark, tmp_path):
+    """Reference dual-bucket flush (df_manager.py:82-103): --backup-output
+    produces an identical second lake."""
+    src = tmp_path / "vision.jsonl"
+    src.write_text("\n".join(json.dumps(m) for m in VISION))
+    lake, backup = str(tmp_path / "lake"), str(tmp_path / "backup")
+
+    assert run_ingest(spark, "cuip_vision_events", str(src), lake, backup_output=backup) == "vision"
+    a = spark.read.parquet(lake)
+    b = spark.read.parquet(backup)
+    assert a.count() == b.count() == 2
+    assert sorted(a.columns) == sorted(b.columns)
+    assert os.path.isdir(f"{backup}/camera_id=cam-a/year=2021/month=1")
+
+
+def test_cloud_committer_conf_contract():
+    """The s3a:// write path's committer contract: magic committer +
+    the cloud commit protocol bindings (jars are cluster-side; the
+    keys are the documented deployment config)."""
+    from utc_cuip_kafka_aws_connector_spark.sources.sinks import cloud_committer_conf
+
+    conf = cloud_committer_conf()
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert conf["spark.sql.sources.commitProtocolClass"].endswith("PathOutputCommitProtocol")
+    assert conf["spark.sql.parquet.output.committer.class"].endswith("BindingParquetOutputCommitter")
+    assert conf["spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"].endswith("S3ACommitterFactory")

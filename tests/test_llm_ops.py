@@ -179,3 +179,39 @@ def test_ivf_topk_recall_and_pruning(spark, embeddings_np):
         assert hits[0][0] == qid or abs(hits[0][1] - 1.0) < 1e-3, (qid, hits[:2])
     # (b) results bounded: k per query
     assert all(len(h) <= 5 for h in by_q.values())
+
+
+def test_ivf_topk_skewed_corpus_recall(spark):
+    """Regression for degenerate coarse quantizers: a corpus whose ids
+    are SORTED BY CLUSTER must still give full neighbor recall. With
+    first-N-rows centroids every centroid would come from cluster 0;
+    the hash-spread sample draws centroids across all clusters, so a
+    query's nprobe buckets contain its whole cluster and IVF top-k
+    equals brute-force top-k."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(4, 16)) * 5.0
+    rows = []
+    vid = 0
+    for c in range(4):  # ids strictly sorted by cluster
+        for _ in range(50):
+            v = centers[c] + rng.normal(size=16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(i, rows[i][1]) for i in (0, 60, 120, 180)]  # one per cluster
+
+    got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["cos_sim"], r["vec_id"]))
+
+    # brute force in the same float32-storage/float64-math regime
+    mat = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid, _ in queries:
+        q = matn[qid]
+        brute = set(np.argsort(-(matn @ q))[:3].tolist())
+        ivf = {v for _, v in sorted(by_q.get(qid, []), reverse=True)[:3]}
+        assert ivf == brute, (qid, ivf, brute)

@@ -185,3 +185,45 @@ def test_scheduler_pool_tags_jobs(spark):
         assert sc.getLocalProperty("spark.scheduler.pool") == "vision"
         assert spark.range(10).count() == 10  # a job actually runs in the pool
     assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
+    """The full reference job behind the Kafka column contract, no
+    broker: file_message_reader emits (topic, value) exactly like
+    kafka_reader(...).load(), then decode -> normalize -> idempotent
+    partitioned sink under availableNow. Swapping in the real Kafka
+    source changes only the reader call."""
+    import json as _json
+
+    from utc_cuip_kafka_aws_connector_spark.pipeline import AIR_SCHEMA, normalize_air
+    from utc_cuip_kafka_aws_connector_spark.sources.kafka import (
+        decode_json_payload,
+        file_message_reader,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    msgs = [
+        {"timestamp": 1610668800000, "nicename": "mlk-central", "pm2_5": 5.0, "pm10": 9.0,
+         "temperature": 21.0, "humidity": 40.0},
+        {"timestamp": 1612137600000, "nicename": "mlk-douglas", "pm2_5": 7.5, "pm10": 11.0,
+         "temperature": 19.5, "humidity": 44.0},
+        {"nicename": "no-timestamp-dropped", "pm2_5": 1.0},  # R6: dropped
+    ]
+    (incoming / "msgs.txt").write_text("\n".join(_json.dumps(m) for m in msgs))
+    out = str(tmp_path / "lake")
+
+    src = file_message_reader(spark, str(incoming), "MLK_CENTRAL_AIR_QUALITY")
+    norm = normalize_air(decode_json_payload(src, AIR_SCHEMA).drop("topic"))
+    q = (
+        norm.writeStream.foreachBatch(idempotent_batch_writer(out, entity_col="nicename"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_kafka_shape"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    assert got.count() == 2  # timestamp-less message dropped, not written
+    import os
+    assert os.path.isdir(f"{out}/batch_id=0/nicename=mlk-central/year=2021/month=1")

@@ -2,71 +2,264 @@
 
 The reference parsed argv by hand, validated AWS env vars, loaded a
 YAML config, and launched consumer processes. Here the equivalent is
-an argparse front-end over the declarative pipeline: JSON input ->
-topic-family normalization -> Hive-partitioned sink, with unknown
-topics quarantined (R19 fixed: routed, not dropped).
+an argparse front-end over the declarative pipeline, three modes:
 
-    python -m utc_cuip_kafka_aws_connector_spark ingest \
-        --topic cuip_vision_events --input events.jsonl --output ./lake
+- ``ingest``: one topic's JSON lines -> topic-family normalization ->
+  Hive-partitioned sink, unknown topics quarantined (R19 fixed:
+  routed, not dropped).
+
+      python -m utc_cuip_kafka_aws_connector_spark ingest \
+          --topic cuip_vision_events --input events.jsonl --output ./lake
+
+- ``ingest-config``: the reference's main() (run.py:59-131) as ONE
+  Spark job -- read the same config.yaml shape (kafka ->
+  bootstrap-servers/group-id/topics, config.yaml:1-14), ingest every
+  listed topic, route by family, write each family's partitioned
+  lake and quarantine unknowns, in a single invocation. Worker
+  pools/queues have no equivalent: Spark schedules the per-family
+  plans across all cores.
+
+      python -m utc_cuip_kafka_aws_connector_spark ingest-config \
+          --config config.yaml --input-root ./incoming --output ./lake
+
+- ``stream``: the reference's CRON consume->flush loop (README.md:5,
+  run.py:117-125) as one Structured Streaming command: source ->
+  normalize -> exactly-once partitioned sink via
+  foreachBatch(idempotent_batch_writer), Trigger.AvailableNow (drain
+  everything, then stop -- the cron cadence). A JSON file source
+  stands in for Kafka here (spark-sql-kafka jars are not bundled);
+  on a real cluster ``sources.kafka.kafka_reader`` yields the same
+  (topic, value) shape and the rest of the command is unchanged.
+
+      python -m utc_cuip_kafka_aws_connector_spark stream \
+          --topic MLK_CENTRAL_AIR_QUALITY --input ./incoming \
+          --output ./lake --checkpoint ./ckpt
 
 S3 output works by pointing --output at s3a:// with fs.s3a.*
 credentials configured on the cluster (instance profile preferred) --
 no env-var checks in code, unlike the reference's hard exit
-(run.py:224-248).
+(run.py:224-248). ``--backup-output`` reproduces the reference's
+dual-bucket write (df_manager.py:82-103) via
+sinks.dual_destination_write.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+from functools import reduce
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.pipeline import (
-    AIR_SCHEMA,
     AIR_MARKER,
+    AIR_SCHEMA,
     VISION_SCHEMA,
     VISION_TOPIC,
     normalize_air,
     normalize_vision,
 )
 from utc_cuip_kafka_aws_connector_spark.sources.batch import read_json_lines
-from utc_cuip_kafka_aws_connector_spark.sources.sinks import write_partitioned
+from utc_cuip_kafka_aws_connector_spark.sources.sinks import (
+    dual_destination_write,
+    idempotent_batch_writer,
+    write_partitioned,
+)
+
+
+def _family(topic: str) -> str:
+    if topic == VISION_TOPIC:
+        return "vision"
+    if AIR_MARKER in topic:
+        return "air"
+    return "dead_letter"
+
+
+def _write(df: DataFrame, output: str, entity: str, fmt: str, backup: str | None) -> None:
+    if backup:
+        dual_destination_write(df, output, backup, entity_col=entity, fmt=fmt)
+    else:
+        write_partitioned(df, output, entity_col=entity, fmt=fmt)
 
 
 def run_ingest(
-    spark: SparkSession, topic: str, input_path: str, output_path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    topic: str,
+    input_path: str,
+    output_path: str,
+    fmt: str = "parquet",
+    backup_output: str | None = None,
 ) -> str:
     """Batch-ingest one topic's JSON lines into the partitioned lake.
     Returns the route taken ('vision' | 'air' | 'dead_letter')."""
-    if topic == VISION_TOPIC:
+    family = _family(topic)
+    if family == "vision":
         df = normalize_vision(read_json_lines(spark, input_path, VISION_SCHEMA))
-        write_partitioned(df, output_path, entity_col="camera_id", fmt=fmt)
-        return "vision"
-    if AIR_MARKER in topic:
+        _write(df, output_path, "camera_id", fmt, backup_output)
+    elif family == "air":
         df = normalize_air(read_json_lines(spark, input_path, AIR_SCHEMA))
-        write_partitioned(df, output_path, entity_col="nicename", fmt=fmt)
-        return "air"
-    # R19 dead-letter: quarantine raw lines instead of dropping
-    spark.read.text(input_path).write.mode("append").text(f"{output_path}/dead_letter/{topic}")
-    return "dead_letter"
+        _write(df, output_path, "nicename", fmt, backup_output)
+    else:
+        # R19 dead-letter: quarantine raw lines instead of dropping
+        spark.read.text(input_path).write.mode("append").text(
+            f"{output_path}/dead_letter/{topic}"
+        )
+    return family
+
+
+def load_topics_config(path: str) -> dict:
+    """Load the reference-shaped config (config.yaml:1-14): top-level
+    ``kafka`` list whose first entry carries bootstrap-servers,
+    group-id, and the topic list. YAML when available, else JSON (the
+    shapes are identical)."""
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml
+
+        cfg = yaml.safe_load(text)
+    except ImportError:  # pragma: no cover - yaml is normally present
+        import json
+
+        cfg = json.loads(text)
+    return cfg["kafka"][0]
+
+
+def run_ingest_config(
+    spark: SparkSession,
+    config_path: str,
+    input_root: str,
+    output_path: str,
+    fmt: str = "parquet",
+    backup_output: str | None = None,
+) -> dict[str, str]:
+    """Ingest EVERY topic in the config in one invocation (reference
+    main(), run.py:59-131): per-family inputs are unioned into one
+    DataFrame each, normalized once, and written once -- so the
+    air-quality family's 7 topics produce one partitioned write, not
+    7, and Spark parallelizes across families without worker pools.
+    Inputs are ``<input_root>/<topic>.jsonl``; topics with no input
+    file are skipped (a consumer with no new messages). Returns
+    {topic: route}.
+    """
+    topics = list(load_topics_config(config_path)["topics"])
+    import os
+
+    present = [t for t in topics if os.path.exists(f"{input_root}/{t}.jsonl")]
+    routes = {t: _family(t) for t in present}
+
+    vision = [t for t in present if routes[t] == "vision"]
+    air = [t for t in present if routes[t] == "air"]
+    dead = [t for t in present if routes[t] == "dead_letter"]
+
+    if vision:
+        frames = [
+            read_json_lines(spark, f"{input_root}/{t}.jsonl", VISION_SCHEMA) for t in vision
+        ]
+        _write(
+            normalize_vision(reduce(DataFrame.unionByName, frames)),
+            f"{output_path}/vision",
+            "camera_id",
+            fmt,
+            backup_output and f"{backup_output}/vision",
+        )
+    if air:
+        frames = [
+            read_json_lines(spark, f"{input_root}/{t}.jsonl", AIR_SCHEMA) for t in air
+        ]
+        _write(
+            normalize_air(reduce(DataFrame.unionByName, frames)),
+            f"{output_path}/air_quality",
+            "nicename",
+            fmt,
+            backup_output and f"{backup_output}/air_quality",
+        )
+    for t in dead:
+        spark.read.text(f"{input_root}/{t}.jsonl").write.mode("append").text(
+            f"{output_path}/dead_letter/{t}"
+        )
+    return routes
+
+
+def run_stream(
+    spark: SparkSession,
+    topic: str,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """The reference's consume->flush CRON job as one streaming
+    command: drain all available input (Trigger.AvailableNow), write
+    through the epoch-keyed idempotent sink (exactly-once under
+    replay -- the reference was at-least-once, SURVEY R23), track
+    progress in the checkpoint. Re-running picks up only new files,
+    exactly like the reference's committed Kafka offsets."""
+    family = _family(topic)
+    if family == "vision":
+        schema, norm, entity = VISION_SCHEMA, normalize_vision, "camera_id"
+    elif family == "air":
+        schema, norm, entity = AIR_SCHEMA, normalize_air, "nicename"
+    else:
+        raise ValueError(f"unknown topic family for streaming: {topic}")
+
+    src = spark.readStream.schema(schema).json(input_dir)
+    query = (
+        norm(src)
+        .writeStream.foreachBatch(idempotent_batch_writer(output_path, entity_col=entity, fmt=fmt))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.awaitTermination()
 
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
+
     ingest = sub.add_parser("ingest", help="batch-ingest JSON lines into the partitioned lake")
     ingest.add_argument("--topic", required=True, help="Kafka topic name the file came from")
     ingest.add_argument("--input", required=True, help="JSON-lines input path")
     ingest.add_argument("--output", required=True, help="lake root (local or s3a://)")
+    ingest.add_argument("--backup-output", default=None, help="optional second lake root")
     ingest.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+
+    cfg = sub.add_parser(
+        "ingest-config", help="ingest every topic from a reference-shaped config in one run"
+    )
+    cfg.add_argument("--config", required=True, help="config.yaml/json (kafka[0].topics)")
+    cfg.add_argument("--input-root", required=True, help="directory of <topic>.jsonl files")
+    cfg.add_argument("--output", required=True)
+    cfg.add_argument("--backup-output", default=None)
+    cfg.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+
+    stream = sub.add_parser("stream", help="streaming ingest with idempotent sink (availableNow)")
+    stream.add_argument("--topic", required=True)
+    stream.add_argument("--input", required=True, help="directory the streaming source watches")
+    stream.add_argument("--output", required=True)
+    stream.add_argument("--checkpoint", required=True)
+    stream.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+
     args = parser.parse_args(argv)
 
     from utc_cuip_kafka_aws_connector_spark.session import get_spark
 
-    spark = get_spark(app_name="ingest")
-    route = run_ingest(spark, args.topic, args.input, args.output, args.format)
-    print(f"ingested topic={args.topic} route={route} output={args.output}")
+    spark = get_spark(app_name=args.cmd)
+    if args.cmd == "ingest":
+        route = run_ingest(
+            spark, args.topic, args.input, args.output, args.format, args.backup_output
+        )
+        print(f"ingested topic={args.topic} route={route} output={args.output}")
+    elif args.cmd == "ingest-config":
+        routes = run_ingest_config(
+            spark, args.config, args.input_root, args.output, args.format, args.backup_output
+        )
+        print(f"ingested {len(routes)} topics: {routes}")
+    else:
+        run_stream(spark, args.topic, args.input, args.output, args.checkpoint, args.format)
+        print(f"streamed topic={args.topic} output={args.output}")
     return 0
 
 

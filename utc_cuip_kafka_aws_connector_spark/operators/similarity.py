@@ -161,20 +161,30 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into centroid buckets,
     then search each query only in its ``nprobe`` nearest buckets.
 
-    Centroids default to a deterministic corpus sample (IVF-lite; a
-    production build would run k-means|| -- the operator contract and
-    plan shape are identical). The probe list per query is computed on
-    the driver (queries are few); candidates meet the corpus in a
-    bucket equi-join, so cost ~ corpus/n_centroids * nprobe * |Q|,
-    never |corpus| * |Q|.
+    Centroids default to a deterministic HASH-SPREAD corpus sample:
+    the n_centroids rows with the smallest xxhash64(id) -- a seedless
+    uniform draw that is independent of row order, so a corpus sorted
+    or clustered by id still yields centroids spread across the whole
+    collection (taking the FIRST n rows would degenerate the coarse
+    quantizer on such corpora and collapse recall). A production
+    build would run k-means||; the operator contract and plan shape
+    are identical. The probe list per query is computed on the driver
+    (queries are few); candidates meet the corpus in a bucket
+    equi-join, so cost ~ corpus/n_centroids * nprobe * |Q|, never
+    |corpus| * |Q|.
 
     Returns (query_id, vec_id, cos_sim) with per-query top-k.
     """
     from pyspark.sql.window import Window as W
 
     if centroids is None:
-        sample = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-        centroids = np.array([r[0] for r in sample], dtype=np.float64)
+        sample = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = np.array([r[1] for r in sample], dtype=np.float64)
     c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     assigned = ivf_assign(df, centroids, id_col, vec_col)

@@ -1131,24 +1131,103 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
 
 
-@query("q46_minhash_lsh_pairs", oracle=None)
+# Brute-force DuckDB ground truth for word-3-gram Jaccard near-dup
+# pairs over doc_id < 1000 -- shared by q46 (MinHash-LSH path), q51
+# (inverted-index path) and q78 (pure-SQL Spark path). The oracle
+# enumerates all O(n^2) pairs; bounding the id range keeps that cheap
+# at every scale factor while the Spark plans stay bucketed.
+_NEAR_DUP_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 1000))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """
+
+
+@query("q46_minhash_lsh_pairs", oracle=_NEAR_DUP_ORACLE)
 def q46_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
-    verification (operators/dedup.py). No SQL oracle (signature
-    banding is not ANSI-expressible); property-tested against the
-    exact n-gram Jaccard operator in tests/test_llm_ops.py."""
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard
+    verification (operators/dedup.py), checked against the brute-force
+    DuckDB ground truth on a bounded id range.
+
+    Why oracle equality is legitimate for an LSH plan: candidates are
+    exact-verified, so precision is always 1; recall is governed by
+    banding -- P(miss) = (1-s^r)^b, which at this corpus's near-dup
+    similarities (every qualifying pair has J >= 0.9) is (1-0.9^4)^16
+    ~ 4e-8 per pair, and the signatures are seed-deterministic, so
+    the emitted pair set is a fixed, verified-complete result. The
+    *general* recall guarantee at lower similarities is covered by
+    the property test (tests/test_llm_ops.py) instead. The hashed
+    shingle sets used for verification are injective on the corpus
+    vocabulary, so Jaccard values equal the string-shingle ground
+    truth bit-for-bit (integer ratios, IEEE division)."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), id_col="doc_id")
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return minhash_lsh_pairs(docs, id_col="doc_id")
 
 
-@query("q47_simhash", oracle=None)
+@query(
+    "q47_simhash",
+    oracle="""
+    SELECT doc_id,
+           CAST(0 AS BIGINT) AS h_dup,
+           CAST(0 AS BIGINT) AS h_shuffled
+    FROM documents WHERE doc_id < 1000
+    """,
+)
 def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (operators/dedup.py); rows-only
-    check + hamming-distance property tests."""
+    """SimHash fingerprints (operators/dedup.py) under a metamorphic
+    oracle: the fingerprint of a text is checked against (a) an
+    identical planted copy -- hamming distance must be exactly 0
+    (determinism) -- and (b) a word-order-reversed copy -- also
+    exactly 0, because SimHash votes over the token *multiset* and is
+    order-invariant by construction. The oracle encodes those
+    invariants; order-dependence, nondeterminism, or bit-packing bugs
+    all break equality. Separation of genuinely different texts is
+    covered by the hamming-distance property test."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import simhash
 
-    return simhash(T(spark, sf_dir, "documents"), id_col="doc_id")
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    shuffled = F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("v"), F.col("text").alias("vtext")),
+                F.struct(F.lit(1).alias("v"), F.col("text").alias("vtext")),
+                F.struct(F.lit(2).alias("v"), shuffled.alias("vtext")),
+            )
+        ).alias("e"),
+    ).select(
+        (F.col("doc_id") * 4 + F.col("e.v")).alias("vid"), F.col("e.vtext").alias("text")
+    )
+    sims = simhash(variants, id_col="vid")
+    s = sims.select(
+        F.floor(F.col("vid") / 4).cast("long").alias("doc_id"),
+        (F.col("vid") % 4).alias("v"),
+        "simhash64",
+    )
+    orig = s.filter(F.col("v") == 0).select("doc_id", F.col("simhash64").alias("s0"))
+    dup = s.filter(F.col("v") == 1).select("doc_id", F.col("simhash64").alias("s1"))
+    shuf = s.filter(F.col("v") == 2).select("doc_id", F.col("simhash64").alias("s2"))
+    return (
+        orig.join(dup, "doc_id")
+        .join(shuf, "doc_id")
+        .select(
+            "doc_id",
+            F.bit_count(F.col("s0").bitwiseXOR(F.col("s1"))).cast("long").alias("h_dup"),
+            F.bit_count(F.col("s0").bitwiseXOR(F.col("s2"))).cast("long").alias("h_shuffled"),
+        )
+    )
 
 
 @query(
@@ -1179,21 +1258,61 @@ def q48_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qv, k=10, exclude_id=0)
 
 
-@query("q49_lsh_ann_pairs", oracle=None)
+@query(
+    "q49_lsh_ann_pairs",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
 def q49_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate near-neighbor pairs (operators/
-    similarity.py), exact-cosine verified; recall property-tested
-    against numpy brute force."""
+    similarity.py), exact-cosine verified, under a planted-pair
+    oracle: the corpus is unioned with an identical copy of itself
+    at vec_id + 100000. Identical vectors land in the same bucket in
+    EVERY hash table (sign bits are a pure function of the vector),
+    so recall on planted pairs is exactly 1, and their verified
+    cosine rounds to exactly 1.0. No organic pair reaches the 0.9
+    threshold on this corpus (max cross-cosine ~0.51), so the output
+    is precisely the planted set -- catching bucket-key
+    nondeterminism, join bugs, and threshold errors. Recall at
+    organic similarities is property-tested against numpy brute
+    force."""
     from utc_cuip_kafka_aws_connector_spark.operators.similarity import lsh_ann_pairs
 
-    return lsh_ann_pairs(T(spark, sf_dir, "embeddings"), cos_threshold=0.9)
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return lsh_ann_pairs(emb.unionByName(planted), cos_threshold=0.9)
 
 
-@query("q50_multimodal_features", oracle=None)
+@query(
+    "q50_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ascii(text[i]))) AS DOUBLE)
+             / length(text) AS mean_byte,
+           CAST(ascii(text[1]) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
 def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (operators/multimodal.py):
     opaque payload + typed metadata -> Arrow-batched mapInPandas
-    feature extraction (decode stage stubbed; batch shape real)."""
+    feature extraction (decode stage stubbed; batch shape real).
+
+    Byte-stats oracle: the payload is the UTF-8 encoding of a
+    pure-ASCII text column, so DuckDB reproduces every feature from
+    the string itself -- byte length, mean byte value (exact integer
+    sum, one IEEE division on both engines), first byte. This checks
+    the binary encode, Arrow transfer, and feature kernel
+    end-to-end."""
     from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
         attach_binary_payload,
         extract_byte_features,
@@ -1203,14 +1322,22 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(attach_binary_payload(docs))
 
 
-@query("q51_ngram_jaccard_pairs", oracle=None)
+@query("q51_ngram_jaccard_pairs", oracle=_NEAR_DUP_ORACLE)
 def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted shingle index
-    (operators/dedup.py) -- the verification-grade ground truth the
-    MinHash property tests compare against."""
+    """Exact n-gram Jaccard near-dup pairs via the inverted shingle
+    index with the scale-safe ``max_df`` stop-shingle guard at its
+    default (operators/dedup.py), checked for exact equality against
+    the brute-force DuckDB ground truth -- proving the guard affects
+    neither precision (Jaccard runs over full shingle sets) nor
+    recall on real near-dups (no shared shingle here approaches the
+    df cap). Exercises the hashed-shingle sketch path cross-engine:
+    word-hash + polynomial-combine must be injective on the corpus
+    for the pair set and Jaccard values to match the string ground
+    truth."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), id_col="doc_id")
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(docs, id_col="doc_id")
 
 
 # ===========================================================================
@@ -1975,23 +2102,7 @@ def q77_explode_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q78_near_dup_pairs_exact",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                           i -> array_to_string(w[i:i+2], ' '))) AS sh
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
-            FROM documents WHERE doc_id < 1000))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-    """,
-)
+@query("q78_near_dup_pairs_exact", oracle=_NEAR_DUP_ORACLE)
 def q78_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED near-duplicate detection: word-3-gram Jaccard
     pairs (threshold 0.5) over string shingles.

@@ -45,6 +45,20 @@ def kafka_reader(
     return reader
 
 
+def file_message_reader(spark: SparkSession, input_dir: str, topic: str) -> DataFrame:
+    """Broker-less stand-in for ``kafka_reader(...).load()``: streams
+    text files as (topic, value) rows -- the exact column contract the
+    Kafka source produces -- so decode -> route -> sink pipelines run
+    end-to-end (reference run.py:27-56's poll loop) without broker
+    jars. Swapping this for the real Kafka source changes ONE call;
+    every downstream operator is identical."""
+    return (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(F.lit(topic).alias("topic"), F.col("value"))
+    )
+
+
 def decode_json_payload(df: DataFrame, schema) -> DataFrame:
     """R2: JSON-deserialize the Kafka ``value`` into typed columns,
     keeping ``topic`` for routing (R5). PERMISSIVE mode tolerates

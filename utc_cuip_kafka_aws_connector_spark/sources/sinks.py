@@ -26,6 +26,18 @@ def with_partition_columns(df: DataFrame, ts_col: str = "timestamp_iso") -> Data
     return df.withColumn("year", F.year(ts_col)).withColumn("month", F.month(ts_col))
 
 
+def _save_partitioned(clustered: DataFrame, path: str, entity_col: str, fmt: str, mode: str) -> None:
+    writer = (
+        clustered.write.partitionBy(entity_col, "year", "month")
+        .option("maxRecordsPerFile", 5_000_000)
+        .mode(mode)
+        .format(fmt)
+    )
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -45,16 +57,59 @@ def write_partitioned(
     # this every task writes a file into every partition dir
     # (tasks x partitions small files -- the classic scale failure).
     # maxRecordsPerFile re-splits genuinely hot partitions.
-    writer = (
-        part.repartition(F.col(entity_col), F.col("year"), F.col("month"))
-        .write.partitionBy(entity_col, "year", "month")
-        .option("maxRecordsPerFile", 5_000_000)
-        .mode(mode)
-        .format(fmt)
-    )
-    if fmt == "csv":
-        writer = writer.option("header", True)
-    writer.save(path)
+    clustered = part.repartition(F.col(entity_col), F.col("year"), F.col("month"))
+    _save_partitioned(clustered, path, entity_col, fmt, mode)
+
+
+def dual_destination_write(
+    df: DataFrame,
+    primary_path: str,
+    backup_path: str,
+    entity_col: str,
+    ts_col: str = "timestamp_iso",
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """Reference df_manager.py:82-103 parity: every flush lands in TWO
+    buckets (primary + backup). The partition-clustered frame is
+    computed ONCE and cached, then written to both destinations -- the
+    second write re-reads executor-local cached blocks instead of
+    re-scanning and re-shuffling the source, which at 100 TB halves
+    the cost of the mirror."""
+    part = with_partition_columns(df, ts_col)
+    clustered = part.repartition(F.col(entity_col), F.col("year"), F.col("month")).cache()
+    try:
+        _save_partitioned(clustered, primary_path, entity_col, fmt, mode)
+        _save_partitioned(clustered, backup_path, entity_col, fmt, mode)
+    finally:
+        clustered.unpersist()
+
+
+def cloud_committer_conf() -> dict[str, str]:
+    """SparkSession conf for writing the lake to an object store
+    (``s3a://`` outputs, reference df_manager.py:82-84). S3 has no
+    atomic directory rename, so the default FileOutputCommitter v1/v2
+    is either slow (copy-on-rename) or unsafe (partial results on
+    task failure); the S3A "magic" committer stages task output as
+    uncompleted multipart uploads and completes them atomically at
+    job commit. These keys are config, not code -- pass them to
+    session.get_spark(extra_conf=...) on a cluster with the
+    hadoop-aws + spark-hadoop-cloud jars (not bundled in this image,
+    so local tests assert the contract, and writes here use
+    ``file://``)."""
+    return {
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
 
 
 def idempotent_batch_writer(
