@@ -85,6 +85,11 @@ def main() -> None:
         if name not in single_run:
             entry.builder(spark, sf_dir).collect()  # warmup (untimed)
             spark.catalog.clearCache()  # timed run starts data-cold
+            # Pay accumulated GC debt OUTSIDE the timed region: 150+
+            # query executions in one JVM otherwise tax late-catalog
+            # queries with garbage from earlier ones, skewing
+            # per-query numbers by run position.
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

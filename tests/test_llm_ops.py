@@ -215,3 +215,32 @@ def test_ivf_topk_skewed_corpus_recall(spark):
         brute = set(np.argsort(-(matn @ q))[:3].tolist())
         ivf = {v for _, v in sorted(by_q.get(qid, []), reverse=True)[:3]}
         assert ivf == brute, (qid, ivf, brute)
+
+
+def test_connected_components_shapes(spark):
+    """Transitive closure over pair graphs: chains (diameter > 1,
+    exercises pointer jumping), disjoint cliques, singletons via the
+    nodes frame, and min-id component labels."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-3-4, clique {10,11,12}, pair {20,21}
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in [*range(5), 10, 11, 12, 20, 21, 99]], "node long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs, nodes=nodes).collect()}
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+    assert got == want, got
+
+
+def test_dedup_clusters_survivors(spark):
+    """dedup_clusters emits every doc with its component and a keep
+    flag that is true exactly for the min id of each cluster."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    rows = dedup_clusters(docs, pairs, id_col="doc_id").collect()
+    comp = {r["doc_id"]: (r["component"], r["keep"]) for r in rows}
+    assert comp == {0: (0, True), 1: (1, True), 2: (2, True),
+                    3: (1, False), 4: (4, True), 5: (1, False)}
+    assert sorted(r["doc_id"] for r in rows if r["keep"]) == [0, 1, 2, 4]

@@ -227,3 +227,44 @@ def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
     assert got.count() == 2  # timestamp-less message dropped, not written
     import os
     assert os.path.isdir(f"{out}/batch_id=0/nicename=mlk-central/year=2021/month=1")
+
+
+def test_count_based_flush_cadence(spark, tmp_path):
+    """Reference R7 count-mode parity (run.py:122-125: buffer N
+    messages -> flush -> repeat): maxFilesPerTrigger=1 on the
+    Kafka-shaped file source makes each input unit its own
+    micro-batch, so three inputs produce three epoch-keyed flushes
+    (batch_id=0,1,2) -- the count-based cadence end-to-end, not just
+    a plumbed option."""
+    import json as _json
+
+    from utc_cuip_kafka_aws_connector_spark.pipeline import AIR_SCHEMA, normalize_air
+    from utc_cuip_kafka_aws_connector_spark.sources.kafka import (
+        decode_json_payload,
+        file_message_reader,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    for i, site in enumerate(["mlk-central", "mlk-douglas", "mlk-peeples"]):
+        msg = {"timestamp": 1610668800000 + i * 86400000, "nicename": site,
+               "pm2_5": 5.0 + i, "pm10": 9.0, "temperature": 21.0, "humidity": 40.0}
+        (incoming / f"m{i}.txt").write_text(_json.dumps(msg))
+    out = str(tmp_path / "lake")
+
+    src = file_message_reader(
+        spark, str(incoming), "MLK_CENTRAL_AIR_QUALITY", max_files_per_trigger=1
+    )
+    norm = normalize_air(decode_json_payload(src, AIR_SCHEMA).drop("topic"))
+    q = (
+        norm.writeStream.foreachBatch(idempotent_batch_writer(out, entity_col="nicename"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_count"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import os
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert batches == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert spark.read.option("basePath", out).parquet(f"{out}/batch_id=*").count() == 3

@@ -1,5 +1,7 @@
 from utc_cuip_kafka_aws_connector_spark.operators.asof import asof_join
 from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -27,6 +29,8 @@ from utc_cuip_kafka_aws_connector_spark.operators.text import (
 __all__ = [
     "asof_join",
     "interval_join",
+    "connected_components",
+    "dedup_clusters",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

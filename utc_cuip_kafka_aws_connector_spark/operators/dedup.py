@@ -243,6 +243,121 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph: returns
+    (node, component) where ``component`` is the minimum node id
+    reachable from ``node``. This is the step that turns near-dup
+    PAIRS into dedup CLUSTERS (transitive closure: A~B, B~C puts A
+    and C in one group even if the A-C pair was never emitted).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round a node takes the min of its own label and its
+    neighbors' labels (one hash-shuffle join + partial-agg min), then
+    compresses paths by replacing its label with its label's label
+    (a second equi-join -- the "pointer jump" that makes convergence
+    O(log diameter) instead of O(diameter), the same contraction idea
+    as the large-star/small-star MapReduce algorithm). Near-dup
+    graphs have tiny components, so 3-4 rounds typically suffice;
+    the loop stops at the first round with zero label changes.
+
+    100 TB design: every step is an equi-join/groupBy on the label
+    key -- hash-partitioned, AQE-skew-splittable, no driver-side
+    state. ``localCheckpoint`` truncates the plan each round so the
+    lineage does not grow with iterations (an iterative-join plan
+    left unchecked doubles in depth per round and eventually
+    overwhelms the optimizer).
+    """
+    # Materialize the edge list ONCE before symmetrizing: the union
+    # below consumes it twice, and without the checkpoint the (often
+    # expensive) upstream pair-generation plan would execute twice.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # The loop runs over edge ENDPOINTS only -- for near-dup graphs
+    # that is a tiny fraction of the corpus. Singleton nodes (no
+    # edges) never change label, so they join in once at the end
+    # instead of riding through every iteration.
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("nb_comp")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("min_nb"))
+        )
+        stepped = labels.join(
+            nb_min.select(F.col("a").alias("node"), "min_nb"), "node", "left"
+        ).select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least("comp", F.coalesce("min_nb", "comp")).alias("comp"),
+        )
+        # pointer jump: comp <- label(comp); compresses chains so a
+        # min label crosses 2^k hops after k rounds. old_comp rides
+        # along so convergence is a join-free filter on the
+        # checkpointed result, not another shuffle join.
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("j"),
+                "comp",
+                "left",
+            )
+            .select("node", "old_comp", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+        labels = jumped.drop("old_comp")
+        if changed == 0:
+            break
+    out = labels.select("node", F.col("comp").alias("component"))
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(out, "node", "left")
+            .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        )
+    return out
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster-level dedup decision: every document mapped to its
+    near-dup component (singletons included -- a doc with no near-dup
+    is its own component) plus ``keep`` = is this the canonical
+    (minimum-id) survivor. Filtering ``keep`` yields the deduplicated
+    corpus; grouping by ``component`` yields cluster sizes."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(F.col(id_col).alias("node"))
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

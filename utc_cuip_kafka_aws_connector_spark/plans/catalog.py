@@ -2164,3 +2164,87 @@ def q79_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
           for r in emb.filter(F.col("vec_id") < 5).collect()]
     return ivf_topk(emb, qs, k=10)
+
+
+@query(
+    "q80_near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 1000)),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+    walk(src, node) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT w.src, e.b FROM walk w JOIN edges e ON w.node = e.a
+    )
+    SELECT src AS doc_id, min(node) AS component, min(node) = src AS keep
+    FROM walk GROUP BY src
+    """,
+)
+def q80_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup CLUSTERS -> canonical survivors: the
+    step that makes pair detection actionable (reference has no
+    analog; SURVEY north-star "LLM-data-pipeline dedup"). Pairs come
+    from the exact inverted-index Jaccard operator; transitive
+    closure runs as iterative min-label propagation with pointer
+    jumping (operators/dedup.py::connected_components) -- every round
+    is an equi-join + partial-agg min, hash-partitioned, lineage cut
+    by localCheckpoint, so the plan shape survives a 1000-executor
+    graph of billions of edges.
+
+    Oracle: DuckDB WITH RECURSIVE computes the true transitive
+    closure of the same brute-forced pair graph and keeps min
+    reachable id per doc -- exact equality including singleton
+    components and the boolean keep flag."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id")
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+@query(
+    "q81_embedding_dedup",
+    oracle="""
+    SELECT vec_id, vec_id AS component, TRUE AS keep
+    FROM embeddings WHERE vec_id < 500
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, vec_id AS component, FALSE AS keep
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def q81_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup end-to-end: sign-LSH bucketed
+    candidate pairs (cos >= 0.9, exact-verified) -> connected
+    components -> canonical min-id survivors. The corpus is the
+    embeddings table unioned with an identical planted copy at
+    vec_id + 100000: every vector's cluster is exactly {id,
+    id + 100000} (identical vectors share every LSH bucket; no
+    organic pair on this corpus reaches 0.9 cosine), so the expected
+    cluster map is closed-form and the oracle checks recall,
+    transitive closure, and survivor selection exactly."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import dedup_clusters
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import lsh_ann_pairs
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = lsh_ann_pairs(corpus, cos_threshold=0.9)
+    return dedup_clusters(corpus, pairs, id_col="vec_id", src="id_a", dst="id_b")

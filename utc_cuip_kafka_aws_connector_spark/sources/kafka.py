@@ -45,18 +45,28 @@ def kafka_reader(
     return reader
 
 
-def file_message_reader(spark: SparkSession, input_dir: str, topic: str) -> DataFrame:
+def file_message_reader(
+    spark: SparkSession,
+    input_dir: str,
+    topic: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Broker-less stand-in for ``kafka_reader(...).load()``: streams
     text files as (topic, value) rows -- the exact column contract the
     Kafka source produces -- so decode -> route -> sink pipelines run
     end-to-end (reference run.py:27-56's poll loop) without broker
     jars. Swapping this for the real Kafka source changes ONE call;
-    every downstream operator is identical."""
-    return (
-        spark.readStream.format("text")
-        .load(input_dir)
-        .select(F.lit(topic).alias("topic"), F.col("value"))
-    )
+    every downstream operator is identical.
+
+    ``max_files_per_trigger`` bounds each micro-batch the way
+    ``maxOffsetsPerTrigger`` bounds the Kafka source -- the
+    reference's count-based flush cadence (run.py:122-125: buffer N
+    messages, flush, repeat) expressed as source-side back-pressure:
+    every N units of input becomes one flush through the sink."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(input_dir).select(F.lit(topic).alias("topic"), F.col("value"))
 
 
 def decode_json_payload(df: DataFrame, schema) -> DataFrame:
