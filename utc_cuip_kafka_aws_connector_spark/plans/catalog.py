@@ -2152,18 +2152,49 @@ def q78_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q79_ivf_ann_topk", oracle=None)
+@query(
+    "q79_ivf_ann_topk",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id, CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id < 5
+    UNION ALL
+    SELECT q.vec_id AS query_id,
+           1000000 + q.vec_id * 100 + j.j AS vec_id,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings q, range(0, 9) j(j) WHERE q.vec_id < 5
+    """,
+)
 def q79_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (operators/similarity.py): the
     scale path for similarity search -- coarse quantize, probe a few
-    buckets per query, exact-rescore candidates. Rows-only check;
-    recall property-tested against numpy brute force."""
+    buckets per query, exact-rescore candidates.
+
+    Oracle by construction: the corpus is the embeddings table plus
+    10 planted bit-identical copies of each query vector at ids
+    1000000 + qid*100 + j. Identical vectors share the query's
+    centroid bucket, so a correct IVF (probe list includes the
+    query's own nearest centroid) must return all of them; with 11
+    cos=1.0 candidates (query itself + 10 copies) and deterministic
+    id tie-break, top-10 is closed-form: the query plus copies
+    j=0..8. Organic neighbors max out at cos~0.42 on this corpus
+    (verified both sf0.01/sf0.1), so nothing else can intrude. This
+    checks routing, probing, recall, rescoring, and the top-k window
+    exactly -- not just row counts."""
     from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
 
-    emb = T(spark, sf_dir, "embeddings")
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = emb.filter(F.col("vec_id") < 5)
     qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-          for r in emb.filter(F.col("vec_id") < 5).collect()]
-    return ivf_topk(emb, qs, k=10)
+          for r in qdf.collect()]
+    planted = qdf.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("j"),
+    ).select(
+        (F.lit(1000000) + F.col("vec_id") * 100 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    return ivf_topk(emb.unionByName(planted), qs, k=10)
 
 
 @query(
