@@ -244,3 +244,40 @@ def test_dedup_clusters_survivors(spark):
     assert comp == {0: (0, True), 1: (1, True), 2: (2, True),
                     3: (1, False), 4: (4, True), 5: (1, False)}
     assert sorted(r["doc_id"] for r in rows if r["keep"]) == [0, 1, 2, 4]
+
+
+def test_sketch_batch_matches_single_doc_spec(spark):
+    """The batch-vectorized sketch pass (flat-stream windows + lexsort
+    dedup + reduceat simhash) must agree doc-for-doc with the readable
+    single-doc reference (_combine_shingles + naive bit votes)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+        _combine_shingles,
+        _word_hash,
+        sketch_documents,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",  # shorter than shingle_n -> whole-doc combine
+        "",  # empty -> sentinel token
+        "a a a a a",  # degenerate repeats -> dedup to one shingle
+        "the quick brown fox jumps over the lazy dog",  # exact dup of doc 0
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc"]: (sorted(r["sh"]), r["simhash64"])
+        for r in sketch_documents(df, "doc_id", shingle_n=3).collect()
+    }
+    for i, text in enumerate(texts):
+        toks = text.lower().split() or ["\x00"]
+        wh = np.array([_word_hash(w) for w in toks], dtype=np.uint64)
+        want_sh = sorted(_combine_shingles(wh, 3).view(np.int64).tolist())
+        packed = np.uint64(0)
+        for bit in range(64):
+            ones = sum((int(h) >> bit) & 1 for h in wh)
+            if 2 * ones > len(wh):
+                packed |= np.uint64(1) << np.uint64(bit)
+        want_sim = int(packed.view(np.int64))
+        assert got[i][0] == want_sh, i
+        assert got[i][1] == want_sim, i
+    assert got[0] == got[4]  # identical docs -> identical sketches

@@ -56,8 +56,10 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _combine_shingles(wh: np.ndarray, n: int) -> np.ndarray:
-    """Distinct polynomial combines of n consecutive word hashes
-    (whole doc if < n words). Vectorized; deterministic."""
+    """Reference semantics for the batch-vectorized shingle pass in
+    ``sketch_documents``: distinct polynomial combines of n
+    consecutive word hashes (whole doc if < n words). Kept as the
+    readable single-doc spec; tests assert the batched pass agrees."""
     if len(wh) < n:
         acc = np.uint64(0)
         for h in wh:
@@ -93,8 +95,6 @@ def sketch_documents(
     over all cores even when the scan is a single small file.
     """
     a, b = _minhash_params(num_hashes)
-    bit_w = np.arange(simhash_bits, dtype=np.uint64)
-    pack_w = (np.uint64(1) << bit_w).astype(np.uint64)
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,41 +115,76 @@ def sketch_documents(
             )
             wh_flat = uh[codes]
             lens = toks.map(len).to_numpy(dtype=np.int64)
-            offs_w = np.zeros(len(lens) + 1, dtype=np.int64)
+            ndocs = len(lens)
+            total = len(wh_flat)
+            offs_w = np.zeros(ndocs + 1, dtype=np.int64)
             np.cumsum(lens, out=offs_w[1:])
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
 
-            sh_out, sim_out = [], []
-            for i in range(len(lens)):
-                wh = wh_flat[offs_w[i] : offs_w[i + 1]]
-                sh_out.append(_combine_shingles(wh, shingle_n))
-                # simhash: per-bit +-1 votes over the token multiset
-                bits = (wh[:, None] >> bit_w[None, :]) & np.uint64(1)
-                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                sim_out.append((pack_w[votes > 0].sum(dtype=np.uint64)).astype(np.int64))
+            # --- shingles: whole batch at once, zero per-doc loops ---
+            # Polynomial-combine every length-n window of the FLAT
+            # token-hash stream, then mask out windows that straddle a
+            # document boundary. Short docs (< n tokens) fall back to
+            # a whole-doc combine, matching _combine_shingles.
+            n = shingle_n
+            if total >= n:
+                g = np.zeros(total - n + 1, dtype=np.uint64)
+                for j in range(n):
+                    g = g * _C + wh_flat[j : total - n + 1 + j]
+                inside = doc_of[: total - n + 1] == doc_of[n - 1 :]
+                win_doc = doc_of[: total - n + 1][inside]
+                win_g = g[inside]
+            else:
+                win_doc = np.empty(0, dtype=np.int64)
+                win_g = np.empty(0, dtype=np.uint64)
+            short = np.flatnonzero(lens < n)
+            if len(short):
+                acc = np.zeros(len(short), dtype=np.uint64)
+                for j in range(int(lens[short].max())):
+                    live = lens[short] > j
+                    acc[live] = acc[live] * _C + wh_flat[offs_w[short[live]] + j]
+                win_doc = np.concatenate([win_doc, short])
+                win_g = np.concatenate([win_g, acc])
+            # per-doc sorted-unique without a loop: lexsort by (doc,
+            # shingle), keep first occurrence of each pair.
+            order = np.lexsort((win_g, win_doc))
+            d_s, g_s = win_doc[order], win_g[order]
+            keep = np.ones(len(d_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])
+            d_u, g_u = d_s[keep], g_s[keep]
+            counts = np.bincount(d_u, minlength=ndocs)  # every doc has >=1 shingle
+            bounds = np.cumsum(counts)
+            sh_out = np.split(g_u.view(np.int64), bounds[:-1])
 
-            # MinHash over the whole batch at once: flatten every
-            # doc's shingles, apply permutation h_i to the flat array,
-            # segment-minimum back per doc. One vectorized sweep per
-            # hash function; scratch is O(|flat shingles|), not
-            # O(hashes x shingles).
-            if num_hashes:
-                counts = np.fromiter(
-                    (len(s) for s in sh_out), dtype=np.int64, count=len(sh_out)
+            # --- simhash: 64 vectorized bit passes (O(total) memory,
+            # no tokens-x-bits matrix): votes_b = 2*ones_b - len ---
+            sim = np.zeros(ndocs, dtype=np.uint64)
+            for bit in range(simhash_bits):
+                ones = np.add.reduceat(
+                    ((wh_flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+                    offs_w[:-1],
                 )
-                offs_s = np.zeros(len(counts), dtype=np.int64)
-                np.cumsum(counts[:-1], out=offs_s[1:])
-                all_sh = np.concatenate(sh_out)
-                sig_mat = np.empty((num_hashes, len(counts)), dtype=np.uint64)
+                sim |= (2 * ones > lens).astype(np.uint64) << np.uint64(bit)
+            sim_out = sim.view(np.int64)
+
+            # MinHash over the whole batch at once: apply permutation
+            # h_i to the flat unique-shingle array (already per-doc
+            # contiguous from the lexsort), segment-minimum back per
+            # doc. One vectorized sweep per hash function.
+            if num_hashes:
+                offs_s = np.zeros(ndocs, dtype=np.int64)
+                offs_s[1:] = bounds[:-1]
+                sig_mat = np.empty((num_hashes, ndocs), dtype=np.uint64)
                 for h in range(num_hashes):
-                    sig_mat[h] = np.minimum.reduceat(_mix64((all_sh ^ b[h]) * a[h]), offs_s)
+                    sig_mat[h] = np.minimum.reduceat(_mix64((g_u ^ b[h]) * a[h]), offs_s)
                 sig_rows = list(np.ascontiguousarray(sig_mat.T).view(np.int64))
             else:  # caller only needs sh/simhash -- skip signatures
-                sig_rows = [np.empty(0, dtype=np.int64)] * len(sh_out)
+                sig_rows = [np.empty(0, dtype=np.int64)] * ndocs
 
             yield pd.DataFrame(
                 {
                     "doc": pdf[id_col],
-                    "sh": [s.view(np.int64) for s in sh_out],
+                    "sh": sh_out,
                     "sig": sig_rows,
                     "simhash64": sim_out,
                 }

@@ -94,6 +94,45 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k most distinctive terms per document by term-frequency /
+    document-frequency ratio (doc_id, term, tf, df, rnk).
+
+    Score = tf/df -- a log-free tf-idf variant chosen deliberately:
+    tf and df are small integers, and IEEE division of integers is
+    correctly rounded in every engine, so the ranking (ordered by
+    score desc, term asc) is bit-reproducible for an oracle. A
+    production scorer would damp with ln(N/df); libm's ln is not
+    correctly rounded across platforms, which only matters here
+    because we verify value-exact cross-engine equality.
+
+    Scale: explode -> two hash aggregations (doc-term tf, then term
+    df; both partial-aggregate map-side) -> equi-join on term.
+    Vocabulary is Zipf-skewed, so the term join is exactly the AQE
+    skew-join case; the per-doc top-k window partitions by doc_id
+    (well distributed). No Python anywhere.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = w.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    win = W.partitionBy(id_col).orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "rnk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace/case-normalized text
     (exact-dedup key), plus a 64-bit rolling-style content hash

@@ -2279,3 +2279,283 @@ def q81_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = lsh_ann_pairs(corpus, cos_threshold=0.9)
     return dedup_clusters(corpus, pairs, id_col="vec_id", src="id_a", dst="id_b")
+
+
+# ===========================================================================
+# Training-data curation round 2: deterministic sampling, tf-idf,
+# sequence packing, snapshot diff, skew-salted join, profiling
+# ===========================================================================
+
+
+@query(
+    "q82_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    """,
+)
+def q82_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sample (operators/sampling.py): a 20%
+    Bernoulli-style draw decided per row by md5(id) against a hex
+    threshold -- reproducible across partitioning, task retries, and
+    engines (unlike df.sample, whose RNG is partition-seeded). Pure
+    scan-local filter: no shuffle, no state; the oracle selects the
+    EXACT same rows because md5 hex is engine-portable."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import hash_sample
+
+    return hash_sample(T(spark, sf_dir, "documents"), "doc_id", 0.2).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "q83_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'en' THEN 'cccccccd'
+               WHEN lang = 'de' THEN '80000000'
+               WHEN lang = 'es' THEN '40000000'
+               ELSE '0ccccccd' END
+    """,
+)
+def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling -- the data-MIXTURE primitive
+    (keep 80% en / 50% de / 25% es / 5% rest). One CASE expression over
+    nested hex thresholds, so the 25% stratum is a strict subset of
+    what an 80% rate would keep: mixture ablations share documents.
+    Still a scan-local filter; the oracle reproduces row-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.8, "de": 0.5, "es": 0.25},
+        default_rate=0.05,
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q84_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM w WHERE term <> '' GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                         t.term) AS rnk
+      FROM tf t JOIN dfq d USING (term))
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf/df ratio
+    (operators/text.py::tf_idf_top_terms). Explode -> two partial
+    hash aggs -> term equi-join (the Zipf-skew AQE case) -> per-doc
+    top-k window. Log-free scoring keeps the ranking bit-reproducible
+    cross-engine (see operator docstring); all output columns are
+    integers/strings, hash-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(T(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@query(
+    "q85_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_extendedprice < 0.0 THEN -1
+                  WHEN l_extendedprice >= 100000.0 THEN 20
+                  ELSE least(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 19)
+             END AS bucket,
+             l_extendedprice AS v
+      FROM lineitem)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
+    FROM b GROUP BY bucket
+    """,
+)
+def q85_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (operators/stats.py): 20 bins over
+    l_extendedprice in [0, 100000) plus under/overflow buckets.
+    Bucket id is pure IEEE arithmetic (bit-identical cross-engine);
+    per-bucket aggregates are count/min/max only -- no order-dependent
+    double summation. Partial agg collapses each scan partition to
+    <=22 rows before one tiny shuffle."""
+    from utc_cuip_kafka_aws_connector_spark.operators.stats import histogram
+
+    return histogram(T(spark, sf_dir, "lineitem"), "l_extendedprice", 0.0, 100000.0, 20)
+
+
+@query(
+    "q86_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders WHERE year(o_orderdate) = 1994 GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey)
+    SELECT * FROM (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+             CASE WHEN a.o_custkey IS NULL THEN 'added'
+                  WHEN b.o_custkey IS NULL THEN 'removed'
+                  WHEN a.n_orders IS DISTINCT FROM b.n_orders
+                    OR a.total_spend IS DISTINCT FROM b.total_spend THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             a.n_orders AS old_n_orders, b.n_orders AS new_n_orders,
+             a.total_spend AS old_total_spend, b.total_spend AS new_total_spend
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+    WHERE change_type <> 'unchanged'
+    """,
+)
+def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style snapshot diff (operators/diff.py): per-customer 1994
+    vs 1995 order aggregates classified added / removed / changed with
+    null-safe comparison. One full-outer equi-join; money compared via
+    decimal-exact sums cast to double, so 'changed' is deterministic."""
+    from utc_cuip_kafka_aws_connector_spark.operators.diff import snapshot_diff
+
+    orders = T(spark, sf_dir, "orders")
+
+    def snap(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum(dec2("o_totalprice")).alias("total_spend"),
+            )
+        )
+
+    return snapshot_diff(
+        snap(1994), snap(1995), ["o_custkey"], ["n_orders", "total_spend"]
+    )
+
+
+@query(
+    "q87_sequence_packing",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             row_number() OVER (
+               PARTITION BY lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT lang, shard, doc_id, tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS acc
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.shard, b.doc_id, b.tokens, b.rn,
+             CASE WHEN r.acc + b.tokens > 512 THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.acc + b.tokens > 512 THEN b.tokens ELSE r.acc + b.tokens END
+      FROM r JOIN base b ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1)
+    SELECT lang, shard, doc_id, tokens, seq_id FROM r
+    """,
+)
+def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): documents are
+    packed into 512-token training sequences, first-fit in doc_id
+    order within deterministic (lang, md5-shard) streams. Sequential
+    where it must be (within a stream), parallel where it can be
+    (across lang x 16 shards; raise the shard width at scale). The
+    oracle replays the exact greedy recurrence as a DuckDB WITH
+    RECURSIVE running-sum-with-reset -- full value equality on every
+    (doc, seq) assignment."""
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        pack_sequences,
+        with_shard,
+    )
+
+    docs = with_shard(T(spark, sf_dir, "documents"), "doc_id").select(
+        "lang",
+        "shard",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    return pack_sequences(docs, ["lang", "shard"], "doc_id", "tokens", 512)
+
+
+@query(
+    "q88_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q88_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): lineitem x supplier
+    on suppkey with the big side salted by xxhash64(orderkey) % 16 and
+    the small side replicated 16x, so a hot supplier key spreads over
+    16 reducers. The oracle is the PLAIN join -- proving the salted
+    plan's result set is identical to the unsalted join it replaces."""
+    from utc_cuip_kafka_aws_connector_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_quantity")
+    sup = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, on=["l_suppkey"], salt_on="l_orderkey", salt_buckets=16)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(dec2("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q89_column_profile",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_name) AS BIGINT),
+           CAST(count(DISTINCT c_name) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_acctbal) AS BIGINT),
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_mktsegment) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+    """,
+)
+def q89_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (operators/stats.py): count / nulls /
+    distinct for five customer columns in ONE aggregation pass (Spark
+    plans multi-column count_distinct as a single Expand + aggregate,
+    not five jobs), then unpivoted to one row per column via a literal
+    struct-array explode -- no driver-side loop."""
+    from utc_cuip_kafka_aws_connector_spark.operators.stats import column_profile
+
+    return column_profile(
+        T(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
