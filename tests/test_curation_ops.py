@@ -1,0 +1,146 @@
+"""Edge-case tests for the curation operators (sampling, diff,
+connected-components durability) -- the round-2 advisor findings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hash_sample_full_rate_keeps_everything(spark):
+    """fraction=1.0 must be exact: the hex-threshold space tops out at
+    'ffffffff', so a plain `<` would drop rows whose md5 prefix is
+    exactly that. The 100% path skips the filter."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, "doc_id", 1.0).count() == 2000
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+
+
+def test_hash_sample_thresholds_nest(spark):
+    """The 5% sample is a strict subset of the 20% sample (nested
+    thresholds) -- the mixture-ablation reproducibility property."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import hash_sample
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert small <= big
+    assert 0 < len(small) < len(big) < 5000
+
+
+def test_stratified_sample_full_rate_stratum_exact(spark):
+    """A rate-1.0 stratum keeps every one of its rows; other strata
+    still sample; default rate applies to unlisted strata."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    got = stratified_sample(df, "doc_id", "lang", {"en": 1.0, "de": 0.5}, default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == 1000  # every en row, exactly
+    assert 300 < counts.get("de", 0) < 700
+    assert "fr" not in counts  # default 0.0 -> none
+
+
+def test_snapshot_diff_key_only(spark):
+    """Empty compare_cols = membership diff: added/removed classify,
+    'changed' never fires, and no TypeError from the reduce."""
+    from utc_cuip_kafka_aws_connector_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "removed", 3: "added"}
+    both = snapshot_diff(old, new, ["k"], [], include_unchanged=True)
+    assert {r["k"]: r["change_type"] for r in both.collect()}[2] == "unchanged"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True (fault-tolerant dir-backed lineage cut
+    for executor-loss survival on long runs) must produce the same
+    components as the fast localCheckpoint default."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, reliable_checkpoint=True, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == want == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_reliable_needs_dir(spark):
+    """Explicit error (not a mid-job Spark failure) when the reliable
+    mode is requested with no checkpoint dir configured anywhere."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    if not spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+        pytest.skip("a checkpoint dir is already set in this session")
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        connected_components(pairs, reliable_checkpoint=True)
+
+
+def test_lsh_ann_pairs_explicit_dim_matches_probe(spark):
+    """Passing dim= skips the driver-side head() probe and must yield
+    the identical pair set."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import lsh_ann_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in base[i % 20]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        (r["id_a"], r["id_b"]) for r in lsh_ann_pairs(df, cos_threshold=0.99).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(df, cos_threshold=0.99, dim=16).collect()
+    )
+    assert a == b and len(a) == 20  # each planted copy pairs with its original
+
+
+def test_cli_committer_flag_applies_conf(monkeypatch, tmp_path):
+    """--committer s3a-magic wires cloud_committer_conf into the
+    session factory (the object-store contract is one flag away)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    captured = {}
+
+    class FakeSpark:
+        class read:  # noqa: N801 - mimic attribute shape
+            pass
+
+    def fake_get_spark(app_name=None, extra_conf=None, **kw):
+        captured["extra_conf"] = extra_conf
+        raise SystemExit(0)  # stop before any Spark work
+
+    monkeypatch.setattr("utc_cuip_kafka_aws_connector_spark.session.get_spark", fake_get_spark)
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "--committer",
+                "s3a-magic",
+                "ingest",
+                "--topic",
+                "t",
+                "--input",
+                str(tmp_path / "x.jsonl"),
+                "--output",
+                str(tmp_path / "lake"),
+            ]
+        )
+    assert captured["extra_conf"]["spark.hadoop.fs.s3a.committer.name"] == "magic"

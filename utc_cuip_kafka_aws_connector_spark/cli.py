@@ -217,6 +217,18 @@ def run_stream(
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
+    parser.add_argument(
+        "--committer",
+        default="default",
+        choices=["default", "s3a-magic"],
+        help=(
+            "output-commit protocol: 's3a-magic' applies the S3A magic-"
+            "committer session conf (atomic multipart commit for s3a:// "
+            "outputs; needs hadoop-aws + spark-hadoop-cloud jars on the "
+            "cluster). 'default' = the built-in FileOutputCommitter, fine "
+            "for HDFS/local paths."
+        ),
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     ingest = sub.add_parser("ingest", help="batch-ingest JSON lines into the partitioned lake")
@@ -245,8 +257,10 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     from utc_cuip_kafka_aws_connector_spark.session import get_spark
+    from utc_cuip_kafka_aws_connector_spark.sources.sinks import cloud_committer_conf
 
-    spark = get_spark(app_name=args.cmd)
+    extra_conf = cloud_committer_conf() if args.committer == "s3a-magic" else None
+    spark = get_spark(app_name=args.cmd, extra_conf=extra_conf)
     if args.cmd == "ingest":
         route = run_ingest(
             spark, args.topic, args.input, args.output, args.format, args.backup_output

@@ -285,6 +285,8 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: returns
     (node, component) where ``component`` is the minimum node id
@@ -304,25 +306,51 @@ def connected_components(
 
     100 TB design: every step is an equi-join/groupBy on the label
     key -- hash-partitioned, AQE-skew-splittable, no driver-side
-    state. ``localCheckpoint`` truncates the plan each round so the
+    state. A checkpoint truncates the plan each round so the
     lineage does not grow with iterations (an iterative-join plan
     left unchecked doubles in depth per round and eventually
     overwhelms the optimizer).
+
+    Durability: the default ``localCheckpoint`` stores blocks on
+    executors -- fast, but an executor loss mid-run is unrecoverable
+    (the truncated lineage cannot recompute) and fails the job. For
+    hours-long runs over billions of edges pass
+    ``reliable_checkpoint=True`` (optionally with ``checkpoint_dir``
+    to call ``setCheckpointDir`` first): rounds then persist to the
+    fault-tolerant checkpoint directory (HDFS/S3) and survive
+    executor loss, at the cost of a filesystem write per round.
     """
+    if reliable_checkpoint:
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "reliable_checkpoint=True needs a checkpoint dir: pass "
+                "checkpoint_dir= or call sparkContext.setCheckpointDir first"
+            )
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE before symmetrizing: the union
     # below consumes it twice, and without the checkpoint the (often
     # expensive) upstream pair-generation plan would execute twice.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    e = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # The loop runs over edge ENDPOINTS only -- for near-dup graphs
     # that is a tiny fraction of the corpus. Singleton nodes (no
     # edges) never change label, so they join in once at the end
     # instead of riding through every iteration.
-    labels = (
+    labels = _cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -344,7 +372,7 @@ def connected_components(
         # min label crosses 2^k hops after k rounds. old_comp rides
         # along so convergence is a join-free filter on the
         # checkpointed result, not another shuffle join.
-        jumped = (
+        jumped = _cut(
             stepped.alias("s")
             .join(
                 stepped.select(
@@ -354,7 +382,6 @@ def connected_components(
                 "left",
             )
             .select("node", "old_comp", F.coalesce("comp2", "comp").alias("comp"))
-            .localCheckpoint()
         )
         changed = jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
         labels = jumped.drop("old_comp")
@@ -377,14 +404,23 @@ def dedup_clusters(
     id_col: str,
     src: str = "doc_a",
     dst: str = "doc_b",
+    reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-level dedup decision: every document mapped to its
     near-dup component (singletons included -- a doc with no near-dup
     is its own component) plus ``keep`` = is this the canonical
     (minimum-id) survivor. Filtering ``keep`` yields the deduplicated
-    corpus; grouping by ``component`` yields cluster sizes."""
+    corpus; grouping by ``component`` yields cluster sizes.
+    ``reliable_checkpoint``/``checkpoint_dir`` pass through to
+    ``connected_components`` for executor-loss-tolerant long runs."""
     comp = connected_components(
-        pairs, src=src, dst=dst, nodes=df.select(F.col(id_col).alias("node"))
+        pairs,
+        src=src,
+        dst=dst,
+        nodes=df.select(F.col(id_col).alias("node")),
+        reliable_checkpoint=reliable_checkpoint,
+        checkpoint_dir=checkpoint_dir,
     )
     return comp.select(
         F.col("node").alias(id_col),
@@ -399,13 +435,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index (explode -> self equi-join on shingle -> count co-occurrences
     -> |A∩B| / (|A|+|B|-|A∩B|)).
 
-    ``max_df`` (default 1000) drops stop-shingles (document frequency
+    The default (``max_df=None``) is PROVABLY COMPLETE: any pair with
+    Jaccard above a positive threshold shares >= 1 shingle and so
+    meets in the index -- this is the verification-grade ground truth
+    mode, safe only on bounded corpora. At scale, pass an explicit
+    ``max_df`` (e.g. 1000) to drop stop-shingles (document frequency
     > max_df) from the *index* only: without it the self equi-join is
     O(sum df(s)^2) and one ubiquitous boilerplate shingle produces a
     quadratic candidate set at 100 TB. Jaccard is still computed over
@@ -413,10 +453,7 @@ def ngram_jaccard_pairs(
     is confined to pairs whose shared shingles are ALL ultra-common
     (df > max_df) -- for near-dup thresholds >= 0.5 such pairs share a
     third of their shingles, so any non-boilerplate overlap keeps
-    them. Pass ``max_df=None`` for the provably-complete exact mode on
-    bounded corpora (the q78 oracle setting). Prefer
-    minhash_lsh_pairs beyond small corpora; this is the
-    verification-grade ground truth.
+    them. Prefer minhash_lsh_pairs beyond small corpora.
     """
     docs = (
         sketch_documents(df, id_col, text_col, shingle_n, num_hashes=0)

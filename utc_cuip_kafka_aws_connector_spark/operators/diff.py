@@ -26,7 +26,9 @@ def snapshot_diff(
     """Returns key columns + ``change_type`` + old_*/new_* values for
     every compared column. ``changed`` uses null-safe inequality, so a
     value appearing or disappearing (NULL <-> non-NULL) counts as a
-    change, exactly like ``IS DISTINCT FROM``."""
+    change, exactly like ``IS DISTINCT FROM``. An empty
+    ``compare_cols`` is a key-only membership diff: rows classify as
+    added / removed / unchanged, never changed."""
     o = old.select(
         *[F.col(k) for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
@@ -41,6 +43,7 @@ def snapshot_diff(
     any_diff = reduce(
         lambda a, b: a | b,
         [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+        F.lit(False),
     )
     change = (
         F.when(F.col("__in_old").isNull(), "added")

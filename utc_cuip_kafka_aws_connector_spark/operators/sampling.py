@@ -44,10 +44,20 @@ def hash_draw(id_col: str | Column) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, 8)
 
 
+def _keep(id_col: str | Column, fraction: float) -> Column:
+    """Keep-predicate for one rate. fraction == 1.0 is special-cased to
+    literal TRUE: the hex threshold space tops out at 'ffffffff' and a
+    plain `<` would drop the ~2.3e-10 of rows whose md5 prefix is
+    exactly that -- a 100% sample must be exact, not almost-exact."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    return hash_draw(id_col) < F.lit(hash_threshold(fraction))
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Deterministic Bernoulli-style sample: keep rows whose hash draw
     falls below the fraction threshold. Pure filter -- no shuffle."""
-    return df.filter(hash_draw(id_col) < F.lit(hash_threshold(fraction)))
+    return df.filter(_keep(id_col, fraction))
 
 
 def stratified_sample(
@@ -58,10 +68,11 @@ def stratified_sample(
     default_rate: float = 0.0,
 ) -> DataFrame:
     """Per-stratum deterministic sampling -- the data-mixture primitive
-    (e.g. keep 80% of English, 20% of everything else, 0% of a blocked
-    source). Compiles to one CASE over the stratum column against
-    nested hex thresholds; still a scan-local filter."""
-    thr: Column = F.lit(hash_threshold(default_rate))
+    (e.g. keep 100% of English, 20% of everything else, 0% of a
+    blocked source). Compiles to one CASE over the stratum column;
+    still a scan-local filter. Rate-1.0 strata keep every row exactly
+    (see ``_keep``)."""
+    pred: Column = _keep(id_col, default_rate)
     for value, rate in sorted(rates.items()):
-        thr = F.when(F.col(strata_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
-    return df.filter(hash_draw(id_col) < thr)
+        pred = F.when(F.col(strata_col) == value, _keep(id_col, rate)).otherwise(pred)
+    return df.filter(pred)

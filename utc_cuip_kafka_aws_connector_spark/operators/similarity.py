@@ -93,12 +93,19 @@ def lsh_ann_pairs(
     num_tables: int = 8,
     planes_per_table: int = 16,
     cos_threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: vectors sharing any
     (table, bucket) are candidates; exact cosine verifies. The join is
     an equi-join on the bucket key -- candidate volume, not n^2,
-    drives cost."""
-    dim = len(df.select(vec_col).head()[0])
+    drives cost.
+
+    Pass ``dim`` (the embedding width) explicitly when known -- it is
+    schema metadata, and the fallback probe is a driver-side
+    ``head()`` that runs a (tiny, first-partition-only) Spark job
+    before the real plan is even built."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
     b = lsh_buckets(df, id_col, vec_col, num_tables, planes_per_table, dim=dim)
     # candidate generation on ids only -- deduping (id_a, id_b) pairs is
     # a cheap long-pair distinct; vectors join back afterwards, so the

@@ -1286,7 +1286,7 @@ def q49_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    return lsh_ann_pairs(emb.unionByName(planted), cos_threshold=0.9)
+    return lsh_ann_pairs(emb.unionByName(planted), cos_threshold=0.9, dim=64)
 
 
 @query(
@@ -1325,19 +1325,20 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q51_ngram_jaccard_pairs", oracle=_NEAR_DUP_ORACLE)
 def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the inverted shingle
-    index with the scale-safe ``max_df`` stop-shingle guard at its
-    default (operators/dedup.py), checked for exact equality against
-    the brute-force DuckDB ground truth -- proving the guard affects
-    neither precision (Jaccard runs over full shingle sets) nor
-    recall on real near-dups (no shared shingle here approaches the
-    df cap). Exercises the hashed-shingle sketch path cross-engine:
-    word-hash + polynomial-combine must be injective on the corpus
-    for the pair set and Jaccard values to match the string ground
-    truth."""
+    index with the scale-safe ``max_df`` stop-shingle guard passed
+    EXPLICITLY (operators/dedup.py -- the operator's default is the
+    provably-complete exact mode; scale call sites opt into the
+    guard), checked for exact equality against the brute-force DuckDB
+    ground truth -- proving the guard affects neither precision
+    (Jaccard runs over full shingle sets) nor recall on real
+    near-dups (no shared shingle here approaches the df cap).
+    Exercises the hashed-shingle sketch path cross-engine: word-hash
+    + polynomial-combine must be injective on the corpus for the pair
+    set and Jaccard values to match the string ground truth."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return ngram_jaccard_pairs(docs, id_col="doc_id")
+    return ngram_jaccard_pairs(docs, id_col="doc_id", max_df=1000)
 
 
 # ===========================================================================
@@ -2004,11 +2005,18 @@ def q73_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-subquery max. The max is
-    over decimal-exact doubles, so the equality predicate is stable."""
+    over decimal-exact doubles, so the equality predicate is stable.
+
+    The revenue aggregate feeds BOTH the max subquery and the
+    equality join, so it is localCheckpointed: one lineitem scan+agg,
+    materialized small (one row per supplier), then the max and the
+    filter read the materialized result instead of re-running the
+    dominant scan twice (round 2 ran it twice -- 1.9x the cost; at
+    100 TB the checkpoint is per-supplier-sized, trivially cached)."""
     li, supp = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_revenue")
-    )
+    ).localCheckpoint()
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
@@ -2169,20 +2177,27 @@ def q79_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for similarity search -- coarse quantize, probe a few
     buckets per query, exact-rescore candidates.
 
-    Oracle by construction: the corpus is the embeddings table plus
-    10 planted bit-identical copies of each query vector at ids
+    Oracle by construction: the corpus is the embeddings table
+    (bounded to vec_id < 500, same as q49/q81, so the no-intruder
+    property below holds by construction at every scale factor
+    instead of depending on the whole table's contents) plus 10
+    planted bit-identical copies of each query vector at ids
     1000000 + qid*100 + j. Identical vectors share the query's
     centroid bucket, so a correct IVF (probe list includes the
     query's own nearest centroid) must return all of them; with 11
     cos=1.0 candidates (query itself + 10 copies) and deterministic
     id tie-break, top-10 is closed-form: the query plus copies
-    j=0..8. Organic neighbors max out at cos~0.42 on this corpus
-    (verified both sf0.01/sf0.1), so nothing else can intrude. This
-    checks routing, probing, recall, rescoring, and the top-k window
+    j=0..8. Organic neighbors max out at cos~0.42 on this bounded
+    corpus, far from 1.0, so nothing else can intrude. This checks
+    routing, probing, recall, rescoring, and the top-k window
     exactly -- not just row counts."""
     from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
 
-    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
     qdf = emb.filter(F.col("vec_id") < 5)
     qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
           for r in qdf.collect()]
@@ -2277,7 +2292,7 @@ def q81_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    pairs = lsh_ann_pairs(corpus, cos_threshold=0.9)
+    pairs = lsh_ann_pairs(corpus, cos_threshold=0.9, dim=64)
     return dedup_clusters(corpus, pairs, id_col="vec_id", src="id_a", dst="id_b")
 
 

@@ -72,12 +72,19 @@ def dual_destination_write(
 ) -> None:
     """Reference df_manager.py:82-103 parity: every flush lands in TWO
     buckets (primary + backup). The partition-clustered frame is
-    computed ONCE and cached, then written to both destinations -- the
-    second write re-reads executor-local cached blocks instead of
-    re-scanning and re-shuffling the source, which at 100 TB halves
-    the cost of the mirror."""
+    computed ONCE and persisted, then written to both destinations --
+    the second write re-reads executor-local persisted blocks instead
+    of re-scanning and re-shuffling the source, which at 100 TB halves
+    the cost of the mirror. DISK_ONLY, not MEMORY: the frame is an
+    entire flush (arbitrarily large vs executor storage memory), local
+    disk read-back is far cheaper than re-shuffling, and memory
+    pressure would evict blocks and silently recompute anyway."""
+    from pyspark import StorageLevel
+
     part = with_partition_columns(df, ts_col)
-    clustered = part.repartition(F.col(entity_col), F.col("year"), F.col("month")).cache()
+    clustered = part.repartition(
+        F.col(entity_col), F.col("year"), F.col("month")
+    ).persist(StorageLevel.DISK_ONLY)
     try:
         _save_partitioned(clustered, primary_path, entity_col, fmt, mode)
         _save_partitioned(clustered, backup_path, entity_col, fmt, mode)
