@@ -11,7 +11,7 @@ from tests.oracle_utils import compare, run_duckdb
 from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
 
 SF = "/root/testdata/sf0.001"
-TZ_SENSITIVE = ["q27_date_funcs", "q32_epoch_roundtrip", "q33_calendar_month_agg", "q72_session_window"]
+TZ_SENSITIVE = ["q27_date_funcs", "q32_epoch_roundtrip", "q33_calendar_month_agg", "q71_time_windows"]
 
 
 def test_queries_survive_foreign_session(spark):
