@@ -640,10 +640,17 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four set-difference/intersection semantics -- INTERSECT,
     EXCEPT (set) and INTERSECT ALL, EXCEPT ALL (multiset/bag, keeps
     surplus copies) -- over the same two inputs, tagged (absorbs r2's
-    q20_intersect + q21_except + q54_except_all + q68_intersect_all)."""
+    q20_intersect + q21_except + q54_except_all + q68_intersect_all).
+
+    The two filtered single-column inputs are localCheckpointed: each
+    of the four set ops consumes both sides, and without the
+    materialization the union-of-four plan scans the orders table 8
+    times (verified via executedPlan) -- at 100 TB that is 8 full
+    scans for one logical query. Materialize once, shuffle four
+    times."""
     orders = T(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").localCheckpoint()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").localCheckpoint()
     tagged = [
         f.intersect(o).select(F.lit("intersect").alias("op"), "o_custkey"),
         f.subtract(o).select(F.lit("except").alias("op"), "o_custkey"),
