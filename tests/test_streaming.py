@@ -268,3 +268,33 @@ def test_count_based_flush_cadence(spark, tmp_path):
     batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
     assert batches == ["batch_id=0", "batch_id=1", "batch_id=2"]
     assert spark.read.option("basePath", out).parquet(f"{out}/batch_id=*").count() == 3
+
+
+def test_rocksdb_state_store_matches_default(spark, events_dir, tmp_path):
+    """The RocksDB state store (rocksdb_state_conf -- the 100 TB
+    keyed-state path: disk-backed state, changelog checkpoints) must
+    produce byte-identical aggregates to the default heap-backed
+    provider. The provider is pinned per-query at first checkpoint,
+    so a fresh query + checkpoint dir picks up the session conf."""
+    from utc_cuip_kafka_aws_connector_spark.streaming.ops import rocksdb_state_conf
+
+    batch = spark.read.parquet(events_dir)
+
+    def run(tag):
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        agg = tumbling_window_agg(
+            stream, "ts", "1 hour", watermark="10 minutes", keys=["event_type"]
+        )
+        got = run_stream(spark, agg, f"state_{tag}", tmp_path, mode="complete")
+        return sorted(map(tuple, got.select("window_start", "event_type", "n").collect()))
+
+    baseline = run("heap")
+    conf = rocksdb_state_conf()
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        rocks = run("rocks")
+    finally:
+        for k in conf:
+            spark.conf.unset(k)
+    assert rocks == baseline and len(rocks) > 0
