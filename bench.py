@@ -80,11 +80,22 @@ def main() -> None:
     # measure only the read-back, so time the first run for these.
     single_run = {"q60_streaming_tumbling"}
 
+    def drop_all_blocks() -> None:
+        """clearCache only drops table caches; localCheckpoint blocks
+        (q74/q20/connected-components rounds) persist until their RDD
+        is GC'd and otherwise accumulate across the run, squeezing
+        execution memory for later queries and skewing per-query
+        numbers by run position. Unpersist every persistent RDD."""
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+
     timings: dict[str, float] = {}
     for name, entry in CATALOG.items():
         if name not in single_run:
             entry.builder(spark, sf_dir).collect()  # warmup (untimed)
-            spark.catalog.clearCache()  # timed run starts data-cold
+            drop_all_blocks()  # timed run starts data-cold
             # Pay accumulated GC debt OUTSIDE the timed region: 150+
             # query executions in one JVM otherwise tax late-catalog
             # queries with garbage from earlier ones, skewing
@@ -93,7 +104,7 @@ def main() -> None:
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
+        drop_all_blocks()
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     timings["pipeline_ingest"] = round(_bench_reference_pipeline(spark, sf_dir), 4)
