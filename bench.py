@@ -3,17 +3,25 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Methodology: warm engine, cold data. Each query runs twice -- an
-untimed warmup that absorbs one-time JVM/codegen/Python-worker
-startup, then the timed run. ``spark.catalog.clearCache()`` runs
-between the two so any ``.cache()`` an operator builds internally
-(sketch frames etc.) is dropped: the timed run re-does ALL data work
-from the parquet scan up; only engine warmup (JIT, codegen cache,
-worker processes) carries over. That is the steady-state throughput a
-long-running cluster job sees, and it makes per-query numbers
-independent of catalog ordering. Queries that intentionally memoize
-scratch results across runs (streaming replay) are timed on their
-first, materializing run instead.
+Methodology: warm engine, cold data, in TWO passes. Pass 1 runs the
+whole catalog once untimed, absorbing every one-time cost -- JVM/JIT
+(C2 compiles asynchronously, so a single back-to-back warmup of one
+query is not enough early in a run), whole-stage-codegen cache,
+shuffle machinery, Python worker processes, streaming state-store
+classes. Pass 2 then times each query against the fully-warm engine.
+Interleaving warmup-then-time per query (the old scheme) let run
+POSITION leak into the numbers: the first few queries executed in a
+half-compiled JVM and measured up to 1.5-3x slower than the same
+code late in the run. All caches/persisted blocks are dropped before
+each timed run, so it re-does ALL data work from the parquet scan
+up; only engine warmup carries over. That is the steady-state
+throughput a long-running cluster job sees, and it makes per-query
+numbers independent of catalog ordering.
+
+The streaming replay (q60) warms up like everything else: its
+checkpoint dir is a fresh UUID per invocation, so every run fully
+reprocesses the stream; only the file-stream INPUT materialization
+is memoized across runs (harness setup, not query work).
 """
 
 from __future__ import annotations
@@ -70,16 +78,6 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warmup: trigger JVM init + whole-stage codegen + shuffle machinery
-    # once, so per-query numbers reflect steady-state execution
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
-    CATALOG["q01_pricing_summary"].builder(spark, sf_dir).collect()
-
-    # Queries that memoize scratch state across invocations (the
-    # streaming replay materializes once per SF): a second run would
-    # measure only the read-back, so time the first run for these.
-    single_run = {"q60_streaming_tumbling"}
-
     def drop_all_blocks() -> None:
         """clearCache only drops table caches; localCheckpoint blocks
         (q74/q20/connected-components rounds) persist until their RDD
@@ -91,16 +89,21 @@ def main() -> None:
         for jrdd in list(jmap.values()):
             jrdd.unpersist()
 
+    # Pass 1: untimed warmup over the full catalog.
+    for name, entry in CATALOG.items():
+        entry.builder(spark, sf_dir).collect()
+        drop_all_blocks()
+        print(f"  [warmup] {name}", file=sys.stderr, flush=True)
+
+    # Pass 2: timed, data-cold, engine-warm.
     timings: dict[str, float] = {}
     for name, entry in CATALOG.items():
-        if name not in single_run:
-            entry.builder(spark, sf_dir).collect()  # warmup (untimed)
-            drop_all_blocks()  # timed run starts data-cold
-            # Pay accumulated GC debt OUTSIDE the timed region: 150+
-            # query executions in one JVM otherwise tax late-catalog
-            # queries with garbage from earlier ones, skewing
-            # per-query numbers by run position.
-            spark.sparkContext._jvm.System.gc()
+        drop_all_blocks()  # timed run starts data-cold
+        # Pay accumulated GC debt OUTSIDE the timed region: 150+
+        # query executions in one JVM otherwise tax late-catalog
+        # queries with garbage from earlier ones, skewing
+        # per-query numbers by run position.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

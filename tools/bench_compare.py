@@ -1,0 +1,93 @@
+"""Bench regression guard: compare two bench JSON outputs and flag
+per-query regressions.
+
+Usage:
+    python tools/bench_compare.py BASELINE.json CURRENT.json [--threshold 2.0]
+
+Each file is either a raw ``bench.py`` output line
+(``{"metric": ..., "queries": {...}}``) or a driver ``BENCH_r{N}.json``
+envelope whose ``tail`` field holds a (possibly truncated) fragment of
+that line -- per-query numbers are recovered by regex in that case.
+
+Exit code 0 = no query regressed beyond the threshold; 1 = at least
+one did (names and ratios printed). Queries present in only one file
+are reported informationally and never fail the guard (the catalog
+grows and consolidates across rounds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def load_timings(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "queries" in doc:
+        return {k: float(v) for k, v in doc["queries"].items()}
+    if "tail" in doc:
+        # Driver envelope: the tail is a fragment of the bench JSON
+        # line; recover whatever per-query pairs survived truncation.
+        pairs = re.findall(r'"(q\w+|pipeline_ingest)": ([0-9.]+)', doc["tail"])
+        if pairs:
+            return {k: float(v) for k, v in pairs}
+    raise SystemExit(f"{path}: no per-query timings found")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument(
+        "--threshold",
+        type=float,
+        default=2.0,
+        help="fail when current/baseline exceeds this ratio (default 2.0)",
+    )
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.5,
+        help="ignore queries faster than this in BOTH files -- sub-second "
+        "timings are noise-dominated (default 0.5)",
+    )
+    args = ap.parse_args()
+
+    base = load_timings(args.baseline)
+    cur = load_timings(args.current)
+    shared = sorted(set(base) & set(cur))
+
+    regressions: list[tuple[float, str]] = []
+    for name in shared:
+        if base[name] < args.min_sec and cur[name] < args.min_sec:
+            continue
+        ratio = cur[name] / max(base[name], 1e-9)
+        marker = ""
+        if ratio > args.threshold:
+            regressions.append((ratio, name))
+            marker = "  <-- REGRESSION"
+        if ratio > args.threshold or ratio < 1 / args.threshold:
+            print(f"{name:36s} base={base[name]:7.2f}s cur={cur[name]:7.2f}s x{ratio:.2f}{marker}")
+
+    bt = sum(base[n] for n in shared)
+    ct = sum(cur[n] for n in shared)
+    print(f"\nshared {len(shared)} queries: base={bt:.1f}s cur={ct:.1f}s x{ct / max(bt, 1e-9):.2f}")
+    for name in sorted(set(cur) - set(base)):
+        print(f"  new: {name} ({cur[name]:.2f}s)")
+    for name in sorted(set(base) - set(cur)):
+        print(f"  dropped: {name} (was {base[name]:.2f}s)")
+
+    if regressions:
+        print(f"\nFAIL: {len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} regressed >x{args.threshold}:")
+        for ratio, name in sorted(regressions, reverse=True):
+            print(f"  {name} x{ratio:.2f}")
+        return 1
+    print("OK: no per-query regression beyond threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -320,8 +320,8 @@ def connected_components(
     fault-tolerant checkpoint directory (HDFS/S3) and survive
     executor loss, at the cost of a filesystem write per round.
     """
+    sc = edges.sparkSession.sparkContext
     if reliable_checkpoint:
-        sc = edges.sparkSession.sparkContext
         if checkpoint_dir is not None:
             sc.setCheckpointDir(checkpoint_dir)
         elif sc._jsc.sc().checkpointDir().isEmpty():
@@ -330,24 +330,33 @@ def connected_components(
                 "checkpoint_dir= or call sparkContext.setCheckpointDir first"
             )
 
-        def _cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+    def _cut(df: DataFrame) -> tuple[DataFrame, list]:
+        """Eagerly checkpoint ``df`` and return the cut DataFrame plus
+        the storage blocks the cut created (java RDD handles), so the
+        loop can free a round's blocks once the next round is
+        materialized. DataFrame.unpersist() only talks to the cache
+        manager and cannot release checkpoint blocks, so we diff the
+        context's persistent-RDD registry around the eager call (the
+        driver is single-threaded here, so the diff is exactly the
+        checkpoint RDD)."""
+        before = set(sc._jsc.getPersistentRDDs().keys())
+        if reliable_checkpoint:
+            cut = df.checkpoint(eager=True)
+        else:
+            cut = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs()
+        return cut, [after[k] for k in after.keys() if k not in before]
 
     # Materialize the edge list ONCE before symmetrizing: the union
     # below consumes it twice, and without the checkpoint the (often
     # expensive) upstream pair-generation plan would execute twice.
-    e = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    e, e_blocks = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # The loop runs over edge ENDPOINTS only -- for near-dup graphs
     # that is a tiny fraction of the corpus. Singleton nodes (no
     # edges) never change label, so they join in once at the end
     # instead of riding through every iteration.
-    labels = _cut(
+    labels, labels_blocks = _cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
@@ -372,7 +381,7 @@ def connected_components(
         # min label crosses 2^k hops after k rounds. old_comp rides
         # along so convergence is a join-free filter on the
         # checkpointed result, not another shuffle join.
-        jumped = _cut(
+        jumped, jumped_blocks = _cut(
             stepped.alias("s")
             .join(
                 stepped.select(
@@ -384,9 +393,19 @@ def connected_components(
             .select("node", "old_comp", F.coalesce("comp2", "comp").alias("comp"))
         )
         changed = jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
-        labels = jumped.drop("old_comp")
+        # The previous round's checkpoint blocks are dead now that
+        # this round is materialized -- free them so a many-round run
+        # over a big graph holds TWO rounds of label storage at peak,
+        # not max_iter rounds' worth.
+        for blk in labels_blocks:
+            blk.unpersist()
+        labels, labels_blocks = jumped.drop("old_comp"), jumped_blocks
         if changed == 0:
             break
+    # The final labels are checkpointed (independent of the edge
+    # materialization), so the edge blocks can be freed too.
+    for blk in e_blocks:
+        blk.unpersist()
     out = labels.select("node", F.col("comp").alias("component"))
     if nodes is not None:
         out = (
