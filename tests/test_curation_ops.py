@@ -144,3 +144,59 @@ def test_cli_committer_flag_applies_conf(monkeypatch, tmp_path):
             ]
         )
     assert captured["extra_conf"]["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+
+def test_redact_pii_rewrites_all_three_categories(spark):
+    """Each PII category is replaced by its placeholder; counts match;
+    the phone pattern never claims an IP (dots break its char class)
+    and email redaction runs first so its digits are off the table."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (555) 010-0042 today"),
+            (3, "host 192.168.1.4 is up"),
+            (4, "none here"),
+            (5, "a@b.io and 10.0.0.1 and +44 20 7946 0958 end"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["redacted"] == "mail [EMAIL] now"
+    assert rows[2]["redacted"] == "call [PHONE] today"
+    assert rows[3]["redacted"] == "host [IP] is up"
+    assert rows[4]["redacted"] == "none here"
+    assert rows[5]["redacted"] == "[EMAIL] and [IP] and [PHONE] end"
+    assert (rows[5]["n_emails"], rows[5]["n_phones"], rows[5]["n_ips"]) == (1, 1, 1)
+    assert (rows[4]["n_emails"], rows[4]["n_phones"], rows[4]["n_ips"]) == (0, 0, 0)
+
+
+def test_repetition_stats_known_values(spark):
+    """'a b a b c': 5 words, 3 distinct -> dup_word 0.4; bigrams
+    [a b, b a, a b, b c]: 4 total, 3 distinct -> dup_bigram 0.25."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["n_words"] == 5
+    assert r["dup_word_ratio"] == pytest.approx(1 - 3 / 5)
+    assert r["dup_bigram_ratio"] == pytest.approx(1 - 3 / 4)
+
+
+def test_connected_components_frees_round_blocks(spark):
+    """The CC loop unpersists each round's checkpoint blocks once the
+    next round materializes: after the result is consumed, at most the
+    final labels RDD survives in the block registry (not one per
+    round + edges)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import connected_components
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    # a 64-node path graph forces several pointer-jump rounds
+    edges = spark.range(63).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = connected_components(edges)
+    assert out.filter(F.col("component") != 0).count() == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert len(after - before) <= 1  # final labels only

@@ -133,6 +133,78 @@ def tf_idf_top_terms(
     )
 
 
+# PII patterns kept to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+# greedy quantifiers, \b -- no alternation, no backreferences, no
+# lookaround (RE2 lacks lookaround; alternation differs between
+# leftmost-first and leftmost-longest engines).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d() -]{7,}\d"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses from a text
+    column -- the scrub step every LLM training pipeline runs before
+    tokenization. Adds match counts per category and a ``redacted``
+    column with placeholders substituted.
+
+    Redaction order matters and is fixed: emails first (their local
+    part may contain digit runs a phone pattern could claim), then
+    phones, then IPs (never phone-claimed: dots are not in the phone
+    character class).
+
+    Scale: three ``regexp_replace`` + three ``regexp_extract_all``
+    expressions, all JVM-side inside the scan stage -- zero shuffles,
+    zero Python. At 100 TB this is scan-bound, exactly as cheap as a
+    projection can be.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))),
+            "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))),
+            "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0))),
+            "redacted": redacted,
+        }
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    rules): fraction of duplicate words and duplicate word-bigrams.
+    High values flag boilerplate/spam for removal before training.
+
+    Ratios are integer divisions -- bit-deterministic across engines.
+
+    Scale: pure array expressions (split / slice / zip_with /
+    array_distinct) inside the scan stage; no shuffle, no Python.
+    """
+    w = words(text_col)
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, F.lit(1), n - 1),
+        F.slice(w, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return df.withColumns(
+        {
+            "n_words": n,
+            "dup_word_ratio": F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double") / n,
+            "dup_bigram_ratio": F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+        }
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace/case-normalized text
     (exact-dedup key), plus a 64-bit rolling-style content hash
