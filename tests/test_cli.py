@@ -132,3 +132,34 @@ def test_cloud_committer_conf_contract():
     assert conf["spark.sql.sources.commitProtocolClass"].endswith("PathOutputCommitProtocol")
     assert conf["spark.sql.parquet.output.committer.class"].endswith("BindingParquetOutputCommitter")
     assert conf["spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"].endswith("S3ACommitterFactory")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """A fragmented lake (8 files per partition) compacts to ~1 file
+    per partition with identical rows; stats report the fragmentation."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(4000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(8).write.partitionBy("bucket").parquet(src)
+    for b in range(3):
+        assert len(glob.glob(f"{src}/bucket={b}/*.parquet")) == 8
+
+    stats = compact_small_files(spark, src, dest, ["bucket"])
+    srows = {r["leaf"]: r for r in stats.collect()}
+    assert len(srows) == 3
+    assert all(r["files_before"] == 8 and r["files_target"] == 1 for r in srows.values())
+
+    for b in range(3):
+        assert len(glob.glob(f"{dest}/bucket={b}/*.parquet")) == 1
+    before = df.orderBy("id").collect()
+    after = spark.read.parquet(dest).select("id", "bucket", "payload").orderBy("id").collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]

@@ -86,3 +86,17 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_text_quality_ops_are_scan_only(spark):
+    """q90/q91 are projection-only passes: no Exchange (shuffle), no
+    Python evaluation -- at 100 TB they must run entirely inside the
+    scan stage."""
+    for name in ("q90_pii_redaction", "q91_repetition_stats"):
+        p = plan_of(spark, name)
+        assert "Exchange" not in p, f"{name} shuffles"
+        assert "Python" not in p, f"{name} leaves the JVM"
+    # q90 (plain regexp expressions) must stay whole-stage-codegen'd;
+    # q91's higher-order lambdas are interpreted by Spark design (HOF
+    # expressions are excluded from codegen), so no assertion there.
+    assert "codegen id" in plan_of(spark, "q90_pii_redaction")

@@ -119,6 +119,98 @@ def cloud_committer_conf() -> dict[str, str]:
     }
 
 
+def compact_small_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Lake maintenance: rewrite a Hive-partitioned parquet dataset so
+    each partition's many small files (the inevitable residue of
+    frequent streaming flushes, reference R7's five-minute cadence)
+    merge into ~``target_file_bytes`` files. Small files are the #1
+    silent scan-cost multiplier at 100 TB: per-file open/footer
+    overhead, tiny row groups defeating column-chunk IO, and listing
+    storms.
+
+    Scale design -- ONE job, ONE shuffle, no driver-side loop over
+    partitions: per-leaf-directory byte sizes come from a filesystem
+    listing (metadata-only, the object store/namenode does this
+    anyway); each row joins (broadcast) its leaf's target file count
+    ``n_target = ceil(bytes / target)``, gets a salt in
+    ``[0, n_target)``, and one ``repartition(total_targets,
+    partition_cols..., salt)`` clusters every output file's rows
+    together. ``partitionBy`` then lands ~n_target files per
+    partition.
+
+    Writes to ``dest_path`` rather than in place: Spark cannot safely
+    overwrite a path it is lazily reading, and on object stores the
+    swap is a cheap table-location/pointer flip while in-place rewrite
+    of a live prefix is not atomic. Returns a stats DataFrame
+    (leaf, bytes, files_before, files_target) for observability.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = root.getFileSystem(hconf)
+    per_leaf: dict[str, list[int]] = {}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        leaf = p.getParent().toString()
+        acc = per_leaf.setdefault(leaf, [0, 0])
+        acc[0] += st.getLen()
+        acc[1] += 1
+    import re
+
+    # Path.toString and input_file_name disagree on URI slash count
+    # ("file:/x" vs "file:///x"); normalize both sides to a bare path.
+    def _norm(p: str) -> str:
+        return re.sub(r"^[a-z0-9]+:/+", "/", p)
+
+    stats = [
+        (_norm(leaf), b, n, max(1, -(-b // target_file_bytes)))
+        for leaf, (b, n) in sorted(per_leaf.items())
+    ]
+    targets = spark.createDataFrame(
+        stats, "leaf string, bytes long, files_before int, files_target int"
+    )
+
+    df = spark.read.parquet(src_path)
+    # input_file_name is URI-formed ("file:/..."); the listing yields
+    # the same URI form from Path.toString on the same filesystem.
+    leaf_of_row = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "/[^/]*$", ""), "^[a-z0-9]+:/+", "/"
+    )
+    total_targets = sum(s[3] for s in stats) or 1
+    clustered = (
+        df.withColumn("__leaf", leaf_of_row)
+        # LEFT join + coalesce(1): a path-form mismatch must degrade to
+        # "one file for that partition", never drop rows.
+        .join(
+            F.broadcast(targets.select(F.col("leaf").alias("__leaf"), "files_target")),
+            "__leaf",
+            "left",
+        )
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.coalesce(F.col("files_target"), F.lit(1)),
+            ),
+        )
+        .repartition(total_targets, *partition_cols, F.col("__salt"))
+        .drop("__leaf", "__salt", "files_target")
+    )
+    clustered.write.partitionBy(*partition_cols).mode("overwrite").parquet(dest_path)
+    return targets
+
+
 def idempotent_batch_writer(
     path: str,
     entity_col: str,
