@@ -163,3 +163,23 @@ def test_compact_small_files(spark, tmp_path):
     before = df.orderBy("id").collect()
     after = spark.read.parquet(dest).select("id", "bucket", "payload").orderBy("id").collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_cli_compact_end_to_end(spark, tmp_path, capsys):
+    """`compact` subcommand: fragmented lake in, compacted lake +
+    summary line out."""
+    from pyspark.sql import functions as F
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "out")
+    spark.range(900).select(
+        F.col("id"), (F.col("id") % 2).alias("part")
+    ).repartition(5).write.partitionBy("part").parquet(src)
+
+    assert (
+        cli.main(["compact", "--src", src, "--dest", dest, "--partition-cols", "part"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "compacted 2 partitions" in out
+    assert spark.read.parquet(dest).count() == 900

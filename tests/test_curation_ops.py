@@ -200,3 +200,36 @@ def test_connected_components_frees_round_blocks(spark):
     assert out.filter(F.col("component") != 0).count() == 0
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     assert len(after - before) <= 1  # final labels only
+
+
+def test_redact_pii_property_no_survivors(spark):
+    """Property: after redaction no '@'-bearing token, no 7+-digit
+    run, and no dotted quad survives, for texts built from a
+    PII-generating grammar."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.text import redact_pii
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "no"]
+    rows = []
+    for i in range(200):
+        parts = [rng.choice(words) for _ in range(rng.randint(1, 8))]
+        kind = i % 4
+        if kind == 0:
+            parts.insert(rng.randint(0, len(parts)), f"user{i}@mail{i % 9}.example.com")
+        elif kind == 1:
+            parts.insert(rng.randint(0, len(parts)), f"+{rng.randint(1, 99)} ({rng.randint(100, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}")
+        elif kind == 2:
+            parts.insert(rng.randint(0, len(parts)), f"{rng.randint(1, 255)}.{rng.randint(0, 255)}.{rng.randint(0, 255)}.{rng.randint(1, 255)}")
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import re as _re
+
+    for r in redact_pii(df).collect():
+        red = r["redacted"]
+        assert "@" not in red, red
+        assert not _re.search(r"\d{7,}", red), red
+        assert not _re.search(r"\d+\.\d+\.\d+\.\d+", red), red
+        if r["doc_id"] % 4 != 3:
+            assert "[" in red, red

@@ -254,6 +254,20 @@ def main(argv: list[str] | None = None) -> int:
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--format", default="parquet", choices=["parquet", "csv"])
 
+    compact = sub.add_parser(
+        "compact",
+        help="lake maintenance: merge each partition's small files to ~target size "
+        "(the CRON-cadence flushes fragment the lake; run this periodically)",
+    )
+    compact.add_argument("--src", required=True, help="fragmented lake root")
+    compact.add_argument("--dest", required=True, help="compacted output root (swap after)")
+    compact.add_argument(
+        "--partition-cols", required=True, help="comma-separated Hive partition columns"
+    )
+    compact.add_argument(
+        "--target-file-mb", type=int, default=128, help="target output file size (MiB)"
+    )
+
     args = parser.parse_args(argv)
 
     from utc_cuip_kafka_aws_connector_spark.session import get_spark
@@ -271,6 +285,22 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.config, args.input_root, args.output, args.format, args.backup_output
         )
         print(f"ingested {len(routes)} topics: {routes}")
+    elif args.cmd == "compact":
+        from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
+
+        stats = compact_small_files(
+            spark,
+            args.src,
+            args.dest,
+            args.partition_cols.split(","),
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        ).collect()
+        files = sum(r["files_before"] for r in stats)
+        targets = sum(r["files_target"] for r in stats)
+        print(
+            f"compacted {len(stats)} partitions: {files} files -> ~{targets} "
+            f"at {args.target_file_mb} MiB, output={args.dest}"
+        )
     else:
         run_stream(spark, args.topic, args.input, args.output, args.checkpoint, args.format)
         print(f"streamed topic={args.topic} output={args.output}")
