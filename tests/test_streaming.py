@@ -298,3 +298,38 @@ def test_rocksdb_state_store_matches_default(spark, events_dir, tmp_path):
         for k in conf:
             spark.conf.unset(k)
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_streaming_into_transaction_log(spark, tmp_path):
+    """Structured Streaming -> transactional table: AvailableNow drains
+    the source through transactional_batch_writer; re-running the same
+    stream from a FRESH checkpoint replays every epoch, and the
+    txn_id idempotence keeps the table exactly-once anyway."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        read_snapshot,
+        transactional_batch_writer,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1"))
+    table = str(tmp_path / "txtable")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(transactional_batch_writer(table))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt_a")
+    assert read_snapshot(spark, table).count() == 100
+    run("ckpt_b")  # fresh checkpoint = full replay of epoch 0
+    assert read_snapshot(spark, table).count() == 100  # still exactly once

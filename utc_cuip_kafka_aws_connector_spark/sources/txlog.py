@@ -1,0 +1,157 @@
+"""Minimal transaction-log table format: atomic append + snapshot
+reads over plain parquet, no extra jars.
+
+The reference's CSV read-modify-write append (df_manager.py:86-92) is
+not atomic and loses data under concurrent flushes; SURVEY §2.B's
+north-star row asks for a Delta-style transactional sink. Delta jars
+are not in this image, so this module implements the load-bearing
+subset of that design directly (the same log-structured idea as
+Delta/Iceberg, re-derived over the public commit-protocol concepts):
+
+- Data files are written ONCE, to unique staging directories -- never
+  renamed, never appended to, never overwritten.
+- A commit is one atomically-created manifest ``_log/v{N}.json``
+  listing the files the transaction adds. Readers see a version or
+  they don't: no torn state, ever.
+- Version numbers are claimed by exclusive file creation (O_EXCL): a
+  losing writer gets ``FileExistsError`` and retries at N+1 --
+  optimistic concurrency, last committer wins the next slot. On a
+  POSIX filesystem / HDFS this is atomic; on S3 use a conditional put
+  (If-None-Match) or a commit service -- the protocol is unchanged.
+- Each commit carries an optional ``txn_id``. Committing a txn_id
+  that is already in the log is a no-op returning the existing
+  version: foreachBatch replay after a crash cannot double-append
+  (exactly-once, the property the epoch-keyed writer approximates
+  with overwrite directories).
+- Readers load the union of ``added`` files across versions <= N:
+  snapshot isolation for free, and older N = time travel.
+
+100 TB notes: manifests hold file PATHS, not data -- commit cost is
+O(files added), independent of table size. Reads list one small log
+directory instead of the data prefix (no S3 listing storm) and hand
+Spark an explicit file list, so partition pruning and predicate
+pushdown work unchanged on the parquet files themselves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def _versions(table_path: str) -> list[int]:
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    with open(os.path.join(_log_path(table_path), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(table_path: str, added_files: list[str], txn_id: str | None = None) -> int:
+    """Atomically commit ``added_files`` as the next table version.
+    Returns the committed version. Idempotent on ``txn_id``: if a
+    manifest already records it, that version is returned and nothing
+    is written (streaming replay safety)."""
+    os.makedirs(_log_path(table_path), exist_ok=True)
+    while True:
+        versions = _versions(table_path)
+        if txn_id is not None:
+            for v in versions:
+                if _read_manifest(table_path, v).get("txn_id") == txn_id:
+                    return v
+        next_v = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": next_v,
+            "added": sorted(added_files),
+            "txn_id": txn_id,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        target = os.path.join(_log_path(table_path), f"v{next_v}.json")
+        try:
+            # O_EXCL: exactly one writer can create this version file.
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue  # lost the race -- re-scan (maybe our txn_id won) and retry
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return next_v
+
+
+def txn_append(
+    df: DataFrame, table_path: str, txn_id: str | None = None
+) -> int:
+    """Transactional append: write ``df`` as parquet into a unique
+    staging directory, then commit the produced files. Readers never
+    see the staging write until the manifest lands. Returns the
+    committed version.
+
+    Replay safety: when ``txn_id`` is already committed the data
+    write still happens (to a fresh orphan staging dir -- harmless,
+    vacuumable) but the LOG is untouched, so readers never see
+    duplicates. Check-before-write is deliberately not relied on for
+    correctness, only as a fast path."""
+    versions = _versions(table_path)
+    if txn_id is not None:
+        for v in versions:
+            if _read_manifest(table_path, v).get("txn_id") == txn_id:
+                return v  # fast path: skip the data write entirely
+    staging = os.path.join(table_path, "data", uuid.uuid4().hex)
+    df.write.parquet(staging)
+    files = [
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    ]
+    return commit(table_path, files, txn_id=txn_id)
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest). The file list
+    comes from the log, so concurrent in-flight writes are invisible
+    (snapshot isolation) and an older version is time travel."""
+    versions = _versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    if version is None:
+        version = versions[-1]
+    files: list[str] = []
+    for v in versions:
+        if v <= version:
+            files.extend(_read_manifest(table_path, v)["added"])
+    return spark.read.parquet(*files)
+
+
+def transactional_batch_writer(table_path: str):
+    """foreachBatch sink: each micro-batch commits under
+    ``txn_id="batch-<epoch>"`` -- Structured Streaming replay of an
+    epoch after failure hits the idempotence path and cannot
+    double-append. The exactly-once upgrade of SURVEY §4.3 row 1,
+    without overwrite directories."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        txn_append(df, table_path, txn_id=f"batch-{epoch_id}")
+
+    return write_batch
