@@ -64,3 +64,40 @@ def test_foreach_batch_writer_replay(spark, tmp_path):
     wb(_df(spark, 30, 40), 1)
     wb(_df(spark, 30, 40), 1)  # epoch replay after simulated failure
     assert read_snapshot(spark, t).count() == 40
+
+
+def test_vacuum_checkpoints_then_prunes(spark, tmp_path):
+    """Vacuum: commits a full checkpoint manifest, removes orphaned
+    staging (replay duplicates, aborted writes), drops pre-checkpoint
+    manifests; the snapshot is unchanged and later appends stack on
+    the checkpoint."""
+    import os as _os
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import vacuum
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 60), t, txn_id="a")
+    txn_append(_df(spark, 60, 100), t, txn_id="b")
+    # replay a committed txn via commit-first path: data write happens,
+    # log untouched -> orphan staging dir
+    _df(spark, 0, 60).write.parquet(f"{t}/data/orphan")
+    # an uncommitted in-flight write younger than the retention window
+    _df(spark, 0, 5).write.parquet(f"{t}/data/inflight")
+
+    stats = vacuum(t, min_age_seconds=0.0)
+    assert stats["data_dirs_removed"] >= 1  # the orphan (and inflight at age 0)
+    assert stats["manifests_removed"] == 2  # v0, v1 folded into checkpoint
+    assert read_snapshot(spark, t).count() == 100
+
+    # retention respected: young staging survives a default-age vacuum
+    _df(spark, 0, 5).write.parquet(f"{t}/data/inflight2")
+    vacuum(t)  # default 24h min age
+    assert _os.path.isdir(f"{t}/data/inflight2")
+
+    txn_append(_df(spark, 100, 110), t, txn_id="c")
+    assert read_snapshot(spark, t).count() == 110
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=0)  # vacuumed away

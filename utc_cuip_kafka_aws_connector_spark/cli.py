@@ -189,6 +189,7 @@ def run_stream(
     output_path: str,
     checkpoint_dir: str,
     fmt: str = "parquet",
+    sink: str = "epoch-dirs",
 ) -> None:
     """The reference's consume->flush CRON job as one streaming
     command: drain all available input (Trigger.AvailableNow), write
@@ -204,10 +205,19 @@ def run_stream(
     else:
         raise ValueError(f"unknown topic family for streaming: {topic}")
 
+    if sink == "txlog":
+        from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+            transactional_batch_writer,
+        )
+
+        batch_fn = transactional_batch_writer(output_path)
+    else:
+        batch_fn = idempotent_batch_writer(output_path, entity_col=entity, fmt=fmt)
+
     src = spark.readStream.schema(schema).json(input_dir)
     query = (
         norm(src)
-        .writeStream.foreachBatch(idempotent_batch_writer(output_path, entity_col=entity, fmt=fmt))
+        .writeStream.foreachBatch(batch_fn)
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .start()
@@ -253,6 +263,14 @@ def main(argv: list[str] | None = None) -> int:
     stream.add_argument("--output", required=True)
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    stream.add_argument(
+        "--sink",
+        default="epoch-dirs",
+        choices=["epoch-dirs", "txlog"],
+        help="exactly-once strategy: epoch-keyed overwrite dirs (partitioned "
+        "layout preserved) or the transaction-log table (atomic manifest "
+        "commits, snapshot reads, time travel)",
+    )
 
     compact = sub.add_parser(
         "compact",
@@ -302,8 +320,10 @@ def main(argv: list[str] | None = None) -> int:
             f"at {args.target_file_mb} MiB, output={args.dest}"
         )
     else:
-        run_stream(spark, args.topic, args.input, args.output, args.checkpoint, args.format)
-        print(f"streamed topic={args.topic} output={args.output}")
+        run_stream(
+            spark, args.topic, args.input, args.output, args.checkpoint, args.format, args.sink
+        )
+        print(f"streamed topic={args.topic} output={args.output} sink={args.sink}")
     return 0
 
 

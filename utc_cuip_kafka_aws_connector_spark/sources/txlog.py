@@ -68,11 +68,19 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit(table_path: str, added_files: list[str], txn_id: str | None = None) -> int:
+def commit(
+    table_path: str,
+    added_files: list[str],
+    txn_id: str | None = None,
+    full: bool = False,
+) -> int:
     """Atomically commit ``added_files`` as the next table version.
     Returns the committed version. Idempotent on ``txn_id``: if a
     manifest already records it, that version is returned and nothing
-    is written (streaming replay safety)."""
+    is written (streaming replay safety). ``full=True`` marks the
+    manifest as a CHECKPOINT: it lists the complete live file set, so
+    readers start there instead of replaying from v0 (and vacuum may
+    drop everything older)."""
     os.makedirs(_log_path(table_path), exist_ok=True)
     while True:
         versions = _versions(table_path)
@@ -85,6 +93,7 @@ def commit(table_path: str, added_files: list[str], txn_id: str | None = None) -
             "version": next_v,
             "added": sorted(added_files),
             "txn_id": txn_id,
+            "full": full,
             "committed_at_ms": int(time.time() * 1000),
         }
         target = os.path.join(_log_path(table_path), f"v{next_v}.json")
@@ -137,11 +146,85 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed versions under {table_path}")
     if version is None:
         version = versions[-1]
+    in_range = [v for v in versions if v <= version]
+    if not in_range:
+        raise FileNotFoundError(
+            f"version {version} predates the oldest retained manifest "
+            f"(v{versions[0]}) -- vacuumed away"
+        )
+    # Start from the newest checkpoint manifest <= version (it lists
+    # the complete live set at its commit); replay additions after it.
+    manifests = [_read_manifest(table_path, v) for v in in_range]
+    start = 0
+    for i, m in enumerate(manifests):
+        if m.get("full"):
+            start = i
     files: list[str] = []
-    for v in versions:
-        if v <= version:
-            files.extend(_read_manifest(table_path, v)["added"])
+    for m in manifests[start:]:
+        files.extend(m["added"])
     return spark.read.parquet(*files)
+
+
+def vacuum(
+    table_path: str, min_age_seconds: float = 24 * 3600.0
+) -> dict[str, int]:
+    """Garbage-collect the table, Delta-VACUUM style, in two steps:
+
+    1. Commit a CHECKPOINT manifest (``full=True``) listing the
+       complete live file set as of the current latest version --
+       manifests are cumulative, so older ones can only be dropped
+       once a full manifest carries their state forward.
+    2. Delete manifests older than that checkpoint (time travel below
+       it is deliberately given up) and staging directories no
+       retained manifest references -- aborted writes and
+       replay-orphaned data.
+
+    ``min_age_seconds`` protects in-flight writers: a staging dir
+    younger than this is never touched even if unreferenced, because
+    its commit may simply not have landed yet (the same retention
+    safety rule as Delta's VACUUM). Returns counts for observability.
+    """
+    import shutil
+
+    versions = _versions(table_path)
+    if not versions:
+        return {"data_dirs_removed": 0, "manifests_removed": 0, "checkpoint_version": -1}
+    latest = versions[-1]
+    # Live file set = what a reader of `latest` sees.
+    manifests = [_read_manifest(table_path, v) for v in versions]
+    start = 0
+    for i, m in enumerate(manifests):
+        if m.get("full"):
+            start = i
+    live = []
+    for m in manifests[start:]:
+        live.extend(m["added"])
+    ckpt = commit(table_path, sorted(set(live)), txn_id=f"vacuum-of-v{latest}", full=True)
+
+    keep_dirs = {os.path.dirname(f) for f in live}
+    removed_dirs = 0
+    data_root = os.path.join(table_path, "data")
+    now = time.time()
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            d = os.path.join(data_root, name)
+            if d in keep_dirs:
+                continue
+            if now - os.path.getmtime(d) < min_age_seconds:
+                continue  # possibly an in-flight writer's staging
+            shutil.rmtree(d, ignore_errors=True)
+            removed_dirs += 1
+
+    removed_manifests = 0
+    for v in _versions(table_path):
+        if v < ckpt:
+            os.remove(os.path.join(_log_path(table_path), f"v{v}.json"))
+            removed_manifests += 1
+    return {
+        "data_dirs_removed": removed_dirs,
+        "manifests_removed": removed_manifests,
+        "checkpoint_version": ckpt,
+    }
 
 
 def transactional_batch_writer(table_path: str):
