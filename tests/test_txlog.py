@@ -101,3 +101,105 @@ def test_vacuum_checkpoints_then_prunes(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, version=0)  # vacuumed away
+
+
+def test_snapshot_read_pushes_down_filters(spark, tmp_path):
+    """The log hands Spark an explicit parquet file list, so pushdown
+    and pruning work exactly as on a plain path scan."""
+    import contextlib
+    import io
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 1000), t)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_snapshot(spark, t).filter(F.col("id") > 500).select("id").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+    assert "struct<id:bigint>" in plan.split("ReadSchema:")[1].splitlines()[0]  # v pruned
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    """MERGE semantics: matched keys take the new values, unmatched
+    insert; version advances; old snapshot still shows old values."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import txn_upsert
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 100), t)  # v=2*id
+    delta = spark.range(90, 120).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    v = txn_upsert(delta, t, ["id"])
+    assert v == 1
+    snap = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(snap) == 120
+    assert snap[50] == 100 and snap[95] == -1 and snap[119] == -1
+    old = {r["id"]: r["v"] for r in read_snapshot(spark, t, version=0).collect()}
+    assert old[95] == 190 and 119 not in old  # time travel unaffected
+
+
+def test_upsert_rewrites_only_affected_files(spark, tmp_path):
+    """Files without matching keys are carried forward by reference,
+    not rewritten: two disjoint appends, upsert touching only the
+    second -- the first append's files survive verbatim."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import _live_files, txn_upsert
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 50), t)
+    before_first = set(_live_files(t, 0))
+    txn_append(_df(spark, 50, 100), t)
+    delta = spark.range(60, 70).select(F.col("id"), F.lit(0).cast("long").alias("v"))
+    txn_upsert(delta, t, ["id"])
+    live = set(_live_files(t, 2))
+    assert before_first <= live  # untouched files still referenced
+    assert read_snapshot(spark, t).count() == 100
+
+
+def test_upsert_conflict_detection(spark, tmp_path):
+    """An append landing between the upsert's snapshot and commit
+    raises ConcurrentWriteError instead of committing a stale rewrite."""
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.sources import txlog
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        ConcurrentWriteError,
+        txn_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 50), t)
+
+    real_commit = txlog.commit
+    raced = {"done": False}
+
+    def racing_commit(table_path, added, **kw):
+        if not raced["done"] and kw.get("require_latest") is not None:
+            raced["done"] = True
+            txn_append(_df(spark, 1000, 1010), t)  # rival lands first
+        return real_commit(table_path, added, **kw)
+
+    txlog.commit, orig = racing_commit, txlog.commit
+    try:
+        delta = spark.range(0, 5).select(F.col("id"), F.lit(9).cast("long").alias("v"))
+        with _pytest.raises(ConcurrentWriteError):
+            txn_upsert(delta, t, ["id"])
+    finally:
+        txlog.commit = orig
+    # retry after re-read succeeds
+    assert txn_upsert(delta, t, ["id"]) == 2
+    assert read_snapshot(spark, t).count() == 60
+
+
+def test_upsert_replay_idempotent_and_vacuum_reclaims(spark, tmp_path):
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import txn_upsert, vacuum
+
+    t = str(tmp_path / "tbl")
+    txn_append(_df(spark, 0, 40), t, txn_id="base")
+    delta = spark.range(0, 40).select(F.col("id"), (F.col("id") + 7).alias("v"))
+    a = txn_upsert(delta, t, ["id"], txn_id="fix-7")
+    b = txn_upsert(delta, t, ["id"], txn_id="fix-7")
+    assert a == b == 1
+    snap = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert snap[0] == 7 and len(snap) == 40
+    stats = vacuum(t, min_age_seconds=0.0)
+    # base's files were fully removed by the upsert: dir or files gone
+    assert stats["data_dirs_removed"] + stats["data_files_removed"] >= 1
+    assert {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()} == snap

@@ -23,8 +23,11 @@ Delta/Iceberg, re-derived over the public commit-protocol concepts):
   version: foreachBatch replay after a crash cannot double-append
   (exactly-once, the property the epoch-keyed writer approximates
   with overwrite directories).
-- Readers load the union of ``added`` files across versions <= N:
-  snapshot isolation for free, and older N = time travel.
+- Manifests carry ``added`` and ``removed`` file lists; a reader
+  replays them in version order (``live = live - removed + added``)
+  from the newest checkpoint manifest: snapshot isolation for free,
+  and older N = time travel. ``removed`` is what makes row-level
+  MERGE/upsert expressible as file-level copy-on-write (txn_upsert).
 
 100 TB notes: manifests hold file PATHS, not data -- commit cost is
 O(files added), independent of table size. Reads list one small log
@@ -43,6 +46,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another transaction committed between this writer's snapshot
+    read and its commit attempt, and the operation (upsert) cannot
+    blindly win the next version slot: re-read and retry."""
 
 
 def _log_path(table_path: str) -> str:
@@ -73,14 +82,21 @@ def commit(
     added_files: list[str],
     txn_id: str | None = None,
     full: bool = False,
+    removed_files: list[str] | None = None,
+    require_latest: int | None = None,
 ) -> int:
-    """Atomically commit ``added_files`` as the next table version.
-    Returns the committed version. Idempotent on ``txn_id``: if a
-    manifest already records it, that version is returned and nothing
-    is written (streaming replay safety). ``full=True`` marks the
+    """Atomically commit ``added_files`` (and optionally
+    ``removed_files``) as the next table version. Returns the
+    committed version. Idempotent on ``txn_id``: if a manifest
+    already records it, that version is returned and nothing is
+    written (streaming replay safety). ``full=True`` marks the
     manifest as a CHECKPOINT: it lists the complete live file set, so
     readers start there instead of replaying from v0 (and vacuum may
-    drop everything older)."""
+    drop everything older). ``require_latest`` enables optimistic
+    conflict detection for read-modify-write transactions: the commit
+    only lands if the table's latest version still equals it
+    (otherwise ConcurrentWriteError -- the caller's snapshot is
+    stale; blind appends never need this)."""
     os.makedirs(_log_path(table_path), exist_ok=True)
     while True:
         versions = _versions(table_path)
@@ -88,10 +104,17 @@ def commit(
             for v in versions:
                 if _read_manifest(table_path, v).get("txn_id") == txn_id:
                     return v
-        next_v = (versions[-1] + 1) if versions else 0
+        latest = versions[-1] if versions else None
+        if require_latest is not None and latest != require_latest:
+            raise ConcurrentWriteError(
+                f"table advanced to v{latest} past the transaction's "
+                f"snapshot v{require_latest}; re-read and retry"
+            )
+        next_v = (latest + 1) if versions else 0
         manifest = {
             "version": next_v,
             "added": sorted(added_files),
+            "removed": sorted(removed_files or []),
             "txn_id": txn_id,
             "full": full,
             "committed_at_ms": int(time.time() * 1000),
@@ -146,23 +169,35 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed versions under {table_path}")
     if version is None:
         version = versions[-1]
-    in_range = [v for v in versions if v <= version]
-    if not in_range:
+    files = _live_files(table_path, version)
+    if files is None:
         raise FileNotFoundError(
             f"version {version} predates the oldest retained manifest "
             f"(v{versions[0]}) -- vacuumed away"
         )
-    # Start from the newest checkpoint manifest <= version (it lists
-    # the complete live set at its commit); replay additions after it.
+    return spark.read.parquet(*files)
+
+
+def _live_files(table_path: str, version: int) -> list[str] | None:
+    """The live file set at ``version``: replay manifests in order
+    from the newest checkpoint <= version, applying removed before
+    added. None when the version predates retained history."""
+    versions = _versions(table_path)
+    in_range = [v for v in versions if v <= version]
+    if not in_range:
+        return None
     manifests = [_read_manifest(table_path, v) for v in in_range]
     start = 0
     for i, m in enumerate(manifests):
         if m.get("full"):
             start = i
-    files: list[str] = []
+    live: list[str] = []
     for m in manifests[start:]:
-        files.extend(m["added"])
-    return spark.read.parquet(*files)
+        removed = set(m.get("removed", []))
+        if removed:
+            live = [f for f in live if f not in removed]
+        live.extend(m["added"])
+    return live
 
 
 def vacuum(
@@ -191,14 +226,7 @@ def vacuum(
         return {"data_dirs_removed": 0, "manifests_removed": 0, "checkpoint_version": -1}
     latest = versions[-1]
     # Live file set = what a reader of `latest` sees.
-    manifests = [_read_manifest(table_path, v) for v in versions]
-    start = 0
-    for i, m in enumerate(manifests):
-        if m.get("full"):
-            start = i
-    live = []
-    for m in manifests[start:]:
-        live.extend(m["added"])
+    live = _live_files(table_path, latest) or []
     ckpt = commit(table_path, sorted(set(live)), txn_id=f"vacuum-of-v{latest}", full=True)
 
     keep_dirs = {os.path.dirname(f) for f in live}
@@ -220,11 +248,107 @@ def vacuum(
         if v < ckpt:
             os.remove(os.path.join(_log_path(table_path), f"v{v}.json"))
             removed_manifests += 1
+
+    # Dead files inside kept dirs: an upsert removes individual files
+    # whose staging dir still holds live siblings. Once the manifests
+    # that referenced them are pruned above, nothing can time-travel
+    # to them -- unlink. (A committed dir contains only files its
+    # manifest listed, so non-live parquet there is always dead.)
+    removed_files = 0
+    live_set = set(live)
+    for d in keep_dirs:
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                f = os.path.join(d, name)
+                if name.endswith(".parquet") and f not in live_set:
+                    os.remove(f)
+                    removed_files += 1
     return {
         "data_dirs_removed": removed_dirs,
+        "data_files_removed": removed_files,
         "manifests_removed": removed_manifests,
         "checkpoint_version": ckpt,
     }
+
+
+def txn_upsert(
+    df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    txn_id: str | None = None,
+) -> int:
+    """MERGE/upsert: rows in ``df`` replace table rows with the same
+    key; unmatched rows are inserted. File-level copy-on-write, the
+    standard log-structured design:
+
+    1. Snapshot the table at its latest version.
+    2. Find the files that CONTAIN a matching key (semi-join of
+       ``input_file_name()`` against the incoming keys -- file paths
+       are metadata-scale, so collecting them is O(affected files),
+       never O(rows)). Untouched files are not rewritten or read
+       again: at 100 TB an upsert touching 0.1% of keys rewrites
+       ~0.1% of well-clustered files.
+    3. Rewrite affected files minus matched rows, union the incoming
+       rows, stage, and commit {added, removed} with
+       ``require_latest`` = the snapshot version: any concurrent
+       commit in between raises ConcurrentWriteError instead of
+       silently basing the rewrite on stale files (first committer
+       wins; the loser re-reads and retries). Blind appends racing an
+       upsert are NOT aborted -- they win the slot and the upsert
+       retries -- matching Delta's serializability rules.
+
+    Idempotent on ``txn_id`` like every commit. Requires ``df``'s
+    schema to cover the table's columns (selected by name).
+    """
+    versions = _versions(table_path)
+    if txn_id is not None:
+        for v in versions:
+            if _read_manifest(table_path, v).get("txn_id") == txn_id:
+                return v
+    if not versions:
+        return txn_append(df, table_path, txn_id=txn_id)
+    base_version = versions[-1]
+    live = _live_files(table_path, base_version) or []
+
+    spark = df.sparkSession
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(*live)
+    df = df.select(*current.columns)
+    keys = df.select(*key_cols).dropDuplicates()
+    # Affected files: normalize input_file_name's URI form back to the
+    # plain paths the manifests store. Join strategy is left to
+    # Catalyst/AQE: a small upsert delta broadcasts, a huge backfill
+    # shuffles -- both correct.
+    affected = [
+        r["__file"]
+        for r in current.withColumn(
+            "__file",
+            F.regexp_replace(F.input_file_name(), "^[a-z0-9]+:/+", "/"),
+        )
+        .join(keys, key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+
+    if affected:
+        survivors = spark.read.parquet(*affected).join(keys, key_cols, "left_anti")
+        new_data = survivors.select(*current.columns).unionByName(df)
+    else:
+        new_data = df
+    staging = os.path.join(table_path, "data", uuid.uuid4().hex)
+    new_data.write.parquet(staging)
+    files = [
+        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
+    ]
+    return commit(
+        table_path,
+        files,
+        txn_id=txn_id,
+        removed_files=affected,
+        require_latest=base_version,
+    )
 
 
 def transactional_batch_writer(table_path: str):
