@@ -203,3 +203,33 @@ def test_upsert_replay_idempotent_and_vacuum_reclaims(spark, tmp_path):
     # base's files were fully removed by the upsert: dir or files gone
     assert stats["data_dirs_removed"] + stats["data_files_removed"] >= 1
     assert {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()} == snap
+
+
+def test_delete_where_and_history(spark, tmp_path):
+    """Predicate delete rewrites only matching files; NULL-evaluating
+    rows survive; history reports the whole commit trail."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        table_history,
+        txn_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    with_nulls = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    txn_append(with_nulls, t, txn_id="load")
+    v = txn_delete(spark, t, "v > 100", txn_id="trim")
+    assert v == 1
+    snap = read_snapshot(spark, t)
+    # deleted: v>100 (ids 51..99 except %10==0 nulls) = 49 - 4 = 45
+    assert snap.count() == 55
+    assert snap.filter("v IS NULL").count() == 10  # NULL rows survived
+    # no-match delete returns the current version without committing
+    assert txn_delete(spark, t, "v > 100000") == 1
+    # replay idempotence
+    assert txn_delete(spark, t, "v > 100", txn_id="trim") == 1
+
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["txn_id"] == "trim" and hist[1]["n_removed"] >= 1

@@ -351,6 +351,79 @@ def txn_upsert(
     )
 
 
+def txn_delete(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    txn_id: str | None = None,
+) -> int:
+    """DELETE WHERE ``predicate``: same file-level copy-on-write as
+    txn_upsert -- files containing a matching row are rewritten
+    without those rows; untouched files carry forward by reference.
+    Conflict-checked against the snapshot version."""
+    from pyspark.sql import functions as F
+
+    versions = _versions(table_path)
+    if txn_id is not None:
+        for v in versions:
+            if _read_manifest(table_path, v).get("txn_id") == txn_id:
+                return v
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    base_version = versions[-1]
+    live = _live_files(table_path, base_version) or []
+    current = spark.read.parquet(*live)
+    affected = [
+        r["__file"]
+        for r in current.filter(predicate)
+        .withColumn(
+            "__file", F.regexp_replace(F.input_file_name(), "^[a-z0-9]+:/+", "/")
+        )
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return base_version  # nothing matched: no new version needed
+    # Keep rows where the predicate is not TRUE -- a bare NOT(pred)
+    # would also drop rows where pred evaluates to NULL.
+    survivors = spark.read.parquet(*affected).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    staging = os.path.join(table_path, "data", uuid.uuid4().hex)
+    survivors.write.parquet(staging)
+    files = [
+        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
+    ]
+    return commit(
+        table_path,
+        files,
+        txn_id=txn_id,
+        removed_files=affected,
+        require_latest=base_version,
+    )
+
+
+def table_history(table_path: str) -> list[dict]:
+    """The commit log as data (Delta's DESCRIBE HISTORY): one dict
+    per retained version -- version, txn_id, added/removed file
+    counts, full flag, commit timestamp."""
+    out = []
+    for v in _versions(table_path):
+        m = _read_manifest(table_path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "txn_id": m.get("txn_id"),
+                "n_added": len(m["added"]),
+                "n_removed": len(m.get("removed", [])),
+                "full": bool(m.get("full")),
+                "committed_at_ms": m.get("committed_at_ms"),
+            }
+        )
+    return out
+
+
 def transactional_batch_writer(table_path: str):
     """foreachBatch sink: each micro-batch commits under
     ``txn_id="batch-<epoch>"`` -- Structured Streaming replay of an
