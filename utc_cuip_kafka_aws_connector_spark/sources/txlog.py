@@ -175,6 +175,13 @@ def read_snapshot(
             f"version {version} predates the oldest retained manifest "
             f"(v{versions[0]}) -- vacuumed away"
         )
+    if not files:
+        # A table whose every row was deleted has no live files and
+        # parquet needs at least one path; surface that state clearly.
+        raise FileNotFoundError(
+            f"version {version} of {table_path} is empty (all files "
+            "removed); no schema is recoverable from zero parquet files"
+        )
     return spark.read.parquet(*files)
 
 
@@ -223,7 +230,12 @@ def vacuum(
 
     versions = _versions(table_path)
     if not versions:
-        return {"data_dirs_removed": 0, "manifests_removed": 0, "checkpoint_version": -1}
+        return {
+            "data_dirs_removed": 0,
+            "data_files_removed": 0,
+            "manifests_removed": 0,
+            "checkpoint_version": -1,
+        }
     latest = versions[-1]
     # Live file set = what a reader of `latest` sees.
     live = _live_files(table_path, latest) or []
