@@ -233,3 +233,30 @@ def test_delete_where_and_history(spark, tmp_path):
     hist = table_history(t)
     assert [h["version"] for h in hist] == [0, 1]
     assert hist[1]["txn_id"] == "trim" and hist[1]["n_removed"] >= 1
+
+
+def test_optimize_merges_live_files(spark, tmp_path):
+    """Ten tiny append commits collapse to one file; rows and values
+    unchanged; replaced files reclaimed by vacuum; time travel to the
+    pre-optimize version still works until then."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        _live_files,
+        txn_optimize,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(10):
+        txn_append(_df(spark, i * 10, (i + 1) * 10).coalesce(1), t)
+    assert len(_live_files(t, 9)) == 10
+    v = txn_optimize(spark, t)
+    assert v == 10
+    assert len(_live_files(t, v)) == 1
+    snap = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(snap) == 100 and snap[37] == 74
+    assert read_snapshot(spark, t, version=9).count() == 100  # pre-optimize
+    # idempotent + no-op when already merged
+    assert txn_optimize(spark, t) == v
+    stats = vacuum(t, min_age_seconds=0.0)
+    assert stats["data_dirs_removed"] == 10
+    assert {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()} == snap

@@ -416,6 +416,50 @@ def txn_delete(
     )
 
 
+def txn_optimize(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    txn_id: str | None = None,
+) -> int:
+    """OPTIMIZE: transactionally rewrite the table's many small live
+    files (streaming appends produce one staging dir per micro-batch)
+    into ~``target_file_bytes`` files. Readers are never disturbed:
+    the rewrite stages new files and commits {added, removed} in one
+    atomic manifest; concurrent appends win version slots and abort
+    this optimize (require_latest), which simply retries later --
+    data is never at risk because optimize changes layout, not
+    content. A follow-up vacuum reclaims the replaced files."""
+    versions = _versions(table_path)
+    if txn_id is not None:
+        for v in versions:
+            if _read_manifest(table_path, v).get("txn_id") == txn_id:
+                return v
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    base_version = versions[-1]
+    live = _live_files(table_path, base_version) or []
+    if len(live) <= 1:
+        return base_version  # nothing to merge
+    total_bytes = sum(os.path.getsize(f) for f in live if os.path.exists(f))
+    n_target = max(1, -(-total_bytes // target_file_bytes))
+    if n_target >= len(live):
+        return base_version  # already at or under target granularity
+    merged = spark.read.parquet(*live).repartition(n_target)
+    staging = os.path.join(table_path, "data", uuid.uuid4().hex)
+    merged.write.parquet(staging)
+    files = [
+        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
+    ]
+    return commit(
+        table_path,
+        files,
+        txn_id=txn_id,
+        removed_files=live,
+        require_latest=base_version,
+    )
+
+
 def table_history(table_path: str) -> list[dict]:
     """The commit log as data (Delta's DESCRIBE HISTORY): one dict
     per retained version -- version, txn_id, added/removed file
