@@ -260,3 +260,57 @@ def test_optimize_merges_live_files(spark, tmp_path):
     stats = vacuum(t, min_age_seconds=0.0)
     assert stats["data_dirs_removed"] == 10
     assert {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()} == snap
+
+
+def test_model_based_random_ops(spark, tmp_path):
+    """Model check: a seeded random interleaving of append / upsert /
+    delete / optimize / vacuum must keep the table identical to a
+    plain dict model after every step."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        txn_delete,
+        txn_optimize,
+        txn_upsert,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    rng = random.Random(42)
+    model: dict[int, int] = {}
+    next_id = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, v long")
+
+    txn_append(mk([(i, i) for i in range(20)]), t)
+    model.update({i: i for i in range(20)})
+    next_id = 20
+
+    for step in range(12):
+        op = rng.choice(["append", "upsert", "delete", "optimize", "vacuum"])
+        if op == "append":
+            n = rng.randint(1, 15)
+            rows = [(next_id + j, rng.randint(0, 99)) for j in range(n)]
+            txn_append(mk(rows), t)
+            model.update(dict(rows))
+            next_id += n
+        elif op == "upsert":
+            ids = rng.sample(sorted(model), min(len(model), rng.randint(1, 8)))
+            rows = [(i, rng.randint(100, 199)) for i in ids]
+            rows += [(next_id, 7)]
+            txn_upsert(mk(rows), t, ["id"])
+            model.update(dict(rows))
+            next_id += 1
+        elif op == "delete":
+            cut = rng.randint(0, 199)
+            txn_delete(spark, t, f"v < {cut}")
+            model = {k: v for k, v in model.items() if not (v < cut)}
+        elif op == "optimize":
+            txn_optimize(spark, t, target_file_bytes=1 << 30)
+        else:
+            vacuum(t, min_age_seconds=0.0)
+        if not model:
+            break
+        got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+        assert got == model, f"divergence after step {step} ({op})"
