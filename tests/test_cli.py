@@ -183,3 +183,26 @@ def test_cli_compact_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted 2 partitions" in out
     assert spark.read.parquet(dest).count() == 900
+
+
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    """`table --op optimize/vacuum/history` drives the txlog
+    maintenance ops; vacuum/history run without a SparkSession."""
+    from pyspark.sql import functions as F
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import read_snapshot, txn_append
+
+    t = str(tmp_path / "tx")
+    for i in range(4):
+        txn_append(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id")).coalesce(1),
+            t,
+            txn_id=f"b{i}",
+        )
+    assert cli.main(["table", "--path", t, "--op", "optimize"]) == 0
+    assert cli.main(["table", "--path", t, "--op", "vacuum", "--min-age-hours", "0"]) == 0
+    assert cli.main(["table", "--path", t, "--op", "history"]) == 0
+    out = capsys.readouterr().out
+    assert "optimized" in out and "vacuumed" in out and "[checkpoint]" in out
+    assert read_snapshot(spark, t).count() == 40

@@ -286,7 +286,52 @@ def main(argv: list[str] | None = None) -> int:
         "--target-file-mb", type=int, default=128, help="target output file size (MiB)"
     )
 
+    table = sub.add_parser(
+        "table", help="transaction-log table maintenance (txlog sink tables)"
+    )
+    table.add_argument("--path", required=True, help="table root (holds _log/)")
+    table.add_argument(
+        "--op",
+        required=True,
+        choices=["optimize", "vacuum", "history"],
+        help="optimize: merge small live files transactionally; vacuum: "
+        "checkpoint the log and reclaim dead files; history: print the commit trail",
+    )
+    table.add_argument(
+        "--target-file-mb", type=int, default=128, help="optimize target size (MiB)"
+    )
+    table.add_argument(
+        "--min-age-hours",
+        type=float,
+        default=24.0,
+        help="vacuum: never touch unreferenced staging younger than this",
+    )
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "table" and args.op in ("vacuum", "history"):
+        # log-only operations: no SparkSession needed
+        from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+            table_history,
+            vacuum,
+        )
+
+        if args.op == "history":
+            for h in table_history(args.path):
+                print(
+                    f"v{h['version']:<4d} txn={h['txn_id'] or '-':<24s} "
+                    f"+{h['n_added']} -{h['n_removed']}"
+                    f"{'  [checkpoint]' if h['full'] else ''}"
+                )
+        else:
+            stats = vacuum(args.path, min_age_seconds=args.min_age_hours * 3600.0)
+            print(
+                f"vacuumed: {stats['data_dirs_removed']} dirs, "
+                f"{stats['data_files_removed']} files, "
+                f"{stats['manifests_removed']} manifests; "
+                f"checkpoint v{stats['checkpoint_version']}"
+            )
+        return 0
 
     from utc_cuip_kafka_aws_connector_spark.session import get_spark
     from utc_cuip_kafka_aws_connector_spark.sources.sinks import cloud_committer_conf
@@ -303,6 +348,13 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.config, args.input_root, args.output, args.format, args.backup_output
         )
         print(f"ingested {len(routes)} topics: {routes}")
+    elif args.cmd == "table":  # op == optimize (needs Spark)
+        from utc_cuip_kafka_aws_connector_spark.sources.txlog import txn_optimize
+
+        v = txn_optimize(
+            spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+        print(f"optimized {args.path} -> v{v}")
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
