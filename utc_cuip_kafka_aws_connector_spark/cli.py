@@ -349,11 +349,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"ingested {len(routes)} topics: {routes}")
     elif args.cmd == "table":  # op == optimize (needs Spark)
-        from utc_cuip_kafka_aws_connector_spark.sources.txlog import txn_optimize
-
-        v = txn_optimize(
-            spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+        from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+            ConcurrentWriteError,
+            txn_optimize,
         )
+
+        try:
+            v = txn_optimize(
+                spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+            )
+        except ConcurrentWriteError:
+            # txn_optimize already retried and cleaned its staging;
+            # the table is hot -- report cleanly instead of a traceback.
+            print(
+                f"table {args.path} kept advancing under concurrent writes; "
+                "re-run optimize when the write rate drops"
+            )
+            return 1
         print(f"optimized {args.path} -> v{v}")
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files

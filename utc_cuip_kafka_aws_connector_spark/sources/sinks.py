@@ -197,10 +197,19 @@ def compact_small_files(
             "__leaf",
             "left",
         )
+        # The salt must be DETERMINISTIC under task recomputation: a
+        # shuffle-fetch failure replays lost map tasks, and a salt from
+        # spark_partition_id()/monotonically_increasing_id() can send
+        # the replayed rows to different reducers than the lost output
+        # -- silent duplication/loss (the SPARK-23207 class of bug,
+        # which Spark guards round-robin repartition against but not a
+        # user-supplied nondeterministic key). Hashing row CONTENT
+        # gives the same salt on every recomputation; duplicate rows
+        # colliding into one target file only skews layout, not data.
         .withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.xxhash64(*[F.col(c) for c in df.columns]),
                 F.coalesce(F.col("files_target"), F.lit(1)),
             ),
         )

@@ -13,11 +13,14 @@ Delta/Iceberg, re-derived over the public commit-protocol concepts):
 - A commit is one atomically-created manifest ``_log/v{N}.json``
   listing the files the transaction adds. Readers see a version or
   they don't: no torn state, ever.
-- Version numbers are claimed by exclusive file creation (O_EXCL): a
-  losing writer gets ``FileExistsError`` and retries at N+1 --
-  optimistic concurrency, last committer wins the next slot. On a
-  POSIX filesystem / HDFS this is atomic; on S3 use a conditional put
-  (If-None-Match) or a commit service -- the protocol is unchanged.
+- Version numbers are claimed through a pluggable ``CommitBackend``
+  whose one primitive is create-if-absent: a losing writer's claim
+  returns False and it retries at N+1 -- optimistic concurrency, last
+  committer wins the next slot. ``PosixCommitBackend`` (the default)
+  claims with O_EXCL file creation (atomic on POSIX / HDFS);
+  ``S3ConditionalPutBackend`` documents the same contract over S3's
+  conditional PUT (``If-None-Match: *``) -- the protocol above is
+  byte-identical either way, only the claim primitive changes.
 - Each commit carries an optional ``txn_id``. Committing a txn_id
   that is already in the log is a no-op returning the existing
   version: foreachBatch replay after a crash cannot double-append
@@ -54,6 +57,81 @@ class ConcurrentWriteError(RuntimeError):
     blindly win the next version slot: re-read and retry."""
 
 
+class CommitBackend:
+    """The one storage primitive the commit protocol needs: atomic
+    create-if-absent of a manifest at a given path. Everything else
+    (version numbering, idempotence, conflict detection, checkpoint
+    replay) is backend-independent logic in :func:`commit`.
+
+    Contract (exercised for every registered backend by
+    tests/test_txlog.py::test_commit_backend_contract):
+
+    - ``try_claim(path, payload)`` durably creates ``path`` with
+      exactly ``payload`` and returns True, **iff** no object existed
+      at ``path``; otherwise returns False and writes nothing.
+    - Two racing claims on the same path: exactly one True.
+    - A False claim never corrupts the existing object.
+    """
+
+    def try_claim(self, path: str, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """Claim via ``O_EXCL`` exclusive creation -- atomic on POSIX
+    filesystems and HDFS (and NFSv3+ with proper locking)."""
+
+    def try_claim(self, path: str, payload: str) -> bool:
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return True
+
+
+class S3ConditionalPutBackend(CommitBackend):
+    """Claim via S3 conditional write: ``PUT`` with
+    ``If-None-Match: *`` fails with HTTP 412 when the key already
+    exists (public S3 API, also supported by GCS ``x-goog-if-
+    generation-match: 0`` and Azure ``If-None-Match: *``). Maps 200 ->
+    True, 412 -> False; any other error propagates. This is the exact
+    same linearizable create-if-absent primitive as O_EXCL, so every
+    guarantee above carries over to object storage unchanged.
+
+    The AWS SDK is not in this image, so the constructor takes the
+    client injected (``boto3.client("s3")``-shaped); instantiating it
+    without one raises ImportError rather than silently degrading.
+    """
+
+    def __init__(self, bucket: str, client=None):
+        if client is None:
+            raise ImportError(
+                "S3ConditionalPutBackend needs an injected S3 client "
+                "(boto3 is not bundled); pass client=boto3.client('s3')"
+            )
+        self.bucket = bucket
+        self.client = client
+
+    def try_claim(self, path: str, payload: str) -> bool:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=path.lstrip("/"),
+                Body=payload.encode(),
+                IfNoneMatch="*",
+            )
+            return True
+        except self.client.exceptions.ClientError as e:
+            if e.response["ResponseMetadata"]["HTTPStatusCode"] == 412:
+                return False
+            raise
+
+
+_DEFAULT_BACKEND = PosixCommitBackend()
+
+
 def _log_path(table_path: str) -> str:
     return os.path.join(table_path, _LOG_DIR)
 
@@ -84,6 +162,7 @@ def commit(
     full: bool = False,
     removed_files: list[str] | None = None,
     require_latest: int | None = None,
+    backend: CommitBackend | None = None,
 ) -> int:
     """Atomically commit ``added_files`` (and optionally
     ``removed_files``) as the next table version. Returns the
@@ -96,7 +175,9 @@ def commit(
     conflict detection for read-modify-write transactions: the commit
     only lands if the table's latest version still equals it
     (otherwise ConcurrentWriteError -- the caller's snapshot is
-    stale; blind appends never need this)."""
+    stale; blind appends never need this). ``backend`` selects the
+    atomic-claim primitive (default: POSIX O_EXCL)."""
+    backend = backend or _DEFAULT_BACKEND
     os.makedirs(_log_path(table_path), exist_ok=True)
     while True:
         versions = _versions(table_path)
@@ -120,14 +201,10 @@ def commit(
             "committed_at_ms": int(time.time() * 1000),
         }
         target = os.path.join(_log_path(table_path), f"v{next_v}.json")
-        try:
-            # O_EXCL: exactly one writer can create this version file.
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            continue  # lost the race -- re-scan (maybe our txn_id won) and retry
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
-        return next_v
+        # Exactly one writer's claim on this version slot succeeds.
+        if backend.try_claim(target, json.dumps(manifest)):
+            return next_v
+        continue  # lost the race -- re-scan (maybe our txn_id won) and retry
 
 
 def txn_append(
@@ -169,6 +246,14 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed versions under {table_path}")
     if version is None:
         version = versions[-1]
+    elif version > versions[-1]:
+        # A typo'd/stale time-travel version must fail loudly, not
+        # quietly resolve to the latest snapshot (wrong-but-plausible
+        # data is worse than an error).
+        raise ValueError(
+            f"version {version} does not exist yet (latest committed "
+            f"version of {table_path} is v{versions[-1]})"
+        )
     files = _live_files(table_path, version)
     if files is None:
         raise FileNotFoundError(
@@ -236,10 +321,29 @@ def vacuum(
             "manifests_removed": 0,
             "checkpoint_version": -1,
         }
-    latest = versions[-1]
-    # Live file set = what a reader of `latest` sees.
-    live = _live_files(table_path, latest) or []
-    ckpt = commit(table_path, sorted(set(live)), txn_id=f"vacuum-of-v{latest}", full=True)
+    # The checkpoint must capture the live set AS OF the version slot
+    # it lands in: committing it without require_latest would let a
+    # concurrent append slip in between our _live_files() snapshot and
+    # the claim, after which the checkpoint -- which readers replay
+    # FROM -- would silently omit that append's files and step 2 below
+    # would delete its manifest: permanent data loss. So the claim is
+    # conflict-checked like every read-modify-write, and on
+    # ConcurrentWriteError we recompute latest+live and retry.
+    while True:
+        latest = _versions(table_path)[-1]
+        # Live file set = what a reader of `latest` sees.
+        live = _live_files(table_path, latest) or []
+        try:
+            ckpt = commit(
+                table_path,
+                sorted(set(live)),
+                txn_id=f"vacuum-of-v{latest}",
+                full=True,
+                require_latest=latest,
+            )
+            break
+        except ConcurrentWriteError:
+            continue  # a writer advanced the table; re-snapshot
 
     keep_dirs = {os.path.dirname(f) for f in live}
     removed_dirs = 0
@@ -421,15 +525,21 @@ def txn_optimize(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     txn_id: str | None = None,
+    max_retries: int = 3,
 ) -> int:
     """OPTIMIZE: transactionally rewrite the table's many small live
     files (streaming appends produce one staging dir per micro-batch)
     into ~``target_file_bytes`` files. Readers are never disturbed:
     the rewrite stages new files and commits {added, removed} in one
-    atomic manifest; concurrent appends win version slots and abort
-    this optimize (require_latest), which simply retries later --
-    data is never at risk because optimize changes layout, not
-    content. A follow-up vacuum reclaims the replaced files."""
+    atomic manifest; a concurrent append winning a version slot aborts
+    the attempt (require_latest), whereupon this function deletes its
+    staging, re-snapshots the now-larger live set, and retries, up to
+    ``max_retries`` times -- data is never at risk because optimize
+    changes layout, not content. After the retry budget the last
+    ConcurrentWriteError propagates (with staging cleaned up); a
+    follow-up vacuum reclaims the files each commit replaced."""
+    import shutil
+
     versions = _versions(table_path)
     if txn_id is not None:
         for v in versions:
@@ -437,27 +547,39 @@ def txn_optimize(
                 return v
     if not versions:
         raise FileNotFoundError(f"no committed versions under {table_path}")
-    base_version = versions[-1]
-    live = _live_files(table_path, base_version) or []
-    if len(live) <= 1:
-        return base_version  # nothing to merge
-    total_bytes = sum(os.path.getsize(f) for f in live if os.path.exists(f))
-    n_target = max(1, -(-total_bytes // target_file_bytes))
-    if n_target >= len(live):
-        return base_version  # already at or under target granularity
-    merged = spark.read.parquet(*live).repartition(n_target)
-    staging = os.path.join(table_path, "data", uuid.uuid4().hex)
-    merged.write.parquet(staging)
-    files = [
-        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
-    ]
-    return commit(
-        table_path,
-        files,
-        txn_id=txn_id,
-        removed_files=live,
-        require_latest=base_version,
-    )
+    last_err: ConcurrentWriteError | None = None
+    for _attempt in range(max(1, max_retries)):
+        base_version = _versions(table_path)[-1]
+        live = _live_files(table_path, base_version) or []
+        if len(live) <= 1:
+            return base_version  # nothing to merge
+        total_bytes = sum(os.path.getsize(f) for f in live if os.path.exists(f))
+        n_target = max(1, -(-total_bytes // target_file_bytes))
+        if n_target >= len(live):
+            return base_version  # already at or under target granularity
+        merged = spark.read.parquet(*live).repartition(n_target)
+        staging = os.path.join(table_path, "data", uuid.uuid4().hex)
+        merged.write.parquet(staging)
+        files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        try:
+            return commit(
+                table_path,
+                files,
+                txn_id=txn_id,
+                removed_files=live,
+                require_latest=base_version,
+            )
+        except ConcurrentWriteError as e:
+            # The table advanced under us; this staging can never be
+            # referenced, so delete it rather than leaving an orphan
+            # for vacuum, then rewrite against the fresh snapshot.
+            shutil.rmtree(staging, ignore_errors=True)
+            last_err = e
+    raise last_err
 
 
 def table_history(table_path: str) -> list[dict]:
