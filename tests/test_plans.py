@@ -88,6 +88,16 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_q11_multidim_scans_lineitem_once(spark):
+    """q11 computes rollup+cube+grouping-sets from ONE lineitem scan:
+    the pre-aggregate is localCheckpointed, so the final union-of-three
+    plan must contain zero parquet scans (the single scan ran at
+    checkpoint time) and three reads of the materialized RDD."""
+    p = plan_of(spark, "q11_multidim_agg")
+    assert "Scan parquet" not in p, "a multidim branch re-scans lineitem"
+    assert p.count("ExistingRDD") >= 3, "branches don't share the checkpoint"
+
+
 def test_text_quality_ops_are_scan_only(spark):
     """q90/q91 are projection-only passes: no Exchange (shuffle), no
     Python evaluation -- at 100 TB they must run entirely inside the

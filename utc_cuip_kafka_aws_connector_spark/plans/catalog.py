@@ -387,35 +387,52 @@ def q11_multidim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional aggregation: ROLLUP and CUBE via the
     DataFrame API plus explicit GROUPING SETS via the SQL API, all
     over the same keys with grouping() markers, in one tagged result
-    (absorbs r2's q11_rollup + q12_cube + q53_grouping_sets). Every
-    variant lowers to a single Expand + partial/final hash aggregate
-    -- one scan each, no joins."""
+    (absorbs r2's q11_rollup + q12_cube + q53_grouping_sets).
+
+    sum/count are decomposable, so lineitem is scanned ONCE: a plain
+    groupBy over the two keys pre-aggregates to a tiny frame (one row
+    per distinct key pair -- a handful at any SF), localCheckpointed,
+    and every multidim variant then re-aggregates the partial sums
+    over that frame. Round 3 ran three full scans (one per variant);
+    at 100 TB that tripled the dominant cost. The partial sum stays
+    DECIMAL until the outer cast so sum-of-sums is bit-identical to a
+    direct sum; grouping() markers come from the OUTER multidim agg
+    (the pre-agg has no subtotal rows). test_plans.py asserts the
+    single-scan shape."""
     li = T(spark, sf_dir, "lineitem")
-    agg_cols = [dsum(dec2("l_quantity")).alias("sum_qty"), F.count("*").alias("n")]
+    pre = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec2("l_quantity")).alias("pq"), F.count("*").alias("pn"))
+        .localCheckpoint()
+    )
+    agg_cols = [
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pn").alias("n"),
+    ]
     marks = [
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
     ]
     cols = ["l_returnflag", "l_linestatus", "sum_qty", "n", "g_flag", "g_status"]
     rollup = (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(*agg_cols, *marks)
         .select(F.lit("rollup").alias("mode"), *cols)
     )
     cube = (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(*agg_cols, *marks)
         .select(F.lit("cube").alias("mode"), *cols)
     )
-    li.createOrReplaceTempView("lineitem")
+    pre.createOrReplaceTempView("lineitem_preagg")
     gsets = spark.sql(
         """
         SELECT 'gsets' AS mode, l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               count(*) AS n,
+               CAST(sum(pq) AS DOUBLE) AS sum_qty,
+               CAST(sum(pn) AS BIGINT) AS n,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status
-        FROM lineitem
+        FROM lineitem_preagg
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
