@@ -1,11 +1,34 @@
 """Guard the driver-gate registration contract: the external
 correctness gate only emits rows for the first 50 registered queries,
 so ordering is load-bearing (round-2 lesson: 36 queries went
-unverified for two rounds because they registered after slot 50)."""
+unverified for two rounds because they registered after slot 50).
+
+The fingerprint ledger (tests/gate_fingerprints.json, maintained by
+tools/gate_fingerprints.py) additionally makes freshness mechanical:
+a query outside the window may only rest on a prior round's green row
+while its code -- builder AST, oracle SQL, and the operators modules
+it uses -- is exactly what that round verified."""
 
 from __future__ import annotations
 
+import importlib.util
+import json
+import os
+
 from utc_cuip_kafka_aws_connector_spark.plans import catalog
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+LEDGER_PATH = os.path.join(_HERE, "gate_fingerprints.json")
+
+
+def _fingerprint_tool():
+    spec = importlib.util.spec_from_file_location(
+        "gate_fingerprints",
+        os.path.join(_HERE, "..", "tools", "gate_fingerprints.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_gate_priority_is_the_window():
@@ -24,3 +47,45 @@ def test_every_query_has_an_oracle():
     added later, update this to an explicit allowlist."""
     missing = [n for n, e in catalog.CATALOG.items() if e.oracle is None]
     assert missing == []
+
+
+def test_ledger_covers_catalog_exactly():
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    assert set(ledger) == set(catalog.CATALOG), (
+        "ledger out of date: run `python tools/gate_fingerprints.py --round N`"
+    )
+
+
+def test_changed_queries_are_in_gate_window():
+    """THE freshness invariant: any query whose fingerprint (builder
+    AST + oracle + imported operators modules) drifted from its last
+    driver attestation MUST be inside the 50-slot window so the next
+    driver run re-verifies it. Converts 'the out-of-window queries are
+    unchanged since their green row' from a hand-audit into a test."""
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    fps = _fingerprint_tool().current_fingerprints()
+    window = set(catalog._GATE_PRIORITY)
+    stale = [
+        n
+        for n, fp in fps.items()
+        if n not in window and (n not in ledger or ledger[n]["fp"] != fp)
+    ]
+    assert stale == [], (
+        f"changed outside the driver window (rotate into _GATE_PRIORITY "
+        f"or revert): {stale}"
+    )
+
+
+def test_no_attestation_older_than_one_round():
+    """Rotation policy: every query is driver-verified at least every
+    other round -- the out-of-window tail must hold rows from the
+    round immediately before the one being prepared."""
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    rounds = {e["attested_round"] for e in ledger.values()}
+    assert max(rounds) - min(rounds) <= 1, (
+        f"attestations span rounds {sorted(rounds)}; rotate the oldest "
+        "queries into _GATE_PRIORITY"
+    )

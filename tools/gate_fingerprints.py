@@ -1,0 +1,123 @@
+"""Maintain tests/gate_fingerprints.json -- the freshness ledger the
+gate-window test enforces.
+
+The external driver gate only emits CORRECTNESS rows for the first 50
+registered catalog queries, so a query can "rest" on evidence from an
+earlier round only while its code is byte-for-byte what that round
+verified. This ledger pins, per query:
+
+  fp             sha256 over ast.dump of the builder function, the
+                 oracle SQL, and the ast.dump of every
+                 operators.<mod> module the builder source mentions
+                 (so editing an operator invalidates the queries
+                 built on it, not just edits to catalog.py).
+  attested_round the driver round whose window the query was in when
+                 this fp was captured.
+
+tests/test_catalog_order.py fails whenever a query's current fp
+differs from the ledger but the query is NOT in the current
+_GATE_PRIORITY window -- i.e. you cannot change a query (or an
+operator under it) without routing it back through driver
+verification. Regenerate after rotating the window:
+
+    python tools/gate_fingerprints.py --round N
+
+which re-stamps ONLY the queries currently in the window (they will
+receive a round-N driver row) and leaves the rest on their prior
+attestation, erroring if any non-window query drifted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "tests", "gate_fingerprints.json")
+
+if REPO not in sys.path:  # runnable as `python tools/gate_fingerprints.py`
+    sys.path.insert(0, REPO)
+
+_OP_IMPORT = re.compile(r"operators\.(\w+)")
+
+
+def _module_ast_sha(mod_name: str) -> str:
+    path = os.path.join(
+        REPO, "utc_cuip_kafka_aws_connector_spark", "operators", f"{mod_name}.py"
+    )
+    with open(path) as fh:
+        return hashlib.sha256(ast.dump(ast.parse(fh.read())).encode()).hexdigest()
+
+
+def fingerprint(entry) -> str:
+    src = textwrap.dedent(inspect.getsource(entry.builder))
+    parts = [ast.dump(ast.parse(src)), entry.oracle or ""]
+    for mod in sorted(set(_OP_IMPORT.findall(src))):
+        parts.append(f"{mod}:{_module_ast_sha(mod)}")
+    return hashlib.sha256("\0".join(parts).encode()).hexdigest()
+
+
+def current_fingerprints() -> dict[str, str]:
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
+
+    return {name: fingerprint(e) for name, e in CATALOG.items()}
+
+
+def load_ledger() -> dict:
+    if not os.path.exists(LEDGER):
+        return {}
+    with open(LEDGER) as fh:
+        return json.load(fh)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True, help="driver round now being prepared")
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="re-stamp drifted NON-window queries too (only when their "
+        "change is provably cosmetic; normally an error)",
+    )
+    args = ap.parse_args()
+
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG, _GATE_PRIORITY
+
+    window = set(_GATE_PRIORITY)
+    fps = current_fingerprints()
+    ledger = load_ledger()
+    drifted = [
+        n
+        for n in CATALOG
+        if n not in window
+        and n in ledger
+        and ledger[n]["fp"] != fps[n]
+    ]
+    if drifted and not args.force:
+        print(
+            "ERROR: changed outside the gate window (rotate them in or "
+            f"revert): {drifted}"
+        )
+        return 1
+    for name in CATALOG:
+        if name in window or name not in ledger or (args.force and name in drifted):
+            ledger[name] = {"fp": fps[name], "attested_round": args.round}
+        # else: out-of-window and unchanged -- keep the prior attestation
+    ledger = {n: ledger[n] for n in CATALOG}  # drop deleted queries, fix order
+    with open(LEDGER, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    stamped = sum(1 for n in CATALOG if n in window)
+    print(f"stamped {stamped} window queries at round {args.round}; ledger -> {LEDGER}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

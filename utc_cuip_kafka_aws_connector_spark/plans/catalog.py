@@ -2632,13 +2632,42 @@ def q91_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _GATE_PRIORITY = [
-    # --- never driver-checked before round 3 (rows q56-q89) ---
+    # --- changed this round (fingerprint drift forces them here;
+    #     tests/test_catalog_order.py enforces it mechanically) ---
+    "q11_multidim_agg",
+    "q63_grouped_map",
+    # --- resting on round-2 evidence since r2 (oldest attestations;
+    #     rotation goal: no green row older than 2 rounds) ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q13_having",
+    "q14_distinct_months",
+    "q17_lag_lead",
+    "q18_rank_ntile",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q24_conditional_tiers",
+    "q25_null_filter",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    # --- round-3 greens refreshed this round (the 24 left out rest on
+    #     their round-3 rows, 1 round old) ---
     "q56_correlated_subquery",
     "q57_sql_cte_top_orders",
     "q58_approx_aggs",
     "q60_streaming_tumbling",
     "q61_python_udfs",
-    "q63_grouped_map",
     "q64_udtf_word_split",
     "q65_sessionize",
     "q66_salted_aggregation",
@@ -2659,33 +2688,6 @@ _GATE_PRIORITY = [
     "q87_sequence_packing",
     "q88_salted_join",
     "q89_column_profile",
-    # --- merged or modified this round (r02 row no longer attests) ---
-    "q04_semi_anti_join",
-    "q11_multidim_agg",
-    "q16_window_frames",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q30_json_funcs",
-    "q34_file_scans",
-    "q51_ngram_jaccard_pairs",
-    "q52_pivot_unpivot",
-    "q49_lsh_ann_pairs",
-    # --- new in round 3 (never had a driver row by construction) ---
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    # --- stable r02 greens filling out the 50-query window ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q15_topk_per_group",
-    "q36_partitioned_sink",
-    "q40_exact_dedup",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q50_multimodal_features",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
