@@ -99,3 +99,28 @@ def test_golden_partition_layout(spark, kafka_batch, tmp_path):
 
     # air: null-nicename and no-timestamp rows never reached the sink
     assert spark.read.parquet(adir).count() == 1
+
+
+def _kafka_jar_present() -> bool:
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "*spark-sql-kafka*")))
+
+
+@pytest.mark.skipif(
+    not _kafka_jar_present(),
+    reason="no spark-sql-kafka jar in the image (see BENCH_NOTES.md: no "
+    "network, no ivy cache; the file-source stand-in covers the contract)",
+)
+def test_kafka_source_loads_when_jars_present(spark):
+    """Lights up without a code change the moment a spark-sql-kafka
+    jar lands in the image: builds the real reader and checks the
+    source resolves to the documented 7-column Kafka schema (no broker
+    needed for load(); only an actual start would connect)."""
+    from utc_cuip_kafka_aws_connector_spark.sources.kafka import kafka_reader
+
+    df = kafka_reader(spark, "localhost:9092", ["probe_topic"]).load()
+    assert {"topic", "value", "key", "offset", "partition"} <= set(df.columns)
