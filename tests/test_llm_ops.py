@@ -153,9 +153,33 @@ def test_multimodal_plumbing(spark, documents):
         assert r["mime"] == "application/octet-stream"
 
 
-def test_decode_image_is_stubbed():
+def _pil_present() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_present(), reason="PIL present: decode is live, not stubbed")
+def test_decode_image_is_stubbed_without_pil():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+@pytest.mark.skipif(not _pil_present(), reason="PIL absent from this image")
+def test_decode_image_lights_up_with_pil():
+    """When PIL lands in the image the SAME call decodes for real --
+    no code change (module-scope import-try in operators/multimodal)."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (4, 3)).save(buf, format="PNG")
+    meta = decode_image(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["mode"]) == (4, 3, "RGB")
 
 
 def test_ivf_topk_recall_and_pruning(spark, embeddings_np):

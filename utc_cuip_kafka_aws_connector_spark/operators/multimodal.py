@@ -8,18 +8,25 @@ for multi-MB payloads at 100 TB, since row-at-a-time Python UDFs
 would serialize each blob individually).
 
 The actual media codecs (PIL/ffmpeg/torchaudio) are NOT in this
-image; ``decode_image`` is stubbed behind an import-try that raises
-NotImplementedError, and ``extract_byte_features`` is the
-deterministic fake used by tests -- same schema, same batch shape.
+image; ``decode_image`` lights up automatically when PIL is present
+(module-scope import-try) and raises NotImplementedError only when it
+is absent. ``extract_byte_features`` is the deterministic fake used
+by tests -- same schema, same batch shape.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # decode lights up without a code change when PIL lands
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - image libs absent by design
+    _PILImage = None
 
 FEATURE_SCHEMA = (
     "doc_id long, mime string, n_bytes long, mean_byte double, first_byte int"
@@ -43,15 +50,16 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def decode_image(payload_bytes: bytes):
-    """Stub: real image decode requires PIL, which is not baked into
-    this container. The mapInPandas plumbing around it is real."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - image libs absent by design
+    """Decode an image payload to (width, height, mode) via PIL when
+    available; NotImplementedError only when the codec truly is absent
+    from the environment. The mapInPandas plumbing around it is real
+    either way."""
+    if _PILImage is None:
         raise NotImplementedError(
             "image decode requires PIL; stubbed in this environment"
-        ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload_bytes)) here")
+        )
+    with _PILImage.open(io.BytesIO(payload_bytes)) as img:
+        return {"width": img.width, "height": img.height, "mode": img.mode}
 
 
 def extract_byte_features(df: DataFrame) -> DataFrame:

@@ -2642,6 +2642,7 @@ _GATE_PRIORITY = [
     #     tests/test_catalog_order.py enforces it mechanically) ---
     "q11_multidim_agg",
     "q63_grouped_map",
+    "q50_multimodal_features",  # operators/multimodal.py changed (decode guard)
     # --- resting on round-2 evidence since r2 (oldest attestations;
     #     rotation goal: no green row older than 2 rounds) ---
     "q03_order_count_distribution",
@@ -2693,7 +2694,6 @@ _GATE_PRIORITY = [
     "q86_snapshot_diff",
     "q87_sequence_packing",
     "q88_salted_join",
-    "q89_column_profile",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
