@@ -506,3 +506,131 @@ def test_model_based_random_ops(spark, tmp_path):
             break
         got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
         assert got == model, f"divergence after step {step} ({op})"
+
+
+# ---------------------------------------------------------------------------
+# Data skipping (manifest footer-stats) + change feed
+# ---------------------------------------------------------------------------
+
+
+def _ranged_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+    )
+
+
+def test_stats_collected_on_append(spark, tmp_path):
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import _file_stats
+
+    t = str(tmp_path / "tbl")
+    txn_append(_ranged_df(spark, 0, 100).coalesce(1), t)
+    stats = _file_stats(t, 0)
+    assert len(stats) == 1
+    (s,) = stats.values()
+    assert s["rows"] == 100
+    assert s["cols"]["id"] == {"min": 0, "max": 99, "nulls": 0}
+    assert s["cols"]["v"] == {"min": 0, "max": 198, "nulls": 0}
+    assert s["cols"]["s"]["min"] == "k000000"
+
+
+def test_predicated_read_prunes_files(spark, tmp_path):
+    """Ten non-overlapping appends; a range predicate must open only
+    the files whose [min,max] intersect it -- proven via the pruner --
+    and return exactly the filtered rows."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        _live_files,
+        prune_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(10):
+        txn_append(_ranged_df(spark, i * 100, (i + 1) * 100).coalesce(1), t)
+    live = _live_files(t, 9)
+    assert len(live) == 10
+    kept = prune_files(t, 9, live, [("id", ">=", 250), ("id", "<", 450)])
+    assert len(kept) == 3  # files [200,300) [300,400) [400,500)
+    got = read_snapshot(spark, t, where=[("id", ">=", 250), ("id", "<", 450)])
+    assert got.count() == 200
+    assert got.agg(F.min("id"), F.max("id")).collect()[0][0:2] == (250, 449)
+    # string stats prune too
+    kept_s = prune_files(t, 9, live, [("s", "=", "k000723")])
+    assert len(kept_s) == 1
+    assert read_snapshot(spark, t, where=[("s", "=", "k000723")]).count() == 1
+
+
+def test_predicated_read_empty_and_unknown_cols(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        txn_append(_ranged_df(spark, i * 10, (i + 1) * 10).coalesce(1), t)
+    # out-of-range predicate: every file pruned, empty result, schema kept
+    got = read_snapshot(spark, t, where=[("id", ">", 10_000)])
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v", "s"}
+
+
+def test_stats_survive_vacuum_checkpoint(spark, tmp_path):
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        _live_files,
+        prune_files,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        txn_append(_ranged_df(spark, i * 100, (i + 1) * 100).coalesce(1), t)
+    vacuum(t, min_age_seconds=0.0)
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(f"{t}/_log") if f.endswith(".json")
+    )
+    live = _live_files(t, latest)
+    kept = prune_files(t, latest, live, [("id", "<", 100)])
+    assert len(kept) == 1, "checkpoint dropped the carried-forward stats"
+
+
+def test_change_feed_roundtrip(spark, tmp_path):
+    """insert/delete feed across append + delete + optimize: layout
+    commits are invisible, net changes reconstruct the snapshot."""
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        read_changes,
+        txn_delete,
+        txn_optimize,
+    )
+
+    t = str(tmp_path / "tbl")
+    txn_append(_ranged_df(spark, 0, 100).coalesce(1), t)       # v0
+    txn_append(_ranged_df(spark, 100, 200).coalesce(1), t)     # v1
+    txn_delete(spark, t, "id >= 150")                          # v2 (CoW rewrite)
+    v_opt = txn_optimize(spark, t, target_file_bytes=1 << 30)  # layout only
+
+    feed = read_changes(spark, t, 0).toPandas()
+    assert set(feed["_change_type"]) == {"insert", "delete"}
+    assert v_opt not in set(feed["_commit_version"]), "optimize leaked into the feed"
+    # net replay: inserts minus deletes per id == live snapshot
+    ins = feed[feed._change_type == "insert"].groupby("id").size()
+    dels = feed[feed._change_type == "delete"].groupby("id").size()
+    net = ins.sub(dels, fill_value=0)
+    live_ids = set(net[net > 0].index)
+    snap_ids = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert live_ids == snap_ids == set(range(150))
+    # incremental consumption: only v2's net effect is the deletion
+    tail = read_changes(spark, t, 2, 2).toPandas()
+    t_ins = set(tail[tail._change_type == "insert"]["id"])
+    t_del = set(tail[tail._change_type == "delete"]["id"])
+    assert t_del - t_ins == set(range(150, 200))
+
+
+def test_change_feed_bounds_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import read_changes, vacuum
+
+    t = str(tmp_path / "tbl")
+    txn_append(_ranged_df(spark, 0, 10).coalesce(1), t)
+    with _pytest.raises(ValueError, match="does not exist yet"):
+        read_changes(spark, t, 0, 5)
+    txn_append(_ranged_df(spark, 10, 20).coalesce(1), t)
+    vacuum(t, min_age_seconds=0.0)  # prunes manifests v0/v1
+    with _pytest.raises(ValueError, match="predates retained history"):
+        read_changes(spark, t, 0)

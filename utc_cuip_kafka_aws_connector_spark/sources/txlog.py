@@ -36,11 +36,17 @@ Delta/Iceberg, re-derived over the public commit-protocol concepts):
 O(files added), independent of table size. Reads list one small log
 directory instead of the data prefix (no S3 listing storm) and hand
 Spark an explicit file list, so partition pruning and predicate
-pushdown work unchanged on the parquet files themselves.
+pushdown work unchanged on the parquet files themselves. Manifests
+additionally carry per-file footer statistics (min/max/null-count),
+so a predicated read (``read_snapshot(..., where=...)``) prunes
+files BEFORE any data request -- Delta/Iceberg-style data skipping --
+and ``read_changes`` exposes each commit's added/removed rows as a
+change feed for incremental downstream pipelines.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -132,6 +138,145 @@ class S3ConditionalPutBackend(CommitBackend):
 _DEFAULT_BACKEND = PosixCommitBackend()
 
 
+# ---------------------------------------------------------------------------
+# Per-file column statistics (min/max/null-count from the parquet
+# footers, stored in the manifest) -- the data-skipping layer. At
+# 100 TB the wins stack: a filtered read prunes files from the
+# MANIFEST, before any object-store request, so a selective predicate
+# over a clustered column touches a handful of files out of millions
+# (the same design as Delta/Iceberg stats-based skipping).
+# ---------------------------------------------------------------------------
+
+_STATS_MAX_COLS = 32  # first N leaf columns, Delta-style dataSkippingNumIndexedCols
+
+
+def _encode_stat(v):
+    """JSON-encode a parquet footer min/max. Temporal values carry a
+    type tag; everything else is a native JSON scalar."""
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return None  # binary min/max: not useful for pruning
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _decode_stat(v):
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v.get("t") == "date":
+            return datetime.date.fromisoformat(v["v"])
+    return v
+
+
+def collect_file_stats(files: list[str]) -> dict[str, dict]:
+    """Aggregate row-group footer statistics per file: row count and,
+    for the first _STATS_MAX_COLS primitive leaf columns, min / max /
+    null_count. Footer-only reads -- O(files) metadata requests, no
+    data scanned."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols: dict[str, dict] = {}
+        poisoned: set[str] = set()  # any row group lacking stats disables the column
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for ci in range(min(group.num_columns, _STATS_MAX_COLS)):
+                col = group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in poisoned:  # nested leaf / disabled
+                    continue
+                st = col.statistics
+                mn = mx = None
+                if st is not None and st.has_min_max:
+                    mn, mx = _encode_stat(st.min), _encode_stat(st.max)
+                if mn is None or mx is None or (rg > 0 and name not in cols):
+                    poisoned.add(name)
+                    cols.pop(name, None)
+                    continue
+                nulls = st.null_count if st.has_null_count else None
+                cur = cols.get(name)
+                if cur is None:
+                    cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+                else:
+                    cur["min"] = min(cur["min"], mn, key=_decode_stat)
+                    cur["max"] = max(cur["max"], mx, key=_decode_stat)
+                    cur["nulls"] = (
+                        None
+                        if (cur["nulls"] is None or nulls is None)
+                        else cur["nulls"] + nulls
+                    )
+        out[f] = {"rows": md.num_rows, "cols": cols}
+    return out
+
+
+def _file_stats(table_path: str, version: int) -> dict[str, dict]:
+    """Stats for every live-or-once-added file, replayed from the same
+    manifest range a reader of ``version`` uses."""
+    versions = [v for v in _versions(table_path) if v <= version]
+    manifests = [_read_manifest(table_path, v) for v in versions]
+    start = 0
+    for i, m in enumerate(manifests):
+        if m.get("full"):
+            start = i
+    stats: dict[str, dict] = {}
+    for m in manifests[start:]:
+        stats.update(m.get("stats") or {})
+    return stats
+
+
+_SKIP_OPS = {"<", "<=", ">", ">=", "=", "=="}
+
+
+def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
+    """False only when the footer stats PROVE no row in the file can
+    satisfy the conjunction -- unknown stats always keep the file."""
+    if not stats:
+        return True
+    for col, op, val in where:
+        cs = (stats.get("cols") or {}).get(col)
+        if cs is None:
+            continue
+        if cs.get("nulls") is not None and cs["nulls"] == stats.get("rows"):
+            return False  # all-null column: no comparison can hold
+        mn, mx = _decode_stat(cs["min"]), _decode_stat(cs["max"])
+        if isinstance(val, str) and isinstance(mn, (datetime.date, datetime.datetime)):
+            val = type(mn).fromisoformat(val)
+        try:
+            if op in ("=", "==") and (val < mn or val > mx):
+                return False
+            if op == "<" and mn >= val:
+                return False
+            if op == "<=" and mn > val:
+                return False
+            if op == ">" and mx <= val:
+                return False
+            if op == ">=" and mx < val:
+                return False
+        except TypeError:
+            continue  # incomparable literal/stat types: keep the file
+    return True
+
+
+def prune_files(
+    table_path: str, version: int, files: list[str], where: list[tuple]
+) -> list[str]:
+    """The file list a reader with predicate ``where`` (a list of
+    ``(col, op, literal)`` conjuncts, op in <,<=,>,>=,=) actually needs:
+    manifest-stats pruning, zero data I/O."""
+    bad = [c for c in where if c[1] not in _SKIP_OPS]
+    if bad:
+        raise ValueError(f"unsupported skip predicate ops: {bad}")
+    stats = _file_stats(table_path, version)
+    return [f for f in files if _file_may_match(stats.get(f), where)]
+
+
 def _log_path(table_path: str) -> str:
     return os.path.join(table_path, _LOG_DIR)
 
@@ -163,6 +308,8 @@ def commit(
     removed_files: list[str] | None = None,
     require_latest: int | None = None,
     backend: CommitBackend | None = None,
+    stats: dict[str, dict] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Atomically commit ``added_files`` (and optionally
     ``removed_files``) as the next table version. Returns the
@@ -176,7 +323,11 @@ def commit(
     only lands if the table's latest version still equals it
     (otherwise ConcurrentWriteError -- the caller's snapshot is
     stale; blind appends never need this). ``backend`` selects the
-    atomic-claim primitive (default: POSIX O_EXCL)."""
+    atomic-claim primitive (default: POSIX O_EXCL). ``stats`` maps
+    added file -> footer statistics for data skipping. ``data_change``
+    False marks a layout-only commit (OPTIMIZE, checkpoint): readers
+    see identical rows before and after, and the change feed skips
+    it."""
     backend = backend or _DEFAULT_BACKEND
     os.makedirs(_log_path(table_path), exist_ok=True)
     while True:
@@ -198,6 +349,8 @@ def commit(
             "removed": sorted(removed_files or []),
             "txn_id": txn_id,
             "full": full,
+            "data_change": data_change,
+            "stats": stats or {},
             "committed_at_ms": int(time.time() * 1000),
         }
         target = os.path.join(_log_path(table_path), f"v{next_v}.json")
@@ -232,15 +385,25 @@ def txn_append(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     ]
-    return commit(table_path, files, txn_id=txn_id)
+    return commit(table_path, files, txn_id=txn_id, stats=collect_file_stats(files))
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). The file list
     comes from the log, so concurrent in-flight writes are invisible
-    (snapshot isolation) and an older version is time travel."""
+    (snapshot isolation) and an older version is time travel.
+
+    ``where`` -- an optional conjunction of ``(col, op, literal)``
+    with op in <,<=,>,>=,= -- applies the predicate AND prunes files
+    whose manifest footer-stats prove they hold no matching row, so a
+    selective read opens a fraction of the live files (data skipping;
+    the predicate is also still pushed to the parquet scan for
+    row-group pruning within the files that remain)."""
     versions = _versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {table_path}")
@@ -267,6 +430,22 @@ def read_snapshot(
             f"version {version} of {table_path} is empty (all files "
             "removed); no schema is recoverable from zero parquet files"
         )
+    if where:
+        from pyspark.sql import functions as F
+
+        kept = prune_files(table_path, version, files, where)
+        pred = None
+        for col, op, val in where:
+            c = F.col(col)
+            term = {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "=": c == val, "==": c == val,
+            }[op]
+            pred = term if pred is None else (pred & term)
+        if not kept:
+            # every file pruned: empty result with the right schema
+            return spark.read.parquet(*files).filter(F.lit(False))
+        return spark.read.parquet(*kept).filter(pred)
     return spark.read.parquet(*files)
 
 
@@ -334,12 +513,20 @@ def vacuum(
         # Live file set = what a reader of `latest` sees.
         live = _live_files(table_path, latest) or []
         try:
+            # Carry each live file's footer stats forward: manifests
+            # older than the checkpoint are pruned below, and stats
+            # must survive for data skipping to keep working.
+            carried = {
+                f: s for f, s in _file_stats(table_path, latest).items() if f in set(live)
+            }
             ckpt = commit(
                 table_path,
                 sorted(set(live)),
                 txn_id=f"vacuum-of-v{latest}",
                 full=True,
                 require_latest=latest,
+                stats=carried,
+                data_change=False,  # checkpoint: no row changes
             )
             break
         except ConcurrentWriteError:
@@ -464,6 +651,7 @@ def txn_upsert(
         txn_id=txn_id,
         removed_files=affected,
         require_latest=base_version,
+        stats=collect_file_stats(files),
     )
 
 
@@ -517,6 +705,7 @@ def txn_delete(
         txn_id=txn_id,
         removed_files=affected,
         require_latest=base_version,
+        stats=collect_file_stats(files),
     )
 
 
@@ -572,6 +761,8 @@ def txn_optimize(
                 txn_id=txn_id,
                 removed_files=live,
                 require_latest=base_version,
+                stats=collect_file_stats(files),
+                data_change=False,  # layout-only: same rows before/after
             )
         except ConcurrentWriteError as e:
             # The table advanced under us; this staging can never be
@@ -580,6 +771,86 @@ def txn_optimize(
             shutil.rmtree(staging, ignore_errors=True)
             last_err = e
     raise last_err
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed (Delta CDF's ``table_changes`` shape): every row
+    added or removed by the data-changing commits in
+    ``[from_version, to_version]``, with ``_change_type``
+    ('insert' | 'delete') and ``_commit_version`` columns appended.
+
+    File-level copy-on-write makes this exact at file granularity: an
+    upsert surfaces the rewritten files' prior rows as deletes and
+    the rewrite (survivors + new rows) as inserts -- the NET change is
+    row-accurate, though an unchanged row inside a rewritten file
+    appears as delete+insert rather than being coalesced (Delta
+    without CDF-coalescing behaves the same way). Layout-only commits
+    (OPTIMIZE, vacuum checkpoints -- ``data_change=False``) are
+    skipped entirely: they change no rows.
+
+    Needs the removed files still on disk, so the feed reaches back
+    only as far as vacuum retention -- same contract as Delta CDF.
+    Incremental consumers: checkpoint the last version you processed
+    and call with ``from_version=checkpoint+1`` (inside foreachBatch
+    this composes with the txn_id idempotence for exactly-once
+    downstream processing)."""
+    from pyspark.sql import functions as F
+
+    versions = _versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    if to_version is None:
+        to_version = versions[-1]
+    if to_version > versions[-1]:
+        raise ValueError(
+            f"version {to_version} does not exist yet (latest is v{versions[-1]})"
+        )
+    if from_version < versions[0]:
+        raise ValueError(
+            f"version {from_version} predates retained history "
+            f"(oldest manifest is v{versions[0]}; vacuum pruned earlier changes)"
+        )
+    parts: list[DataFrame] = []
+    for v in versions:
+        if not (from_version <= v <= to_version):
+            continue
+        m = _read_manifest(table_path, v)
+        if not m.get("data_change", True):
+            continue
+        for files, kind in ((m["added"], "insert"), (m.get("removed", []), "delete")):
+            if not files:
+                continue
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"change feed for v{v} needs vacuumed-away files "
+                    f"(e.g. {missing[0]}); lower the feed's reach or "
+                    "raise vacuum retention"
+                )
+            parts.append(
+                spark.read.parquet(*files).select(
+                    "*",
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
+    if not parts:
+        # empty but correctly-shaped feed: derive schema from the snapshot
+        snap = read_snapshot(spark, table_path, version=to_version)
+        return snap.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("int").alias("_commit_version"),
+        ).filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def table_history(table_path: str) -> list[dict]:
@@ -596,6 +867,7 @@ def table_history(table_path: str) -> list[dict]:
                 "n_added": len(m["added"]),
                 "n_removed": len(m.get("removed", [])),
                 "full": bool(m.get("full")),
+                "data_change": bool(m.get("data_change", True)),
                 "committed_at_ms": m.get("committed_at_ms"),
             }
         )
