@@ -2626,6 +2626,89 @@ def q91_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_txlog_skipping",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 40
+    """,
+)
+def q92_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table data skipping e2e: lineitem lands in a
+    txlog table as three quantity-banded appends ([1,17] (17,34]
+    (34,..]), then a predicated snapshot read (where l_quantity >= 40)
+    must return exactly the filtered rows while manifest footer-stats
+    prune two of the three file sets before any data I/O -- the
+    100 TB read path (tests/test_txlog.py proves the pruning count;
+    the oracle proves the rows). Rebuilt from scratch each run so the
+    result is a pure function of the input table."""
+    import shutil
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        read_snapshot,
+        txn_append,
+    )
+
+    path = f"{_IO_SCRATCH}/q92_txlog"
+    shutil.rmtree(path, ignore_errors=True)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    for lo, hi in ((None, 17), (17, 34), (34, None)):
+        band = li
+        if lo is not None:
+            band = band.filter(F.col("l_quantity") > lo)
+        if hi is not None:
+            band = band.filter(F.col("l_quantity") <= hi)
+        txn_append(band, path)
+    return read_snapshot(spark, path, where=[("l_quantity", ">=", 40)])
+
+
+@query(
+    "q93_change_feed",
+    oracle="""
+    WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0),
+         v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 1),
+         both_v AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    SELECT o_orderkey, 'insert' AS change_type, 0 AS commit_version FROM v0
+    UNION ALL
+    SELECT o_orderkey, 'insert', 1 FROM v1
+    UNION ALL
+    SELECT o_orderkey, 'delete', 2 FROM both_v
+    UNION ALL
+    SELECT o_orderkey, 'insert', 2 FROM both_v WHERE NOT o_totalprice > 150000
+    """,
+)
+def q93_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed (CDC) e2e over the txlog table: two single-file
+    appends (orders keys mod 10 in {0,1}) and a copy-on-write DELETE
+    (o_totalprice > 150000 -- both files contain matches at every SF,
+    so both are rewritten: all their rows surface as v2 deletes and
+    the survivors as v2 re-inserts). The oracle reconstructs the
+    exact feed from the same set algebra. Layout-only commits never
+    reach the feed (proven separately in tests/test_txlog.py)."""
+    import shutil
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        read_changes,
+        txn_append,
+        txn_delete,
+    )
+
+    path = f"{_IO_SCRATCH}/q93_txlog"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    txn_append(orders.filter(F.col("o_orderkey") % 10 == 0).coalesce(1), path)
+    txn_append(orders.filter(F.col("o_orderkey") % 10 == 1).coalesce(1), path)
+    txn_delete(spark, path, "o_totalprice > 150000")
+    return read_changes(spark, path, 0).select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -2643,6 +2726,9 @@ _GATE_PRIORITY = [
     "q11_multidim_agg",
     "q63_grouped_map",
     "q50_multimodal_features",  # operators/multimodal.py changed (decode guard)
+    # --- new this round (never attested) ---
+    "q92_txlog_skipping",
+    "q93_change_feed",
     # --- resting on round-2 evidence since r2 (oldest attestations;
     #     rotation goal: no green row older than 2 rounds) ---
     "q03_order_count_distribution",
@@ -2692,8 +2778,6 @@ _GATE_PRIORITY = [
     "q84_tfidf_top_terms",
     "q85_histogram",
     "q86_snapshot_diff",
-    "q87_sequence_packing",
-    "q88_salted_join",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
