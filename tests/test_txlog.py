@@ -634,3 +634,65 @@ def test_change_feed_bounds_validation(spark, tmp_path):
     vacuum(t, min_age_seconds=0.0)  # prunes manifests v0/v1
     with _pytest.raises(ValueError, match="predates retained history"):
         read_changes(spark, t, 0)
+
+
+def test_optimize_zorder_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after clustering, a selective
+    predicate on EITHER column alone prunes most files via manifest
+    stats -- before, random appends leave every file covering the full
+    range of both, so nothing prunes. Rows are bit-identical."""
+    from pyspark.sql import functions as SF
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        _live_files,
+        prune_files,
+        txn_optimize,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 8 appends, each spanning the FULL range of x and y (id-striped),
+    # so pre-zorder stats cannot prune anything.
+    for i in range(8):
+        df = (
+            spark.range(i, 4096, 8)
+            .select(
+                SF.col("id"),
+                (SF.col("id") % 64).alias("x"),
+                SF.floor(SF.col("id") / 64).alias("y"),
+            )
+            .coalesce(1)
+        )
+        txn_append(df, t)
+    live0 = _live_files(t, 7)
+    assert len(live0) == 8
+    sel = [("x", ">=", 10), ("x", "<", 14)]  # 1/16 of the x domain
+    assert len(prune_files(t, 7, live0, sel)) == 8, "striped layout shouldn't prune"
+
+    # small target -> ~16 clustered files, enough z-cells that a
+    # narrow one-column slice maps to a minority of files
+    v = txn_optimize(spark, t, target_file_bytes=1_800, zorder_by=["x", "y"])
+    live1 = _live_files(t, v)
+    assert len(live1) >= 10, "want a multi-file layout to prove pruning"
+    kept_x = prune_files(t, v, live1, sel)
+    kept_y = prune_files(t, v, live1, [("y", ">=", 10), ("y", "<", 14)])
+    assert len(kept_x) <= len(live1) // 2, f"x-pruning weak: {len(kept_x)}/{len(live1)}"
+    assert len(kept_y) <= len(live1) // 2, f"y-pruning weak: {len(kept_y)}/{len(live1)}"
+    # clustering never changes content
+    before = {(r["id"], r["x"], r["y"]) for r in read_snapshot(spark, t, version=7).collect()}
+    after = {(r["id"], r["x"], r["y"]) for r in read_snapshot(spark, t, version=v).collect()}
+    assert before == after
+    # and the predicated read returns exactly the filtered rows
+    got = read_snapshot(spark, t, where=sel)
+    assert got.count() == 4 * 64  # 4 x-values * 64 y rows each
+
+
+def test_zorder_rejects_string_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import txn_optimize
+
+    t = str(tmp_path / "tbl")
+    txn_append(_ranged_df(spark, 0, 10).coalesce(1), t)
+    txn_append(_ranged_df(spark, 10, 20).coalesce(1), t)
+    with _pytest.raises(ValueError, match="zorder_by supports"):
+        txn_optimize(spark, t, zorder_by=["s"])

@@ -301,6 +301,12 @@ def main(argv: list[str] | None = None) -> int:
         "--target-file-mb", type=int, default=128, help="optimize target size (MiB)"
     )
     table.add_argument(
+        "--zorder",
+        default=None,
+        help="optimize: comma-separated numeric/date/timestamp columns to "
+        "Z-order-cluster the rewrite on (multi-column data skipping)",
+    )
+    table.add_argument(
         "--min-age-hours",
         type=float,
         default=24.0,
@@ -356,7 +362,10 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             v = txn_optimize(
-                spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+                spark,
+                args.path,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
             )
         except ConcurrentWriteError:
             # txn_optimize already retried and cleaned its staging;

@@ -709,15 +709,64 @@ def txn_delete(
     )
 
 
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 6):
+    """Z-value (Morton code) expression: each column rank-maps to a
+    ``2**bits``-bucket id via its approx-quantile boundaries, and the
+    bucket bits interleave across columns, so sorting by the z-value
+    clusters ALL the columns at once. Whole computation is one
+    aggregate pass (percentile_approx, partial-aggregatable) plus a
+    per-row JVM expression over a tiny literal boundary array --
+    nothing here is driver- or single-task-bound at any scale."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    numeric_exprs = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt in ("date",):
+            numeric_exprs[c] = F.unix_date(F.col(c)).cast("double")
+        elif dt.startswith("timestamp"):
+            numeric_exprs[c] = F.unix_micros(F.col(c)).cast("double")
+        elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+            "decimal"
+        ):
+            numeric_exprs[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(f"zorder_by supports numeric/date/timestamp columns; {c} is {dt}")
+    qs = [i / (n_buckets - 1) for i in range(n_buckets)]
+    row = df.select(
+        *[
+            F.percentile_approx(numeric_exprs[c], qs, 10_000).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for pos, c in enumerate(cols):
+        boundaries = sorted(set(b for b in row[c] if b is not None)) if row[c] else []
+        blit = F.array(*[F.lit(float(b)) for b in boundaries])
+        # bucket id = #boundaries <= value (NULL maps to bucket 0)
+        bucket = F.size(F.filter(blit, lambda b: b <= numeric_exprs[c])).cast("long")
+        bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(n_buckets - 1))
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + pos,
+                )
+            )
+    return z
+
+
 def txn_optimize(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     txn_id: str | None = None,
     max_retries: int = 3,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE: transactionally rewrite the table's many small live
-    files (streaming appends produce one staging dir per micro-batch)
+    files (streaming appends produce one micro-batch-sized dir each)
     into ~``target_file_bytes`` files. Readers are never disturbed:
     the rewrite stages new files and commits {added, removed} in one
     atomic manifest; a concurrent append winning a version slot aborts
@@ -726,7 +775,17 @@ def txn_optimize(
     ``max_retries`` times -- data is never at risk because optimize
     changes layout, not content. After the retry budget the last
     ConcurrentWriteError propagates (with staging cleaned up); a
-    follow-up vacuum reclaims the files each commit replaced."""
+    follow-up vacuum reclaims the files each commit replaced.
+
+    ``zorder_by`` additionally CLUSTERS the rewrite on a Morton
+    (Z-order) curve over the given columns: rows land range-
+    partitioned and sorted by the interleaved-bit z-value, so every
+    output file covers a narrow min/max range in EVERY listed column
+    and the manifest-stats skipping (read_snapshot ``where``) prunes
+    effectively on any of them -- multi-dimensional data skipping,
+    the OPTIMIZE ZORDER BY design. With zorder the rewrite always
+    happens (ordering is the point), even when the file count is
+    already at target."""
     import shutil
 
     versions = _versions(table_path)
@@ -740,13 +799,22 @@ def txn_optimize(
     for _attempt in range(max(1, max_retries)):
         base_version = _versions(table_path)[-1]
         live = _live_files(table_path, base_version) or []
-        if len(live) <= 1:
+        if len(live) <= 1 and not (zorder_by and live):
             return base_version  # nothing to merge
         total_bytes = sum(os.path.getsize(f) for f in live if os.path.exists(f))
         n_target = max(1, -(-total_bytes // target_file_bytes))
-        if n_target >= len(live):
+        if n_target >= len(live) and not zorder_by:
             return base_version  # already at or under target granularity
-        merged = spark.read.parquet(*live).repartition(n_target)
+        current = spark.read.parquet(*live)
+        if zorder_by:
+            merged = (
+                current.withColumn("__z", _zorder_column(current, zorder_by))
+                .repartitionByRange(n_target, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            merged = current.repartition(n_target)
         staging = os.path.join(table_path, "data", uuid.uuid4().hex)
         merged.write.parquet(staging)
         files = [
