@@ -89,15 +89,29 @@ def main() -> None:
         for jrdd in list(jmap.values()):
             jrdd.unpersist()
 
+    # Per-query failure isolation: one broken query must never zero
+    # out the whole BENCH artifact (round 4 lost all 74 healthy
+    # timings to a single AnalysisException in the warmup pass).
+    # Failures are recorded as {"err": ...} entries and the JSON
+    # envelope is always emitted.
+    errors: dict[str, str] = {}
+
     # Pass 1: untimed warmup over the full catalog.
     for name, entry in CATALOG.items():
-        entry.builder(spark, sf_dir).collect()
+        try:
+            entry.builder(spark, sf_dir).collect()
+            print(f"  [warmup] {name}", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 -- isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  [warmup] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
         drop_all_blocks()
-        print(f"  [warmup] {name}", file=sys.stderr, flush=True)
 
-    # Pass 2: timed, data-cold, engine-warm.
+    # Pass 2: timed, data-cold, engine-warm. Queries that failed
+    # warmup are skipped (their error is already recorded).
     timings: dict[str, float] = {}
     for name, entry in CATALOG.items():
+        if name in errors:
+            continue
         drop_all_blocks()  # timed run starts data-cold
         # Pay accumulated GC debt OUTSIDE the timed region: 150+
         # query executions in one JVM otherwise tax late-catalog
@@ -105,27 +119,34 @@ def main() -> None:
         # per-query numbers by run position.
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        entry.builder(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            entry.builder(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
         drop_all_blocks()
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    timings["pipeline_ingest"] = round(_bench_reference_pipeline(spark, sf_dir), 4)
-    print(f"  pipeline_ingest: {timings['pipeline_ingest']}s", file=sys.stderr, flush=True)
+    try:
+        timings["pipeline_ingest"] = round(_bench_reference_pipeline(spark, sf_dir), 4)
+        print(f"  pipeline_ingest: {timings['pipeline_ingest']}s", file=sys.stderr, flush=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["pipeline_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  pipeline_ingest FAILED: {errors['pipeline_ingest']}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = len(errors)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,49 @@
+"""bench.py per-query failure isolation (round-4 lesson: one
+AnalysisException in the warmup pass zeroed out the entire BENCH
+artifact -- rc=1, no timings for 74 healthy queries).
+
+Runs bench.main() against a shrunken catalog where one builder always
+raises, and asserts the envelope still comes out with timings for the
+healthy queries and an {"err": ...} entry for the broken one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+from utc_cuip_kafka_aws_connector_spark.plans import catalog
+
+
+def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
+    sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("deliberately broken builder")
+
+    small = {
+        "q23_predicates": catalog.CATALOG["q23_predicates"],
+        "q_broken": catalog.CatalogEntry(name="q_broken", builder=boom, oracle=None),
+        "q13_having": catalog.CATALOG["q13_having"],
+    }
+    monkeypatch.setattr(catalog, "CATALOG", small)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    monkeypatch.setattr(
+        bench, "_bench_reference_pipeline", lambda spark, sf_dir: 0.0
+    )
+    monkeypatch.setattr(
+        "utc_cuip_kafka_aws_connector_spark.session.get_spark",
+        lambda **kw: spark,
+    )
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    q = payload["queries"]
+    assert isinstance(q["q23_predicates"], float)
+    assert isinstance(q["q13_having"], float)
+    assert "deliberately broken builder" in q["q_broken"]["err"]
+    assert payload["errors"] == 1
+    assert payload["value"] > 0

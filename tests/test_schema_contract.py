@@ -1,0 +1,85 @@
+"""Environment-drift tripwire: pin the post-load Spark dtypes the
+catalog assumes for every testdata table.
+
+Round-4 lesson: the driver regenerated /root/testdata between rounds
+and events.ts changed footer type (TIMESTAMP(NANOS) -> naive
+timestamp[us], which Spark 4 reads as TIMESTAMP_NTZ). load_table's
+nanos workaround silently no-oped, and the failure surfaced as 14
+scattered test failures + a dead bench instead of one obvious one.
+This test is that one obvious place: it reads every parquet footer at
+sf0.01 AND asserts the dtypes load_table actually delivers, so the
+next silent testdata regeneration fails here first, by name.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from utc_cuip_kafka_aws_connector_spark.sources.batch import TABLE_NAMES, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+
+# The dtype contract every catalog builder compiles against.
+# `ts` MUST be session-TZ `timestamp` (never timestamp_ntz: unix_millis
+# and withWatermark reject ntz) regardless of footer encoding.
+EXPECTED = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_nationkey": "int", "c_acctbal": "double"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int", "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_size": "int", "p_retailprice": "double"},
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",  # naive micros footer, normalized from ntz
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_shipdate": "timestamp",
+        "l_returnflag": "string",
+    },
+    "events": {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "ts": "timestamp",  # THE round-4 breakage: must never be timestamp_ntz
+        "event_type": "string",
+        "value": "double",
+    },
+    "documents": {"doc_id": "bigint", "text": "string", "lang": "string", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+
+@pytest.mark.parametrize("name", TABLE_NAMES)
+def test_post_load_dtypes(spark, name):
+    df = load_table(spark, SF_DIR, name)
+    dtypes = dict(df.dtypes)
+    for col, want in EXPECTED[name].items():
+        assert col in dtypes, f"{name}.{col} missing; testdata schema drifted: {dtypes}"
+        assert dtypes[col] == want, (
+            f"{name}.{col} loads as {dtypes[col]!r}, catalog assumes {want!r} "
+            f"-- testdata footer drifted; fix sources/batch.py::load_table"
+        )
+
+
+def test_no_ntz_anywhere(spark):
+    """No table may surface TIMESTAMP_NTZ through load_table -- the
+    catalog's epoch-ms math and every watermark rejects it."""
+    offenders = {
+        name: [c for c, t in load_table(spark, SF_DIR, name).dtypes if "ntz" in t]
+        for name in TABLE_NAMES
+    }
+    offenders = {n: cols for n, cols in offenders.items() if cols}
+    assert offenders == {}, f"load_table leaked TIMESTAMP_NTZ columns: {offenders}"
+
+
+def test_session_tz_pinned_utc(spark):
+    load_table(spark, SF_DIR, "events")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -45,22 +45,32 @@ LEDGER = os.path.join(REPO, "tests", "gate_fingerprints.json")
 if REPO not in sys.path:  # runnable as `python tools/gate_fingerprints.py`
     sys.path.insert(0, REPO)
 
-_OP_IMPORT = re.compile(r"operators\.(\w+)")
+_MOD_IMPORT = re.compile(r"(operators|sources|streaming)\.(\w+)")
 
 
-def _module_ast_sha(mod_name: str) -> str:
+def _module_ast_sha(pkg: str, mod_name: str) -> str:
     path = os.path.join(
-        REPO, "utc_cuip_kafka_aws_connector_spark", "operators", f"{mod_name}.py"
+        REPO, "utc_cuip_kafka_aws_connector_spark", pkg, f"{mod_name}.py"
     )
     with open(path) as fh:
         return hashlib.sha256(ast.dump(ast.parse(fh.read())).encode()).hexdigest()
 
 
 def fingerprint(entry) -> str:
+    """sha256 over (builder AST, oracle SQL, AST of every operators/
+    sources/streaming module the builder source names). The universal
+    dependency -- load_table in sources/batch.py -- is invisible here
+    (builders call it through the module-level ``T`` alias); drift in
+    it is guarded by tests/test_schema_contract.py instead, which pins
+    the post-load dtypes every builder assumes."""
     src = textwrap.dedent(inspect.getsource(entry.builder))
     parts = [ast.dump(ast.parse(src)), entry.oracle or ""]
-    for mod in sorted(set(_OP_IMPORT.findall(src))):
-        parts.append(f"{mod}:{_module_ast_sha(mod)}")
+    for pkg, mod in sorted(set(_MOD_IMPORT.findall(src))):
+        if not os.path.exists(
+            os.path.join(REPO, "utc_cuip_kafka_aws_connector_spark", pkg, f"{mod}.py")
+        ):
+            continue  # e.g. "sources.batch" naming in prose, module layout moved
+        parts.append(f"{pkg}.{mod}:{_module_ast_sha(pkg, mod)}")
     return hashlib.sha256("\0".join(parts).encode()).hexdigest()
 
 
@@ -86,6 +96,14 @@ def main() -> int:
         help="re-stamp drifted NON-window queries too (only when their "
         "change is provably cosmetic; normally an error)",
     )
+    ap.add_argument(
+        "--rekey",
+        action="store_true",
+        help="the fingerprint ALGORITHM changed (not the code): update "
+        "fp for drifted non-window queries but KEEP their prior "
+        "attested_round. Only valid immediately after verifying the "
+        "ledger was clean under the old algorithm.",
+    )
     args = ap.parse_args()
 
     from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG, _GATE_PRIORITY
@@ -100,14 +118,16 @@ def main() -> int:
         and n in ledger
         and ledger[n]["fp"] != fps[n]
     ]
-    if drifted and not args.force:
+    if drifted and not (args.force or args.rekey):
         print(
             "ERROR: changed outside the gate window (rotate them in or "
             f"revert): {drifted}"
         )
         return 1
     for name in CATALOG:
-        if name in window or name not in ledger or (args.force and name in drifted):
+        if args.rekey and name in drifted and name not in window:
+            ledger[name] = {"fp": fps[name], "attested_round": ledger[name]["attested_round"]}
+        elif name in window or name not in ledger or (args.force and name in drifted):
             ledger[name] = {"fp": fps[name], "attested_round": args.round}
         # else: out-of-window and unchanged -- keep the prior attestation
     ledger = {n: ledger[n] for n in CATALOG}  # drop deleted queries, fix order

@@ -2721,63 +2721,64 @@ def q93_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _GATE_PRIORITY = [
-    # --- changed this round (fingerprint drift forces them here;
-    #     tests/test_catalog_order.py enforces it mechanically) ---
-    "q11_multidim_agg",
-    "q63_grouped_map",
-    "q50_multimodal_features",  # operators/multimodal.py changed (decode guard)
-    # --- new this round (never attested) ---
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    # --- resting on round-2 evidence since r2 (oldest attestations;
-    #     rotation goal: no green row older than 2 rounds) ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q13_having",
-    "q14_distinct_months",
+    # --- NTZ-loader fix (sources/batch.py) changed behavior of every
+    #     events-reading query this round: the 6 that were red in r4
+    #     plus the other events readers, all forced in for driver
+    #     re-attestation ---
+    "q08_interval_join",
+    "q09_asof_join",
     "q17_lag_lead",
-    "q18_rank_ntile",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q24_conditional_tiers",
-    "q25_null_filter",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q31_map_funcs",
     "q32_epoch_roundtrip",
+    "q60_streaming_tumbling",
+    "q65_sessionize",
+    "q31_map_funcs",
     "q33_calendar_month_agg",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    # --- round-3 greens refreshed this round (the 24 left out rest on
-    #     their round-3 rows, 1 round old) ---
+    "q63_grouped_map",
+    "q71_time_windows",
+    # --- resting on round-3 evidence (oldest attestations; rotation
+    #     goal: no green row older than 2 rounds) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q10_count_distinct",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q30_json_funcs",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q40_exact_dedup",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q51_ngram_jaccard_pairs",
+    "q52_pivot_unpivot",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    # --- round-4 greens refreshed this round (the 25 left out rest on
+    #     their round-4 rows, 1 round old) ---
+    "q11_multidim_agg",
+    "q50_multimodal_features",
     "q56_correlated_subquery",
     "q57_sql_cte_top_orders",
     "q58_approx_aggs",
-    "q60_streaming_tumbling",
     "q61_python_udfs",
     "q64_udtf_word_split",
-    "q65_sessionize",
     "q66_salted_aggregation",
     "q67_null_safe_join",
-    "q71_time_windows",
     "q73_nation_trade_volume",
     "q74_top_supplier",
     "q75_promo_share",
     "q77_explode_dimension_stats",
     "q78_near_dup_pairs_exact",
     "q79_ivf_ann_topk",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q82_sampling",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
+    "q92_txlog_skipping",
+    "q93_change_feed",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]

@@ -28,28 +28,61 @@ TABLE_NAMES = (
 )
 
 
+def _ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (idempotent -- only writes when
+    it would change). The driver harness supplies its own SparkSession,
+    and epoch-ms conversions / date formatting must match DuckDB's
+    UTC-naive timestamps regardless of that session's original
+    configuration."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _footer_has_nanos(path: str) -> bool:
+    """Probe the parquet footer for TIMESTAMP(NANOS) columns, which
+    Spark's vectorized reader rejects without the nanosAsLong legacy
+    conf. Footer-only read -- no data touched."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return any(str(f.type).startswith("timestamp[ns") for f in schema)
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one synthetic table (schema from footers).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the footer, which Spark's
-    vectorized reader rejects; read it as raw nanos (legacy conf is
-    runtime-settable) and floor-convert to a microsecond timestamp.
+    Timestamp normalization: the testdata generator has shipped
+    ``events.ts`` as TIMESTAMP(NANOS) (some rounds) and as plain naive
+    ``timestamp[us]`` (others). Handle both so the catalog always sees
+    a session-TZ ``timestamp``:
 
-    The session timezone is pinned to UTC on every load: the driver
-    harness supplies its own SparkSession, and epoch-ms conversions /
-    date formatting must match DuckDB's UTC-naive timestamps
-    regardless of that session's original configuration.
+    - NANOS footer: read raw nanos via the legacy conf (set only when
+      the footer actually carries nanos) and floor-convert to micros.
+    - Naive micros footer: Spark 4 reads it as TIMESTAMP_NTZ, which
+      ``unix_millis`` / ``withWatermark`` reject; cast to ``timestamp``
+      under the UTC-pinned session -- semantics identical to DuckDB's
+      naive-UTC oracle.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    _ensure_utc_session(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _footer_has_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:

@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Harden the event-time column against upstream footer drift:
+    ``withWatermark`` (and epoch-ms math downstream) rejects
+    TIMESTAMP_NTZ, which Spark 4 produces for naive parquet
+    timestamps. Cast ntz -> timestamp here so every streaming op is
+    independent of how the source file happened to encode time.
+    No-op for already-correct inputs."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
     """Session conf switching streaming state to the RocksDB state
     store (bundled with Spark >= 3.2; verified working in this
@@ -58,7 +70,8 @@ def tumbling_window_agg(
     fixed-width windows are the streaming-native form."""
     aggs = aggs or [F.count("*").alias("n")]
     return (
-        df.withWatermark(ts_col, watermark)
+        _as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_len), *(keys or []))
         .agg(*aggs)
         .withColumn("window_start", F.col("window.start"))
@@ -78,7 +91,8 @@ def sliding_window_agg(
 ) -> DataFrame:
     aggs = aggs or [F.count("*").alias("n")]
     return (
-        df.withWatermark(ts_col, watermark)
+        _as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_len, slide), *(keys or []))
         .agg(*aggs)
         .withColumn("window_start", F.col("window.start"))
@@ -98,7 +112,8 @@ def session_window_agg(
     """Session windows: a session closes after ``gap`` of inactivity."""
     aggs = aggs or [F.count("*").alias("n")]
     return (
-        df.withWatermark(ts_col, watermark)
+        _as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap), *keys)
         .agg(*aggs)
         .withColumn("session_start", F.col("session_window.start"))
@@ -112,7 +127,7 @@ def streaming_dedup(df: DataFrame, ts_col: str, watermark: str, keys: list[str])
     within the watermark horizon are dropped; state for expired keys is
     evicted. (The reference never deduped -- at-least-once redelivery
     produced duplicate CSV rows, SURVEY R23.)"""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return _as_event_time(df, ts_col).withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
 def stateful_running_stats(
@@ -146,7 +161,8 @@ def stateful_running_stats(
         )
 
     return (
-        df.withWatermark(ts_col, watermark)
+        _as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
