@@ -1,0 +1,83 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard LLM-curation step (reference has no analog; north-star
+extension like the rest of operators/): before training, every doc in
+the training corpus is checked for n-gram overlap against the eval
+benchmarks so contaminated docs can be dropped or down-weighted.
+
+Scale design (the asymmetry IS the design): eval benchmarks are
+megabytes while the training corpus is the 100 TB side, so the
+distinct eval n-gram set is broadcast and the train side is touched
+exactly once -- n-gram generation is scan-local (higher-order
+functions, no Python, no shuffle), the contamination join is a
+broadcast hash join, and the only shuffle is the final per-doc
+aggregate over MATCHED rows only (a tiny fraction of the corpus).
+Nothing in the plan is proportional to train x eval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct word n-grams of lower(text), split on single spaces
+    with empties dropped -- the exact tokenization the DuckDB oracles
+    mirror (string_split + list_filter). Scan-local Catalyst
+    expressions only."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), n)),
+    )
+    # sequence(0, negative) would count DOWN; guard short docs to [].
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-train-doc contamination report against ``eval_df``:
+
+    ``(id_col, n_ngrams, n_contaminated, contamination, n_eval_docs)``
+
+    where ``contamination`` = fraction of the doc's distinct n-grams
+    that appear anywhere in the eval set and ``n_eval_docs`` = how
+    many distinct eval docs it overlaps. Only contaminated docs are
+    returned (clean docs join nothing); callers drop or threshold.
+
+    The eval (n-gram, eval_id) pairs are explicitly broadcast: eval
+    sets are benchmark-sized, the train side is the corpus.
+    """
+    tr = train.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("grams")
+    ).withColumn("n_ngrams", F.size("grams"))
+    ev = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        tr.select(id_col, "n_ngrams", F.explode("grams").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy(id_col, "n_ngrams")
+        .agg(
+            F.count_distinct("gram").alias("n_contaminated"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+        )
+        .select(id_col, "n_ngrams", "n_contaminated", "contamination", "n_eval_docs")
+    )

@@ -1025,6 +1025,20 @@ def q33_calendar_month_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IO_SCRATCH = "/tmp/spark_graft_io"
 
 
+def _replayed_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Re-materialize the events table as parquet scratch for file
+    -stream replay (q60, q95). Skipped when a complete copy from a
+    previous run of the SAME sf_dir already exists -- harness setup,
+    not query work."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{_IO_SCRATCH}/q60_events_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
 @query(
     "q34_file_scans",
     oracle="""
@@ -1631,19 +1645,10 @@ def q60_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must equal the batch group-by."""
     import uuid
 
-    from utc_cuip_kafka_aws_connector_spark.sources.batch import load_table
     from utc_cuip_kafka_aws_connector_spark.streaming.ops import tumbling_window_agg
 
-    import os
-
     events = load_table(spark, sf_dir, "events")
-    # per-SF scratch path; skip the re-materialization when a complete
-    # copy from a previous run of the SAME sf_dir already exists
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{_IO_SCRATCH}/q60_events_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        events.write.mode("overwrite").parquet(path)
-
+    path = _replayed_events_path(spark, sf_dir)
     stream = spark.readStream.schema(events.schema).parquet(path)
     agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="10 minutes", keys=["event_type"])
     name = f"q60_out_{uuid.uuid4().hex[:8]}"
@@ -2709,6 +2714,310 @@ def q93_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q94_decontamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(ws, u.i + 1, u.i + 3), ' ') AS gram
+      FROM words, UNNEST(range(greatest(len(ws) - 2, 0))) AS u(i)),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    train AS (SELECT doc_id, gram FROM gd WHERE doc_id % 17 <> 0),
+    ev    AS (SELECT DISTINCT gram, doc_id AS eval_id FROM gd WHERE doc_id % 17 = 0),
+    tot AS (SELECT doc_id, count(*) AS n_ngrams FROM train GROUP BY doc_id),
+    hit AS (
+      SELECT t.doc_id,
+             count(DISTINCT t.gram) AS n_contaminated,
+             count(DISTINCT e.eval_id) AS n_eval_docs
+      FROM train t JOIN ev e ON t.gram = e.gram
+      GROUP BY t.doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(hit.n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(hit.n_contaminated AS DOUBLE) / tot.n_ngrams AS contamination,
+           CAST(hit.n_eval_docs AS BIGINT) AS n_eval_docs
+    FROM tot JOIN hit USING (doc_id)
+    """,
+)
+def q94_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): word-3-gram
+    overlap of every training doc (doc_id % 17 != 0) against the held
+    -out eval split (doc_id % 17 == 0). The asymmetry is the scale
+    design: eval n-grams are benchmark-sized and BROADCAST, n-gram
+    generation is scan-local higher-order functions (no Python), and
+    the only shuffle is the per-doc aggregate over matched rows.
+    Integer counts + one final integer-ratio division: hash-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.decontam import ngram_decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=3,
+    )
+
+
+@query(
+    "q95_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND c.user_id % 25 = 0
+    """,
+)
+def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (the one streaming operator family
+    q60-q65 didn't cover): clicks joined to the views that preceded
+    them by <= 10 minutes for the same user, both sides file-replayed
+    as real streams with per-side watermarks, appended to a memory
+    sink under Trigger.AvailableNow, and checked value-exact against
+    the batch self-join oracle.
+
+    In production the watermark is minutes-wide and, combined with
+    the time-bound join condition, lets Spark evict both sides'
+    state continuously -- stream-stream joins at 100 TB/day are
+    state-bounded by (watermark + join window), not by stream
+    length. Here the watermark is replay-wide (30 days) purely so
+    the deterministic replay drops nothing and the oracle can be
+    exact; the plan shape (StreamingSymmetricHashJoin on user_id
+    with the range condition as a secondary predicate) is identical
+    either way."""
+    import shutil
+    import uuid
+
+    ev = T(spark, sf_dir, "events")
+    path = _replayed_events_path(spark, sf_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    base = stream.filter(F.col("user_id") % 25 == 0)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 days")
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 days")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("user_id", "click_id", "view_id")
+    name = f"q95_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{_IO_SCRATCH}/q95_ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table(name).localCheckpoint(eager=True)  # detach from the sink
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(f"{_IO_SCRATCH}/q95_ckpt_{name}", ignore_errors=True)
+    return out
+
+
+@query(
+    "q96_cdc_incremental_agg",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 10 = 5)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM final WHERE p <= 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def q96_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed the way a downstream pipeline would:
+    a txlog table goes through append (keys %10==0) -> MERGE upsert
+    (update %20==0 at +1000, insert %10==5) -> DELETE (p > 150000),
+    and a per-status (count, total) aggregate is maintained purely by
+    folding signed deltas from read_changes -- never re-reading the
+    table. Copy-on-write noise (unchanged rows surfacing as
+    delete+insert pairs in rewritten files) must net to zero, which
+    the oracle proves by computing the final state directly with set
+    algebra. Incremental-materialized-view pattern: at 100 TB the
+    feed is proportional to the CHANGE, not the table.
+
+    Money sums run in DECIMAL(18,2) (exact, order-independent) and
+    convert to double once -- the catalog-wide determinism contract."""
+    import shutil
+
+    from utc_cuip_kafka_aws_connector_spark.sources.txlog import (
+        read_changes,
+        txn_append,
+        txn_delete,
+        txn_upsert,
+    )
+
+    path = f"{_IO_SCRATCH}/q96_txlog"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    txn_append(orders.filter(F.col("o_orderkey") % 10 == 0).coalesce(1), path)
+    updates = orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 5)
+    txn_upsert(updates.unionByName(inserts).coalesce(1), path, ["o_orderkey"])
+    txn_delete(spark, path, "o_totalprice > 150000")
+
+    feed = read_changes(spark, path, 0)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    return (
+        feed.groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            F.sum(sign * dec2("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+@query(
+    "q98_token_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM t)
+    SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q98_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: pack documents, in deterministic
+    doc_id order, into ~5000-token shards by global running token
+    count (the export step that turns a curated corpus into
+    fixed-size training files; q87's sequence packing is the
+    per-sequence analog).
+
+    A naive global window (ORDER BY over everything, no PARTITION BY)
+    serializes 100 TB through one task. This runs the textbook
+    scalable prefix-sum instead: scan-local token counts -> cumsum
+    WITHIN doc_id buckets -> tiny per-bucket totals window (rows =
+    n/bucket_width, thousands at most) -> broadcast offsets joined
+    back. Two narrow shuffles, no global sort of row data; integer
+    math end-to-end, hash-exact vs the oracle's single-window form."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / 1000).cast("long").alias("bucket"),
+    )
+    within = toks.withColumn(
+        "cum_in_bucket",
+        F.sum("n_tokens").over(
+            W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("btot").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    return within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("offset") + F.col("cum_in_bucket") - F.col("n_tokens")) / 5000)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+@query(
+    "q99_curation_pipeline",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(text, '\\s+')) AS n_words,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+               / len(regexp_split_to_array(text, '\\s+')) AS stopword_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, text,
+             least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+               + alpha_ratio * 0.3
+               + least(stopword_ratio * 4, 1.0) * 0.3 AS quality
+      FROM stats),
+    quality_pass AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id FROM quality_pass GROUP BY md5(text)),
+    survivors AS (
+      SELECT q.doc_id, q.lang, q.quality FROM quality_pass q
+      JOIN deduped d ON q.doc_id = d.doc_id),
+    sampled AS (
+      SELECT * FROM survivors
+      WHERE CASE
+        WHEN lang = 'en' THEN TRUE
+        WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' END)
+    SELECT doc_id, lang, quality FROM sampled
+    """,
+)
+def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation operators composed end-to-end the way a real
+    corpus build runs them -- quality gate (q42's score >= 0.5) ->
+    exact dedup keeping the lowest doc_id per content hash (q40) ->
+    language-stratified mixture sampling (q82: keep all en, 1/2 de,
+    1/5 rest) -- returning the surviving (doc_id, lang, quality).
+    Every stage is a scan-local filter or a partial-agg groupBy; the
+    dedup keep-set joins back LEFT SEMI (no row data moves for the
+    hash side). One pipeline, zero Python, hash-exact oracle."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import stratified_sample
+    from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
+
+    docs = T(spark, sf_dir, "documents")
+    qual = quality_score(docs).filter(F.col("quality") >= 0.5)
+    keep = exact_dedup(qual, id_col="doc_id").select(F.col("keep_id").alias("doc_id"))
+    surv = qual.join(keep, "doc_id", "left_semi")
+    out = stratified_sample(
+        surv, "doc_id", "lang", {"en": 1.0, "de": 0.5}, default_rate=0.2
+    )
+    return out.select("doc_id", "lang", "quality")
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -2760,15 +3069,16 @@ _GATE_PRIORITY = [
     "q89_column_profile",
     "q90_pii_redaction",
     "q91_repetition_stats",
-    # --- round-4 greens refreshed this round (the 25 left out rest on
-    #     their round-4 rows, 1 round old) ---
+    # --- new this round (never attested) ---
+    "q94_decontamination",
+    "q95_stream_stream_join",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q99_curation_pipeline",
+    # --- round-4 greens refreshed this round (the rest of the r4
+    #     window rests on its round-4 rows, 1 round old) ---
     "q11_multidim_agg",
     "q50_multimodal_features",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
     "q66_salted_aggregation",
     "q67_null_safe_join",
     "q73_nation_trade_volume",
