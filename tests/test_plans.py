@@ -110,3 +110,13 @@ def test_text_quality_ops_are_scan_only(spark):
     # q91's higher-order lambdas are interpreted by Spark design (HOF
     # expressions are excluded from codegen), so no assertion there.
     assert "codegen id" in plan_of(spark, "q90_pii_redaction")
+
+
+def test_q100_end_to_end_shuffle_free(spark):
+    """q100: bucketed layout must carry through the WHOLE query -- the
+    SMJ needs no Exchange on either side AND the groupBy on the bucket
+    key reuses the same distribution, so the executed plan contains
+    zero Exchange nodes of any kind."""
+    p = plan_of(spark, "q100_bucketed_join")
+    assert "SortMergeJoin" in p, "q100 lost its sort-merge join"
+    assert "Exchange" not in p, "q100 shuffles despite bucketing"
