@@ -233,3 +233,60 @@ def test_redact_pii_property_no_survivors(spark):
         assert not _re.search(r"\d+\.\d+\.\d+\.\d+", red), red
         if r["doc_id"] % 4 != 3:
             assert "[" in red, red
+
+
+def test_decontam_gram_paths_agree(spark):
+    """The compiled NGram kernel the operator runs (operators/
+    decontam.py::_gram_sets) and the pure-expression word_ngrams HOF
+    must produce identical distinct-gram sets -- including the
+    short-doc guard (docs with < n words yield [] on both paths)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.decontam import (
+        _gram_sets,
+        word_ngrams,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "one two"),  # shorter than n=3 -> []
+        (2, "a a a a a"),  # duplicate grams collapse
+        (3, "  padded   spaces   collapse  "),
+        (4, "exactly three words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        r["doc_id"]: sorted(r["grams"])
+        for r in _gram_sets(df, "doc_id", "text", 3, n_parts=2).collect()
+    }
+    hof = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert fast == hof
+    assert fast[1] == []
+    assert fast[2] == ["a a a"]
+    assert fast[4] == ["exactly three words"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Planted contamination: a train doc sharing a full sentence with
+    an eval doc must be flagged with the right counts; a disjoint doc
+    must not appear."""
+    from utc_cuip_kafka_aws_connector_spark.operators.decontam import ngram_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta suffix words"),
+            (2, "completely different content here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(train, eval_df, n=3).collect()}
+    assert 2 not in out
+    r = out[1]
+    # "alpha beta gamma" and "beta gamma delta" are the shared 3-grams
+    assert r["n_contaminated"] == 2
+    assert r["n_eval_docs"] == 1
+    assert abs(r["contamination"] - 2 / r["n_ngrams"]) < 1e-12
