@@ -333,3 +333,47 @@ def test_streaming_into_transaction_log(spark, tmp_path):
     assert read_snapshot(spark, table).count() == 100
     run("ckpt_b")  # fresh checkpoint = full replay of epoch 0
     assert read_snapshot(spark, table).count() == 100  # still exactly once
+
+
+def test_streaming_ops_accept_ntz_event_time(spark, tmp_path):
+    """Round-4 regression armor: an upstream source that surfaces the
+    event-time column as TIMESTAMP_NTZ (what Spark 4 reads from naive
+    parquet timestamps) must not break any watermarked op -- the
+    shared _as_event_time boundary casts it. Feed an ntz-typed stream
+    straight into tumbling_window_agg and streaming_dedup and compare
+    against the batch equivalents on the cast frame."""
+    d = str(tmp_path / "ntz_events")
+    spark.sql(
+        """
+        SELECT id AS event_id,
+               CAST(timestamp_micros(1700000000000000 + id * 300000000)
+                    AS TIMESTAMP_NTZ) AS ts,
+               id % 7 AS user_id,
+               CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type
+        FROM range(500)
+        """
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    assert dict(batch.dtypes)["ts"] == "timestamp_ntz"  # precondition
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="10 minutes", keys=["event_type"])
+    got = run_stream(spark, agg, "ntz_tumbling_out", tmp_path, mode="complete")
+    cast_batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = (
+        cast_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    assert sorted(map(tuple, got.select("window_start", "event_type", "n").collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    dedup = streaming_dedup(
+        spark.readStream.schema(batch.schema).parquet(d),
+        ts_col="ts",
+        watermark="1 day",
+        keys=["user_id"],
+    )
+    got_d = run_stream(spark, dedup, "ntz_dedup_out", tmp_path)
+    assert got_d.count() == 7  # one survivor per user_id key
