@@ -3075,6 +3075,63 @@ def q100_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q97_budget_selection",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens,
+             least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+               + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text) * 0.3
+               + least(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\\s+')) * 4, 1.0) * 0.3 AS quality
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens, quality,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, lang, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 5000
+    """,
+)
+def q97_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture selection under a token budget: per language, take
+    documents best-quality-first (q42's score, doc_id tiebreak) until
+    the cumulative token count reaches the budget -- how a training
+    mix is actually filled when a source exceeds its allocation.
+
+    The running sum is a window PARTITIONED by lang (per-stratum
+    state, parallel across strata) -- never a global sort. At 100 TB
+    the per-stratum sort is the honest cost of greedy-by-quality
+    selection; where even that is too much, q82's stratified hash
+    sampling is the sort-free alternative (rate tuned to the budget).
+    Quality is integer-ratio math (bit-deterministic) and the
+    tiebreak is total, so the selected SET is engine-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
+
+    docs = quality_score(T(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+        "quality",
+    )
+    w = W.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3131,13 +3188,13 @@ _GATE_PRIORITY = [
     "q100_bucketed_join",
     "q95_stream_stream_join",
     "q96_cdc_incremental_agg",
+    "q97_budget_selection",
     "q98_token_shards",
     "q99_curation_pipeline",
     # --- round-4 greens refreshed this round (the rest of the r4
     #     window rests on its round-4 rows, 1 round old) ---
     "q11_multidim_agg",
     "q50_multimodal_features",
-    "q67_null_safe_join",
     "q73_nation_trade_volume",
     "q74_top_supplier",
     "q75_promo_share",
