@@ -2816,15 +2816,26 @@ def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "click_id", "view_id")
     name = f"q95_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{_IO_SCRATCH}/q95_ckpt_{name}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # State-partition sizing: a streaming join creates one state store
+    # per shuffle partition per side per micro-batch; for this
+    # replay's few thousand buffered rows, 32 partitions are pure
+    # overhead (measured 2.3x slower than 8). Production sizing
+    # follows key cardinality instead. Scoped: restored right after
+    # the query terminates (the count is read at stream start).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{_IO_SCRATCH}/q95_ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).localCheckpoint(eager=True)  # detach from the sink
     spark.catalog.dropTempView(name)
     shutil.rmtree(f"{_IO_SCRATCH}/q95_ckpt_{name}", ignore_errors=True)
