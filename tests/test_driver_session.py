@@ -24,3 +24,24 @@ def test_queries_survive_foreign_session(spark):
             compare(entry.builder(foreign, SF), run_duckdb(entry.oracle, SF), name)
     finally:
         pass
+
+
+SESSION_STATE_TOUCHING = [
+    # q95 scopes spark.sql.shuffle.partitions around its stream;
+    # q96 drives the txlog write path; q100 registers catalog tables
+    # via saveAsTable -- all must behave in a driver-owned session
+    # with foreign conf and leave that conf as they found it.
+    "q95_stream_stream_join",
+    "q96_cdc_incremental_agg",
+    "q100_bucketed_join",
+]
+
+
+def test_session_state_queries_survive_foreign_session(spark):
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    foreign.conf.set("spark.sql.shuffle.partitions", "200")
+    for name in SESSION_STATE_TOUCHING:
+        entry = CATALOG[name]
+        compare(entry.builder(foreign, SF), run_duckdb(entry.oracle, SF), name)
+        assert foreign.conf.get("spark.sql.shuffle.partitions") == "200", name
