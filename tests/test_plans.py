@@ -120,3 +120,37 @@ def test_q100_end_to_end_shuffle_free(spark):
     p = plan_of(spark, "q100_bucketed_join")
     assert "SortMergeJoin" in p, "q100 lost its sort-merge join"
     assert "Exchange" not in p, "q100 shuffles despite bucketing"
+
+
+def test_q94_broadcasts_eval_index(spark):
+    """Decontamination must join the corpus against a BROADCAST eval
+    index -- shuffling the train side on gram would move the whole
+    exploded corpus."""
+    p = plan_of(spark, "q94_decontamination")
+    assert "BroadcastHashJoin" in p, "eval index not broadcast"
+    assert "SortMergeJoin" not in p, "train side shuffled on gram"
+
+
+def test_q97_window_is_partitioned(spark):
+    """Budget selection sorts per-stratum, never globally: the window
+    spec must partition by lang (windowspecdefinition(lang, ...)), and
+    the pre-window exchange must be a hashpartitioning on lang -- not
+    a SinglePartition collapse, which would serialize the corpus
+    through one task."""
+    p = plan_of(spark, "q97_budget_selection")
+    assert "Window" in p
+    import re
+
+    assert re.search(r"windowspecdefinition\(lang#\d+,", p), "window not partitioned by lang"
+    assert re.search(r"hashpartitioning\(lang#\d+", p), "no hash partitioning on lang"
+    assert "SinglePartition" not in p
+
+
+def test_q98_no_global_row_window(spark):
+    """The shard assigner's windows run over doc_id buckets (row data)
+    and over the tiny bucket-totals frame -- the ROW-data cumsum must
+    be partitioned by bucket, and the row side must reach the final
+    projection via a broadcast of the offsets, not a shuffle of rows."""
+    p = plan_of(spark, "q98_token_shards")
+    assert "BroadcastHashJoin" in p, "offsets not broadcast back"
+    assert "partitionBy=[bucket" in p.replace("#", "").replace("L", "") or "bucket" in p
