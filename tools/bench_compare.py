@@ -27,7 +27,17 @@ def load_timings(path: str) -> dict[str, float]:
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
-        return {k: float(v) for k, v in doc["queries"].items()}
+        # numeric timings only; {"err": ...} entries (bench.py's
+        # per-query failure isolation) are reported, not compared
+        out, errs = {}, []
+        for k, v in doc["queries"].items():
+            if isinstance(v, (int, float)):
+                out[k] = float(v)
+            else:
+                errs.append(k)
+        if errs:
+            print(f"{path}: {len(errs)} errored queries excluded: {', '.join(sorted(errs))}")
+        return out
     if "tail" in doc:
         # Driver envelope: the tail is a fragment of the bench JSON
         # line; recover whatever per-query pairs survived truncation.
