@@ -206,3 +206,36 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "optimized" in out and "vacuumed" in out and "[checkpoint]" in out
     assert read_snapshot(spark, t).count() == 40
+
+
+def test_cli_curate_matches_catalog_pipeline(spark, tmp_path, capsys):
+    """`curate` runs the q99 pipeline over an arbitrary parquet input;
+    with the same thresholds/rates the surviving doc_id set must equal
+    q99's catalog result exactly."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
+
+    out_dir = str(tmp_path / "curated")
+    rc = cli.main(
+        [
+            "curate",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            out_dir,
+            "--keep-rates",
+            "en=1.0,de=0.5",
+            "--default-rate",
+            "0.2",
+        ]
+    )
+    assert rc == 0
+    assert "survived" in capsys.readouterr().out
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in CATALOG["q99_curation_pipeline"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and got

@@ -225,6 +225,45 @@ def run_stream(
     query.awaitTermination()
 
 
+def run_curate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_quality: float = 0.5,
+    keep_rates: str = "en=1.0",
+    default_rate: float = 0.2,
+) -> dict:
+    """LLM-corpus curation as one command (the q99 pipeline over
+    arbitrary input): quality gate -> exact dedup (keep lowest id per
+    content hash) -> language-stratified mixture sampling -> parquet
+    survivors. Returns {read, survived} row counts. Every stage is a
+    scan-local filter or a partial-agg groupBy (see
+    plans/catalog.py::q99_curation_pipeline for the plan contract)."""
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import stratified_sample
+    from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(input_path)
+    n_read = docs.count()
+    qual = quality_score(docs, text_col=text_col).filter(F.col("quality") >= min_quality)
+    keep = exact_dedup(qual, id_col=id_col, text_col=text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    surv = qual.join(keep, id_col, "left_semi")
+    rates = {}
+    for part in keep_rates.split(","):
+        k, _, v = part.partition("=")
+        rates[k.strip()] = float(v)
+    out = stratified_sample(surv, id_col, lang_col, rates, default_rate=default_rate)
+    out.write.mode("overwrite").parquet(output_path)
+    return {"read": n_read, "survived": spark.read.parquet(output_path).count()}
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
     parser.add_argument(
@@ -271,6 +310,22 @@ def main(argv: list[str] | None = None) -> int:
         "layout preserved) or the transaction-log table (atomic manifest "
         "commits, snapshot reads, time travel)",
     )
+
+    curate = sub.add_parser(
+        "curate", help="LLM-corpus curation: quality gate -> dedup -> mixture sample"
+    )
+    curate.add_argument("--input", required=True, help="documents parquet path")
+    curate.add_argument("--output", required=True, help="survivors parquet path")
+    curate.add_argument("--id-col", default="doc_id")
+    curate.add_argument("--text-col", default="text")
+    curate.add_argument("--lang-col", default="lang")
+    curate.add_argument("--min-quality", type=float, default=0.5)
+    curate.add_argument(
+        "--keep-rates",
+        default="en=1.0",
+        help="per-language keep rates, e.g. 'en=1.0,de=0.5'",
+    )
+    curate.add_argument("--default-rate", type=float, default=0.2)
 
     compact = sub.add_parser(
         "compact",
@@ -376,6 +431,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 1
         print(f"optimized {args.path} -> v{v}")
+    elif args.cmd == "curate":
+        stats = run_curate(
+            spark,
+            args.input,
+            args.output,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            min_quality=args.min_quality,
+            keep_rates=args.keep_rates,
+            default_rate=args.default_rate,
+        )
+        print(
+            f"curated {args.input}: {stats['read']} read -> "
+            f"{stats['survived']} survived, output={args.output}"
+        )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
