@@ -305,3 +305,53 @@ def test_sketch_batch_matches_single_doc_spec(spark):
         assert got[i][0] == want_sh, i
         assert got[i][1] == want_sim, i
     assert got[0] == got[4]  # identical docs -> identical sketches
+
+
+def test_decontaminate_matches_python_reference(spark):
+    """Randomized differential check: the distributed decontamination
+    must equal a direct Python set-algebra reference on an arbitrary
+    corpus (seeded RNG -- deterministic, but exercises many doc
+    shapes: empty, short, duplicate-heavy, disjoint)."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.decontam import ngram_decontaminate
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(120)
+    ]
+    n = 3
+
+    def grams(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    train = [(i, t) for i, t in docs if i % 5 != 0]
+    ev = [(i, t) for i, t in docs if i % 5 == 0]
+    eval_grams = {}
+    for i, t in ev:
+        for g in grams(t):
+            eval_grams.setdefault(g, set()).add(i)
+    expected = {}
+    for i, t in train:
+        gs = grams(t)
+        hit = {g for g in gs if g in eval_grams}
+        if hit:
+            edocs = set().union(*(eval_grams[g] for g in hit))
+            expected[i] = (len(gs), len(hit), len(hit) / len(gs), len(edocs))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_decontaminate(
+        df.filter("doc_id % 5 != 0"), df.filter("doc_id % 5 = 0"), n=n, n_parts=4
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination"], r["n_eval_docs"])
+        for r in out.collect()
+    }
+    assert set(got) == set(expected)
+    for i, (n_g, n_c, frac, n_e) in expected.items():
+        gn, gc, gf, ge = got[i]
+        assert (gn, gc, ge) == (n_g, n_c, n_e), i
+        assert abs(gf - frac) < 1e-12, i
