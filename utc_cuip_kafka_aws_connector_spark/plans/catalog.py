@@ -3143,6 +3143,56 @@ def q97_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q101_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, d.n_user_events
+    FROM events e JOIN (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+      FROM events GROUP BY user_id) d USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.user_id % 10 = 0
+    """,
+)
+def q101_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join -- the most common production
+    streaming join (q95 covers stream-stream): replayed purchase
+    events joined per micro-batch against a STATIC per-user profile
+    (computed batch-side, explicitly broadcast). Stream-static inner
+    joins are STATELESS -- no watermark, no state store, the static
+    side is just a broadcast build inside every micro-batch plan --
+    so at 100 TB/day the cost is the stream scan plus one broadcast,
+    and the result is value-exact against the batch join oracle."""
+    import shutil
+    import uuid
+
+    ev = T(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_user_events"))
+    path = _replayed_events_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0))
+        .select("event_id", "user_id")
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "n_user_events"
+    )
+    name = f"q101_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{_IO_SCRATCH}/q101_ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(f"{_IO_SCRATCH}/q101_ckpt_{name}", ignore_errors=True)
+    return out
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3198,6 +3248,7 @@ _GATE_PRIORITY = [
     "q94_decontamination",
     "q100_bucketed_join",
     "q95_stream_stream_join",
+    "q101_stream_static_join",
     "q96_cdc_incremental_agg",
     "q97_budget_selection",
     "q98_token_shards",
@@ -3206,7 +3257,6 @@ _GATE_PRIORITY = [
     #     window rests on its round-4 rows, 1 round old) ---
     "q11_multidim_agg",
     "q50_multimodal_features",
-    "q73_nation_trade_volume",
     "q74_top_supplier",
     "q75_promo_share",
     "q77_explode_dimension_stats",
