@@ -1027,12 +1027,27 @@ _IO_SCRATCH = "/tmp/spark_graft_io"
 
 def _replayed_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Re-materialize the events table as parquet scratch for file
-    -stream replay (q60, q95). Skipped when a complete copy from a
-    previous run of the SAME sf_dir already exists -- harness setup,
-    not query work."""
+    -stream replay (q60, q95, q101). Skipped when a complete copy
+    from a previous run of the SAME source data already exists --
+    harness setup, not query work. The scratch tag is keyed on the
+    source's identity (mtime + size of every part file), not just
+    the sf_dir path, so a regenerated testdata directory (same path,
+    new files) can never serve a stale replay copy to the stream
+    side while the batch side and the DuckDB oracle read the new
+    files."""
+    import hashlib
     import os
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(sf_dir, "events.parquet")
+    sig = hashlib.sha256()
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            sig.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{sig.hexdigest()[:12]}"
     path = f"{_IO_SCRATCH}/q60_events_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
@@ -1660,7 +1675,9 @@ def q60_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("q60 stream did not drain within 120s; refusing partial sink")
     result = spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -2765,15 +2782,14 @@ def q94_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
     FROM events c JOIN events v
       ON c.user_id = v.user_id
-     AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
     WHERE c.event_type = 'click' AND v.event_type = 'view'
-      AND c.user_id % 25 = 0
     """,
 )
 def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (the one streaming operator family
     q60-q65 didn't cover): clicks joined to the views that preceded
-    them by <= 10 minutes for the same user, both sides file-replayed
+    them by <= 6 hours for the same user, both sides file-replayed
     as real streams with per-side watermarks, appended to a memory
     sink under Trigger.AvailableNow, and checked value-exact against
     the batch self-join oracle.
@@ -2792,8 +2808,7 @@ def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events")
     path = _replayed_events_path(spark, sf_dir)
-    stream = spark.readStream.schema(ev.schema).parquet(path)
-    base = stream.filter(F.col("user_id") % 25 == 0)
+    base = spark.readStream.schema(ev.schema).parquet(path)
     clicks = (
         base.filter(F.col("event_type") == "click")
         .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
@@ -2811,7 +2826,7 @@ def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = clicks.join(
         views,
         (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
         & (F.col("view_ts") <= F.col("click_ts")),
         "inner",
     ).select("user_id", "click_id", "view_id")
@@ -2833,7 +2848,9 @@ def q95_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("q95 stream did not drain within 180s; refusing partial sink")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).localCheckpoint(eager=True)  # detach from the sink
@@ -3186,7 +3203,9 @@ def q101_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("q101 stream did not drain within 120s; refusing partial sink")
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(f"{_IO_SCRATCH}/q101_ckpt_{name}", ignore_errors=True)
