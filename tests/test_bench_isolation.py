@@ -39,11 +39,24 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
 
     bench.main()
 
+    # The LAST stdout line is the compact driver-facing summary and
+    # must fit the driver's ~2 KiB stdout tail on its own.
     out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(out) <= 1900
     payload = json.loads(out)
     q = payload["queries"]
     assert isinstance(q["q23_predicates"], float)
     assert isinstance(q["q13_having"], float)
-    assert "deliberately broken builder" in q["q_broken"]["err"]
     assert payload["errors"] == 1
+    assert payload["partial"] is True  # totals over survivors only
     assert payload["value"] > 0
+    assert payload["n_queries"] == 3  # 2 healthy + pipeline_ingest
+
+    # The complete per-query envelope (timings + err entries) lands
+    # in bench_full.json next to bench.py.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), "bench_full.json")
+    with open(full_path) as fh:
+        full = json.load(fh)
+    assert "deliberately broken builder" in full["queries"]["q_broken"]["err"]
+    assert isinstance(full["queries"]["q23_predicates"], float)
+    assert full["partial"] is True
