@@ -377,3 +377,117 @@ def test_streaming_ops_accept_ntz_event_time(spark, tmp_path):
     )
     got_d = run_stream(spark, dedup, "ntz_dedup_out", tmp_path)
     assert got_d.count() == 7  # one survivor per user_id key
+
+
+def test_stream_stream_join_state_eviction(spark, tmp_path):
+    """The property that makes a stream-stream join 100 TB-viable is
+    state EVICTION: with a tight watermark plus a time-bound join
+    condition, both sides' buffers are bounded by (watermark + join
+    window), not by stream length. q95 replays with a deliberately
+    replay-wide watermark (exactness), so this test is the only place
+    the eviction path actually executes. Four parquet files replayed
+    as four micro-batches (maxFilesPerTrigger=1):
+
+      b1: 10 users, click@+5s / view@00:01 each  -> 10 pairs, 20 state rows
+      b2: user 1 click@03:00 / view@02:55        -> 1 pair; watermark
+          after this batch advances to 02:45 (min over both sides)
+      b3: user 3 click@03:05 / view@03:01        -> 1 pair; b1's 20
+          state rows are evicted at the END of this batch
+      b4: user 2 LATE view@00:02                 -> joins NOTHING:
+          user 2's click was evicted in b3
+
+    Note the ordering matters: Spark's symmetric hash join does NOT
+    pre-filter late input rows against the watermark -- a late row
+    still joins any state that survived (observed: a late view in
+    the same batch as the eviction still pairs). The guarantee that
+    bounds 100 TB state is that once the watermark passes, state IS
+    removed and late data can no longer resurrect it -- which is
+    what b4 proves.
+
+    Asserts (a) exactly the 12 on-time pairs come out and the late
+    view joins nothing, (b) stateOperators numRowsTotal SHRINKS after
+    the watermark jump, (c) the store reports the removals."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    watch = tmp_path / "join_feed"
+    watch.mkdir()
+
+    def write_batch(name, rows):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows, "user_id long, kind string, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        _shutil.copy(part, watch / f"{name}.parquet")
+        _time.sleep(1.1)  # distinct mtimes: file source replays oldest-first
+
+    t = lambda h, m, s=0: datetime(2024, 1, 1, h, m, s)
+    b1 = []
+    for u in range(1, 11):
+        b1.append((u, "click", 100 + u, t(0, 5, u)))
+        b1.append((u, "view", 200 + u, t(0, 1)))
+    write_batch("b1", b1)
+    write_batch("b2", [(1, "click", 300, t(3, 0)), (1, "view", 301, t(2, 55))])
+    write_batch("b3", [(3, "click", 401, t(3, 5)), (3, "view", 402, t(3, 1))])
+    write_batch("b4", [(2, "view", 400, t(0, 2))])  # late: state already evicted
+
+    schema = "user_id long, kind string, event_id long, ts timestamp"
+    base = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    clicks = (
+        base.filter(F.col("kind") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        base.filter(F.col("kind") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("user_id", "click_id", "view_id")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("evict_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    out = {tuple(r) for r in spark.table("evict_out").collect()}
+    expected = {(u, 100 + u, 200 + u) for u in range(1, 11)} | {(1, 300, 301), (3, 401, 402)}
+    assert out == expected  # 12 on-time pairs, nothing from the late view
+    assert not any(r[2] == 400 for r in out)  # the late view joined nothing
+
+    progresses = [
+        p if isinstance(p, dict) else _json.loads(p.json) for p in q.recentProgress
+    ]
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in progresses for op in p.get("stateOperators", [])
+    )
+    assert max(totals) >= 20  # b1's buffers were really held
+    assert totals[-1] < max(totals)  # ...and evicted after the watermark jump
+    assert removed >= 20  # the store itself reports the removals
