@@ -290,3 +290,31 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert r["n_contaminated"] == 2
     assert r["n_eval_docs"] == 1
     assert abs(r["contamination"] - 2 / r["n_ngrams"]) < 1e-12
+
+
+def test_connected_components_chain_convergence_and_nonconvergence(spark):
+    """Adversarial long-chain graph (path 0-1-2-...-n): the worst case
+    for label propagation. With pointer jumping the min label crosses
+    ~2^k hops after k rounds, so a 400-node chain converges well
+    within the default max_iter=25 -- and with max_iter=2 it CANNOT,
+    which must raise (round-5 finding: exhaustion used to return
+    silently-partial labels that under-merge dedup clusters)."""
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import connected_components
+
+    n = 400
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+
+    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(n)}  # one component, min label 0
+
+    with _pytest.raises(RuntimeError, match="did not converge in max_iter=2"):
+        connected_components(chain, max_iter=2)
+
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(chain, max_iter=2, on_nonconvergence="warn")
+        labels = {r["component"] for r in partial.collect()}
+        assert len(labels) > 1  # visibly partial, but surfaced loudly

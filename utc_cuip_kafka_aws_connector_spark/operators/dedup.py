@@ -287,6 +287,7 @@ def connected_components(
     max_iter: int = 25,
     reliable_checkpoint: bool = False,
     checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Connected components of an undirected pair graph: returns
     (node, component) where ``component`` is the minimum node id
@@ -319,7 +320,18 @@ def connected_components(
     to call ``setCheckpointDir`` first): rounds then persist to the
     fault-tolerant checkpoint directory (HDFS/S3) and survive
     executor loss, at the cost of a filesystem write per round.
+
+    Non-convergence is NEVER silent: if ``max_iter`` rounds exhaust
+    while labels are still changing (an adversarially long chain --
+    pointer jumping converges in O(log diameter), so 25 rounds cover
+    any graph with diameter < ~2^25, but a pathological input or a
+    too-small ``max_iter`` can still run out), the default
+    ``on_nonconvergence="raise"`` aborts with the round count; pass
+    ``"warn"`` to get the partial labels with a loud log instead
+    (downstream dedup would silently under-merge clusters otherwise).
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError(f"on_nonconvergence must be 'raise' or 'warn', got {on_nonconvergence!r}")
     sc = edges.sparkSession.sparkContext
     if reliable_checkpoint:
         if checkpoint_dir is not None:
@@ -402,6 +414,20 @@ def connected_components(
         labels, labels_blocks = jumped.drop("old_comp"), jumped_blocks
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} rounds; "
+            "labels are PARTIAL (some components carry more than one label). "
+            "Raise max_iter (each round doubles the compressed-path reach) or pass "
+            "on_nonconvergence='warn' to accept partial labels."
+        )
+        if on_nonconvergence == "raise":
+            for blk in e_blocks + labels_blocks:
+                blk.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # The final labels are checkpointed (independent of the edge
     # materialization), so the edge blocks can be freed too.
     for blk in e_blocks:
