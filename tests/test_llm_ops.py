@@ -355,3 +355,64 @@ def test_decontaminate_matches_python_reference(spark):
         gn, gc, gf, ge = got[i]
         assert (gn, gc, ge) == (n_g, n_c, n_e), i
         assert abs(gf - frac) < 1e-12, i
+
+
+def test_decode_image_native_ppm_bmp():
+    """The decode path executes in THIS codec-free image: pure-Python
+    parsers for PPM (P6 binary, P3 ascii with comments) and BMP."""
+    import struct
+
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import decode_image
+
+    p6 = b"P6\n# a comment\n4 3\n255\n" + bytes(4 * 3 * 3)
+    assert decode_image(p6) == {"width": 4, "height": 3, "mode": "RGB"}
+
+    p3 = b"P3\n2 2\n255\n" + b" ".join(b"0" for _ in range(12))
+    assert decode_image(p3) == {"width": 2, "height": 2, "mode": "RGB"}
+
+    # minimal 24bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    row = 3 * 5  # 5 px, 24bpp (row padding irrelevant to the header parse)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + row * 7, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 7, 1, 24, 0, row * 7, 0, 0, 0, 0)
+        + bytes(row * 7)
+    )
+    assert decode_image(bmp) == {"width": 5, "height": 7, "mode": "RGB"}
+    # top-down DIB (negative height) reports absolute height
+    bmp_td = bytearray(bmp)
+    bmp_td[22:26] = struct.pack("<i", -7)
+    assert decode_image(bytes(bmp_td))["height"] == 7
+
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_image(b"P6\n100 100\n255\n" + bytes(10))
+
+
+def test_extract_image_meta_distributed(spark):
+    """decode_image as a real Spark operator: mapInPandas over binary
+    payloads, corrupt blobs isolated per-row instead of failing the
+    partition."""
+    import struct
+
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import extract_image_meta
+
+    def ppm(w, h):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(w * h * 3)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + 12, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 12, 0, 0, 0, 0)
+        + bytes(12)
+    )
+    rows = [
+        (1, ppm(8, 6)),
+        (2, bmp),
+        (3, b"\x89PNG not decodable here"),
+        (4, b"P6\n9 9\n255\n" + bytes(3)),  # truncated raster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_image_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (8, 6, "RGB")
+    assert (got[2]["width"], got[2]["height"]) == (2, 2)
+    assert got[1]["err"] is None and got[2]["err"] is None
+    assert got[3]["width"] is None and "NotImplementedError" in got[3]["err"]
+    assert "truncated" in got[4]["err"]

@@ -10,7 +10,9 @@ from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
 )
 from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
     attach_binary_payload,
+    decode_image,
     extract_byte_features,
+    extract_image_meta,
 )
 from utc_cuip_kafka_aws_connector_spark.operators.ranges import interval_join
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
@@ -45,5 +47,7 @@ __all__ = [
     "token_count",
     "fingerprint",
     "attach_binary_payload",
+    "decode_image",
     "extract_byte_features",
+    "extract_image_meta",
 ]

@@ -3212,6 +3212,44 @@ def q101_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q102_image_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+           'RGB' AS mode
+    FROM documents
+    """,
+)
+def q102_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal DECODE path executed end-to-end (q50 covers the
+    byte-feature path; the decode stage was environment-stubbed until
+    the pure-Python PPM/BMP parsers landed in operators/multimodal.py):
+    a PPM P6 payload is synthesized per document entirely with JVM-side
+    expressions -- header from a closed form of doc_id, zero raster
+    sized w*h*3 -- then decoded by extract_image_meta (mapInPandas,
+    per-row error isolation), and the recovered (width, height, mode)
+    must equal the closed form the oracle computes directly. Round
+    -trips binary encode -> Arrow transfer -> real header parse."""
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import extract_image_meta
+
+    docs = T(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 37 + 1).cast("int")
+    h = (F.col("doc_id") % 23 + 1).cast("int")
+    payload = F.encode(
+        F.concat(
+            F.format_string("P6\n%d %d\n255\n", w, h),
+            F.repeat(F.lit("\x00"), w * h * 3),
+        ),
+        "UTF-8",
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    # A decode failure surfaces as a NULL width/height row, which the
+    # value-hash oracle flags -- no second verification pass needed.
+    return extract_image_meta(imgs).select("doc_id", "width", "height", "mode")
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3224,65 +3262,65 @@ def q101_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _GATE_PRIORITY = [
-    # --- NTZ-loader fix (sources/batch.py) changed behavior of every
-    #     events-reading query this round: the 6 that were red in r4
-    #     plus the other events readers, all forced in for driver
-    #     re-attestation ---
-    "q08_interval_join",
-    "q09_asof_join",
-    "q17_lag_lead",
-    "q32_epoch_roundtrip",
+    # --- round-6 rotation: every query whose last green row is from
+    #     round 4 (2 rounds old at r6 -- the freshness invariant "no
+    #     green row older than 2 rounds" would break at r7) gets a
+    #     fresh driver attestation this round ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q13_having",
+    "q14_distinct_months",
+    "q18_rank_ntile",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q24_conditional_tiers",
+    "q25_null_filter",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q56_correlated_subquery",
+    "q57_sql_cte_top_orders",
+    "q58_approx_aggs",
+    "q61_python_udfs",
+    "q64_udtf_word_split",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q82_sampling",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    # --- changed this round (fingerprint drift => re-attest):
+    #     q95 de-vacuated oracle + 6h window; q60/q101 timeout guard;
+    #     q80/q81 connected_components non-convergence contract ---
+    "q95_stream_stream_join",
     "q60_streaming_tumbling",
-    "q65_sessionize",
-    "q31_map_funcs",
-    "q33_calendar_month_agg",
-    "q63_grouped_map",
-    "q71_time_windows",
-    # --- resting on round-3 evidence (oldest attestations; rotation
-    #     goal: no green row older than 2 rounds) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q10_count_distinct",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q30_json_funcs",
-    "q34_file_scans",
-    "q36_partitioned_sink",
+    "q101_stream_static_join",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q47_simhash",
+    "q51_ngram_jaccard_pairs",
+    # --- new this round (never attested) ---
+    "q102_image_decode",
+    # --- fill: r5-attested core queries re-confirmed a round early ---
     "q40_exact_dedup",
     "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q51_ngram_jaccard_pairs",
-    "q52_pivot_unpivot",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    # --- new this round (never attested) ---
+    "q50_multimodal_features",
+    "q92_txlog_skipping",
+    "q93_change_feed",
     "q94_decontamination",
-    "q100_bucketed_join",
-    "q95_stream_stream_join",
-    "q101_stream_static_join",
     "q96_cdc_incremental_agg",
     "q97_budget_selection",
     "q98_token_shards",
     "q99_curation_pipeline",
-    # --- round-4 greens refreshed this round (the rest of the r4
-    #     window rests on its round-4 rows, 1 round old) ---
-    "q11_multidim_agg",
-    "q50_multimodal_features",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q78_near_dup_pairs_exact",
-    "q79_ivf_ann_topk",
-    "q92_txlog_skipping",
-    "q93_change_feed",
+    "q100_bucketed_join",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
