@@ -182,18 +182,22 @@ def test_decode_image_lights_up_with_pil():
     assert (meta["width"], meta["height"], meta["mode"]) == (4, 3, "RGB")
 
 
-def test_ivf_topk_recall_and_pruning(spark, embeddings_np):
+@pytest.mark.parametrize("centroid_source", ["hash_spread", "kmeans"])
+def test_ivf_topk_recall_and_pruning(spark, embeddings_np, centroid_source):
     """IVF ANN: (a) a planted duplicate vector must be found as its
     query's top hit (same vector -> same bucket -> recall 1); (b) probed
     candidates cover only nprobe/n_centroids of the corpus; (c) top-k
-    overlap with numpy brute force within probed buckets is exact."""
+    overlap with numpy brute force within probed buckets is exact.
+    Runs under BOTH centroid sources: the hash-spread sample and the
+    distributed k-means|| build (pyspark.ml KMeans)."""
     from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
 
     ids, mat = embeddings_np
     emb = load_table(spark, SF, "embeddings")
     queries = [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(3)]
 
-    got = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    got = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4,
+                   centroid_source=centroid_source)
     rows = got.collect()
     by_q = {}
     for r in rows:
@@ -205,13 +209,20 @@ def test_ivf_topk_recall_and_pruning(spark, embeddings_np):
     assert all(len(h) <= 5 for h in by_q.values())
 
 
-def test_ivf_topk_skewed_corpus_recall(spark):
+@pytest.mark.parametrize("centroid_source,n_centroids", [("hash_spread", 8), ("kmeans", 4)])
+def test_ivf_topk_skewed_corpus_recall(spark, centroid_source, n_centroids):
     """Regression for degenerate coarse quantizers: a corpus whose ids
     are SORTED BY CLUSTER must still give full neighbor recall. With
     first-N-rows centroids every centroid would come from cluster 0;
-    the hash-spread sample draws centroids across all clusters, so a
+    the hash-spread sample draws centroids across all clusters (and
+    k-means|| converges one-plus centers onto each cluster), so a
     query's nprobe buckets contain its whole cluster and IVF top-k
-    equals brute-force top-k."""
+    equals brute-force top-k -- asserted under BOTH centroid sources.
+    k-means|| runs at k=4 (one centroid per true cluster: with k=8 it
+    splits clusters into sub-buckets and a fixed nprobe=2 can miss a
+    neighbor in a third sub-bucket -- correct IVF behavior, nprobe
+    must scale with centroids-per-cluster); hash-spread keeps k=8.
+    """
     from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_topk
 
     rng = np.random.RandomState(7)
@@ -226,7 +237,8 @@ def test_ivf_topk_skewed_corpus_recall(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = [(i, rows[i][1]) for i in (0, 60, 120, 180)]  # one per cluster
 
-    got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+    got = ivf_topk(emb, queries, k=3, n_centroids=n_centroids, nprobe=2,
+                   centroid_source=centroid_source)
     by_q = {}
     for r in got.collect():
         by_q.setdefault(r["query_id"], []).append((r["cos_sim"], r["vec_id"]))

@@ -17,6 +17,8 @@ from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
 from utc_cuip_kafka_aws_connector_spark.operators.ranges import interval_join
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
     lsh_ann_pairs,
     lsh_buckets,
 )
@@ -39,6 +41,8 @@ __all__ = [
     "simhash",
     "sketch_documents",
     "cosine_topk",
+    "ivf_topk",
+    "kmeans_centroids",
     "lsh_ann_pairs",
     "lsh_buckets",
     "text_stats",

@@ -3307,16 +3307,19 @@ _GATE_PRIORITY = [
     "q81_embedding_dedup",
     "q47_simhash",
     "q51_ngram_jaccard_pairs",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q79_ivf_ann_topk",
     # --- new this round (never attested) ---
     "q102_image_decode",
-    # --- fill: r5-attested core queries re-confirmed a round early ---
+    # --- fill: r5-attested core queries re-confirmed a round early
+    #     (the r5-attested queries left out -- q01, q02, q92-q94,
+    #     q96-q101 among others -- rest on 1-round-old evidence and
+    #     rotate back in r7) ---
     "q40_exact_dedup",
     "q46_minhash_lsh_pairs",
     "q50_multimodal_features",
-    "q92_txlog_skipping",
-    "q93_change_feed",
     "q94_decontamination",
-    "q96_cdc_incremental_agg",
     "q97_budget_selection",
     "q98_token_shards",
     "q99_curation_pipeline",
