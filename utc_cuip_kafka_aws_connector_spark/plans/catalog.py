@@ -3250,6 +3250,58 @@ def q102_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_meta(imgs).select("doc_id", "width", "height", "mode")
 
 
+@query(
+    "q103_near_dup_full_table",
+    oracle="""
+    SELECT CAST(10000000 + doc_id AS BIGINT) AS doc_a,
+           CAST(20000000 + doc_id AS BIGINT) AS doc_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q103_near_dup_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection exercised at the gate's FULL table size
+    (q46/q51/q78 bound ids to small sets so their brute-force oracles
+    stay tractable; this entry scales with sf). Planted-duplicate
+    closed-form oracle in q79's style: for every doc_id % 3 == 0, two
+    bit-identical copies of the document are planted at ids 10M+id
+    and 20M+id with every token suffixed "#<id>" -- the per-original
+    marker makes each planted pair's shingle space DISJOINT from all
+    organic text and from every other planted pair, so the pairs
+    among planted ids are exactly {(10M+id, 20M+id, J=1.0)} no matter
+    what the organic corpus contains. MinHash-LSH sketching and band
+    bucketing still run over the full corpus (identical sets collide
+    in every band, so LSH recall on the planted pairs is structurally
+    1 -- any miss is a real pipeline bug), and the oracle checks
+    routing, banding, candidate join, and exact-Jaccard verification
+    value-for-value at full scale."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    marked = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.lower(F.col("text")), " "),
+                lambda tok: F.concat(tok, F.lit("#"), F.col("doc_id").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text")
+    for off in (10_000_000, 20_000_000):
+        corpus = corpus.unionByName(
+            marked.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    pairs = minhash_lsh_pairs(corpus, "doc_id", jaccard_threshold=0.9)
+    # Planted ids sit above every organic id and share no shingles
+    # with organic text, so doc_a >= 10M <=> both ends planted; the
+    # closed form needs no knowledge of the organic pair set.
+    return pairs.filter(F.col("doc_a") >= 10_000_000).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3312,6 +3364,7 @@ _GATE_PRIORITY = [
     "q79_ivf_ann_topk",
     # --- new this round (never attested) ---
     "q102_image_decode",
+    "q103_near_dup_full_table",
     # --- fill: r5-attested core queries re-confirmed a round early
     #     (the r5-attested queries left out -- q01, q02, q92-q94,
     #     q96-q101 among others -- rest on 1-round-old evidence and
@@ -3319,7 +3372,6 @@ _GATE_PRIORITY = [
     "q40_exact_dedup",
     "q46_minhash_lsh_pairs",
     "q50_multimodal_features",
-    "q94_decontamination",
     "q97_budget_selection",
     "q98_token_shards",
     "q99_curation_pipeline",
