@@ -135,6 +135,28 @@ def main() -> None:
         errors["pipeline_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"  pipeline_ingest FAILED: {errors['pipeline_ingest']}", file=sys.stderr, flush=True)
 
+    # The composed curation pipeline (CLI `curate`: quality gate ->
+    # exact dedup -> stratified mixture -> parquet survivors) timed
+    # end-to-end including the sink -- the whole-pipeline workload the
+    # reference schedules via CRON, at the bench scale factor.
+    try:
+        from utc_cuip_kafka_aws_connector_spark.cli import run_curate
+
+        drop_all_blocks()
+        t0 = time.perf_counter()
+        run_curate(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            "/tmp/spark_graft_io/bench_curate",
+            keep_rates="en=1.0,de=0.5",
+            default_rate=0.2,
+        )
+        timings["curate_pipeline"] = round(time.perf_counter() - t0, 4)
+        print(f"  curate_pipeline: {timings['curate_pipeline']}s", file=sys.stderr, flush=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["curate_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  curate_pipeline FAILED: {errors['curate_pipeline']}", file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

@@ -33,6 +33,10 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
         bench, "_bench_reference_pipeline", lambda spark, sf_dir: 0.0
     )
     monkeypatch.setattr(
+        "utc_cuip_kafka_aws_connector_spark.cli.run_curate",
+        lambda *a, **kw: {"read": 0, "survived": 0},
+    )
+    monkeypatch.setattr(
         "utc_cuip_kafka_aws_connector_spark.session.get_spark",
         lambda **kw: spark,
     )
@@ -50,7 +54,7 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
     assert payload["errors"] == 1
     assert payload["partial"] is True  # totals over survivors only
     assert payload["value"] > 0
-    assert payload["n_queries"] == 3  # 2 healthy + pipeline_ingest
+    assert payload["n_queries"] == 4  # 2 healthy + pipeline_ingest + curate_pipeline
 
     # The complete per-query envelope (timings + err entries) lands
     # in bench_full.json next to bench.py.

@@ -239,3 +239,39 @@ def test_cli_curate_matches_catalog_pipeline(spark, tmp_path, capsys):
         .collect()
     }
     assert got == want and got
+
+
+def test_cli_curate_sf01_end_to_end_golden(spark, tmp_path):
+    """Scale-stress the composed curation path (the reference's
+    whole-pipeline CRON expectation, README.md:35) at sf0.1 -- 5000
+    docs through quality gate -> exact dedup -> stratified mixture --
+    pinned to golden row count AND an order-insensitive content hash.
+    Everything in the pipeline is deterministic by design (content
+    -hash sampling, min-id dedup), so any drift in the survivor SET
+    or survivor TEXTS is a real regression, not noise."""
+    from pyspark.sql import functions as F
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    out_dir = str(tmp_path / "curated_sf01")
+    res = cli.run_curate(
+        spark,
+        "/root/testdata/sf0.1/documents.parquet",
+        out_dir,
+        keep_rates="en=1.0,de=0.5",
+        default_rate=0.2,
+    )
+    assert res == {"read": 5000, "survived": 2485}
+
+    df = spark.read.parquet(out_dir)
+    content_hash = (
+        df.select(
+            F.sha2(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.md5("text")), 256
+            ).alias("h")
+        )
+        .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256).alias("hh"))
+        .collect()[0]["hh"]
+    )
+    assert content_hash == "9a9bcadf3fd5cb9fd0de123d2e6c7447e1355cf80f8cff2c9a012165faf971aa"
+    assert df.agg(F.sum("doc_id")).collect()[0][0] == 6220929
