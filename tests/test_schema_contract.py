@@ -83,3 +83,37 @@ def test_no_ntz_anywhere(spark):
 def test_session_tz_pinned_utc(spark):
     load_table(spark, SF_DIR, "events")
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_footer_nanos_probe_handles_directory_datasets(tmp_path):
+    """pyarrow's read_schema raises on a directory-style parquet
+    dataset; the probe used to swallow that to False, which would
+    route a future multi-file NANOS events table onto the vectorized
+    read path (which then fails). Directories are probed via their
+    first part file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utc_cuip_kafka_aws_connector_spark.sources.batch import _footer_has_nanos
+
+    nanos = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))})
+    micros = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
+
+    d_nanos = tmp_path / "events_nanos.parquet"
+    d_nanos.mkdir()
+    pq.write_table(nanos, d_nanos / "part-00000.parquet")
+    pq.write_table(nanos, d_nanos / "part-00001.parquet")
+    assert _footer_has_nanos(str(d_nanos)) is True
+
+    d_micros = tmp_path / "events_micros.parquet"
+    d_micros.mkdir()
+    pq.write_table(micros, d_micros / "part-00000.parquet")
+    assert _footer_has_nanos(str(d_micros)) is False
+
+    f_nanos = tmp_path / "single_nanos.parquet"
+    pq.write_table(nanos, f_nanos)
+    assert _footer_has_nanos(str(f_nanos)) is True
+
+    assert _footer_has_nanos(str(tmp_path / "missing.parquet")) is False
+    (tmp_path / "empty_dir.parquet").mkdir()
+    assert _footer_has_nanos(str(tmp_path / "empty_dir.parquet")) is False

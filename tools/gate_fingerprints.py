@@ -87,6 +87,40 @@ def load_ledger() -> dict:
         return json.load(fh)
 
 
+def _verify_drift_is_algorithm_only(
+    drifted: list[str], ledger: dict, old_ref: str
+) -> list[str]:
+    """Load this tool as of ``old_ref`` from git and recompute every
+    drifted query's fingerprint under that OLD algorithm. Returns the
+    queries whose old-algorithm fingerprint does NOT equal the ledger
+    value -- i.e. whose drift is a genuine code change that --rekey
+    must not launder into a preserved attestation."""
+    import importlib.util
+    import subprocess
+    import tempfile
+
+    src = subprocess.check_output(
+        ["git", "show", f"{old_ref}:tools/gate_fingerprints.py"],
+        cwd=REPO,
+        text=True,
+    )
+    # The temp copy must live in tools/ so the old module's REPO
+    # (dirname(dirname(__file__))) resolves to this repo.
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".py", dir=os.path.join(REPO, "tools"), delete=False
+    ) as tf:
+        tf.write(src)
+        old_path = tf.name
+    try:
+        spec = importlib.util.spec_from_file_location("gate_fps_old", old_path)
+        old_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(old_mod)
+        old_fps = old_mod.current_fingerprints()
+    finally:
+        os.unlink(old_path)
+    return [n for n in drifted if old_fps.get(n) != ledger[n]["fp"]]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True, help="driver round now being prepared")
@@ -101,8 +135,16 @@ def main() -> int:
         action="store_true",
         help="the fingerprint ALGORITHM changed (not the code): update "
         "fp for drifted non-window queries but KEEP their prior "
-        "attested_round. Only valid immediately after verifying the "
-        "ledger was clean under the old algorithm.",
+        "attested_round. Verified, not trusted: each drifted query's "
+        "fingerprint is recomputed under the OLD algorithm (this tool "
+        "as of --old-ref) and must equal the ledger value -- a real "
+        "code change cannot launder itself into a kept attestation.",
+    )
+    ap.add_argument(
+        "--old-ref",
+        default="HEAD",
+        help="git ref holding the previous fingerprint algorithm for "
+        "--rekey verification (default HEAD: the last committed tool)",
     )
     args = ap.parse_args()
 
@@ -124,6 +166,16 @@ def main() -> int:
             f"revert): {drifted}"
         )
         return 1
+    if args.rekey and drifted:
+        bad = _verify_drift_is_algorithm_only(drifted, ledger, args.old_ref)
+        if bad:
+            print(
+                "ERROR: --rekey refused. Under the OLD algorithm "
+                f"({args.old_ref}) these queries do NOT match their ledger "
+                f"fingerprint, so their drift is a real code change, not an "
+                f"algorithm change: {bad}. Rotate them into the gate window."
+            )
+            return 1
     for name in CATALOG:
         if args.rekey and name in drifted and name not in window:
             ledger[name] = {"fp": fps[name], "attested_round": ledger[name]["attested_round"]}

@@ -41,10 +41,23 @@ def _ensure_utc_session(spark: SparkSession) -> None:
 def _footer_has_nanos(path: str) -> bool:
     """Probe the parquet footer for TIMESTAMP(NANOS) columns, which
     Spark's vectorized reader rejects without the nanosAsLong legacy
-    conf. Footer-only read -- no data touched."""
+    conf. Footer-only read -- no data touched. A directory-style
+    dataset (multi-file table) is probed via its first part file:
+    ``pq.read_schema`` raises on directories, and swallowing that to
+    False would silently route a future multi-file NANOS table onto
+    the vectorized-read path, which then fails."""
     try:
+        import os
+
         import pyarrow.parquet as pq
 
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return False
+            path = os.path.join(path, parts[0])
         schema = pq.read_schema(path)
         return any(str(f.type).startswith("timestamp[ns") for f in schema)
     except Exception:
