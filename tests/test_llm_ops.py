@@ -428,3 +428,77 @@ def test_extract_image_meta_distributed(spark):
     assert got[1]["err"] is None and got[2]["err"] is None
     assert got[3]["width"] is None and "NotImplementedError" in got[3]["err"]
     assert "truncated" in got[4]["err"]
+
+
+def test_decode_wav_and_video_frames_native():
+    """Audio/video decode paths execute in this codec-free image:
+    pure-Python RIFF chunk walk and PPM-stream frame iteration."""
+    import struct
+
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+        decode_wav,
+        iter_video_frames,
+    )
+
+    def wav(ch, sr, bits, n_frames):
+        ba = ch * bits // 8
+        data = bytes(n_frames * ba)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    m = decode_wav(wav(2, 44100, 16, 1000))
+    assert (m["channels"], m["sample_rate"], m["bits"], m["n_frames"]) == (2, 44100, 16, 1000)
+    assert abs(m["duration_s"] - 1000 / 44100) < 1e-12
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"\xff\xfbMP3 frames")  # compressed audio: codec absent
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+    frame = b"P6\n3 2\n255\n" + bytes(18)
+    frames = list(iter_video_frames(frame * 4))
+    assert frames == [(0, 3, 2), (1, 3, 2), (2, 3, 2), (3, 3, 2)]
+    with pytest.raises(ValueError, match="frame 1: truncated raster"):
+        list(iter_video_frames(frame + b"P6\n9 9\n255\n" + bytes(5)))
+    with pytest.raises(ValueError, match="expected P6 magic"):
+        list(iter_video_frames(frame + b"JUNK"))
+
+
+def test_audio_video_meta_distributed_error_isolation(spark):
+    """Corrupt audio/video blobs isolate per-row in mapInPandas (same
+    contract as extract_image_meta); stride validation rejects 0."""
+    import struct
+
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+        extract_audio_meta,
+        sample_video_frames,
+    )
+
+    ba = 2
+    good_wav = (
+        b"RIFF" + struct.pack("<I", 36 + 10 * ba) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * ba, ba, 16)
+        + b"data" + struct.pack("<I", 10 * ba) + bytes(10 * ba)
+    )
+    adf = spark.createDataFrame(
+        [(1, good_wav), (2, b"OggS compressed")], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in extract_audio_meta(adf).collect()}
+    assert (got[1]["sample_rate"], got[1]["n_frames"], got[1]["err"]) == (8000, 10, None)
+    assert got[2]["channels"] is None and "NotImplementedError" in got[2]["err"]
+
+    frame = b"P6\n2 2\n255\n" + bytes(12)
+    vdf = spark.createDataFrame(
+        [(1, frame * 5), (2, b"not a stream")], "doc_id long, payload binary"
+    )
+    rows = sample_video_frames(vdf, stride=2).collect()
+    ok = sorted((r["frame_idx"]) for r in rows if r["doc_id"] == 1)
+    assert ok == [0, 2, 4]
+    bad = [r for r in rows if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] is None and "ValueError" in bad[0]["err"]
+
+    with pytest.raises(ValueError, match="stride"):
+        sample_video_frames(vdf, stride=0)

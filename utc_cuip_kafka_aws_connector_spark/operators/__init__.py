@@ -11,8 +11,12 @@ from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
 from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image,
+    decode_wav,
+    extract_audio_meta,
     extract_byte_features,
     extract_image_meta,
+    iter_video_frames,
+    sample_video_frames,
 )
 from utc_cuip_kafka_aws_connector_spark.operators.ranges import interval_join
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
@@ -52,6 +56,10 @@ __all__ = [
     "fingerprint",
     "attach_binary_payload",
     "decode_image",
+    "decode_wav",
+    "extract_audio_meta",
     "extract_byte_features",
     "extract_image_meta",
+    "iter_video_frames",
+    "sample_video_frames",
 ]

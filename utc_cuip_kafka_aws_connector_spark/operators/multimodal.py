@@ -52,11 +52,12 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def _decode_ppm(b: bytes) -> dict:
-    """Netpbm PPM header parse (P6 binary / P3 ascii): magic, then
-    whitespace/comment-separated width, height, maxval. Validates the
-    P6 raster length so a truncated payload errors instead of lying."""
-    pos = 2
+def _parse_ppm_header(b: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse one PPM header starting at ``pos`` (magic already
+    validated by the caller): returns (width, height, maxval,
+    raster_start). Handles whitespace and # comments per the netpbm
+    spec."""
+    pos += 2  # past the P6/P3 magic
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -72,8 +73,16 @@ def _decode_ppm(b: bytes) -> dict:
             raise ValueError("malformed PPM header")
         fields.append(int(b[start:pos]))
     width, height, maxval = fields
+    return width, height, maxval, pos + 1  # single whitespace after maxval
+
+
+def _decode_ppm(b: bytes) -> dict:
+    """Netpbm PPM header parse (P6 binary / P3 ascii): magic, then
+    whitespace/comment-separated width, height, maxval. Validates the
+    P6 raster length so a truncated payload errors instead of lying."""
+    width, height, maxval, raster_start = _parse_ppm_header(b)
     if b[:2] == b"P6":
-        raster = len(b) - (pos + 1)  # single whitespace after maxval
+        raster = len(b) - raster_start
         need = width * height * 3 * (2 if maxval > 255 else 1)
         if raster < need:
             raise ValueError(f"truncated PPM raster: {raster} < {need} bytes")
@@ -121,6 +130,68 @@ def decode_image(payload_bytes: bytes):
         return {"width": img.width, "height": img.height, "mode": img.mode}
 
 
+def decode_wav(payload_bytes: bytes) -> dict:
+    """WAV (RIFF) header decode, pure Python: walks the chunk list
+    (word-aligned per the RIFF spec), reads the fmt chunk's channel
+    count / sample rate / bit depth and the data chunk's size, and
+    derives frame count + duration. The audio analog of
+    ``decode_image`` -- no codec library needed for PCM containers;
+    compressed formats (MP3/OGG/...) raise NotImplementedError."""
+    import struct
+
+    b = bytes(payload_bytes)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; compressed audio decode requires a codec "
+            "library absent from this environment"
+        )
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        pos += 8
+        if cid == b"fmt " and sz >= 16:
+            _, ch, sr, _, block_align, bits = struct.unpack_from("<HHIIHH", b, pos)
+            fmt = (ch, sr, block_align, bits)
+        elif cid == b"data":
+            data_size = sz
+        pos += sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    ch, sr, block_align, bits = fmt
+    n_frames = data_size // block_align if block_align else 0
+    return {
+        "channels": ch,
+        "sample_rate": sr,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_s": (n_frames / sr) if sr else 0.0,
+    }
+
+
+def iter_video_frames(payload_bytes: bytes):
+    """Iterate the frames of a netpbm PPM STREAM (concatenated P6
+    images -- the standard output of `ffmpeg -f image2pipe` and
+    friends): yields (frame_idx, width, height) while seeking past
+    each raster. The toy-but-real container for the video modality:
+    sequential parse, O(1) memory per frame."""
+    b = bytes(payload_bytes)
+    pos = 0
+    idx = 0
+    while pos < len(b):
+        if b[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame {idx}: expected P6 magic at offset {pos}")
+        width, height, maxval, raster_start = _parse_ppm_header(b, pos)
+        size = width * height * 3 * (2 if maxval > 255 else 1)
+        if raster_start + size > len(b):
+            raise ValueError(f"frame {idx}: truncated raster")
+        yield idx, width, height
+        pos = raster_start + size
+        idx += 1
+
+
 IMAGE_META_SCHEMA = "doc_id long, width int, height int, mode string, err string"
 
 
@@ -149,6 +220,77 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(meta, schema=IMAGE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits int, n_frames long, err string"
+)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio decode as a distributed operator: mapInPandas over
+    (doc_id, payload) Arrow batches, one RIFF parse per blob, per-row
+    error isolation (same contract as ``extract_image_meta``)."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "channels": [], "sample_rate": [],
+                "bits": [], "n_frames": [], "err": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = decode_wav(payload)
+                    out["channels"].append(m["channels"])
+                    out["sample_rate"].append(m["sample_rate"])
+                    out["bits"].append(m["bits"])
+                    out["n_frames"].append(m["n_frames"])
+                    out["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 -- per-row isolation
+                    for k in ("channels", "sample_rate", "bits", "n_frames"):
+                        out[k].append(None)
+                    out["err"].append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(meta, schema=AUDIO_META_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, width int, height int, err string"
+
+
+def sample_video_frames(df: DataFrame, stride: int = 1) -> DataFrame:
+    """Frame sampling over a PPM-stream video payload: one input row
+    fans out to one output row per kept frame (indices 0, stride,
+    2*stride, ...) -- the explode-shaped mapInPandas the north-star
+    frame-sample stage needs. The sequential container parse runs
+    once per blob regardless of stride (headers must be walked to
+    find frame boundaries); a corrupt container yields a single err
+    row instead of failing the partition."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "err": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for idx, w, h in iter_video_frames(payload):
+                        if idx % stride == 0:
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(idx)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 -- per-row isolation
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["err"].append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(frames, schema=VIDEO_FRAME_SCHEMA)
 
 
 def extract_byte_features(df: DataFrame) -> DataFrame:

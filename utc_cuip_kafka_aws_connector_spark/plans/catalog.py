@@ -3302,6 +3302,105 @@ def q103_near_dup_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le_hex(col, n_bytes: int):
+    """Hex string of an integer column in little-endian byte order
+    (RIFF's integer encoding), built with pure Catalyst arithmetic so
+    binary synthesis stays JVM-side."""
+    parts = [
+        F.format_string("%02x", (col / (256**i)).cast("long") % 256)
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+@query(
+    "q104_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q104_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality decode end-to-end (the audio analog of q102): a
+    complete PCM WAV container is synthesized per document ENTIRELY
+    with JVM-side expressions -- RIFF/fmt/data chunks hex-built with
+    little-endian Catalyst arithmetic, then unhex'd to binary -- and
+    decode_wav (operators/multimodal.py, pure-Python RIFF chunk walk
+    via extract_audio_meta's mapInPandas) must recover the channel
+    count, sample rate, bit depth, and frame count the oracle computes
+    in closed form from doc_id."""
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import extract_audio_meta
+
+    docs = T(spark, sf_dir, "documents")
+    ch = F.col("doc_id") % 2 + 1
+    sr = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    n_frames = F.col("doc_id") % 100 + 1
+    block_align = ch * 2  # 16-bit PCM
+    data_size = n_frames * block_align
+    wav_hex = F.concat(
+        F.lit("52494646"),              # "RIFF"
+        _le_hex(F.lit(36) + data_size, 4),
+        F.lit("57415645"),              # "WAVE"
+        F.lit("666d7420"),              # "fmt "
+        _le_hex(F.lit(16), 4),          # fmt chunk size
+        _le_hex(F.lit(1), 2),           # PCM
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(sr * block_align, 4),   # byte rate
+        _le_hex(block_align, 2),
+        _le_hex(F.lit(16), 2),          # bits
+        F.lit("64617461"),              # "data"
+        _le_hex(data_size, 4),
+        F.repeat(F.lit("00"), (data_size).cast("int")),  # silent PCM frames
+    )
+    audio = docs.select("doc_id", F.unhex(wav_hex).alias("payload"))
+    return extract_audio_meta(audio).select(
+        "doc_id", "channels", "sample_rate", "bits", "n_frames"
+    )
+
+
+@query(
+    "q105_video_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS frame_idx,
+           CAST(doc_id % 9 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS height
+    FROM documents, UNNEST(range(0, doc_id % 7 + 1, 2)) AS u(i)
+    """,
+)
+def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality frame sampling (north-star stage: video as
+    opaque binary + frame-sample UDF): each document synthesizes a
+    PPM-STREAM container (concatenated P6 frames -- the image2pipe
+    wire format) with doc_id-derived frame count and dimensions, all
+    JVM-side; sample_video_frames walks the container sequentially in
+    mapInPandas and keeps every 2nd frame. One input row fans out to
+    ceil(n_frames/2) output rows whose (frame_idx, width, height) the
+    oracle enumerates in closed form."""
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import sample_video_frames
+
+    docs = T(spark, sf_dir, "documents")
+    w = F.col("doc_id") % 9 + 1
+    h = F.col("doc_id") % 5 + 1
+    n = (F.col("doc_id") % 7 + 1).cast("int")
+    frame = F.concat(
+        F.format_string("P6\n%d %d\n255\n", w, h),
+        F.repeat(F.lit("\x00"), (w * h * 3).cast("int")),
+    )
+    video = docs.select(
+        "doc_id",
+        F.encode(F.repeat(frame, n), "UTF-8").alias("payload"),
+    )
+    return sample_video_frames(video, stride=2).select(
+        "doc_id", "frame_idx", "width", "height"
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3365,6 +3464,8 @@ _GATE_PRIORITY = [
     # --- new this round (never attested) ---
     "q102_image_decode",
     "q103_near_dup_full_table",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
     # --- fill: r5-attested core queries re-confirmed a round early
     #     (the r5-attested queries left out -- q01, q02, q92-q94,
     #     q96-q101 among others -- rest on 1-round-old evidence and
@@ -3372,8 +3473,6 @@ _GATE_PRIORITY = [
     "q40_exact_dedup",
     "q46_minhash_lsh_pairs",
     "q50_multimodal_features",
-    "q97_budget_selection",
-    "q98_token_shards",
     "q99_curation_pipeline",
     "q100_bucketed_join",
 ]
