@@ -318,3 +318,38 @@ def test_connected_components_chain_convergence_and_nonconvergence(spark):
         partial = connected_components(chain, max_iter=2, on_nonconvergence="warn")
         labels = {r["component"] for r in partial.collect()}
         assert len(labels) > 1  # visibly partial, but surfaced loudly
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: tail-covering window count, exact
+    overlap, short-doc passthrough, and lossless disjoint mode."""
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+
+    got = chunk_documents(df, chunk_size=4, stride=3).collect()
+    one = sorted((r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in got if r["doc_id"] == 1)
+    # n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks; last covers the tail
+    assert one == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+    short = [(r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in got if r["doc_id"] == 2]
+    assert short == [(0, 2, "a b")]
+
+    # disjoint default (stride == chunk_size) reconstructs the doc exactly
+    dis = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=4).collect()
+        if r["doc_id"] == 1
+    )
+    assert " ".join(t for _, t in dis) == text
+
+    with _pytest.raises(ValueError, match="stride 5 > chunk_size 4"):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with _pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(df, chunk_size=0)

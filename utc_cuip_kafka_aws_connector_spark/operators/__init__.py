@@ -8,6 +8,7 @@ from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
     simhash,
     sketch_documents,
 )
+from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
 from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image,
@@ -55,6 +56,7 @@ __all__ = [
     "token_count",
     "fingerprint",
     "attach_binary_payload",
+    "chunk_documents",
     "decode_image",
     "decode_wav",
     "extract_audio_meta",

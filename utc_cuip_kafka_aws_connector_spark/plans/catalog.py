@@ -3401,6 +3401,42 @@ def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q106_document_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, w, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+      FROM t)
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS chunk_idx,
+           CAST(least(32, n - u.i * 24) AS BIGINT) AS n_tokens,
+           array_to_string(w[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk_text
+    FROM c, UNNEST(range(n_chunks)) AS u(i)
+    """,
+)
+def q106_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py): every document
+    split into 32-token windows with stride 24 (8-token overlap), the
+    long-context / embedding preprocessing step. Whole operator is
+    scan-local Catalyst (tokenize -> transform over chunk starts ->
+    posexplode; no shuffle, no Python), so a 100 TB corpus chunks at
+    scan throughput. The oracle re-derives every (chunk_idx, n_tokens,
+    chunk_text) from the same tail-covering window arithmetic --
+    value-exact on the reconstructed chunk strings, proving the
+    slice/stride/boundary semantics cross-engine."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        T(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3466,6 +3502,7 @@ _GATE_PRIORITY = [
     "q103_near_dup_full_table",
     "q104_audio_decode",
     "q105_video_frame_sample",
+    "q106_document_chunking",
     # --- fill: r5-attested core queries re-confirmed a round early
     #     (the r5-attested queries left out -- q01, q02, q92-q94,
     #     q96-q101 among others -- rest on 1-round-old evidence and
@@ -3474,7 +3511,6 @@ _GATE_PRIORITY = [
     "q46_minhash_lsh_pairs",
     "q50_multimodal_features",
     "q99_curation_pipeline",
-    "q100_bucketed_join",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
