@@ -353,3 +353,38 @@ def test_chunk_documents_window_semantics(spark):
         chunk_documents(df, chunk_size=4, stride=5)
     with _pytest.raises(ValueError, match=">= 1"):
         chunk_documents(df, chunk_size=0)
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Randomized differential check: the Catalyst chunking must equal
+    a direct Python sliding-window reference across many doc lengths
+    and (chunk_size, stride) combinations (seeded RNG)."""
+    import math
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(20260813)
+    docs = [
+        (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(rng.randint(1, 120))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def reference(text, size, stride):
+        ws = text.split(" ")
+        n = len(ws)
+        n_chunks = 1 if n <= size else math.ceil((n - size) / stride) + 1
+        return [
+            (i, min(size, n - i * stride), " ".join(ws[i * stride : i * stride + size]))
+            for i in range(n_chunks)
+        ]
+
+    for size, stride in [(16, 16), (16, 12), (32, 8), (7, 1)]:
+        got = {}
+        for r in chunk_documents(df, chunk_size=size, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            )
+        for i, t in docs:
+            assert sorted(got[i]) == reference(t, size, stride), (i, size, stride)

@@ -154,3 +154,35 @@ def test_q98_no_global_row_window(spark):
     p = plan_of(spark, "q98_token_shards")
     assert "BroadcastHashJoin" in p, "offsets not broadcast back"
     assert "partitionBy=[bucket" in p.replace("#", "").replace("L", "") or "bucket" in p
+
+
+def test_q106_chunking_is_scan_local(spark):
+    """Chunking must stay inside the scan stage: tokenize + window
+    transform + posexplode are all narrow -- any Exchange here would
+    mean a 100 TB corpus shuffles just to split strings."""
+    p = plan_of(spark, "q106_document_chunking")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in the path
+    assert "Generate" in p  # the posexplode
+
+
+def test_q103_band_join_not_cartesian(spark):
+    """Full-table near-dup candidate generation must be the band-bucket
+    equi-join -- a nested-loop/cartesian here is the O(n^2) failure the
+    operator exists to avoid."""
+    p = plan_of(spark, "q103_near_dup_full_table")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q102_q104_q105_decode_paths_are_single_pass(spark):
+    """Multimodal decode queries: payload synthesis is JVM expressions,
+    decode is exactly one Arrow-batched Python stage, and nothing
+    shuffles -- blob pipelines must stream scan -> decode -> out."""
+    for name in ("q102_image_decode", "q104_audio_decode", "q105_video_frame_sample"):
+        p = plan_of(spark, name)
+        assert "Exchange" not in p, name
+        # tree node renders as "MapInPandas (<id>)"; the detail section
+        # repeats the name, so count tree occurrences only
+        assert p.count("MapInPandas (") == 1, name
