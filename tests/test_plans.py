@@ -186,3 +186,12 @@ def test_q102_q104_q105_decode_paths_are_single_pass(spark):
         # tree node renders as "MapInPandas (<id>)"; the detail section
         # repeats the name, so count tree occurrences only
         assert p.count("MapInPandas (") == 1, name
+
+
+def test_q107_vocab_is_broadcast(spark):
+    """Token-rarity's join back to the vocabulary must BROADCAST the
+    histogram: shuffling the exploded token stream by token would
+    hot-spot reducers on Zipf-heavy tokens at scale."""
+    p = plan_of(spark, "q107_token_rarity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

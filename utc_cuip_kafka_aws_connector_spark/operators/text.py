@@ -232,3 +232,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_hash64": F.xxhash64(norm),
         }
     )
+
+
+def token_rarity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-statistical token rarity per document -- the CCNet-style
+    quality signal that an in-document heuristic (quality_score)
+    cannot provide: a fluent-looking doc of globally-rare gibberish
+    tokens scores low here and nowhere else. Returns per doc:
+    n_tokens, min_token_count (corpus frequency of the doc's rarest
+    token), mean_token_count (exact integer sum, one IEEE division).
+
+    Scale design: pass 1 computes the vocabulary histogram with a
+    map-side-combining groupBy over the exploded token stream (Zipf:
+    the result is tiny relative to the corpus). Pass 2 joins tokens
+    to counts with the vocab BROADCAST -- the token stream itself is
+    never shuffled by token (whose Zipf skew would hot-spot a
+    reducer); the only shuffle is the per-doc partial aggregate keyed
+    by id. At 100 TB with an open vocabulary, cap the broadcast at
+    top-K tokens + a default count for the tail."""
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min("cnt").alias("min_token_count"),
+            (
+                F.sum(F.col("cnt").cast("decimal(18,0)")).cast("double")
+                / F.count("*")
+            ).alias("mean_token_count"),
+        )
+    )

@@ -3402,6 +3402,36 @@ def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q107_token_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.tok
+      FROM documents,
+           UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS u(tok)),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(min(cnt) AS BIGINT) AS min_token_count,
+           CAST(sum(CAST(cnt AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS mean_token_count
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q107_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality signal (operators/text.py::
+    token_rarity): per-doc corpus-frequency stats of its tokens --
+    the CCNet-style rarity score no in-document heuristic can
+    compute. Two passes: vocabulary histogram (map-side-combining
+    groupBy -- Zipf makes the result tiny), then a BROADCAST join of
+    tokens to counts so the Zipf-skewed token stream is never
+    shuffled by token; the only shuffle keys on doc_id. Integer
+    counts + one IEEE division: hash-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import token_rarity
+
+    return token_rarity(T(spark, sf_dir, "documents"))
+
+
+@query(
     "q106_document_chunking",
     oracle="""
     WITH t AS (
@@ -3459,10 +3489,6 @@ _GATE_PRIORITY = [
     "q13_having",
     "q14_distinct_months",
     "q18_rank_ntile",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q24_conditional_tiers",
-    "q25_null_filter",
     "q26_string_funcs",
     "q27_date_funcs",
     "q28_math_funcs",
@@ -3503,6 +3529,14 @@ _GATE_PRIORITY = [
     "q104_audio_decode",
     "q105_video_frame_sample",
     "q106_document_chunking",
+    "q107_token_rarity",
+    # --- text.py drift (token_rarity added to the module): its other
+    #     dependents re-attest; the four deferred r4-resters (q22,
+    #     q23, q24, q25 -- catalog-only, byte-stable since r4, rows
+    #     exactly 2 rounds old) are r7 MUST-HAVES ---
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q97_budget_selection",
     # --- fill: r5-attested core queries re-confirmed a round early
     #     (the r5-attested queries left out -- q01, q02, q92-q94,
     #     q96-q101 among others -- rest on 1-round-old evidence and
