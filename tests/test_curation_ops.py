@@ -388,3 +388,24 @@ def test_chunk_documents_matches_python_reference(spark):
             )
         for i, t in docs:
             assert sorted(got[i]) == reference(t, size, stride), (i, size, stride)
+
+
+def test_temperature_weights_semantics(spark):
+    """tau=1 keeps natural proportions; tau=0.5 upsamples the small
+    group; targets split the budget; weights always sum to ~1."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame([("en", 900), ("sw", 100)], "lang string, n_tokens long")
+
+    nat = {r["lang"]: r["weight"] for r in temperature_weights(df, tau=1.0).collect()}
+    assert abs(nat["en"] - 0.9) < 1e-12 and abs(nat["sw"] - 0.1) < 1e-12
+
+    cool = {r["lang"]: r for r in temperature_weights(df, tau=0.5, budget=1000).collect()}
+    assert cool["sw"]["weight"] > 0.1  # low-resource upsampled
+    assert abs(cool["en"]["weight"] + cool["sw"]["weight"] - 1.0) < 1e-12
+    assert cool["en"]["target"] + cool["sw"]["target"] == 1000
+    assert cool["en"]["weight"] == 0.75 and cool["sw"]["weight"] == 0.25  # sqrt(900):sqrt(100)=3:1
+
+    # arbitrary tau runs through pow() (operational path, not oracle-exact)
+    hot = {r["lang"]: r["weight"] for r in temperature_weights(df, tau=0.7).collect()}
+    assert nat["sw"] < hot["sw"] < cool["sw"]["weight"]

@@ -76,3 +76,53 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         pred = F.when(F.col(strata_col) == value, _keep(id_col, rate)).otherwise(pred)
     return df.filter(pred)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_tokens",
+    tau: float = 0.5,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights over group sizes -- the
+    multilingual-training rebalancing rule w_g = n_g^tau / sum n^tau
+    (tau < 1 upsamples small groups, tau = 1 keeps natural
+    proportions). With ``budget`` also emits each group's target
+    count round(budget * w_g).
+
+    Determinism contract: tau = 0.5 and tau = 1.0 are bit-exact
+    cross-engine (sqrt is IEEE correctly-rounded; identity trivially
+    so) and the normalizer is an ORDERED fold over the sorted group
+    list, so float summation order is pinned -- double addition is
+    not associative and an unordered sum would hash-differently per
+    partitioning. Arbitrary tau uses pow(), whose last-ulp behavior
+    is library-specific: fine operationally, not oracle-exact.
+
+    Scale: the input is one row per GROUP (languages, domains --
+    dozens), so the fold and cross-join are driver-trivial; the
+    heavy part (computing n_g) is the caller's partial-agg groupBy."""
+    if tau == 1.0:
+        powered = F.col(size_col).cast("double")
+    elif tau == 0.5:
+        powered = F.sqrt(F.col(size_col))
+    else:
+        powered = F.pow(F.col(size_col).cast("double"), F.lit(float(tau)))
+    w = df.select(F.col(group_col), F.col(size_col), powered.alias("_p"))
+    tot = w.select(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(group_col, "_p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_p"],
+        ).alias("_tot")
+    )
+    out = w.crossJoin(tot).select(
+        group_col,
+        size_col,
+        (F.col("_p") / F.col("_tot")).alias("weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "target", F.round(F.col("weight") * F.lit(int(budget))).cast("long")
+        )
+    return out

@@ -3402,6 +3402,40 @@ def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_mixture_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    t AS (
+      SELECT list_aggregate(list(sqrt(n_tokens) ORDER BY lang), 'sum') AS tot
+      FROM c)
+    SELECT lang, n_tokens,
+           sqrt(n_tokens) / tot AS weight,
+           CAST(round(sqrt(n_tokens) / tot * 1000000) AS BIGINT) AS target
+    FROM c, t
+    """,
+)
+def q108_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights (operators/sampling.py::
+    temperature_weights): per-language token totals rebalanced with
+    tau = 0.5 (w = sqrt(n)/sum sqrt(n) -- upsamples low-resource
+    languages) plus target token counts against a 1M budget. The
+    normalizer folds sqrt terms in SORTED group order on both
+    engines, pinning float summation order, and sqrt is IEEE
+    correctly-rounded -- so the weights are bit-identical and the
+    gate compares them hash-exact, not approximately."""
+    from utc_cuip_kafka_aws_connector_spark.operators.sampling import temperature_weights
+
+    counts = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"))
+    )
+    return temperature_weights(counts, "lang", "n_tokens", tau=0.5, budget=1_000_000)
+
+
+@query(
     "q107_token_rarity",
     oracle="""
     WITH toks AS (
@@ -3489,7 +3523,6 @@ _GATE_PRIORITY = [
     "q13_having",
     "q14_distinct_months",
     "q18_rank_ntile",
-    "q26_string_funcs",
     "q27_date_funcs",
     "q28_math_funcs",
     "q29_array_funcs",
@@ -3530,10 +3563,11 @@ _GATE_PRIORITY = [
     "q105_video_frame_sample",
     "q106_document_chunking",
     "q107_token_rarity",
+    "q108_mixture_weights",
     # --- text.py drift (token_rarity added to the module): its other
-    #     dependents re-attest; the four deferred r4-resters (q22,
-    #     q23, q24, q25 -- catalog-only, byte-stable since r4, rows
-    #     exactly 2 rounds old) are r7 MUST-HAVES ---
+    #     dependents re-attest; the five deferred r4-resters (q22,
+    #     q23, q24, q25, q26 -- catalog-only, byte-stable since r4,
+    #     rows exactly 2 rounds old) are r7 MUST-HAVES ---
     "q90_pii_redaction",
     "q91_repetition_stats",
     "q97_budget_selection",
