@@ -173,7 +173,10 @@ def main() -> None:
         # comparable to a full-catalog total from another round;
         # flag it so bench_compare and humans can't conflate them.
         full["partial"] = True
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
     print(f"full envelope -> {full_path}", file=sys.stderr, flush=True)

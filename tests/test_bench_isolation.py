@@ -16,7 +16,7 @@ import bench
 from utc_cuip_kafka_aws_connector_spark.plans import catalog
 
 
-def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
+def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys, tmp_path):
     sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
     def boom(spark, sf_dir):
@@ -40,6 +40,11 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
         "utc_cuip_kafka_aws_connector_spark.session.get_spark",
         lambda **kw: spark,
     )
+    # Redirect the full-envelope file: the default lands in the repo
+    # root, and a test run must never clobber a recorded bench
+    # artifact there.
+    full_path = str(tmp_path / "bench_full.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", full_path)
 
     bench.main()
 
@@ -57,8 +62,7 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys):
     assert payload["n_queries"] == 4  # 2 healthy + pipeline_ingest + curate_pipeline
 
     # The complete per-query envelope (timings + err entries) lands
-    # in bench_full.json next to bench.py.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), "bench_full.json")
+    # at the redirected bench_full.json path.
     with open(full_path) as fh:
         full = json.load(fh)
     assert "deliberately broken builder" in full["queries"]["q_broken"]["err"]

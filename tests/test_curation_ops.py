@@ -409,3 +409,30 @@ def test_temperature_weights_semantics(spark):
     # arbitrary tau runs through pow() (operational path, not oracle-exact)
     hot = {r["lang"]: r["weight"] for r in temperature_weights(df, tau=0.7).collect()}
     assert nat["sw"] < hot["sw"] < cool["sw"]["weight"]
+
+
+def test_chunk_documents_literal_separator(spark):
+    """sep is a LITERAL: regex metacharacters like '.' must separate
+    on the actual character, and chunks re-join with the same one."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a.b.c.d.e")], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=2, stride=2, sep=".").collect()
+    )
+    assert got == [(0, 2, "a.b"), (1, 2, "c.d"), (2, 1, "e")]
+
+
+def test_token_rarity_ignores_empty_tokens(spark):
+    """Leading/trailing whitespace must not create a phantom ''
+    token in the vocabulary (the oracle filters w <> '' identically)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.text import token_rarity
+
+    df = spark.createDataFrame(
+        [(1, "  x y  "), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in token_rarity(df).collect()}
+    assert got[1]["n_tokens"] == 2  # x, y -- no '' token
+    assert got[1]["min_token_count"] == 1  # y count, not a phantom ''
+    assert got[2]["n_tokens"] == 1 and got[2]["min_token_count"] == 2  # x appears twice corpus-wide

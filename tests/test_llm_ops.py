@@ -457,6 +457,11 @@ def test_decode_wav_and_video_frames_native():
         decode_wav(b"\xff\xfbMP3 frames")  # compressed audio: codec absent
     with pytest.raises(ValueError, match="missing fmt or data"):
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # declared data size beyond the actual payload must error, not
+    # report a full-length clip
+    full = wav(1, 8000, 16, 100)
+    with pytest.raises(ValueError, match="truncated WAV: data chunk declares"):
+        decode_wav(full[:60])
 
     frame = b"P6\n3 2\n255\n" + bytes(18)
     frames = list(iter_video_frames(frame * 4))
@@ -492,13 +497,25 @@ def test_audio_video_meta_distributed_error_isolation(spark):
 
     frame = b"P6\n2 2\n255\n" + bytes(12)
     vdf = spark.createDataFrame(
-        [(1, frame * 5), (2, b"not a stream")], "doc_id long, payload binary"
+        [
+            (1, frame * 5),
+            (2, b"not a stream"),
+            (3, frame * 2 + b"GARBAGE"),  # corrupt MID-stream
+            (4, b""),  # empty payload
+        ],
+        "doc_id long, payload binary",
     )
     rows = sample_video_frames(vdf, stride=2).collect()
     ok = sorted((r["frame_idx"]) for r in rows if r["doc_id"] == 1)
     assert ok == [0, 2, 4]
     bad = [r for r in rows if r["doc_id"] == 2]
     assert len(bad) == 1 and bad[0]["frame_idx"] is None and "ValueError" in bad[0]["err"]
+    # mid-stream corruption: the 2 parseable leading frames are
+    # DISCARDED -- exactly one err row, no partial frames
+    mid = [r for r in rows if r["doc_id"] == 3]
+    assert len(mid) == 1 and mid[0]["frame_idx"] is None and "expected P6 magic" in mid[0]["err"]
+    empty = [r for r in rows if r["doc_id"] == 4]
+    assert len(empty) == 1 and "empty video payload" in empty[0]["err"]
 
     with pytest.raises(ValueError, match="stride"):
         sample_video_frames(vdf, stride=0)

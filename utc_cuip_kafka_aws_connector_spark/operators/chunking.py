@@ -40,7 +40,15 @@ def chunk_documents(
     """Explode each document into (id, chunk_idx, n_tokens, chunk_text)
     sliding windows. ``stride`` defaults to ``chunk_size`` (disjoint
     chunks); ``stride < chunk_size`` overlaps consecutive chunks by
-    ``chunk_size - stride`` tokens."""
+    ``chunk_size - stride`` tokens. ``sep`` is treated as a LITERAL
+    separator (regex-escaped before the split, so '.', '|' etc. work).
+
+    NULL ``text_col`` rows produce zero output rows (posexplode over
+    the NULL chunk array generates nothing) -- standard Spark explode
+    semantics; filter or coalesce upstream if such docs must
+    survive."""
+    import re
+
     if stride is None:
         stride = chunk_size
     if chunk_size < 1 or stride < 1:
@@ -50,7 +58,9 @@ def chunk_documents(
             f"stride {stride} > chunk_size {chunk_size} would drop tokens between windows"
         )
 
-    toks = F.split(F.col(text_col), sep)
+    # F.split takes a Java regex while concat_ws joins literally --
+    # escape so both sides agree on the SAME separator.
+    toks = F.split(F.col(text_col), re.escape(sep))
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
         (F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + 1).cast("int")

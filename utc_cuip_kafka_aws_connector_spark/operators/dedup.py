@@ -329,6 +329,11 @@ def connected_components(
     ``on_nonconvergence="raise"`` aborts with the round count; pass
     ``"warn"`` to get the partial labels with a loud log instead
     (downstream dedup would silently under-merge clusters otherwise).
+    Note the budget accounting: convergence is DETECTED by observing
+    a zero-change round, so a graph that needs exactly ``max_iter``
+    productive rounds still raises -- the effective budget is
+    ``max_iter - 1`` productive rounds plus the verification round.
+    Provision one extra round rather than cutting it exact.
     """
     if on_nonconvergence not in ("raise", "warn"):
         raise ValueError(f"on_nonconvergence must be 'raise' or 'warn', got {on_nonconvergence!r}")

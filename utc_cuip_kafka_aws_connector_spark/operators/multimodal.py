@@ -156,6 +156,14 @@ def decode_wav(payload_bytes: bytes) -> dict:
             _, ch, sr, _, block_align, bits = struct.unpack_from("<HHIIHH", b, pos)
             fmt = (ch, sr, block_align, bits)
         elif cid == b"data":
+            # Validate the declared extent against the actual payload
+            # (the image path's truncated-raster check, for audio): a
+            # truncated clip must error, not report full duration.
+            if pos + sz > len(b):
+                raise ValueError(
+                    f"truncated WAV: data chunk declares {sz} bytes, "
+                    f"{len(b) - pos} present"
+                )
             data_size = sz
         pos += sz + (sz & 1)  # RIFF chunks are word-aligned
     if fmt is None or data_size is None:
@@ -265,29 +273,45 @@ def sample_video_frames(df: DataFrame, stride: int = 1) -> DataFrame:
     2*stride, ...) -- the explode-shaped mapInPandas the north-star
     frame-sample stage needs. The sequential container parse runs
     once per blob regardless of stride (headers must be walked to
-    find frame boundaries); a corrupt container yields a single err
-    row instead of failing the partition."""
+    find frame boundaries).
+
+    Error contract: a container that is corrupt ANYWHERE yields
+    exactly one err row and NO frame rows (frames parsed before the
+    corruption are discarded -- a partially-readable container must
+    not masquerade as a shorter valid one). An EMPTY payload yields
+    an err row too, so every input doc_id appears in the output."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "err": []}
+
+            def err_row(doc_id, msg):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["err"].append(msg[:200])
+
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    err_row(doc_id, "ValueError: empty video payload")
+                    continue
+                kept: list[tuple] = []
                 try:
                     for idx, w, h in iter_video_frames(payload):
                         if idx % stride == 0:
-                            out["doc_id"].append(doc_id)
-                            out["frame_idx"].append(idx)
-                            out["width"].append(w)
-                            out["height"].append(h)
-                            out["err"].append(None)
+                            kept.append((idx, w, h))
                 except Exception as exc:  # noqa: BLE001 -- per-row isolation
+                    err_row(doc_id, f"{type(exc).__name__}: {exc}")
+                    continue
+                for idx, w, h in kept:
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(None)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["err"].append(f"{type(exc).__name__}: {exc}"[:200])
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["err"].append(None)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(frames, schema=VIDEO_FRAME_SCHEMA)

@@ -250,9 +250,12 @@ def token_rarity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     reducer); the only shuffle is the per-doc partial aggregate keyed
     by id. At 100 TB with an open vocabulary, cap the broadcast at
     top-K tokens + a default count for the tail."""
+    # words() keeps the empty token a leading/trailing whitespace
+    # split produces; filter it so the histogram counts real tokens
+    # only (the SQL oracle filters w <> '' identically).
     toks = df.select(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok")
-    )
+    ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     return (
         toks.join(F.broadcast(vocab), "tok")

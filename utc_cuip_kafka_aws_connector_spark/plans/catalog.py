@@ -1047,9 +1047,18 @@ def _replayed_events_path(spark: SparkSession, sf_dir: str) -> str:
     elif os.path.exists(src):
         st = os.stat(src)
         sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{sig.hexdigest()[:12]}"
-    path = f"{_IO_SCRATCH}/q60_events_{tag}"
+    base = sf_dir.strip("/").replace("/", "_")
+    path = f"{_IO_SCRATCH}/q60_events_{base}_{sig.hexdigest()[:12]}"
     if not os.path.exists(f"{path}/_SUCCESS"):
+        # Drop stale copies from earlier source generations first --
+        # mtime-keyed tags would otherwise accumulate one full events
+        # copy per testdata regeneration until /tmp fills.
+        import glob
+        import shutil
+
+        for old in glob.glob(f"{_IO_SCRATCH}/q60_events_{base}_*"):
+            if old != path:
+                shutil.rmtree(old, ignore_errors=True)
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
     return path
 

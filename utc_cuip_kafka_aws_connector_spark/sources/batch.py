@@ -52,12 +52,19 @@ def _footer_has_nanos(path: str) -> bool:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            parts = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            if not parts:
+            # Recurse: Hive-partitioned datasets nest part files under
+            # key=value subdirectories, so a top-level listdir alone
+            # would still misclassify a partitioned NANOS table.
+            part = None
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                hit = sorted(f for f in files if f.endswith(".parquet"))
+                if hit:
+                    part = os.path.join(root, hit[0])
+                    break
+            if part is None:
                 return False
-            path = os.path.join(path, parts[0])
+            path = part
         schema = pq.read_schema(path)
         return any(str(f.type).startswith("timestamp[ns") for f in schema)
     except Exception:
