@@ -436,3 +436,40 @@ def test_token_rarity_ignores_empty_tokens(spark):
     assert got[1]["n_tokens"] == 2  # x, y -- no '' token
     assert got[1]["min_token_count"] == 1  # y count, not a phantom ''
     assert got[2]["n_tokens"] == 1 and got[2]["min_token_count"] == 2  # x appears twice corpus-wide
+
+
+def test_content_defined_chunks_edit_stability(spark):
+    """The CDC property: inserting a sentence mid-document only
+    re-cuts chunks that overlap the edit -- chunks cut from content
+    far after the insertion are IDENTICAL strings (fixed-stride
+    windows would shift every one of them). Also checks losslessness:
+    chunks re-join to the normalized document."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(42)
+    base_tokens = [f"w{rng.randint(0, 500)}" for _ in range(400)]
+    edited = base_tokens[:200] + ["INSERTED", "SENTENCE", "HERE"] + base_tokens[200:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base_tokens)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    got = {1: [], 2: []}
+    for r in content_defined_chunks(df).collect():
+        got[r["doc_id"]].append((r["chunk_idx"], r["chunk_text"]))
+    for d in got.values():
+        d.sort()
+
+    # lossless: chunks re-join to the (lowercased) document
+    assert " ".join(t for _, t in got[1]) == " ".join(base_tokens).lower()
+    assert " ".join(t for _, t in got[2]) == " ".join(edited).lower()
+
+    # edit stability: chunk SETS share most members -- every chunk cut
+    # entirely from the unedited suffix/prefix is byte-identical
+    set1, set2 = {t for _, t in got[1]}, {t for _, t in got[2]}
+    shared = set1 & set2
+    assert len(shared) >= len(set1) - 3, (len(set1), len(set2), len(shared))
+    assert len(set1) > 10  # the doc really was cut into many chunks

@@ -195,3 +195,11 @@ def test_q107_vocab_is_broadcast(spark):
     p = plan_of(spark, "q107_token_rarity")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q109_cdc_chunking_is_scan_local(spark):
+    """Content-defined chunking must also stay inside the scan stage:
+    boundary hashing and chunk slicing are all array expressions."""
+    p = plan_of(spark, "q109_content_defined_chunks")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -81,3 +81,84 @@ def chunk_documents(
         .alias("n_tokens"),
         "chunk_text",
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    boundary_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    whenever the md5 of the k-gram ending at i starts with
+    ``boundary_prefix`` (one hex char => expected chunk length 16
+    tokens; two => 256). Unlike fixed-stride windows, boundaries
+    depend only on LOCAL content, so inserting a sentence into a
+    document shifts one chunk instead of re-cutting every window
+    after it -- the property that makes chunk-level dedup robust to
+    edits (the FastCDC/rolling-hash idea, re-expressed on tokens).
+
+    Scale design: entirely Catalyst array expressions, formulated on
+    BOUNDARY POSITIONS so every step is linear in the token count --
+    one md5 per token for the boundary predicate, a filter to the
+    boundary positions, and one slice per resulting chunk. (The naive
+    per-token-chunk-id formulation needs an in-array prefix sum plus
+    a per-chunk gather -- O(n^2) nested higher-order expressions,
+    measured ~20x slower on the catalog corpus.) Scan-local: NO
+    shuffle, no Python.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text); md5 is identical
+    in Spark/DuckDB/Python, so boundaries are engine-portable.
+
+    Implementation note: every intermediate array (tokens, boundary
+    positions, chunk starts/ends) is BOUND AS A COLUMN between
+    projection steps rather than inlined as an expression tree --
+    a lambda that references an inline tree re-evaluates it per
+    element (the tokenizer would run once per token: O(n^2) splits;
+    measured ~40x slower), while a column reference reads the row's
+    already-materialized value."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    step = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
+    t, n = F.col("_t"), F.size("_t")
+
+    def is_boundary(i):
+        # boundary after token i (never after the last token)
+        start = F.greatest(i - (k - 1), F.lit(1))
+        gram = F.concat_ws(" ", F.slice(t, start, i - start + 1))
+        return (
+            F.substring(F.md5(gram), 1, len(boundary_prefix))
+            == F.lit(boundary_prefix)
+        ) & (i < n)
+
+    step = step.select(
+        id_col,
+        "_t",
+        F.filter(F.sequence(F.lit(1), n), is_boundary).alias("_b"),
+    )
+    b = F.col("_b")
+    step = step.select(
+        id_col,
+        "_t",
+        "_b",
+        F.concat(F.array(F.lit(1)), F.transform(b, lambda x: x + 1)).alias("_s"),
+        F.concat(b, F.array(n)).alias("_e"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(b)),
+        lambda c: F.slice(
+            F.col("_t"),
+            F.element_at(F.col("_s"), c + 1),
+            F.element_at(F.col("_e"), c + 1) - F.element_at(F.col("_s"), c + 1) + 1,
+        ),
+    )
+    return step.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_toks")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_toks")).alias("chunk_text"),
+    )

@@ -3411,6 +3411,48 @@ def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q109_content_defined_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i AS i, w[u.i] AS tok,
+             CASE WHEN substr(md5(array_to_string(w[greatest(u.i - 2, 1) : u.i], ' ')), 1, 1) = '0'
+                   AND u.i < len(w) THEN 1 ELSE 0 END AS b
+      FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    ch AS (
+      SELECT doc_id, i, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM pos)
+    SELECT doc_id,
+           CAST(c AS INTEGER) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY i) AS chunk_text
+    FROM ch GROUP BY doc_id, c
+    """,
+)
+def q109_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunking.py::
+    content_defined_chunks): boundaries fall where the md5 of the
+    trailing 3-gram starts with '0' (expected chunk ~16 tokens), so
+    an edit shifts one chunk instead of re-cutting every window
+    after it -- the rolling-hash dedup-chunking idea on tokens. The
+    Spark side computes the boundary prefix sum INSIDE the token
+    array (scan-local, zero shuffle); the oracle re-derives the same
+    chunks through an entirely different formulation (row explosion
+    + SQL window cumsum + ordered string_agg), so agreement checks
+    the boundary math, not a shared code path. md5 is identical
+    cross-engine: hash-exact."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
+    return content_defined_chunks(T(spark, sf_dir, "documents"), k=3, boundary_prefix="0")
+
+
+@query(
     "q108_mixture_weights",
     oracle="""
     WITH c AS (
@@ -3532,7 +3574,6 @@ _GATE_PRIORITY = [
     "q13_having",
     "q14_distinct_months",
     "q18_rank_ntile",
-    "q27_date_funcs",
     "q28_math_funcs",
     "q29_array_funcs",
     "q41_text_stats",
@@ -3573,10 +3614,11 @@ _GATE_PRIORITY = [
     "q106_document_chunking",
     "q107_token_rarity",
     "q108_mixture_weights",
+    "q109_content_defined_chunks",
     # --- text.py drift (token_rarity added to the module): its other
-    #     dependents re-attest; the five deferred r4-resters (q22,
-    #     q23, q24, q25, q26 -- catalog-only, byte-stable since r4,
-    #     rows exactly 2 rounds old) are r7 MUST-HAVES ---
+    #     dependents re-attest; the six deferred r4-resters (q22,
+    #     q23, q24, q25, q26, q27 -- catalog-only, byte-stable since
+    #     r4, rows exactly 2 rounds old) are r7 MUST-HAVES ---
     "q90_pii_redaction",
     "q91_repetition_stats",
     "q97_budget_selection",
