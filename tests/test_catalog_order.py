@@ -78,6 +78,33 @@ def test_changed_queries_are_in_gate_window():
     )
 
 
+def test_ledger_attestations_are_backed_by_driver_rows():
+    """Ledger <= driver reality (round-6 phantom lesson): an
+    attested_round whose CORRECTNESS_r{N}.json exists must be backed
+    by a green row in it; a stamp for a round the driver has not run
+    yet is provisional and only legal for queries inside the current
+    gate window (so a window revision after stamping surfaces here
+    instead of minting evidence)."""
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    tool = _fingerprint_tool()
+    evidence = tool.green_rounds()
+    window = set(catalog._GATE_PRIORITY)
+    repo = os.path.join(_HERE, "..")
+    bad = []
+    for name, ent in ledger.items():
+        attested = ent["attested_round"]
+        if os.path.exists(os.path.join(repo, f"CORRECTNESS_r{attested:02d}.json")):
+            if attested not in evidence.get(name, []):
+                bad.append((name, attested, "no green driver row"))
+        elif name not in window:
+            bad.append((name, attested, "provisional stamp outside window"))
+    assert bad == [], (
+        f"phantom attestations (run `python tools/gate_fingerprints.py "
+        f"--reconcile`): {bad}"
+    )
+
+
 def test_no_attestation_older_than_one_round():
     """Rotation policy: every query is driver-verified at least every
     other round -- the out-of-window tail must hold rows from the
