@@ -519,3 +519,106 @@ def test_audio_video_meta_distributed_error_isolation(spark):
 
     with pytest.raises(ValueError, match="stride"):
         sample_video_frames(vdf, stride=0)
+
+
+def test_semantic_dedup_collapses_planted_clusters(spark):
+    """Recall property on a CONSTRUCTED geometry (no fixture luck):
+    three well-separated base directions, each with near-identical
+    copies (cos > 0.999) plus one distant-but-same-cluster distractor
+    (cos ~ 0.7 < threshold). Every copy group must collapse to its
+    min-id survivor; distractors and cross-group pairs must survive
+    independently -- checks cluster assignment, the within-cluster
+    join, threshold verification, and transitive closure."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    bases = []
+    for axis in range(3):
+        v = np.zeros(dim)
+        v[axis] = 1.0
+        bases.append(v)
+    rows = []
+    vid = 0
+    expected_component = {}
+    for g, base in enumerate(bases):
+        group_root = vid
+        for j in range(3):  # near-identical copies
+            v = base + rng.normal(scale=1e-4, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            expected_component[vid] = group_root
+            vid += 1
+        # same direction-ish but far below threshold: 45-degree blend
+        v = base + bases[(g + 1) % 3] * 1.0  # cos ~ 0.707 to base
+        rows.append((vid, [float(x) for x in v]))
+        expected_component[vid] = vid
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(
+            df, n_clusters=3, cos_threshold=0.95, centroids=np.array(bases)
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    for vid_, comp in expected_component.items():
+        assert got[vid_] == (comp, vid_ == comp), f"vec {vid_}"
+
+
+def test_semantic_dedup_kmeans_source_smoke(spark):
+    """The k-means|| centroid source composes end-to-end: identical
+    planted copies collapse regardless of learned centroids (identical
+    vectors always share a cluster)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40).select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    out = semantic_dedup(
+        corpus, n_clusters=4, cos_threshold=0.9, centroid_source="kmeans"
+    )
+    rows = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    for r in emb.collect():
+        vid = r["vec_id"]
+        assert rows[vid] == (vid, True)
+        assert rows[vid + 1000] == (vid, False)
+
+
+def test_semantic_dedup_rejects_unknown_centroid_source(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="centroid_source"):
+        semantic_dedup(df, centroid_source="nope")
+
+
+def test_chunk_dedup_ratio_planted_and_unique(spark):
+    """A verbatim copy of a doc must come out with dup_ratio 1.0 (its
+    chunks all canonicalize to the original -- content-defined
+    boundaries depend only on the text); a doc sharing no 3-gram
+    window with others must be 0.0."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_dedup_ratio
+
+    base = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    )
+    copy = base.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    unique = spark.createDataFrame(
+        [(600, "zq xv qj vx zz " * 40)], "doc_id long, text string"
+    )
+    out = chunk_dedup_ratio(base.unionByName(copy).unionByName(unique))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[503]["dup_ratio"] == 1.0
+    assert rows[503]["n_chunks"] == rows[3]["n_chunks"]
+    assert rows[3]["dup_chunks"] == 0  # original is canonical (smaller id)
+    # the unique doc repeats its own 5-token phrase -> SELF-duplicate
+    # chunks are counted too (same hash, later chunk_idx), so only
+    # assert it is independent of the corpus: as many chunks as a solo run
+    solo = chunk_dedup_ratio(unique).collect()[0]
+    assert rows[600]["n_chunks"] == solo["n_chunks"]
+    assert rows[600]["dup_chunks"] == solo["dup_chunks"]

@@ -117,3 +117,28 @@ def test_footer_nanos_probe_handles_directory_datasets(tmp_path):
     assert _footer_has_nanos(str(tmp_path / "missing.parquet")) is False
     (tmp_path / "empty_dir.parquet").mkdir()
     assert _footer_has_nanos(str(tmp_path / "empty_dir.parquet")) is False
+
+
+def test_documents_text_is_single_space_separated():
+    """Tokenizer-agreement canary (round-6 ADVICE): several oracles
+    split text on a literal ' ' where the Spark side splits on \\s+ --
+    they agree precisely BECAUSE the fixture text is strictly
+    single-space separated. If a future fixture breaks this property,
+    fail here with a pointed message instead of silently hash-
+    mismatching in the driver gate. (q107/q109/q111/q112 already pin
+    both sides to regexp \\s+ splitting and survive either way.)"""
+    import duckdb
+    import glob
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE regexp_matches(text, '\\t|\\n|\\r|  ') "
+            "OR text LIKE ' %' OR text LIKE '% '"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf_dir}/documents.parquet has {n} rows with non-single-space "
+            "whitespace: literal-space-splitting oracles (q103/q106/q108/"
+            "q84) now disagree with their \\s+-splitting Spark builders -- "
+            "pin those oracles to regexp splits before trusting the gate"
+        )

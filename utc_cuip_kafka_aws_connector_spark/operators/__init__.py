@@ -8,7 +8,11 @@ from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
     simhash,
     sketch_documents,
 )
-from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_documents
+from utc_cuip_kafka_aws_connector_spark.operators.chunking import (
+    chunk_dedup_ratio,
+    chunk_documents,
+    content_defined_chunks,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image,
@@ -26,6 +30,11 @@ from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     kmeans_centroids,
     lsh_ann_pairs,
     lsh_buckets,
+    semantic_dedup,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
+    bpe_encode_word,
+    bpe_token_count,
 )
 from utc_cuip_kafka_aws_connector_spark.operators.text import (
     fingerprint,
@@ -64,4 +73,9 @@ __all__ = [
     "extract_image_meta",
     "iter_video_frames",
     "sample_video_frames",
+    "chunk_dedup_ratio",
+    "content_defined_chunks",
+    "semantic_dedup",
+    "bpe_encode_word",
+    "bpe_token_count",
 ]

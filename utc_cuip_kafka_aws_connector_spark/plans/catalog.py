@@ -1041,9 +1041,18 @@ def _replayed_events_path(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     sig = hashlib.sha256()
     if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            sig.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        # Walk RECURSIVELY (like batch.py's footer probe): a Hive-
+        # partitioned dataset nests part files, and an in-place
+        # rewrite of nested parts need not change any top-level
+        # name/size/mtime -- a flat listdir would serve a stale copy.
+        for dirpath, dirnames, filenames in os.walk(src):
+            dirnames.sort()
+            rel_dir = os.path.relpath(dirpath, src)
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                sig.update(
+                    f"{rel_dir}/{name}:{st.st_size}:{st.st_mtime_ns}".encode()
+                )
     elif os.path.exists(src):
         st = os.stat(src)
         sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
@@ -3412,9 +3421,9 @@ def q105_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q109_content_defined_chunks",
-    oracle="""
+    oracle=r"""
     WITH t AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS w
       FROM documents),
     pos AS (
       SELECT doc_id, u.i AS i, w[u.i] AS tok,
@@ -3488,11 +3497,11 @@ def q108_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q107_token_rarity",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id, u.tok
       FROM documents,
-           UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS u(tok)),
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) AS u(tok)),
     vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
@@ -3550,6 +3559,151 @@ def q106_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         T(spark, sf_dir, "documents"), chunk_size=32, stride=24
     )
+
+
+@query(
+    "q110_semantic_dedup",
+    oracle="""
+    SELECT vec_id, vec_id AS component, TRUE AS keep
+    FROM embeddings WHERE vec_id < 500
+    UNION ALL
+    SELECT vec_id + 200000 AS vec_id, vec_id AS component, FALSE AS keep
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py::
+    semantic_dedup): k-means-bucketed embedding space, exact cosine
+    verification WITHIN clusters only, connected components, min-id
+    survivors -- the embedding-cluster dedup family (Abbas et al.
+    2023) beside the LSH one (q81). Planted closed-form oracle in
+    q81's style, different candidate generator under test: an
+    identical copy of every vector at vec_id + 200000 must land in
+    the same cluster (identical input -> identical nearest-centroid),
+    pair at cosine 1.0, and collapse to the original -- while no
+    organic pair reaches 0.9 (established by q81's green gate), so
+    the expected cluster map is exact: {id, id+200000} for every id,
+    originals keep. Checks centroid selection, BLAS assignment, the
+    within-cluster equi-join, and survivor selection end-to-end."""
+    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    return semantic_dedup(corpus, n_clusters=16, cos_threshold=0.9)
+
+
+@query(
+    "q111_chunk_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+    t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS w
+      FROM corpus),
+    pos AS (
+      SELECT doc_id, u.i AS i, w[u.i] AS tok,
+             CASE WHEN substr(md5(array_to_string(w[greatest(u.i - 2, 1) : u.i], ' ')), 1, 1) = '0'
+                   AND u.i < len(w) THEN 1 ELSE 0 END AS b
+      FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    ch AS (
+      SELECT doc_id, i, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, c, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM ch GROUP BY doc_id, c),
+    marked AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, c) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup (operators/chunking.py::chunk_dedup_ratio):
+    the CDC-dedup pipeline content-defined chunking exists for --
+    edit-stable chunks (q109's operator), md5 chunk hashes, one
+    canonical first occurrence per hash, per-doc duplicate-chunk
+    ratio. Non-vacuous by construction: every doc_id % 5 == 0 is
+    planted verbatim at doc_id + 1000000, so each planted doc's
+    chunks all duplicate the original's (content-defined boundaries
+    depend only on the text, so identical text cuts identically) and
+    its dup_ratio is exactly 1.0; organic cross-doc chunk collisions
+    are detected too. The oracle re-derives the SAME chunk form
+    through the q109 SQL formulation (row explosion + window cumsum +
+    ordered string_agg) and recomputes the canonical pick with a SQL
+    window -- agreement proves boundary math, hashing, canonical
+    selection, and the ratio, value-for-value (one IEEE division:
+    hash-exact)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_dedup_ratio
+
+    docs = T(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return chunk_dedup_ratio(corpus)
+
+
+@query(
+    "q112_bpe_token_count",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             chr(31) || array_to_string(string_split_regex(u.word, ''), chr(31)||chr(31)) || chr(31) AS s
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(word)),
+    m1 AS (SELECT doc_id, replace(s, chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31), chr(31)||'th'||chr(31)) AS s FROM w),
+    m2 AS (SELECT doc_id, replace(s, chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'the'||chr(31)) AS s FROM m1),
+    m3 AS (SELECT doc_id, replace(s, chr(31)||'s'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'st'||chr(31)) AS s FROM m2),
+    m4 AS (SELECT doc_id, replace(s, chr(31)||'a'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'ar'||chr(31)) AS s FROM m3),
+    m5 AS (SELECT doc_id, replace(s, chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)) AS s FROM m4),
+    m6 AS (SELECT doc_id, replace(s, chr(31)||'o'||chr(31)||chr(31)||'w'||chr(31), chr(31)||'ow'||chr(31)) AS s FROM m5),
+    m7 AS (SELECT doc_id, replace(s, chr(31)||'l'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'le'||chr(31)) AS s FROM m6),
+    m8 AS (SELECT doc_id, replace(s, chr(31)||'ar'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'art'||chr(31)) AS s FROM m7),
+    enc AS (
+      SELECT doc_id, count(*) AS n_words,
+             sum((length(s) - length(replace(s, chr(31)||chr(31), ''))) // 2 + 1) AS n_tokens
+      FROM m8 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN enc e USING (doc_id)
+    """,
+)
+def q112_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization (operators/tokenizer.py::
+    bpe_token_count): per-doc real token counts under a broadcast
+    merge table -- the production form of the whitespace token-count
+    stand-in behind budget selection / shard assignment. The kernel
+    is one Arrow-batched mapInPandas pass with a per-executor
+    Zipf-exploiting word cache; merges apply in rank order,
+    left-to-right non-overlapping (the merge-list encoder of the
+    public BPE literature). The oracle replays the SAME algorithm in
+    pure SQL: each word framed as US-delimited symbols
+    (chr(31)||sym||chr(31) per symbol, doubled separators between --
+    the framing that makes plain string REPLACE exactly the
+    left-to-right symbol-pair merge, token prefixes can't false-match),
+    one REPLACE per merge in rank order, token count recovered from
+    the remaining separator count. Integer counts: hash-exact.
+    Differential pin: tests/test_tokenizer.py fuzzes kernel vs
+    oracle-replay vs reference encoder on random words."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import bpe_token_count
+
+    return bpe_token_count(T(spark, sf_dir, "documents"))
 
 
 # ===========================================================================
