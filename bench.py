@@ -106,6 +106,28 @@ def main() -> None:
             print(f"  [warmup] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
         drop_all_blocks()
 
+    # Machine-load marker (round-6 VERDICT: driver-envelope totals
+    # shifted uniformly ~1.2x vs same-code local runs -- machine
+    # noise, but indistinguishable from regression without a
+    # reference). Two signals, taken with the engine warm: the OS
+    # 1/5/15-min load averages, and the wall-time of a FIXED
+    # catalog-independent probe (sum over a 50M range: pure
+    # whole-stage-codegen arithmetic, no I/O, no Python, no shuffle
+    # beyond the final 1-row agg). A uniform cross-round shift that
+    # also shows in probe_sec is environment, not code.
+    def _load_marker() -> dict:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2) AS s").collect()
+        probe = round(time.perf_counter() - t0, 4)
+        return {
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "probe_sec": probe,
+        }
+
+    _load_marker()  # untimed warmup of the probe's own plan
+    load_marker = _load_marker()
+    print(f"  [load] {load_marker}", file=sys.stderr, flush=True)
+
     # Pass 2: timed, data-cold, engine-warm. Queries that failed
     # warmup are skipped (their error is already recorded).
     timings: dict[str, float] = {}
@@ -166,6 +188,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
         "sf": sf_val,
+        "load": load_marker,
     }
     if errors:
         full["errors"] = len(errors)
@@ -196,6 +219,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "errors": len(errors),
+        "load": load_marker,
         "full": "bench_full.json",
     }
     if errors:

@@ -68,3 +68,34 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys, tmp_p
     assert "deliberately broken builder" in full["queries"]["q_broken"]["err"]
     assert isinstance(full["queries"]["q23_predicates"], float)
     assert full["partial"] is True
+
+
+def test_envelope_carries_load_marker(spark, monkeypatch, capsys, tmp_path):
+    """Round-6 VERDICT: driver-envelope totals shift uniformly with
+    machine load; the envelope must carry a loadavg + fixed-probe
+    marker so cross-round comparisons can be normalized."""
+    sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+    small = {"q23_predicates": catalog.CATALOG["q23_predicates"]}
+    monkeypatch.setattr(catalog, "CATALOG", small)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    monkeypatch.setattr(bench, "_bench_reference_pipeline", lambda spark, sf_dir: 0.0)
+    monkeypatch.setattr(
+        "utc_cuip_kafka_aws_connector_spark.cli.run_curate",
+        lambda *a, **kw: {"read": 0, "survived": 0},
+    )
+    monkeypatch.setattr(
+        "utc_cuip_kafka_aws_connector_spark.session.get_spark", lambda **kw: spark
+    )
+    full_path = str(tmp_path / "bench_full.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", full_path)
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    compact = json.loads(out)
+    full = json.load(open(full_path))
+    for payload in (compact, full):
+        marker = payload["load"]
+        assert len(marker["loadavg"]) == 3
+        assert marker["probe_sec"] > 0
+    assert len(out) <= 1900

@@ -473,3 +473,72 @@ def test_content_defined_chunks_edit_stability(spark):
     shared = set1 & set2
     assert len(shared) >= len(set1) - 3, (len(set1), len(set2), len(shared))
     assert len(set1) > 10  # the doc really was cut into many chunks
+
+
+def test_distributed_prefix_sum_matches_bruteforce_all_levels(spark):
+    """Exactness across level shapes: the same 120-row input must
+    produce the identical inclusive prefix sum whether the bucket
+    count fits one offsets window (two-level), or max_window_rows
+    forces ONE recursion (three-level), or a tiny width forces TWO
+    (four-level). Ids are sparse (stride 7) so the recursion also
+    exercises non-dense bucket ids."""
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(i * 7, (i * 37) % 11 + 1) for i in range(120)]
+    expected = {}
+    run = 0
+    for oid, v in rows:  # already ordered by id
+        run += v
+        expected[oid] = run
+    df = spark.createDataFrame(rows, "oid long, val long")
+
+    for kwargs in (
+        {"bucket_width": 1000},                       # 1 bucket: two-level
+        {"bucket_width": 4, "max_window_rows": 4},    # forced recursion
+        {"bucket_width": 3, "max_window_rows": 2},    # depth >= 4
+        {"bucket_width": 4, "max_window_rows": 4, "n_buckets": 210},  # hint path
+    ):
+        got = {
+            r["oid"]: r["cum"]
+            for r in distributed_prefix_sum(df, "oid", "val", **kwargs).collect()
+        }
+        assert got == expected, kwargs
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        distributed_prefix_sum(df, "oid", "val", bucket_width=1)
+
+
+def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
+    """Plan-shape check for the forced-recursion path: each recursion
+    level adds one PARTITIONED window over an ever-smaller totals
+    frame; only the deepest level runs the single unpartitioned
+    window. 64 ids / width 4 = 16 buckets > max 4 -> one recursion
+    (16 -> 4 buckets): 2 partitioned windows + 1 unpartitioned."""
+    import contextlib
+    import io
+    import re
+
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(64).select(
+        F.col("id").alias("oid"), F.lit(1).cast("long").alias("val")
+    )
+    out = distributed_prefix_sum(
+        df, "oid", "val", bucket_width=4, max_window_rows=4
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    window_args = re.findall(
+        r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", buf.getvalue()
+    )
+    unpartitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 1]
+    partitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 2]
+    assert len(unpartitioned) == 1, buf.getvalue()
+    assert len(partitioned) == 2, buf.getvalue()
+    [last] = out.orderBy(F.col("oid").desc()).limit(1).collect()
+    assert last["cum"] == 64

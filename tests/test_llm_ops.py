@@ -622,3 +622,46 @@ def test_chunk_dedup_ratio_planted_and_unique(spark):
     solo = chunk_dedup_ratio(unique).collect()[0]
     assert rows[600]["n_chunks"] == solo["n_chunks"]
     assert rows[600]["dup_chunks"] == solo["dup_chunks"]
+
+
+# A COMMITTED 69-byte valid 1x1 RGB PNG (IHDR/IDAT/IEND with correct
+# CRCs, pixel #7f4020) -- the PIL-branch test vector exists
+# independently of PIL itself, so the moment the codec lands in the
+# image the branch is exercised with known bytes and no code change.
+TINY_PNG = (
+    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR\x00\x00\x00\x01\x00\x00\x00\x01"
+    b"\x08\x02\x00\x00\x00\x90wS\xde\x00\x00\x00\x0cIDATx\x9cc\xa8wP\x00"
+    b"\x00\x02!\x00\xe0h\x97\x9a\x0b\x00\x00\x00\x00IEND\xaeB`\x82"
+)
+
+
+def test_png_vector_distributed_error_isolation_without_pil(spark):
+    """The committed PNG through the DISTRIBUTED decode path: with PIL
+    absent the row must come back as an isolated err row (NotImplemented
+    -> err column, task survives); a sibling PPM row in the same batch
+    must still decode. Inverted twin below runs wherever PIL exists."""
+    from utc_cuip_kafka_aws_connector_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    ppm = b"P6 2 2 255 " + b"\x00" * 12
+    df = spark.createDataFrame(
+        [(0, bytearray(TINY_PNG)), (1, bytearray(ppm))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_image_meta(df).collect()}
+    ppm_row = rows[1]
+    assert (ppm_row["width"], ppm_row["height"], ppm_row["err"]) == (2, 2, None)
+    png_row = rows[0]
+    if _pil_present():
+        assert (png_row["width"], png_row["height"], png_row["err"]) == (1, 1, None)
+        assert png_row["mode"] == "RGB"
+    else:
+        assert png_row["width"] is None
+        assert "PIL" in png_row["err"]
+
+
+@pytest.mark.skipif(not _pil_present(), reason="PIL absent from this image")
+def test_committed_png_vector_decodes_with_pil():
+    meta = decode_image(TINY_PNG)
+    assert (meta["width"], meta["height"], meta["mode"]) == (1, 1, "RGB")

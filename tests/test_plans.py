@@ -149,11 +149,28 @@ def test_q97_window_is_partitioned(spark):
 def test_q98_no_global_row_window(spark):
     """The shard assigner's windows run over doc_id buckets (row data)
     and over the tiny bucket-totals frame -- the ROW-data cumsum must
-    be partitioned by bucket, and the row side must reach the final
-    projection via a broadcast of the offsets, not a shuffle of rows."""
+    be partitioned by bucket, the offsets must come back BROADCAST,
+    and below the recursion threshold the plan must keep exactly the
+    TWO-LEVEL shape: one unpartitioned window total (over bucket
+    totals), never over row data."""
+    import re
+
     p = plan_of(spark, "q98_token_shards")
     assert "BroadcastHashJoin" in p, "offsets not broadcast back"
-    assert "partitionBy=[bucket" in p.replace("#", "").replace("L", "") or "bucket" in p
+    # In formatted explain a Window's Arguments line has 3 bracket
+    # groups when partitioned (fns, partition spec, order) and 2 when
+    # unpartitioned (fns, order).
+    window_args = re.findall(
+        r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", p
+    )
+    unpartitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 1]
+    partitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 2]
+    assert len(unpartitioned) == 1, (
+        f"two-level shape broken: {len(unpartitioned)} unpartitioned windows\n{p}"
+    )
+    assert any("_psum_bucket" in a for a in partitioned), (
+        "row cumsum not bucket-partitioned"
+    )
 
 
 def test_q106_chunking_is_scan_local(spark):

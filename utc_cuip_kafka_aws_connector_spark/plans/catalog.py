@@ -2965,46 +2965,35 @@ def q98_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-sequence analog).
 
     A naive global window (ORDER BY over everything, no PARTITION BY)
-    serializes 100 TB through one task. This runs the textbook
-    scalable prefix-sum instead: scan-local token counts -> cumsum
-    WITHIN doc_id buckets -> tiny per-bucket totals window (rows =
-    n/bucket_width, thousands at most) -> broadcast offsets joined
-    back. Two narrow shuffles, no global sort of row data; integer
-    math end-to-end, hash-exact vs the oracle's single-window form."""
+    serializes 100 TB through one task. This runs the scalable
+    prefix sum (operators/packing.py::distributed_prefix_sum):
+    scan-local token counts -> cumsum WITHIN doc_id buckets -> tiny
+    per-bucket totals window -> broadcast offsets joined back -- and
+    since round 7 the per-bucket-totals level RECURSES when the
+    bucket count exceeds max_window_rows, so even a 10^9-bucket
+    corpus never serializes one task (the two-level shape below the
+    threshold is plan-pinned in tests/test_plans.py; the forced
+    three-level path is property-tested in tests/test_curation_ops
+    .py). Integer math end-to-end, hash-exact vs the oracle's
+    single-window form."""
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.size(
             F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit(""))
         ).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / 1000).cast("long").alias("bucket"),
     )
-    within = toks.withColumn(
-        "cum_in_bucket",
-        F.sum("n_tokens").over(
-            W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-        ),
+    cum = distributed_prefix_sum(
+        toks, "doc_id", "n_tokens", out_col="cum", bucket_width=1000
     )
-    offsets = (
-        toks.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("btot"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("btot").over(
-                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "offset")
-    )
-    return within.join(F.broadcast(offsets), "bucket").select(
+    return cum.select(
         "doc_id",
         "n_tokens",
-        ((F.col("offset") + F.col("cum_in_bucket") - F.col("n_tokens")) / 5000)
-        .cast("long")
-        .alias("shard"),
+        ((F.col("cum") - F.col("n_tokens")) / 5000).cast("long").alias("shard"),
     )
 
 
