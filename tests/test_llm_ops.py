@@ -529,7 +529,7 @@ def test_semantic_dedup_collapses_planted_clusters(spark):
     min-id survivor; distractors and cross-group pairs must survive
     independently -- checks cluster assignment, the within-cluster
     join, threshold verification, and transitive closure."""
-    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 
     rng = np.random.RandomState(3)
     dim = 16
@@ -569,7 +569,7 @@ def test_semantic_dedup_kmeans_source_smoke(spark):
     """The k-means|| centroid source composes end-to-end: identical
     planted copies collapse regardless of learned centroids (identical
     vectors always share a cluster)."""
-    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40).select(
         "vec_id", "embedding"
@@ -588,7 +588,7 @@ def test_semantic_dedup_kmeans_source_smoke(spark):
 
 
 def test_semantic_dedup_rejects_unknown_centroid_source(spark):
-    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 
     df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="centroid_source"):
@@ -600,7 +600,7 @@ def test_chunk_dedup_ratio_planted_and_unique(spark):
     chunks all canonicalize to the original -- content-defined
     boundaries depend only on the text); a doc sharing no 3-gram
     window with others must be 0.0."""
-    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_dedup_ratio
+    from utc_cuip_kafka_aws_connector_spark.operators.chunkdedup import chunk_dedup_ratio
 
     base = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20).select(
         "doc_id", "text"

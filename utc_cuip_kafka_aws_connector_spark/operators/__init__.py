@@ -8,8 +8,8 @@ from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
     simhash,
     sketch_documents,
 )
+from utc_cuip_kafka_aws_connector_spark.operators.chunkdedup import chunk_dedup_ratio
 from utc_cuip_kafka_aws_connector_spark.operators.chunking import (
-    chunk_dedup_ratio,
     chunk_documents,
     content_defined_chunks,
 )
@@ -30,8 +30,8 @@ from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     kmeans_centroids,
     lsh_ann_pairs,
     lsh_buckets,
-    semantic_dedup,
 )
+from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
     bpe_encode_word,
     bpe_token_count,

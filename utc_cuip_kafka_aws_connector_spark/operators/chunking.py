@@ -162,50 +162,3 @@ def content_defined_chunks(
         F.size("_toks").cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("_toks")).alias("chunk_text"),
     )
-
-
-def chunk_dedup_ratio(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    boundary_prefix: str = "0",
-) -> DataFrame:
-    """Chunk-level dedup -- the pipeline content-defined chunking
-    exists FOR: cut each document into edit-stable CDC chunks
-    (``content_defined_chunks``), hash each chunk, pick one canonical
-    first occurrence per hash (minimum (id, chunk_idx)), and report
-    per-document how much of it is duplicated elsewhere in the
-    corpus. Returns (id, n_chunks, dup_chunks, dup_ratio); filtering
-    on ``dup_ratio`` is the standard near-boilerplate /
-    copy-contamination cut.
-
-    Scale design: chunking is scan-local (zero shuffle); the
-    canonical pick is a map-side-combining groupBy on the md5 chunk
-    hash (uniformly distributed -- no skew) carrying only a 12-byte
-    (id, idx) struct, never the chunk text; the join back is an
-    equi-join on that same hash; the final rollup shuffles by doc id.
-    Chunk TEXT never rides through any shuffle."""
-    chunks = content_defined_chunks(df, id_col, text_col, k, boundary_prefix)
-    hashed = chunks.select(
-        id_col,
-        "chunk_idx",
-        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
-    )
-    canon = hashed.groupBy("chunk_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("first")
-    )
-    is_dup = (F.col(f"first.{id_col}") != F.col(id_col)) | (
-        F.col("first.chunk_idx") != F.col("chunk_idx")
-    )
-    return (
-        hashed.join(canon, "chunk_hash")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(is_dup.cast("long")).alias("dup_chunks"),
-        )
-        .withColumn(
-            "dup_ratio", F.col("dup_chunks").cast("double") / F.col("n_chunks")
-        )
-    )

@@ -180,77 +180,6 @@ def kmeans_centroids(
     return np.array(model.clusterCenters(), dtype=np.float64)
 
 
-def semantic_dedup(
-    df: DataFrame,
-    n_clusters: int = 16,
-    cos_threshold: float = 0.9,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
-    centroid_source: str = "hash_spread",
-) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): cluster the embedding space with a coarse
-    quantizer, then compare vectors ONLY within their cluster and
-    collapse groups whose pairwise cosine exceeds ``cos_threshold``
-    to one canonical (minimum-id) survivor.
-
-    Returns (id, component, keep) in ``dedup_clusters``'s contract:
-    singletons are their own component, ``keep`` marks survivors.
-
-    Scale design (the whole point vs ``lsh_ann_pairs``): the
-    candidate set is a self EQUI-JOIN on ``cluster_id`` -- cost
-    ~ sum_c |c|^2, never |corpus|^2 -- and mirrors SemDeDup's k-means
-    bucketing rather than random hyperplanes, so candidate quality
-    tracks the embedding geometry. Candidates are generated on
-    (id, cluster) pairs ONLY; the float vectors join back afterwards,
-    so wide arrays never ride through the bucket join or the
-    distinct. Cluster assignment is one BLAS matmul per Arrow batch
-    (``ivf_assign``); transitive closure is pointer-jumping
-    ``connected_components`` (checkpointed, raises on
-    non-convergence). Centroid sources as in ``ivf_topk``:
-    ``"hash_spread"`` (deterministic, oracle-friendly) or
-    ``"kmeans"`` (distributed k-means|| -- the production build;
-    tighter clusters mean fewer cross-cluster false negatives)."""
-    from utc_cuip_kafka_aws_connector_spark.operators.dedup import dedup_clusters
-
-    if centroids is None:
-        if centroid_source == "kmeans":
-            centroids = kmeans_centroids(df, n_clusters, vec_col=vec_col)
-        elif centroid_source == "hash_spread":
-            sample = (
-                df.select(F.col(id_col), F.col(vec_col))
-                .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-                .limit(n_clusters)
-                .collect()
-            )
-            centroids = np.array([r[1] for r in sample], dtype=np.float64)
-        else:
-            raise ValueError(
-                f"centroid_source must be 'hash_spread' or 'kmeans', got {centroid_source!r}"
-            )
-
-    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    left = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
-    right = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
-    cand = (
-        left.join(right, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= cos_threshold)
-        .select("id_a", "id_b")
-    )
-    return dedup_clusters(df, pairs, id_col=id_col, src="id_a", dst="id_b")
-
-
 def ivf_topk(
     df: DataFrame,
     query_vecs: list[tuple[int, list[float]]],

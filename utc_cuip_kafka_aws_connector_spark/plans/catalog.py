@@ -3561,20 +3561,23 @@ def q106_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (operators/similarity.py::
-    semantic_dedup): k-means-bucketed embedding space, exact cosine
-    verification WITHIN clusters only, connected components, min-id
-    survivors -- the embedding-cluster dedup family (Abbas et al.
-    2023) beside the LSH one (q81). Planted closed-form oracle in
-    q81's style, different candidate generator under test: an
-    identical copy of every vector at vec_id + 200000 must land in
-    the same cluster (identical input -> identical nearest-centroid),
-    pair at cosine 1.0, and collapse to the original -- while no
-    organic pair reaches 0.9 (established by q81's green gate), so
-    the expected cluster map is exact: {id, id+200000} for every id,
-    originals keep. Checks centroid selection, BLAS assignment, the
-    within-cluster equi-join, and survivor selection end-to-end."""
-    from utc_cuip_kafka_aws_connector_spark.operators.similarity import semantic_dedup
+    """SemDeDup-style semantic dedup (operators/semdedup.py):
+    k-means-bucketed embedding space, exact cosine verification
+    WITHIN clusters only, connected components, min-id survivors --
+    the embedding-cluster dedup family (Abbas et al. 2023) beside the
+    LSH one (q81). Composes operators.similarity (ivf_assign,
+    centroid sources) and operators.dedup (dedup_clusters) -- named
+    here so the gate fingerprint spans the dependency closure.
+    Planted closed-form oracle in q81's style, different candidate
+    generator under test: an identical copy of every vector at
+    vec_id + 200000 must land in the same cluster (identical input ->
+    identical nearest-centroid), pair at cosine 1.0, and collapse to
+    the original -- while no organic pair reaches 0.9 (established by
+    q81's green gate), so the expected cluster map is exact:
+    {id, id+200000} for every id, originals keep. Checks centroid
+    selection, BLAS assignment, the within-cluster equi-join, and
+    survivor selection end-to-end."""
+    from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 
     emb = (
         T(spark, sf_dir, "embeddings")
@@ -3622,22 +3625,25 @@ def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level dedup (operators/chunking.py::chunk_dedup_ratio):
-    the CDC-dedup pipeline content-defined chunking exists for --
-    edit-stable chunks (q109's operator), md5 chunk hashes, one
-    canonical first occurrence per hash, per-doc duplicate-chunk
-    ratio. Non-vacuous by construction: every doc_id % 5 == 0 is
-    planted verbatim at doc_id + 1000000, so each planted doc's
-    chunks all duplicate the original's (content-defined boundaries
-    depend only on the text, so identical text cuts identically) and
-    its dup_ratio is exactly 1.0; organic cross-doc chunk collisions
-    are detected too. The oracle re-derives the SAME chunk form
-    through the q109 SQL formulation (row explosion + window cumsum +
-    ordered string_agg) and recomputes the canonical pick with a SQL
-    window -- agreement proves boundary math, hashing, canonical
-    selection, and the ratio, value-for-value (one IEEE division:
-    hash-exact)."""
-    from utc_cuip_kafka_aws_connector_spark.operators.chunking import chunk_dedup_ratio
+    """Chunk-level dedup (operators/chunkdedup.py): the CDC-dedup
+    pipeline content-defined chunking exists for -- edit-stable
+    chunks cut by operators.chunking (q109's operator, named here so
+    the gate fingerprint spans the dependency closure), md5 chunk
+    hashes, one canonical first occurrence per hash, per-doc
+    duplicate-chunk ratio. Non-vacuous by construction: every
+    doc_id % 5 == 0 is planted verbatim at doc_id + 1000000, so each
+    planted doc's chunks all duplicate the original's
+    (content-defined boundaries depend only on the text, so identical
+    text cuts identically) and its dup_ratio is exactly 1.0; organic
+    cross-doc chunk collisions are detected too. The oracle
+    re-derives the SAME chunk form through the q109 SQL formulation
+    (row explosion + window cumsum + ordered string_agg) and
+    recomputes the canonical pick with a SQL window -- agreement
+    proves boundary math, hashing, canonical selection, and the
+    ratio, value-for-value (one IEEE division: hash-exact)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.chunkdedup import (
+        chunk_dedup_ratio,
+    )
 
     docs = T(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -3707,72 +3713,72 @@ def q112_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _GATE_PRIORITY = [
-    # --- round-6 rotation: every query whose last green row is from
-    #     round 4 (2 rounds old at r6 -- the freshness invariant "no
-    #     green row older than 2 rounds" would break at r7) gets a
-    #     fresh driver attestation this round ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q13_having",
-    "q14_distinct_months",
-    "q18_rank_ntile",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
-    "q66_salted_aggregation",
-    "q67_null_safe_join",
-    "q73_nation_trade_volume",
-    "q82_sampling",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
-    # --- changed this round (fingerprint drift => re-attest):
-    #     q95 de-vacuated oracle + 6h window; q60/q101 timeout guard;
-    #     q80/q81 connected_components non-convergence contract ---
+    # --- round-7 rotation. FIRST: the six r4-resters -- their green
+    #     rows are exactly 2 rounds old, the freshness invariant
+    #     ("no green row older than 2 rounds") breaks at r7 without
+    #     them (r6 lesson: they were stamped for a window they were
+    #     later rotated out of; the ledger is now reconciled against
+    #     CORRECTNESS reality and these are non-negotiable) ---
+    "q22_union_by_name",
+    "q23_predicates",
+    "q24_conditional_tiers",
+    "q25_null_filter",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    # --- every r5-attested query (35): their rows turn 2 rounds old
+    #     at r7 close, so rotating all of them in now lands the whole
+    #     catalog on r6/r7 evidence and clears the rotation debt.
+    #     q87/q98 additionally drifted (operators/packing.py grew
+    #     distributed_prefix_sum; q98 rewired onto it) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q08_interval_join",
+    "q09_asof_join",
+    "q10_count_distinct",
+    "q11_multidim_agg",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q17_lag_lead",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q30_json_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q52_pivot_unpivot",
+    "q63_grouped_map",
+    "q65_sessionize",
+    "q71_time_windows",
+    "q74_top_supplier",
+    "q75_promo_share",
+    "q77_explode_dimension_stats",
+    "q78_near_dup_pairs_exact",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q92_txlog_skipping",
+    "q93_change_feed",
+    "q94_decontamination",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q100_bucketed_join",
+    # --- new this round (never attested) ---
+    "q110_semantic_dedup",
+    "q111_chunk_dedup",
+    "q112_bpe_token_count",
+    # --- changed this round (fingerprint drift => re-attest): their
+    #     oracles moved from literal-space to regexp \s+ splitting ---
+    "q107_token_rarity",
+    "q109_content_defined_chunks",
+    # --- fill: r6-attested heavyweights re-confirmed a round early,
+    #     easing the 46-query r8 rotation ---
     "q95_stream_stream_join",
-    "q60_streaming_tumbling",
-    "q101_stream_static_join",
     "q80_near_dup_clusters",
     "q81_embedding_dedup",
-    "q47_simhash",
-    "q51_ngram_jaccard_pairs",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q79_ivf_ann_topk",
-    # --- new this round (never attested) ---
-    "q102_image_decode",
     "q103_near_dup_full_table",
-    "q104_audio_decode",
-    "q105_video_frame_sample",
-    "q106_document_chunking",
-    "q107_token_rarity",
-    "q108_mixture_weights",
-    "q109_content_defined_chunks",
-    # --- text.py drift (token_rarity added to the module): its other
-    #     dependents re-attest; the six deferred r4-resters (q22,
-    #     q23, q24, q25, q26, q27 -- catalog-only, byte-stable since
-    #     r4, rows exactly 2 rounds old) are r7 MUST-HAVES ---
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    "q97_budget_selection",
-    # --- fill: r5-attested core queries re-confirmed a round early
-    #     (the r5-attested queries left out -- q01, q02, q92-q94,
-    #     q96-q101 among others -- rest on 1-round-old evidence and
-    #     rotate back in r7) ---
-    "q40_exact_dedup",
-    "q46_minhash_lsh_pairs",
-    "q50_multimodal_features",
-    "q99_curation_pipeline",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
