@@ -23,6 +23,17 @@ import re
 import sys
 
 
+def load_probe(path: str) -> float | None:
+    """The envelope's machine-load marker probe time (round 7+), or
+    None for older artifacts."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    load = doc.get("load")
+    if isinstance(load, dict) and isinstance(load.get("probe_sec"), (int, float)):
+        return float(load["probe_sec"])
+    return None
+
+
 def load_timings(path: str) -> dict[str, float]:
     with open(path) as fh:
         doc = json.load(fh)
@@ -64,10 +75,28 @@ def main() -> int:
         help="ignore queries faster than this in BOTH files -- sub-second "
         "timings are noise-dominated (default 0.5)",
     )
+    ap.add_argument(
+        "--normalize-load",
+        action="store_true",
+        help="scale CURRENT timings by base_probe/current_probe using the "
+        "envelopes' machine-load markers, separating a uniform "
+        "environment shift from real regressions (both files must "
+        "carry the round-7+ load marker)",
+    )
     args = ap.parse_args()
 
     base = load_timings(args.baseline)
     cur = load_timings(args.current)
+    if args.normalize_load:
+        bp, cp = load_probe(args.baseline), load_probe(args.current)
+        if bp is None or cp is None:
+            raise SystemExit(
+                "--normalize-load: both envelopes need a load marker "
+                f"(baseline: {bp}, current: {cp})"
+            )
+        scale = bp / cp
+        print(f"load-normalizing current by probe ratio {scale:.3f} (base {bp}s / cur {cp}s)")
+        cur = {k: v * scale for k, v in cur.items()}
     shared = sorted(set(base) & set(cur))
 
     regressions: list[tuple[float, str]] = []

@@ -268,10 +268,20 @@ def main() -> int:
                 f"algorithm change: {bad}. Rotate them into the gate window."
             )
             return 1
+    never_attested = [n for n in CATALOG if n not in ledger and n not in window]
+    if never_attested:
+        # Stamping these would mint evidence for a run they won't be
+        # part of -- the r6 phantom mechanism. Refuse.
+        print(
+            "ERROR: new queries outside the gate window (rotate them into "
+            f"_GATE_PRIORITY so round {args.round} actually verifies them): "
+            f"{never_attested}"
+        )
+        return 1
     for name in CATALOG:
         if args.rekey and name in drifted and name not in window:
             ledger[name] = {"fp": fps[name], "attested_round": ledger[name]["attested_round"]}
-        elif name in window or name not in ledger or (args.force and name in drifted):
+        elif name in window or (args.force and name in drifted):
             ledger[name] = {"fp": fps[name], "attested_round": args.round}
         # else: out-of-window and unchanged -- keep the prior attestation
     ledger = {n: ledger[n] for n in CATALOG}  # drop deleted queries, fix order
