@@ -116,3 +116,49 @@ def test_no_attestation_older_than_one_round():
         f"attestations span rounds {sorted(rounds)}; rotate the oldest "
         "queries into _GATE_PRIORITY"
     )
+
+
+def test_reconcile_resets_phantoms_and_keeps_provisional(tmp_path):
+    """Unit contract of tools/gate_fingerprints.py::reconcile (the r6
+    phantom fix): a stamp contradicted by an EXISTING CORRECTNESS file
+    resets to the newest green round; a stamp for a round whose file
+    does not exist yet is provisional and untouched; a stamp with no
+    green evidence anywhere is a hard error."""
+    import pytest
+
+    tool = _fingerprint_tool()
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": False, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"qa": green, "qb": green, "qc": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"qa": green, "qd": red})
+    )
+    ledger = {
+        "qa": {"fp": "x", "attested_round": 2},  # backed: keep
+        "qb": {"fp": "x", "attested_round": 2},  # phantom: reset to 1
+        "qc": {"fp": "x", "attested_round": 3},  # r3 file absent: provisional
+    }
+    out, fixed = tool.reconcile(dict(ledger), corr_dir=str(tmp_path))
+    assert fixed == ["qb"]
+    assert out["qa"]["attested_round"] == 2
+    assert out["qb"]["attested_round"] == 1
+    assert out["qc"]["attested_round"] == 3
+
+    # hash_match=False is NOT green evidence -> no true round exists
+    bad = {"qd": {"fp": "x", "attested_round": 2}}
+    with pytest.raises(SystemExit, match="no green row in ANY"):
+        tool.reconcile(bad, corr_dir=str(tmp_path))
+
+
+def test_repo_ledger_is_a_reconcile_fixed_point():
+    """After the r7 reconciliation the real ledger must be a fixed
+    point of reconcile(): running it again changes nothing. Catches
+    any future drift between the ledger and the CORRECTNESS record
+    the moment it is introduced."""
+    tool = _fingerprint_tool()
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    _, fixed = tool.reconcile(json.loads(json.dumps(ledger)))
+    assert fixed == []

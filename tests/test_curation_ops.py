@@ -542,3 +542,37 @@ def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
     assert len(partitioned) == 2, buf.getvalue()
     [last] = out.orderBy(F.col("oid").desc()).limit(1).collect()
     assert last["cum"] == 64
+
+
+def test_distributed_prefix_sum_fuzz(spark):
+    """Hypothesis-shaped fuzz (derandomized inputs): random sparse
+    id sets with random values, three level shapes, exact equality
+    with the sequential running sum."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(1, 150)
+        ids = sorted(rng.sample(range(0, 50_000), n))
+        vals = [rng.randint(0, 10_000) for _ in range(n)]
+        expected, run = {}, 0
+        for oid, v in zip(ids, vals):
+            run += v
+            expected[oid] = run
+        df = spark.createDataFrame(list(zip(ids, vals)), "oid long, val long")
+        kwargs = rng.choice(
+            [
+                {"bucket_width": 1000},
+                {"bucket_width": 7, "max_window_rows": 5},
+                {"bucket_width": 3, "max_window_rows": 2},
+            ]
+        )
+        got = {
+            r["oid"]: r["cum"]
+            for r in distributed_prefix_sum(df, "oid", "val", **kwargs).collect()
+        }
+        assert got == expected, (trial, kwargs, n)

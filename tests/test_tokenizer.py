@@ -108,3 +108,55 @@ def test_custom_merge_table(spark):
     df = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
     [row] = bpe_token_count(df, merges=[("a", "b"), ("ab", "ab")]).collect()
     assert (row["n_words"], row["n_tokens"]) == (1, 1)  # ab+ab -> abab
+
+
+@st.composite
+def well_formed_merges(draw):
+    """Random well-formed merge tables: each side is a single char or
+    the product of an earlier merge (the invariant of learned BPE
+    tables, asserted for DEMO_MERGES above)."""
+    alphabet = "abcst"
+    produced: list[str] = []
+    merges: list[tuple[str, str]] = []
+    n = draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n):
+        pool = list(alphabet) + produced
+        a = draw(st.sampled_from(pool))
+        b = draw(st.sampled_from(pool))
+        merges.append((a, b))
+        produced.append(a + b)
+    return merges
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,  # fixed example set: this property must not flake across rounds
+    suppress_health_check=list(HealthCheck),
+)
+@given(merges=well_formed_merges(), word=st.text(alphabet="abcst", max_size=14))
+def test_rank_order_encode_invariants_any_table(merges, word):
+    """Structural invariants under ARBITRARY well-formed tables: the
+    encoding concatenates back to the word; every output token is a
+    char or a produced merge string; no adjacent token pair equals a
+    merge that could still fire under a LATER rank than both tokens'
+    creation (weak no-op check: re-encoding the encoding's joined
+    string is idempotent)."""
+    toks = bpe_encode_word(word, merges)
+    assert "".join(toks) == word
+    vocab = set("abcst") | {a + b for a, b in merges}
+    assert all(t in vocab for t in toks)
+    # idempotence: re-running the merge passes over the token stream
+    # changes nothing (each pass is a fixed point after one run)
+    syms = list(toks)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert syms == toks

@@ -111,12 +111,12 @@ def _row_is_green(row: dict) -> bool:
     )
 
 
-def green_rounds() -> dict[str, list[int]]:
+def green_rounds(corr_dir: str = REPO) -> dict[str, list[int]]:
     """name -> sorted driver rounds holding a green CORRECTNESS row."""
     import glob
 
     out: dict[str, list[int]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(corr_dir, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             data = json.load(fh)
@@ -126,7 +126,7 @@ def green_rounds() -> dict[str, list[int]]:
     return out
 
 
-def reconcile(ledger: dict) -> tuple[dict, list[str]]:
+def reconcile(ledger: dict, corr_dir: str = REPO) -> tuple[dict, list[str]]:
     """Stamp from driver reality, not window membership: any
     attested_round whose CORRECTNESS_r{N}.json EXISTS but holds no
     green row for the query is reset to the newest round that does
@@ -134,12 +134,12 @@ def reconcile(ledger: dict) -> tuple[dict, list[str]]:
     (no CORRECTNESS file) is provisional and left alone -- the test
     layer separately requires those entries to sit inside the current
     gate window. Returns (corrected ledger, corrected query names)."""
-    evidence = green_rounds()
+    evidence = green_rounds(corr_dir)
     fixed: list[str] = []
     for name, ent in ledger.items():
         attested = ent["attested_round"]
         if not os.path.exists(
-            os.path.join(REPO, f"CORRECTNESS_r{attested:02d}.json")
+            os.path.join(corr_dir, f"CORRECTNESS_r{attested:02d}.json")
         ):
             continue  # provisional pre-run stamp
         rounds = evidence.get(name, [])
