@@ -162,3 +162,69 @@ def test_repo_ledger_is_a_reconcile_fixed_point():
         ledger = json.load(fh)
     _, fixed = tool.reconcile(json.loads(json.dumps(ledger)))
     assert fixed == []
+
+
+def test_demote_evicted_provisionals(tmp_path):
+    """Unit contract of tools/gate_fingerprints.py::
+    demote_evicted_provisionals (the r7 eviction lesson): an
+    out-of-window query holding a provisional stamp is reset to its
+    newest real green round IF the fingerprint recorded at that
+    round's attestation equals the current one; fingerprint drift
+    since the real evidence (or no real evidence at all) is a hard
+    error, and in-window provisional stamps are untouched."""
+    import pytest
+
+    tool = _fingerprint_tool()
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"qa": green, "qb": green})
+    )
+    history = {("qa", 6): "fp_a", ("qb", 6): "fp_b_old"}
+    fps = {"qa": "fp_a", "qb": "fp_b_new", "qc": "fp_c", "qd": "fp_d"}
+
+    # qa: evicted provisional, history fp matches current -> demote.
+    # qd: provisional but IN window -> untouched.
+    ledger = {
+        "qa": {"fp": "fp_a", "attested_round": 7},
+        "qd": {"fp": "fp_d", "attested_round": 7},
+    }
+    demoted = tool.demote_evicted_provisionals(
+        ledger, {"qd"}, fps, corr_dir=str(tmp_path),
+        fp_at_attestation=lambda n, r: history.get((n, r)),
+    )
+    assert demoted == [("qa", 7, 6)]
+    assert ledger["qa"]["attested_round"] == 6
+    assert ledger["qd"]["attested_round"] == 7
+
+    # qb: drifted since its real round-6 evidence -> refuse.
+    with pytest.raises(SystemExit, match="drifted since the real evidence"):
+        tool.demote_evicted_provisionals(
+            {"qb": {"fp": "fp_b_new", "attested_round": 7}},
+            set(), fps, corr_dir=str(tmp_path),
+            fp_at_attestation=lambda n, r: history.get((n, r)),
+        )
+
+    # qc: provisional, no green row anywhere -> refuse.
+    with pytest.raises(SystemExit, match="cannot rest"):
+        tool.demote_evicted_provisionals(
+            {"qc": {"fp": "fp_c", "attested_round": 7}},
+            set(), fps, corr_dir=str(tmp_path),
+            fp_at_attestation=lambda n, r: history.get((n, r)),
+        )
+
+
+def test_fp_at_attestation_reads_git_history():
+    """The git-history lookup must recover, for a resting query (one
+    attested at the ledger's oldest round), exactly the fingerprint
+    the repo ledger currently holds for it (resters rest precisely
+    because their code is unchanged since that round), and None for a
+    round no committed ledger ever attested."""
+    tool = _fingerprint_tool()
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    rest_round = min(e["attested_round"] for e in ledger.values())
+    resters = [n for n, e in ledger.items() if e["attested_round"] == rest_round]
+    assert resters, "precondition: some query rests on older evidence"
+    name = resters[0]
+    assert tool._fp_at_attestation(name, rest_round) == ledger[name]["fp"]
+    assert tool._fp_at_attestation(name, 99) is None

@@ -156,6 +156,85 @@ def reconcile(ledger: dict, corr_dir: str = REPO) -> tuple[dict, list[str]]:
     return ledger, fixed
 
 
+def _fp_at_attestation(name: str, rnd: int) -> str | None:
+    """The fingerprint the ledger recorded for ``name`` when it was
+    last stamped ``attested_round == rnd``, recovered from the git
+    history of the ledger file (newest matching commit wins). None if
+    no committed ledger version ever attested that round."""
+    import subprocess
+
+    commits = subprocess.check_output(
+        ["git", "log", "--format=%H", "--", "tests/gate_fingerprints.json"],
+        cwd=REPO,
+        text=True,
+    ).split()
+    for commit in commits:
+        try:
+            blob = subprocess.check_output(
+                ["git", "show", f"{commit}:tests/gate_fingerprints.json"],
+                cwd=REPO,
+                text=True,
+                stderr=subprocess.DEVNULL,
+            )
+        except subprocess.CalledProcessError:
+            continue
+        ent = json.loads(blob).get(name)
+        if ent and ent.get("attested_round") == rnd:
+            return ent["fp"]
+    return None
+
+
+def demote_evicted_provisionals(
+    ledger: dict,
+    window: set[str],
+    fps: dict[str, str],
+    corr_dir: str = REPO,
+    fp_at_attestation=_fp_at_attestation,
+) -> list[tuple[str, int, int]]:
+    """The r7 eviction lesson (the r6 phantom mechanism in a new
+    guise): a query stamped provisionally for the round being
+    prepared and then rotated OUT of the window keeps claiming a
+    driver run it will not be part of. Reset each such entry to its
+    newest REAL green round — but only when the fingerprint recorded
+    at that round's attestation (from the ledger's git history)
+    equals the current one, so drift since the real evidence can
+    never be laundered into a demoted stamp. Mutates ``ledger``;
+    returns (name, provisional_round, restored_round) demotions."""
+    evidence = green_rounds(corr_dir)
+    demoted: list[tuple[str, int, int]] = []
+    for name, ent in ledger.items():
+        if name in window:
+            continue
+        attested = ent["attested_round"]
+        if os.path.exists(
+            os.path.join(corr_dir, f"CORRECTNESS_r{attested:02d}.json")
+        ):
+            continue  # real (or phantom -> reconcile's job), not provisional
+        rounds = evidence.get(name, [])
+        if not rounds:
+            raise SystemExit(
+                f"ERROR: {name} holds a provisional round-{attested} stamp "
+                "but is no longer in the gate window and has no green row "
+                "in any CORRECTNESS file — rotate it back into "
+                "_GATE_PRIORITY (a never-verified query cannot rest)."
+            )
+        real = max(rounds)
+        hist_fp = fp_at_attestation(name, real)
+        if hist_fp != fps.get(name):
+            raise SystemExit(
+                f"ERROR: {name} was rotated out of the window while "
+                f"provisionally stamped for round {attested}, and its "
+                f"current fingerprint differs from the one round {real} "
+                "verified (or no committed ledger ever attested that "
+                "round) — its code drifted since the real evidence (or "
+                "the fingerprint algorithm changed; see --rekey). Rotate "
+                "it back into the gate window instead of letting it rest."
+            )
+        ent["attested_round"] = real
+        demoted.append((name, attested, real))
+    return demoted
+
+
 def _verify_drift_is_algorithm_only(
     drifted: list[str], ledger: dict, old_ref: str
 ) -> list[str]:
@@ -285,6 +364,12 @@ def main() -> int:
             ledger[name] = {"fp": fps[name], "attested_round": args.round}
         # else: out-of-window and unchanged -- keep the prior attestation
     ledger = {n: ledger[n] for n in CATALOG}  # drop deleted queries, fix order
+    demoted = demote_evicted_provisionals(ledger, window, fps)
+    for name, prov, real in demoted:
+        print(
+            f"demoted {name}: provisional r{prov} stamp (rotated out of "
+            f"the window) -> real round-{real} evidence"
+        )
     with open(LEDGER, "w") as fh:
         json.dump(ledger, fh, indent=1, sort_keys=False)
         fh.write("\n")

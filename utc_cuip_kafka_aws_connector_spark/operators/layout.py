@@ -1,0 +1,137 @@
+"""Z-order (Morton curve) multi-dimensional data layout.
+
+Single-column sort layouts give parquet min/max file statistics that
+prune scans on ONE predicate column and nothing else. Interleaving
+the bits of several columns onto a space-filling curve and
+range-partitioning on the curve key gives every file a small
+HYPER-RECTANGLE of the key space, so min/max skipping works for box
+predicates on ANY of the interleaved dimensions — the standard
+100 TB layout lever (Delta/Iceberg expose it as OPTIMIZE ZORDER; the
+curve math is textbook Morton encoding). The reference has no layout
+story at all (its sink is a flat to_csv, df_manager.py:82-84); this
+is what its users would need the moment one table stops fitting a
+single scan.
+
+Determinism contract: dimension normalization is integer arithmetic
+((v - lo) * (2^bits - 1)) div max(hi - lo, 1) over data min/max, and
+the interleave is a fixed sum of shifted bit extractions — every op
+integer, so curve keys (and anything derived: bucket ids, per-bucket
+extents) are bit-identical cross-engine and oracle-checkable in
+plain SQL with the same ``& << >> div`` expressions.
+
+Scale shape: pass 1 computes the per-dimension min/max (a scalar
+aggregate, broadcast back as literals via crossJoin of a 1-row
+frame); pass 2 is scan-local projection (the curve key is pure
+expression work) followed by repartitionByRange(z) +
+sortWithinPartitions(z) at write time — one range shuffle, which any
+re-layout necessarily pays. Bucket ids here use FIXED-WIDTH key
+ranges (z div (keyspace / n_buckets)) rather than rank-based ntile,
+so bucketing is embarrassingly parallel and reproducible under any
+partitioning; range partitioning at write time balances actual row
+counts independently.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave2(xn: Column, yn: Column, bits: int) -> Column:
+    """Morton-interleave two ``bits``-wide non-negative ints: bit i of
+    x lands at position 2i, bit i of y at 2i+1."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(xn, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(yn, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, c: a.bitwiseOR(c), parts)
+
+
+def zorder_key(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 8
+) -> DataFrame:
+    """Append ``zkey`` — the Morton code of (x_col, y_col), each
+    normalized to [0, 2^bits) against its own data min/max. Input
+    columns must be integral (cast dates to epoch days first).
+
+    Exactness envelope: the normalization is floor((v - lo) * top /
+    range); the product is exact in IEEE double while
+    (hi - lo) * (2^bits - 1) < 2^53 (any range < 2^45 at bits=8),
+    which covers every fixture table by ~9 orders of magnitude and
+    keeps the keys oracle-exact. Wider-than-2^45 id spaces still
+    lay out correctly — only values within one double-ulp of a cell
+    boundary could land one cell over, which moves a row between
+    ADJACENT curve cells and never breaks the layout contract."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    top = (1 << bits) - 1
+    rng = df.select(
+        F.min(x_col).alias("_xlo"),
+        F.max(x_col).alias("_xhi"),
+        F.min(y_col).alias("_ylo"),
+        F.max(y_col).alias("_yhi"),
+    )
+    with_rng = df.crossJoin(F.broadcast(rng))
+    xn = F.floor(
+        (F.col(x_col) - F.col("_xlo"))
+        * top
+        / F.greatest(F.col("_xhi") - F.col("_xlo"), F.lit(1))
+    )
+    yn = F.floor(
+        (F.col(y_col) - F.col("_ylo"))
+        * top
+        / F.greatest(F.col("_yhi") - F.col("_ylo"), F.lit(1))
+    )
+    return with_rng.withColumn(
+        "zkey", _interleave2(xn.cast("long"), yn.cast("long"), bits)
+    ).drop("_xlo", "_xhi", "_ylo", "_yhi")
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-bucket layout statistics under fixed-width z-key ranges:
+    (bucket, n_rows, min/max of each dimension) — the min/max rows a
+    parquet footer would carry per file after a z-ordered write, i.e.
+    the skipping-effectiveness profile of the layout. Bucket width is
+    ceil(2^(2*bits) / n_buckets) so ids are reproducible without a
+    rank pass."""
+    keyspace = 1 << (2 * bits)
+    width = -(-keyspace // n_buckets)
+    return (
+        zorder_key(df, x_col, y_col, bits)
+        .withColumn("bucket", F.floor(F.col("zkey") / F.lit(width)))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 8, **options
+) -> None:
+    """Materialize ``df`` z-ordered on (x_col, y_col): one range
+    shuffle on the curve key, sorted within partitions so row-group
+    min/max stats are tight on BOTH dimensions."""
+    keyed = zorder_key(df, x_col, y_col, bits)
+    (
+        keyed.repartitionByRange("zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )

@@ -3701,6 +3701,175 @@ def q112_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(T(spark, sf_dir, "documents"))
 
 
+@query(
+    "q113_prefix_jaccard_join",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 1000))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 5
+            >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+    """,
+)
+def q113_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/setjoin.py, PPJoin-style): word-3-gram shingle sets,
+    Jaccard >= 0.8 handled as the rational 4/5 so every threshold
+    decision is integer arithmetic on both engines. Unlike the full
+    inverted index behind q78, candidates are generated only from
+    each set's rarest-tokens-first PREFIX — the frequent shingles
+    that make the naive join quadratic never enter it — which is what
+    makes the exact join (not just the LSH approximation) viable at
+    corpus scale. Prefix recall is provably 100% (module docstring),
+    so the output equals the brute-force all-pairs oracle; jaccard is
+    one IEEE integer division: hash-exact. Oracle bounded to
+    doc_id < 1000 (q78's convention) to stay O(n^2)-cheap at any sf;
+    the candidate-reduction and recall properties are additionally
+    pinned by tests/test_setjoin.py on a Zipf corpus."""
+    from utc_cuip_kafka_aws_connector_spark.operators.setjoin import (
+        prefix_filter_jaccard_join,
+        shingle_sets,
+    )
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return prefix_filter_jaccard_join(shingle_sets(docs), threshold=0.8)
+
+
+@query(
+    "q114_bm25_retrieval",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS u(term)),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    qt AS (SELECT * FROM (VALUES
+             ('p0', 'hash'), ('p0', 'join'), ('p0', 'table'),
+             ('p1', 'stream'), ('p1', 'window'), ('p1', 'agg'),
+             ('p2', 'customer'), ('p2', 'vector'), ('p2', 'scan'))
+           AS v(query_id, term)),
+    contrib AS (
+      SELECT qt.query_id, p.doc_id, p.term,
+             ((n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))) AS c
+      FROM postings p
+      JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN corpus),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_aggregate(list(c ORDER BY term), 'sum') AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q114_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py): top-10 docs
+    per probe query under the log-free-idf Okapi variant with
+    k1 = 1.5, b = 0.75 — every constant exactly representable in
+    binary, every contribution a fixed tree of correctly-rounded IEEE
+    ops, and the per-doc score an ORDERED fold over sorted terms
+    (q108's summation-pinning pattern) — so scores are bit-identical
+    cross-engine and the gate compares them hash-exact, not
+    approximately. Plan: postings/df/dl aggregations, tiny probe set
+    BROADCAST into the postings stream, Zipf term join left to AQE,
+    row_number top-k. The reference could only express this as a
+    full-corpus pandas loop (df_manager.py:54-66)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.retrieval import bm25_topk
+
+    probes = spark.createDataFrame(
+        [
+            ("p0", "hash join table"),
+            ("p1", "stream window agg"),
+            ("p2", "customer vector scan"),
+        ],
+        "query_id string, query string",
+    )
+    return bm25_topk(T(spark, sf_dir, "documents"), probes, k=10)
+
+
+def _zorder_oracle(bits: int = 8, n_buckets: int = 16) -> str:
+    top = (1 << bits) - 1
+    width = -(-(1 << (2 * bits)) // n_buckets)
+    interleave = " | ".join(
+        f"(((xn >> {i}) & 1) << {2 * i}) | (((yn >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH dims AS (
+      SELECT o_custkey AS x,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+      FROM orders),
+    rng AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                   min(y) AS ylo, max(y) AS yhi FROM dims),
+    norm AS (
+      SELECT x, y,
+             CAST(floor((x - xlo) * {top} / greatest(xhi - xlo, 1)) AS BIGINT) AS xn,
+             CAST(floor((y - ylo) * {top} / greatest(yhi - ylo, 1)) AS BIGINT) AS yn
+      FROM dims CROSS JOIN rng),
+    keyed AS (SELECT x, y, {interleave} AS zkey FROM norm)
+    SELECT CAST(floor(zkey / {width}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM keyed GROUP BY bucket
+    """
+
+
+@query("q115_zorder_layout", oracle=_zorder_oracle())
+def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout profile (operators/layout.py)
+    over orders interleaving (o_custkey, order epoch-day) at 8 bits
+    per dimension: per fixed-width curve bucket, the row count and
+    min/max of BOTH dimensions — exactly the parquet footer stats a
+    z-ordered write would give each file, i.e. the 2-D data-skipping
+    profile OPTIMIZE ZORDER buys at 100 TB. Normalization and
+    interleave are pure integer arithmetic (module docstring), the
+    oracle replays the identical bit expressions in SQL: hash-exact.
+    The skipping-effectiveness claim (z-ordered buckets cover far
+    smaller rectangles than arrival-order buckets) and the
+    range-partitioned write path are pinned by tests/test_layout.py."""
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import (
+        zorder_bucket_stats,
+    )
+
+    dims = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("o_day"),
+    )
+    return (
+        zorder_bucket_stats(dims, "o_custkey", "o_day", bits=8, n_buckets=16)
+        .select(
+            "bucket",
+            "n_rows",
+            F.col("x_min").cast("long").alias("x_min"),
+            F.col("x_max").cast("long").alias("x_max"),
+            F.col("y_min").cast("long").alias("y_min"),
+            F.col("y_max").cast("long").alias("y_max"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3769,16 +3938,17 @@ _GATE_PRIORITY = [
     "q110_semantic_dedup",
     "q111_chunk_dedup",
     "q112_bpe_token_count",
+    "q113_prefix_jaccard_join",
+    "q114_bm25_retrieval",
+    "q115_zorder_layout",
     # --- changed this round (fingerprint drift => re-attest): their
     #     oracles moved from literal-space to regexp \s+ splitting ---
     "q107_token_rarity",
     "q109_content_defined_chunks",
-    # --- fill: r6-attested heavyweights re-confirmed a round early,
-    #     easing the 46-query r8 rotation ---
+    # --- fill: an r6-attested heavyweight re-confirmed a round early
+    #     (the other three fill slots went to q113-q115; q80/q81/q103
+    #     rest on r6 evidence and rotate back in at r8) ---
     "q95_stream_stream_join",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q103_near_dup_full_table",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
