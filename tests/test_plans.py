@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -220,3 +221,43 @@ def test_q109_cdc_chunking_is_scan_local(spark):
     p = plan_of(spark, "q109_content_defined_chunks")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q113_prefix_join_is_equi_join_no_python(spark):
+    """Prefix-filter similarity join: candidate generation and the
+    verify joins must all be hash equi-joins on token/id -- a
+    cartesian or nested-loop here is the all-pairs blowup prefix
+    filtering exists to avoid -- and the whole path is JVM-side."""
+    p = plan_of(spark, "q113_prefix_jaccard_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q114_bm25_broadcasts_probes_topk_pushed(spark):
+    """BM25: the probe query set must reach the postings stream as a
+    BROADCAST (never shuffling the corpus by term for a 9-term probe
+    set), the whole score path stays JVM-side, and the per-query
+    top-k must trigger WindowGroupLimit pushdown so no full ranking
+    materializes."""
+    p = plan_of(spark, "q114_bm25_retrieval")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_q115_zorder_two_pruned_scans_no_python(spark):
+    """Z-order layout profile: exactly two parquet scans -- the
+    min/max stats pass and the keying pass, both pruned to the two
+    dimension columns -- the 1-row stats broadcast back as a
+    BroadcastNestedLoopJoin (the legitimate scalar-broadcast use),
+    and zero Python: the curve key is pure expression work."""
+    p = plan_of(spark, "q115_zorder_layout")
+    # each scan renders once in the tree and once as a "(n) Scan
+    # parquet" detail header; count the headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    for schema in re.findall(r"ReadSchema: (\S+)", p):
+        assert schema == "struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
