@@ -3882,6 +3882,15 @@ def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _GATE_PRIORITY = [
+    # r8 ROTATION PLAN (write once, so the next round doesn't have to
+    # re-derive it): all 47 queries resting on r6 evidence MUST fill
+    # the r8 window (test_no_attestation_older_than_one_round enforces
+    # it), leaving only ~3 slots for new/changed queries -- the
+    # 50-slot / 2-round-freshness ceiling is ~100 catalog queries.
+    # Run `python tools/gate_fingerprints.py --reconcile` FIRST, then
+    # rotate, then `--round 8` (evicted provisional stamps demote
+    # automatically, verified against ledger git history).
+    #
     # --- round-7 rotation. FIRST: the six r4-resters -- their green
     #     rows are exactly 2 rounds old, the freshness invariant
     #     ("no green row older than 2 rounds") breaks at r7 without
