@@ -99,3 +99,48 @@ def test_envelope_carries_load_marker(spark, monkeypatch, capsys, tmp_path):
         assert len(marker["loadavg"]) == 3
         assert marker["probe_sec"] > 0
     assert len(out) <= 1900
+
+
+def test_bench_compare_reads_driver_envelopes(tmp_path):
+    """tools/bench_compare.py must recover timings and the load
+    marker from a DRIVER BENCH_r{N}.json envelope: via the `parsed`
+    compact object when the line survived truncation, via tail regex
+    otherwise -- and the tail regex must accept the compact format's
+    space-free `"name":1.23` pairs (the form BENCH_r06 actually
+    carries; a ' ' after the colon silently matched nothing)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    compact = {
+        "metric": "catalog_total_runtime",
+        "value": 10.0,
+        "queries": {"q01_pricing_summary": 1.23, "pipeline_ingest": 0.5},
+        "load": {"loadavg": [1.0, 1.0, 1.0], "probe_sec": 0.1},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+
+    parsed_env = tmp_path / "parsed.json"
+    parsed_env.write_text(json.dumps({"tail": "noise\n" + line, "parsed": compact}))
+    assert bc.load_timings(str(parsed_env)) == {
+        "q01_pricing_summary": 1.23,
+        "pipeline_ingest": 0.5,
+    }
+    assert bc.load_probe(str(parsed_env)) == 0.1
+
+    # Truncated: parsed is null, only a tail fragment survives.
+    tail_env = tmp_path / "tail.json"
+    tail_env.write_text(
+        json.dumps({"tail": line[: line.index('"load"')], "parsed": None})
+    )
+    assert bc.load_timings(str(tail_env)) == {
+        "q01_pricing_summary": 1.23,
+        "pipeline_ingest": 0.5,
+    }

@@ -140,7 +140,10 @@ def test_reconcile_resets_phantoms_and_keeps_provisional(tmp_path):
         "qb": {"fp": "x", "attested_round": 2},  # phantom: reset to 1
         "qc": {"fp": "x", "attested_round": 3},  # r3 file absent: provisional
     }
-    out, fixed = tool.reconcile(dict(ledger), corr_dir=str(tmp_path))
+    out, fixed = tool.reconcile(
+        dict(ledger), corr_dir=str(tmp_path),
+        fp_at_attestation=lambda n, r: "x",
+    )
     assert fixed == ["qb"]
     assert out["qa"]["attested_round"] == 2
     assert out["qb"]["attested_round"] == 1
@@ -150,6 +153,15 @@ def test_reconcile_resets_phantoms_and_keeps_provisional(tmp_path):
     bad = {"qd": {"fp": "x", "attested_round": 2}}
     with pytest.raises(SystemExit, match="no green row in ANY"):
         tool.reconcile(bad, corr_dir=str(tmp_path))
+
+    # Laundering guard: qb's current fp differs from what round 1
+    # actually verified -> refuse to restore the old round.
+    with pytest.raises(SystemExit, match="would mark unverified code"):
+        tool.reconcile(
+            {"qb": {"fp": "x", "attested_round": 2}},
+            corr_dir=str(tmp_path),
+            fp_at_attestation=lambda n, r: "old_fp",
+        )
 
 
 def test_repo_ledger_is_a_reconcile_fixed_point():

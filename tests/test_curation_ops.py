@@ -516,10 +516,7 @@ def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
     frame; only the deepest level runs the single unpartitioned
     window. 64 ids / width 4 = 16 buckets > max 4 -> one recursion
     (16 -> 4 buckets): 2 partitioned windows + 1 unpartitioned."""
-    import contextlib
-    import io
-    import re
-
+    from tests.plan_utils import formatted_plan, window_arguments
     from utc_cuip_kafka_aws_connector_spark.operators.packing import (
         distributed_prefix_sum,
     )
@@ -530,16 +527,10 @@ def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
     out = distributed_prefix_sum(
         df, "oid", "val", bucket_width=4, max_window_rows=4
     )
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
-    window_args = re.findall(
-        r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", buf.getvalue()
-    )
-    unpartitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 1]
-    partitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 2]
-    assert len(unpartitioned) == 1, buf.getvalue()
-    assert len(partitioned) == 2, buf.getvalue()
+    plan = formatted_plan(out)
+    unpartitioned, partitioned = window_arguments(plan)
+    assert len(unpartitioned) == 1, plan
+    assert len(partitioned) == 2, plan
     [last] = out.orderBy(F.col("oid").desc()).limit(1).collect()
     assert last["cum"] == 64
 

@@ -154,18 +154,11 @@ def test_q98_no_global_row_window(spark):
     and below the recursion threshold the plan must keep exactly the
     TWO-LEVEL shape: one unpartitioned window total (over bucket
     totals), never over row data."""
-    import re
+    from tests.plan_utils import window_arguments
 
     p = plan_of(spark, "q98_token_shards")
     assert "BroadcastHashJoin" in p, "offsets not broadcast back"
-    # In formatted explain a Window's Arguments line has 3 bracket
-    # groups when partitioned (fns, partition spec, order) and 2 when
-    # unpartitioned (fns, order).
-    window_args = re.findall(
-        r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", p
-    )
-    unpartitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 1]
-    partitioned = [a for a in window_args if len(re.findall(r"\], \[", a)) == 2]
+    unpartitioned, partitioned = window_arguments(p)
     assert len(unpartitioned) == 1, (
         f"two-level shape broken: {len(unpartitioned)} unpartitioned windows\n{p}"
     )

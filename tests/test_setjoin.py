@@ -138,3 +138,33 @@ def test_prefix_candidates_strictly_fewer(spark):
     # proves the pruning lost nothing.
     assert pruned < naive / 2, (naive, pruned)
     sets.unpersist()
+
+
+@pytest.mark.parametrize("threshold,num,den", [(0.5, 1, 2), (0.7, 7, 10), (0.9, 9, 10)])
+def test_exactness_across_thresholds(spark, threshold, num, den):
+    """The rational-threshold arithmetic must stay lossless at every
+    threshold shape: a half (den divides most sizes), a 7/10 (the
+    float-ceil trap family), and a tight 9/10. Same brute-force
+    comparison as above, one Spark job per threshold."""
+    docs = spark.createDataFrame(_zipf_corpus(50, seed=threshold), "doc_id long, text string")
+    sets = tokenize_distinct(docs).cache()
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_join(sets, threshold=threshold).collect()
+    }
+    cand = inverted_index_candidates(sets)
+    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("i", F.size(F.array_intersect("toks_a", "toks_b")))
+            .withColumn("u", F.size(F.array_union("toks_a", "toks_b")))
+            .filter(F.col("i") * den >= F.col("u") * num)
+            .collect()
+        )
+    }
+    assert got == want
+    sets.unpersist()

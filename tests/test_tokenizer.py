@@ -160,3 +160,17 @@ def test_rank_order_encode_invariants_any_table(merges, word):
                 i += 1
         syms = out
     assert syms == toks
+
+
+def test_null_and_empty_text_count_zero(spark):
+    """NULL text must count (0 words, 0 tokens) like the q112 oracle's
+    LEFT JOIN + coalesce — pandas astype(str) would otherwise turn
+    None into the literal word 'None' (1 word / 4 tokens)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the start")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_token_count(df).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3][0] == 2

@@ -25,18 +25,32 @@ import sys
 
 def load_probe(path: str) -> float | None:
     """The envelope's machine-load marker probe time (round 7+), or
-    None for older artifacts."""
+    None for older artifacts. Driver BENCH_r{N}.json envelopes carry
+    the marker only inside the (possibly truncated) ``tail`` fragment
+    -- recover it by regex there, as load_timings does for timings
+    (the motivating use is normalizing a driver envelope against a
+    local run, so this path must work)."""
     with open(path) as fh:
         doc = json.load(fh)
-    load = doc.get("load")
-    if isinstance(load, dict) and isinstance(load.get("probe_sec"), (int, float)):
-        return float(load["probe_sec"])
+    for d in (doc, doc.get("parsed") or {}):
+        load = d.get("load")
+        if isinstance(load, dict) and isinstance(load.get("probe_sec"), (int, float)):
+            return float(load["probe_sec"])
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        m = re.search(r'"probe_sec":\s*([0-9.]+)', tail)
+        if m:
+            return float(m.group(1))
     return None
 
 
 def load_timings(path: str) -> dict[str, float]:
     with open(path) as fh:
         doc = json.load(fh)
+    if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+        # Driver envelope whose compact line parsed cleanly: use it
+        # (holds the totals + 10 slowest; finer than tail-regexing).
+        doc = doc["parsed"]
     if "queries" in doc:
         # numeric timings only; {"err": ...} entries (bench.py's
         # per-query failure isolation) are reported, not compared
@@ -52,7 +66,11 @@ def load_timings(path: str) -> dict[str, float]:
     if "tail" in doc:
         # Driver envelope: the tail is a fragment of the bench JSON
         # line; recover whatever per-query pairs survived truncation.
-        pairs = re.findall(r'"(q\w+|pipeline_ingest)": ([0-9.]+)', doc["tail"])
+        # \s* not a literal space: bench.py's compact line is emitted
+        # with separators=(",", ":") -- no space after the colon.
+        pairs = re.findall(
+            r'"(q\w+|pipeline_ingest|curate_pipeline)":\s*([0-9.]+)', doc["tail"]
+        )
         if pairs:
             return {k: float(v) for k, v in pairs}
     raise SystemExit(f"{path}: no per-query timings found")

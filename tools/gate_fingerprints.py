@@ -126,14 +126,26 @@ def green_rounds(corr_dir: str = REPO) -> dict[str, list[int]]:
     return out
 
 
-def reconcile(ledger: dict, corr_dir: str = REPO) -> tuple[dict, list[str]]:
+def reconcile(
+    ledger: dict, corr_dir: str = REPO, fp_at_attestation=None
+) -> tuple[dict, list[str]]:
     """Stamp from driver reality, not window membership: any
     attested_round whose CORRECTNESS_r{N}.json EXISTS but holds no
     green row for the query is reset to the newest round that does
     hold one. A stamp for a round whose driver gate has not run yet
     (no CORRECTNESS file) is provisional and left alone -- the test
     layer separately requires those entries to sit inside the current
-    gate window. Returns (corrected ledger, corrected query names)."""
+    gate window. Returns (corrected ledger, corrected query names).
+
+    Laundering guard (same check as demote_evicted_provisionals): a
+    reset is only legal when the fingerprint the ledger recorded at
+    the restored round's attestation (git history) equals the entry's
+    CURRENT fp -- otherwise the code drifted after the real evidence
+    (e.g. it was changed for a window run that came back red) and
+    restoring the old round would mark the NEW code verified. Such a
+    query must go back through the gate window instead."""
+    if fp_at_attestation is None:
+        fp_at_attestation = _fp_at_attestation
     evidence = green_rounds(corr_dir)
     fixed: list[str] = []
     for name, ent in ledger.items():
@@ -151,7 +163,18 @@ def reconcile(ledger: dict, corr_dir: str = REPO) -> tuple[dict, list[str]]:
                 "green row in ANY CORRECTNESS file -- no true round to "
                 "restore; rotate it into the gate window instead."
             )
-        ent["attested_round"] = max(rounds)
+        real = max(rounds)
+        hist_fp = fp_at_attestation(name, real)
+        if hist_fp != ent["fp"]:
+            raise SystemExit(
+                f"ERROR: {name}'s round-{attested} stamp has no green row, "
+                f"and its ledger fingerprint differs from the one round "
+                f"{real} (its newest real evidence) verified -- the code "
+                "changed after that evidence, so restoring the old round "
+                "would mark unverified code as verified. Rotate it into "
+                "the gate window instead."
+            )
+        ent["attested_round"] = real
         fixed.append(name)
     return ledger, fixed
 

@@ -76,13 +76,19 @@ def zorder_key(
         F.max(y_col).alias("_yhi"),
     )
     with_rng = df.crossJoin(F.broadcast(rng))
+    # The (v - lo) * top product is computed in DOUBLE, not long:
+    # long arithmetic would silently WRAP for dimension ranges
+    # >= ~2^55 (epoch-nanos over decades), scrambling the layout with
+    # no error. Double multiply is exact below 2^53 (identical to
+    # integer math there, keeping the oracle bit-exact) and degrades
+    # to the documented adjacent-cell wobble above it.
     xn = F.floor(
-        (F.col(x_col) - F.col("_xlo"))
+        (F.col(x_col) - F.col("_xlo")).cast("double")
         * top
         / F.greatest(F.col("_xhi") - F.col("_xlo"), F.lit(1))
     )
     yn = F.floor(
-        (F.col(y_col) - F.col("_ylo"))
+        (F.col(y_col) - F.col("_ylo")).cast("double")
         * top
         / F.greatest(F.col("_yhi") - F.col("_ylo"), F.lit(1))
     )

@@ -114,6 +114,12 @@ def distributed_prefix_sum(
     )
     totals = bdf.groupBy("_psum_bucket").agg(F.sum(value_col).alias("_psum_tot"))
     if n_buckets is None:
+        # The measuring count() is a real job over the full input;
+        # persist totals FIRST so that job materializes the (tiny,
+        # one-row-per-bucket) aggregate and the offsets computation
+        # below reuses it instead of re-scanning everything -- the
+        # count must not double the operator's work.
+        totals = totals.persist()
         n_buckets = totals.count()
     if n_buckets <= max_window_rows:
         offsets = totals.withColumn(

@@ -124,9 +124,11 @@ def prefix_filter_jaccard_join(
     )
 
     # Prefix length |s| - ceil(t*|s|) + 1, in integer arithmetic:
-    # ceil(sz * num / den) = (sz * num + den - 1) div den. >= 1 for
-    # non-empty sets because ceil(t*sz) <= sz when t <= 1.
-    min_overlap = F.floor((F.col("sz") * num + den - 1) / den)
+    # ceil(sz * num / den) = (sz * num + den - 1) div den -- SQL
+    # integer `div`, not `/`+floor, so no float is involved anywhere
+    # (Spark `/` is double division; exact here only below ~2^50).
+    # >= 1 for non-empty sets because ceil(t*sz) <= sz when t <= 1.
+    min_overlap = F.expr(f"(sz * {num} + {den} - 1) div {den}")
     pref = ordered.select(
         "id",
         "sz",

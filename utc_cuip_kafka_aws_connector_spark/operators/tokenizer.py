@@ -99,8 +99,12 @@ def bpe_token_count(
             return c
 
         for pdf in batches:
+            # fillna BEFORE astype: pandas astype(str) turns None into
+            # the literal word "None" (1 word / 4 tokens), where the
+            # q112 oracle's LEFT JOIN + coalesce yields (0, 0).
             word_lists = [
-                [w for w in _WS.split(t) if w] for t in pdf[text_col].astype(str)
+                [w for w in _WS.split(t) if w]
+                for t in pdf[text_col].fillna("").astype(str)
             ]
             yield pd.DataFrame(
                 {
