@@ -90,3 +90,57 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 32 * 32
     assert set(back.columns) == {"x", "y", "payload"}  # zkey dropped
+
+
+def _hilbert_py(bits: int, x: int, y: int) -> int:
+    """Independent per-bit reflect-and-swap mirror (validated in-test
+    by the DEFINING curve properties, not trusted)."""
+    d = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_matches_python_mirror_and_is_a_hilbert_curve(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import hilbert_key
+
+    n, bits = 32, 5  # min/max normalization is identity on 0..n-1
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.hkey for r in hilbert_key(df, "x", "y", bits=bits).collect()}
+    assert got == {(x, y): _hilbert_py(bits, x, y) for x, y in rows}
+    # Defining properties (these CHARACTERIZE a Hilbert-style curve,
+    # so they validate the mirror itself, not just agreement):
+    # bijective onto 0..n^2-1, and consecutive indices are always
+    # grid-adjacent (unit steps) -- the locality z-order lacks.
+    by_d = {d: xy for xy, d in got.items()}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_buckets_tile_tighter_than_arrival_order(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import (
+        hilbert_bucket_stats,
+    )
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    stats = hilbert_bucket_stats(df, "x", "y", bits=6, n_buckets=16).collect()
+    assert sum(r.n_rows for r in stats) == n * n
+    # 16 equal key ranges of a Hilbert curve over a 64x64 grid are
+    # 16x16 quadrants (unit-step curves fill each quadrant before
+    # leaving it): extent <= 15 on BOTH axes, vs 63 on y for an
+    # arrival-order split.
+    for r in stats:
+        assert r.x_max - r.x_min <= 15, r
+        assert r.y_max - r.y_min <= 15, r

@@ -254,3 +254,16 @@ def test_q115_zorder_two_pruned_scans_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q116_hilbert_same_shape_as_zorder(spark):
+    """Hilbert layout profile must keep q115's plan shape: two
+    column-pruned scans (stats pass + keying pass), zero Python --
+    the reflect-and-swap walk is one aggregate() fold, so the curve
+    math stays expression work inside the scan stage."""
+    p = plan_of(spark, "q116_hilbert_layout")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    for schema in re.findall(r"ReadSchema: (\S+)", p):
+        assert schema == "struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -66,6 +66,16 @@ def zorder_key(
     lay out correctly — only values within one double-ulp of a cell
     boundary could land one cell over, which moves a row between
     ADJACENT curve cells and never breaks the layout contract."""
+    with_rng, xn, yn = _normalized(df, x_col, y_col, bits)
+    return with_rng.withColumn("zkey", _interleave2(xn, yn, bits)).drop(
+        "_xlo", "_xhi", "_ylo", "_yhi"
+    )
+
+
+def _normalized(df: DataFrame, x_col: str, y_col: str, bits: int):
+    """Shared two-pass min/max normalization: returns (df with the
+    1-row range broadcast in, xn, yn) with both dimensions mapped to
+    [0, 2^bits) as longs."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     top = (1 << bits) - 1
@@ -86,15 +96,64 @@ def zorder_key(
         (F.col(x_col) - F.col("_xlo")).cast("double")
         * top
         / F.greatest(F.col("_xhi") - F.col("_xlo"), F.lit(1))
-    )
+    ).cast("long")
     yn = F.floor(
         (F.col(y_col) - F.col("_ylo")).cast("double")
         * top
         / F.greatest(F.col("_yhi") - F.col("_ylo"), F.lit(1))
+    ).cast("long")
+    return with_rng, xn, yn
+
+
+def _hilbert_d(xn, yn, bits: int):
+    """Hilbert-curve index of normalized cell (xn, yn) — the classic
+    per-bit reflect-and-swap walk (public algorithm; see e.g. the
+    Hilbert curve literature's xy2d), expressed as ONE F.aggregate
+    fold over bit positions MSB->LSB with the (x, y, d) state in the
+    accumulator struct. The fold keeps the expression tree LINEAR in
+    ``bits``; unrolling via chained when/otherwise would re-inline x
+    and y at every level (CollapseProject) and blow up 4^bits."""
+    init = F.struct(
+        xn.alias("x"), yn.alias("y"), F.lit(0).cast("long").alias("d")
     )
-    return with_rng.withColumn(
-        "zkey", _interleave2(xn.cast("long"), yn.cast("long"), bits)
-    ).drop("_xlo", "_xhi", "_ylo", "_yhi")
+
+    def step(acc, s):
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        # quadrant digit (3*rx) XOR ry in {0,1,2,3}
+        digit = (rx * 3).bitwiseXOR(ry).cast("long")
+        nd = d + s * s * digit
+        # rot: if ry==0 { if rx==1 reflect both; swap x,y }
+        fx = F.when(rx == 1, s - 1 - x).otherwise(x)
+        fy = F.when(rx == 1, s - 1 - y).otherwise(y)
+        nx = F.when(ry == 0, fy).otherwise(x)
+        ny = F.when(ry == 0, fx).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+    # block sizes s = 2^(bits-1) .. 1 as a literal array: the fold's
+    # lambda gets s as a long Column directly (pyspark's shiftleft
+    # only takes a Python-int shift amount, so s cannot be derived
+    # from a sequence() element inside the lambda)
+    sizes = F.array(*[F.lit(1 << i).cast("long") for i in reversed(range(bits))])
+    return F.aggregate(sizes, init, step)["d"]
+
+
+def hilbert_key(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 8
+) -> DataFrame:
+    """Append ``hkey`` — the Hilbert-curve index of (x_col, y_col),
+    normalized exactly like ``zorder_key``. Hilbert beats Morton on
+    locality (every consecutive pair of curve cells is grid-adjacent,
+    so fixed-width key ranges cover tighter rectangles — the reason
+    production table formats offer it for multi-dim clustering), at
+    the cost of the reflect-and-swap walk instead of one interleave.
+    Same integer-exactness contract as the z path: normalization is
+    shared, and the walk is pure integer arithmetic — oracle-exact."""
+    with_rng, xn, yn = _normalized(df, x_col, y_col, bits)
+    return with_rng.withColumn("hkey", _hilbert_d(xn, yn, bits)).drop(
+        "_xlo", "_xhi", "_ylo", "_yhi"
+    )
 
 
 def zorder_bucket_stats(
@@ -110,11 +169,36 @@ def zorder_bucket_stats(
     the skipping-effectiveness profile of the layout. Bucket width is
     ceil(2^(2*bits) / n_buckets) so ids are reproducible without a
     rank pass."""
+    keyed = zorder_key(df, x_col, y_col, bits)
+    return _bucket_stats(keyed, "zkey", x_col, y_col, bits, n_buckets)
+
+
+def hilbert_bucket_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """``zorder_bucket_stats`` over the Hilbert curve instead of the
+    Morton curve — same output contract, tighter per-bucket
+    rectangles (Hilbert's unit-step locality)."""
+    keyed = hilbert_key(df, x_col, y_col, bits)
+    return _bucket_stats(keyed, "hkey", x_col, y_col, bits, n_buckets)
+
+
+def _bucket_stats(
+    keyed: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    bits: int,
+    n_buckets: int,
+) -> DataFrame:
     keyspace = 1 << (2 * bits)
     width = -(-keyspace // n_buckets)
     return (
-        zorder_key(df, x_col, y_col, bits)
-        .withColumn("bucket", F.floor(F.col("zkey") / F.lit(width)))
+        keyed.withColumn("bucket", F.floor(F.col(key_col) / F.lit(width)))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),

@@ -3870,6 +3870,84 @@ def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_oracle(bits: int = 8, n_buckets: int = 16) -> str:
+    top = (1 << bits) - 1
+    width = -(-(1 << (2 * bits)) // n_buckets)
+    s = "(1::BIGINT << i)"
+    return f"""
+    WITH RECURSIVE dims AS (
+      SELECT o_custkey AS x0,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y0
+      FROM orders),
+    rng AS (SELECT min(x0) AS xlo, max(x0) AS xhi,
+                   min(y0) AS ylo, max(y0) AS yhi FROM dims),
+    norm AS (
+      SELECT x0, y0,
+             CAST(floor((x0 - xlo) * {top} / greatest(xhi - xlo, 1)) AS BIGINT) AS xn,
+             CAST(floor((y0 - ylo) * {top} / greatest(yhi - ylo, 1)) AS BIGINT) AS yn
+      FROM dims CROSS JOIN rng),
+    walk AS (
+      SELECT x0, y0, xn AS x, yn AS y, 0::BIGINT AS d, {bits - 1} AS i FROM norm
+      UNION ALL
+      SELECT x0, y0,
+        CASE WHEN (y & {s}) = 0
+             THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+             ELSE x END,
+        CASE WHEN (y & {s}) = 0
+             THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+             ELSE y END,
+        d + {s} * {s} *
+            (CASE WHEN (x & {s}) = 0 AND (y & {s}) = 0 THEN 0
+                  WHEN (x & {s}) = 0 THEN 1
+                  WHEN (y & {s}) > 0 THEN 2 ELSE 3 END),
+        i - 1
+      FROM walk WHERE i >= 0)
+    SELECT CAST(floor(d / {width}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x0) AS x_min, max(x0) AS x_max,
+           min(y0) AS y_min, max(y0) AS y_max
+    FROM walk WHERE i = -1 GROUP BY bucket
+    """
+
+
+@query("q116_hilbert_layout", oracle=_hilbert_oracle())
+def q116_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout profile (operators/layout.py) over the
+    same (o_custkey, order epoch-day) dimensions as q115 — the curve
+    production table formats prefer for multi-dim clustering because
+    consecutive curve cells are always grid-ADJACENT (unit steps), so
+    fixed-width key ranges cover tighter rectangles than Morton's.
+    The walk is the classic per-bit reflect-and-swap algorithm
+    expressed as ONE F.aggregate fold (linear expression size; an
+    unrolled when/otherwise chain re-inlines 4^bits-fold under
+    CollapseProject); the oracle replays it as a recursive-CTE walk
+    over the identical integer arithmetic: hash-exact. Correctness of
+    the curve itself (bijectivity + unit-step adjacency, the defining
+    properties) is pinned in tests/test_layout.py against an
+    independent Python mirror."""
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import (
+        hilbert_bucket_stats,
+    )
+
+    dims = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("o_day"),
+    )
+    return (
+        hilbert_bucket_stats(dims, "o_custkey", "o_day", bits=8, n_buckets=16)
+        .select(
+            "bucket",
+            "n_rows",
+            F.col("x_min").cast("long").alias("x_min"),
+            F.col("x_max").cast("long").alias("x_max"),
+            F.col("y_min").cast("long").alias("y_min"),
+            F.col("y_max").cast("long").alias("y_max"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3883,9 +3961,9 @@ def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GATE_PRIORITY = [
     # r8 ROTATION PLAN (write once, so the next round doesn't have to
-    # re-derive it): all 47 queries resting on r6 evidence MUST fill
+    # re-derive it): all 48 queries resting on r6 evidence MUST fill
     # the r8 window (test_no_attestation_older_than_one_round enforces
-    # it), leaving only ~3 slots for new/changed queries -- the
+    # it), leaving only ~2 slots for new/changed queries -- the
     # 50-slot / 2-round-freshness ceiling is ~100 catalog queries.
     # Run `python tools/gate_fingerprints.py --reconcile` FIRST, then
     # rotate, then `--round 8` (evicted provisional stamps demote
@@ -3950,14 +4028,13 @@ _GATE_PRIORITY = [
     "q113_prefix_jaccard_join",
     "q114_bm25_retrieval",
     "q115_zorder_layout",
+    "q116_hilbert_layout",
     # --- changed this round (fingerprint drift => re-attest): their
     #     oracles moved from literal-space to regexp \s+ splitting ---
     "q107_token_rarity",
     "q109_content_defined_chunks",
-    # --- fill: an r6-attested heavyweight re-confirmed a round early
-    #     (the other three fill slots went to q113-q115; q80/q81/q103
-    #     rest on r6 evidence and rotate back in at r8) ---
-    "q95_stream_stream_join",
+    # (no fill slots left: the last one went to q116; q80/q81/q95/q103
+    #  rest on r6 evidence and rotate back in at r8)
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
