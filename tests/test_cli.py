@@ -275,3 +275,58 @@ def test_cli_curate_sf01_end_to_end_golden(spark, tmp_path):
     )
     assert content_hash == "9a9bcadf3fd5cb9fd0de123d2e6c7447e1355cf80f8cff2c9a012165faf971aa"
     assert df.agg(F.sum("doc_id")).collect()[0][0] == 6220929
+
+
+def test_cli_simjoin_end_to_end(spark, tmp_path, capsys):
+    """`simjoin` finds planted near-duplicate pairs (and only those)
+    through the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(0, base), (1, base + " extra"), (2, "wholly different words here now")]
+    src, dest = str(tmp_path / "docs"), str(tmp_path / "pairs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    assert (
+        cli.main(
+            ["simjoin", "--input", src, "--output", dest, "--threshold", "0.5"]
+        )
+        == 0
+    )
+    pairs = spark.read.parquet(dest).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert "1 pairs at J>=0.5" in capsys.readouterr().out
+
+
+def test_cli_retrieve_end_to_end(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "spark joins tables"), (1, "spark spark spark"), (2, "other text")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    assert cli.main(["retrieve", "--input", src, "--query", "spark", "--k", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    assert out[0].split()[0] == "1"  # rnk 1 line; doc 1 has the highest tf
+
+
+def test_cli_layout_end_to_end(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src, dest = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    ).write.parquet(src)
+    for curve in ("z", "hilbert"):
+        assert (
+            cli.main(
+                ["layout", "--input", src, "--output", dest + curve,
+                 "--x-col", "x", "--y-col", "y", "--curve", curve, "--bits", "4"]
+            )
+            == 0
+        )
+        back = spark.read.parquet(dest + curve)
+        assert back.count() == 256
+        assert set(back.columns) == {"x", "y"}  # curve key dropped
+    assert "hilbert curve" in capsys.readouterr().out

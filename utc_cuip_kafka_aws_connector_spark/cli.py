@@ -264,6 +264,79 @@ def run_curate(
     return {"read": n_read, "survived": spark.read.parquet(output_path).count()}
 
 
+def run_simjoin(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+) -> dict:
+    """EXACT near-duplicate pair detection over a parquet corpus via
+    the prefix-filtered set-similarity join (operators/setjoin.py,
+    q113's operator): word-``shingle``-gram sets, Jaccard >=
+    ``threshold``, pairs written as parquet. shingle=1 joins on plain
+    word sets. Returns {read, pairs}."""
+    from utc_cuip_kafka_aws_connector_spark.operators.setjoin import (
+        prefix_filter_jaccard_join,
+        shingle_sets,
+        tokenize_distinct,
+    )
+
+    docs = spark.read.parquet(input_path)
+    n_read = docs.count()
+    sets = (
+        tokenize_distinct(docs, id_col=id_col, text_col=text_col)
+        if shingle == 1
+        else shingle_sets(docs, id_col=id_col, text_col=text_col, n=shingle)
+    )
+    pairs = prefix_filter_jaccard_join(sets, threshold=threshold)
+    pairs.write.mode("overwrite").parquet(output_path)
+    return {"read": n_read, "pairs": spark.read.parquet(output_path).count()}
+
+
+def run_retrieve(
+    spark: SparkSession,
+    input_path: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list:
+    """BM25 top-k retrieval (operators/retrieval.py, q114's operator)
+    of a single ad-hoc query against a parquet corpus; returns the
+    ranked (doc_id, score) rows."""
+    from utc_cuip_kafka_aws_connector_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(input_path)
+    probes = spark.createDataFrame([("q0", query)], "query_id string, query string")
+    return (
+        bm25_topk(docs, probes, k=k, id_col=id_col, text_col=text_col)
+        .orderBy("rnk")
+        .collect()
+    )
+
+
+def run_layout(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    curve: str = "z",
+) -> dict:
+    """Rewrite a parquet table clustered on a space-filling curve over
+    two columns (operators/layout.py) so min/max footer stats prune
+    box predicates on BOTH dimensions. Returns {rows}."""
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import write_clustered
+
+    df = spark.read.parquet(input_path)
+    write_clustered(df, output_path, x_col, y_col, bits=bits, curve=curve)
+    return {"rows": spark.read.parquet(output_path).count()}
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
     parser.add_argument(
@@ -326,6 +399,40 @@ def main(argv: list[str] | None = None) -> int:
         help="per-language keep rates, e.g. 'en=1.0,de=0.5'",
     )
     curate.add_argument("--default-rate", type=float, default=0.2)
+
+    simjoin = sub.add_parser(
+        "simjoin",
+        help="exact near-duplicate pairs via prefix-filtered set-similarity join",
+    )
+    simjoin.add_argument("--input", required=True, help="documents parquet path")
+    simjoin.add_argument("--output", required=True, help="pairs parquet path")
+    simjoin.add_argument("--threshold", type=float, default=0.8, help="Jaccard threshold")
+    simjoin.add_argument("--id-col", default="doc_id")
+    simjoin.add_argument("--text-col", default="text")
+    simjoin.add_argument(
+        "--shingle", type=int, default=3, help="word n-gram size (1 = plain word sets)"
+    )
+
+    retrieve = sub.add_parser(
+        "retrieve", help="BM25 top-k retrieval of an ad-hoc query over a corpus"
+    )
+    retrieve.add_argument("--input", required=True, help="documents parquet path")
+    retrieve.add_argument("--query", required=True, help="query text")
+    retrieve.add_argument("--k", type=int, default=10)
+    retrieve.add_argument("--id-col", default="doc_id")
+    retrieve.add_argument("--text-col", default="text")
+
+    layout = sub.add_parser(
+        "layout",
+        help="rewrite parquet clustered on a 2-D space-filling curve "
+        "(min/max skipping on both dimensions)",
+    )
+    layout.add_argument("--input", required=True)
+    layout.add_argument("--output", required=True)
+    layout.add_argument("--x-col", required=True)
+    layout.add_argument("--y-col", required=True)
+    layout.add_argument("--bits", type=int, default=8)
+    layout.add_argument("--curve", choices=["z", "hilbert"], default="z")
 
     compact = sub.add_parser(
         "compact",
@@ -446,6 +553,44 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"curated {args.input}: {stats['read']} read -> "
             f"{stats['survived']} survived, output={args.output}"
+        )
+    elif args.cmd == "simjoin":
+        stats = run_simjoin(
+            spark,
+            args.input,
+            args.output,
+            threshold=args.threshold,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            shingle=args.shingle,
+        )
+        print(
+            f"simjoin {args.input}: {stats['read']} docs -> {stats['pairs']} "
+            f"pairs at J>={args.threshold}, output={args.output}"
+        )
+    elif args.cmd == "retrieve":
+        for r in run_retrieve(
+            spark,
+            args.input,
+            args.query,
+            k=args.k,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ):
+            print(f"{r['rnk']:>3d}  {r[args.id_col]:>12}  {r['score']:.6f}")
+    elif args.cmd == "layout":
+        stats = run_layout(
+            spark,
+            args.input,
+            args.output,
+            args.x_col,
+            args.y_col,
+            bits=args.bits,
+            curve=args.curve,
+        )
+        print(
+            f"laid out {stats['rows']} rows on the {args.curve} curve over "
+            f"({args.x_col}, {args.y_col}), output={args.output}"
         )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files

@@ -210,18 +210,38 @@ def _bucket_stats(
     )
 
 
-def write_zordered(
-    df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 8, **options
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    curve: str = "z",
+    **options,
 ) -> None:
-    """Materialize ``df`` z-ordered on (x_col, y_col): one range
+    """Materialize ``df`` curve-clustered on (x_col, y_col): one range
     shuffle on the curve key, sorted within partitions so row-group
-    min/max stats are tight on BOTH dimensions."""
-    keyed = zorder_key(df, x_col, y_col, bits)
+    min/max stats are tight on BOTH dimensions. ``curve`` is "z"
+    (Morton) or "hilbert" (tighter rectangles, costlier key)."""
+    if curve == "z":
+        keyed, key = zorder_key(df, x_col, y_col, bits), "zkey"
+    elif curve == "hilbert":
+        keyed, key = hilbert_key(df, x_col, y_col, bits), "hkey"
+    else:
+        raise ValueError(f"curve must be 'z' or 'hilbert', got {curve!r}")
     (
-        keyed.repartitionByRange("zkey")
-        .sortWithinPartitions("zkey")
-        .drop("zkey")
+        keyed.repartitionByRange(key)
+        .sortWithinPartitions(key)
+        .drop(key)
         .write.mode("overwrite")
         .options(**options)
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 8, **options
+) -> None:
+    """``write_clustered`` with the Morton curve (kept as the named
+    entry point the tests and docs reference)."""
+    write_clustered(df, path, x_col, y_col, bits=bits, curve="z", **options)
