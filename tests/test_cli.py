@@ -308,7 +308,11 @@ def test_cli_retrieve_end_to_end(spark, tmp_path, capsys):
     assert cli.main(["retrieve", "--input", src, "--query", "spark", "--k", "2"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2
-    assert out[0].split()[0] == "1"  # rnk 1 line; doc 1 has the highest tf
+    # line format is "rnk  doc_id  score": field 0 is the rank (always
+    # 1 on the first line); field 1 is the doc id — doc 1 ("spark
+    # spark spark") must take rank 1 on tf.
+    assert out[0].split()[:2] == ["1", "1"]
+    assert out[1].split()[:2] == ["2", "0"]
 
 
 def test_cli_layout_end_to_end(spark, tmp_path, capsys):

@@ -267,3 +267,6 @@ def test_q116_hilbert_same_shape_as_zorder(spark):
         assert schema == "struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+    # same as q115's pin: the 1-row stats frame must come back as a
+    # broadcast, never a shuffled join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

@@ -198,7 +198,12 @@ def _bucket_stats(
     keyspace = 1 << (2 * bits)
     width = -(-keyspace // n_buckets)
     return (
-        keyed.withColumn("bucket", F.floor(F.col(key_col) / F.lit(width)))
+        # SQL integer `div`, not double-division+floor: at bits >= 27
+        # the keyspace exceeds 2^53 and double(key)/width can round
+        # across a bucket boundary (same reasoning as setjoin.py's
+        # prefix length) — the docstring's "z div width" is now the
+        # literal implementation.
+        keyed.withColumn("bucket", F.expr(f"{key_col} div {width}"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),

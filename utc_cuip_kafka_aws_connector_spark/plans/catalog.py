@@ -3826,7 +3826,7 @@ def _zorder_oracle(bits: int = 8, n_buckets: int = 16) -> str:
              CAST(floor((y - ylo) * {top} / greatest(yhi - ylo, 1)) AS BIGINT) AS yn
       FROM dims CROSS JOIN rng),
     keyed AS (SELECT x, y, {interleave} AS zkey FROM norm)
-    SELECT CAST(floor(zkey / {width}) AS BIGINT) AS bucket,
+    SELECT CAST(zkey // {width} AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(x) AS x_min, max(x) AS x_max,
            min(y) AS y_min, max(y) AS y_max
@@ -3902,7 +3902,7 @@ def _hilbert_oracle(bits: int = 8, n_buckets: int = 16) -> str:
                   WHEN (y & {s}) > 0 THEN 2 ELSE 3 END),
         i - 1
       FROM walk WHERE i >= 0)
-    SELECT CAST(floor(d / {width}) AS BIGINT) AS bucket,
+    SELECT CAST(d // {width} AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(x0) AS x_min, max(x0) AS x_max,
            min(y0) AS y_min, max(y0) AS y_max
