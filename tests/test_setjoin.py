@@ -168,3 +168,34 @@ def test_exactness_across_thresholds(spark, threshold, num, den):
     }
     assert got == want
     sets.unpersist()
+
+
+def test_full_corpus_planted_pairs(spark):
+    """The exact join at CORPUS size (q103's construction, pytest
+    evidence ahead of a future gate slot): 20k docs of 12 unique
+    tokens drawn from a 50k-id vocabulary — random cross-doc Jaccard
+    is ~2.4e-3, so the only pairs at J >= 0.8 are the planted copies
+    (every 20th doc re-emitted with exactly one token swapped:
+    inter=11, union=13, J=11/13 ~ 0.846). The operator must return
+    exactly the planted pair set with exact counts — at a size where
+    the all-pairs oracle (200M comparisons) is no longer runnable,
+    which is the operator's whole reason to exist."""
+    rng = random.Random(99)
+    docs, expected = [], {}
+    for i in range(20_000):
+        toks = rng.sample(range(50_000), 12)
+        docs.append((i, " ".join(f"t{t}" for t in toks)))
+        if i % 20 == 0:
+            mutated = list(toks)
+            mutated[rng.randrange(12)] = 50_000 + i  # token unique to the copy
+            docs.append((i + 1_000_000, " ".join(f"t{t}" for t in mutated)))
+            expected[(i, i + 1_000_000)] = (11, 13)
+    sets = tokenize_distinct(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_n)
+        for r in prefix_filter_jaccard_join(sets, threshold=0.8).collect()
+    }
+    assert got == expected
+    assert len(expected) == 1_000
