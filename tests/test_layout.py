@@ -144,3 +144,11 @@ def test_hilbert_buckets_tile_tighter_than_arrival_order(spark):
     for r in stats:
         assert r.x_max - r.x_min <= 15, r
         assert r.y_max - r.y_min <= 15, r
+
+
+def test_write_clustered_rejects_unknown_curve(spark, tmp_path):
+    from utc_cuip_kafka_aws_connector_spark.operators.layout import write_clustered
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="curve must be"):
+        write_clustered(df, str(tmp_path / "o"), "x", "y", curve="peano")

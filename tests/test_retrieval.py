@@ -106,3 +106,30 @@ def test_tie_break_is_doc_id(spark):
     assert [r.doc_id for r in rows] == [7, 10]
     assert rows[0].score == rows[1].score
     assert math.isfinite(rows[0].score)
+
+
+def test_score_monotonicity_properties(spark):
+    """Ranking sanity of the scoring formula: (a) with identical
+    lengths and df, higher tf ranks higher; (b) a term present in
+    fewer documents contributes more than one present in many
+    (idf monotone decreasing in df)."""
+    # (a) same dl, same df, different tf
+    docs = spark.createDataFrame(
+        [(0, "cat dog dog dog"), (1, "cat dog fox owl"), (2, "pad pad pad pad")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([("q", "dog")], "query_id string, query string")
+    rows = {r.doc_id: r.score for r in bm25_topk(docs, q).collect()}
+    assert rows[0] > rows[1]
+    # (b) rare vs common term, same tf and dl everywhere
+    docs2 = spark.createDataFrame(
+        [(0, "rare pad"), (1, "common pad"), (2, "common pad")],
+        "doc_id long, text string",
+    )
+    q2 = spark.createDataFrame(
+        [("r", "rare"), ("c", "common")], "query_id string, query string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score for r in bm25_topk(docs2, q2).collect()
+    }
+    assert got[("r", 0)] > got[("c", 1)]
