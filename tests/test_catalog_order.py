@@ -106,16 +106,52 @@ def test_ledger_attestations_are_backed_by_driver_rows():
 
 
 def test_no_attestation_older_than_one_round():
-    """Rotation policy: every query is driver-verified at least every
-    other round -- the out-of-window tail must hold rows from the
-    round immediately before the one being prepared."""
+    """Rotation policy: every NON-RETIRED query is driver-verified at
+    least every other round -- the out-of-window tail must hold rows
+    from the round immediately before the one being prepared. Retired
+    queries (catalog.GATE_RETIRED, the post-ceiling policy decided at
+    r8) rest permanently on their last real driver round; their
+    correctness evidence is the local oracle-parity suite plus their
+    frozen fingerprint (test_changed_queries_are_in_gate_window still
+    forces any retired-query drift back through the window)."""
     with open(LEDGER_PATH) as fh:
         ledger = json.load(fh)
-    rounds = {e["attested_round"] for e in ledger.values()}
+    rounds = {
+        e["attested_round"]
+        for n, e in ledger.items()
+        if n not in catalog.GATE_RETIRED
+    }
     assert max(rounds) - min(rounds) <= 1, (
         f"attestations span rounds {sorted(rounds)}; rotate the oldest "
         "queries into _GATE_PRIORITY"
     )
+
+
+def test_retired_queries_rest_on_real_driver_evidence():
+    """A query may only be RETIRED from the rotation (pytest-only
+    coverage) while its ledger round is backed by a real green driver
+    row AND its code is byte-for-byte what that round verified --
+    retirement freezes evidence, it never mints any. It must also
+    keep a DuckDB oracle so the local parity suite stays its
+    correctness gate."""
+    with open(LEDGER_PATH) as fh:
+        ledger = json.load(fh)
+    tool = _fingerprint_tool()
+    evidence = tool.green_rounds()
+    fps = tool.current_fingerprints()
+    for name in catalog.GATE_RETIRED:
+        assert name in catalog.CATALOG
+        assert name not in catalog._GATE_PRIORITY
+        assert catalog.CATALOG[name].oracle is not None
+        ent = ledger[name]
+        assert ent["attested_round"] in evidence.get(name, []), (
+            f"retired {name} has no green driver row for its ledger round"
+        )
+        assert fps[name] == ent["fp"], (
+            f"retired {name} drifted from its attested code -- rotate it "
+            "back into the gate window (retirement does not waive "
+            "verification of changes)"
+        )
 
 
 def test_reconcile_resets_phantoms_and_keeps_provisional(tmp_path):

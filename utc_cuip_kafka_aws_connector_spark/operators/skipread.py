@@ -1,0 +1,183 @@
+"""Skipping-driven reads over curve-clustered parquet layouts.
+
+The missing half of the layout story: ``operators.layout`` clusters a
+table on a space-filling curve and PROFILES the per-bucket min/max
+rectangles a skipping reader would use (q115/q116); this module is
+that reader. A box predicate on any clustered dimension prunes whole
+files from their parquet FOOTER statistics before any data I/O — the
+read-side payoff that makes the one-time clustering shuffle worth
+paying at 100 TB. (The reference has no layout or skipping story at
+all — its sink is a flat ``to_csv``, df_manager.py:82-84; this is
+what its users hit the moment one table stops fitting a single scan.)
+
+Mechanics, in three separable pieces:
+
+1. ``write_clustered_files`` — ``operators.layout``'s clustered write
+   with an explicit target file count (one range partition per file),
+   so layouts are reproducible and tests can reason about pruning
+   ratios.
+2. ``file_stats`` — a DISTRIBUTED parquet-footer harvest: the file
+   list becomes a DataFrame and executors read ONLY footers (pyarrow
+   metadata, zero data pages) via ``mapInPandas``, yielding one row
+   per file with per-column min/max. This is the Iceberg/Delta
+   manifest-worker shape: at 100 TB (~10^6 files) footer harvesting
+   is itself a parallel job, never a driver loop. In steady state a
+   production table keeps these stats in a manifest maintained at
+   write time — exactly what ``sources.txlog`` does for its tables
+   (``read_snapshot``'s manifest pruning, q92); this operator is the
+   same skipping contract for plain curve-clustered parquet dirs.
+3. ``skipping_read`` — prunes the stats frame with the box predicate
+   (a file survives only if EVERY predicated column's [min, max]
+   intersects its interval; files with missing stats are kept —
+   pruning must be conservative), collects the SURVIVING paths only
+   (bounded by selectivity, not table size), and scans them with the
+   residual filter so the result is row-identical to a full scan with
+   the same predicate regardless of how effective pruning was.
+
+Correctness is therefore layout-independent (stats only ever REMOVE
+provably-disjoint files), which is what the q117 gate entry checks
+value-for-value against a plain filtered scan; the pruning BENEFIT
+(files actually skipped) is pinned separately in
+tests/test_skipread.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.layout import (
+    hilbert_key,
+    zorder_key,
+)
+
+Box = dict[str, tuple[int, int]]  # col -> (lo, hi), both inclusive
+
+
+def write_clustered_files(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    curve: str = "z",
+    n_files: int = 32,
+    **options,
+) -> None:
+    """Materialize ``df`` curve-clustered on (x_col, y_col) into
+    ``n_files`` range partitions of the curve key (one output file
+    each), sorted within partitions so footer min/max stats are tight
+    on BOTH dimensions. Same layout contract as
+    ``operators.layout.write_clustered``; the explicit file count
+    makes pruning ratios reproducible."""
+    if curve == "z":
+        keyed, key = zorder_key(df, x_col, y_col, bits), "zkey"
+    elif curve == "hilbert":
+        keyed, key = hilbert_key(df, x_col, y_col, bits), "hkey"
+    else:
+        raise ValueError(f"curve must be 'z' or 'hilbert', got {curve!r}")
+    (
+        keyed.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """One row per data file under ``path`` with (n_rows, per-column
+    min/max over all row groups) harvested from parquet FOOTERS only
+    — executors open metadata, never data pages. ``cols`` must be
+    integral columns (the curve-clustered dimensions); a column
+    absent from a footer (or written without stats) yields nulls,
+    which the pruner treats as "cannot skip"."""
+    files = _data_files(path)
+    stat_cols = ", ".join(f"`{c}_min` long, `{c}_max` long" for c in cols)
+    schema = f"path string, n_rows long, {stat_cols}"
+    want = list(cols)
+
+    def harvest(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                agg: dict[str, tuple[int, int] | None] = {}
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for i in range(rg.num_columns):
+                        col = rg.column(i)
+                        name = col.path_in_schema
+                        if name not in want:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            agg[name] = None
+                            continue
+                        if name in agg and agg[name] is None:
+                            continue
+                        lo, hi = int(st.min), int(st.max)
+                        prev = agg.get(name)
+                        if prev is not None:
+                            lo, hi = min(lo, prev[0]), max(hi, prev[1])
+                        agg[name] = (lo, hi)
+                row: dict[str, object] = {"path": p, "n_rows": md.num_rows}
+                for c in want:
+                    mm = agg.get(c)
+                    row[f"{c}_min"] = None if mm is None else mm[0]
+                    row[f"{c}_max"] = None if mm is None else mm[1]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "n_rows"]
+                + [f"{c}_{s}" for c in want for s in ("min", "max")],
+            )
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    return paths_df.mapInPandas(harvest, schema)
+
+
+def select_files(spark: SparkSession, path: str, box: Box) -> tuple[list[str], int]:
+    """(surviving file paths, total file count) for a conjunctive box
+    predicate ``col BETWEEN lo AND hi`` per entry. A file is pruned
+    only when some column's stats range is provably disjoint from its
+    interval; null stats keep the file (conservative). The stats
+    frame is pruned DISTRIBUTED and only survivors are collected, so
+    the driver cost is bounded by predicate selectivity, not by table
+    size."""
+    stats = file_stats(spark, path, list(box))
+    keep = F.lit(True)
+    for c, (lo, hi) in box.items():
+        disjoint = (F.col(f"{c}_min") > F.lit(hi)) | (F.col(f"{c}_max") < F.lit(lo))
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+    selected = [r.path for r in stats.filter(keep).select("path").collect()]
+    return sorted(selected), len(_data_files(path))
+
+
+def skipping_read(spark: SparkSession, path: str, box: Box) -> DataFrame:
+    """Scan ``path`` with the box predicate, reading ONLY files whose
+    footer stats can hold matching rows; the residual filter then
+    makes the result row-identical to ``read(path).filter(box)`` no
+    matter how the table is laid out. Returns an empty frame with the
+    table's schema when every file is pruned."""
+    residual = F.lit(True)
+    for c, (lo, hi) in box.items():
+        residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    selected, _total = select_files(spark, path, box)
+    if not selected:
+        return spark.read.parquet(path).filter(F.lit(False)).filter(residual)
+    return spark.read.parquet(*selected).filter(residual)

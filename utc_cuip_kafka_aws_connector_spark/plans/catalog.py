@@ -3948,6 +3948,118 @@ def q116_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q117_clustered_skipping_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day,
+           o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 59
+      AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            BETWEEN 9862 AND 10226
+    """,
+)
+def q117_clustered_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skipping-driven read over a curve-clustered table
+    (operators/skipread.py) — the consumer of the layout that
+    operators.layout's q115/q116 only PROFILE, and the read-side
+    payoff of multi-dim clustering at 100 TB: orders is written
+    z-clustered on (o_custkey, order epoch-day) into 32 range-
+    partitioned files, then a box predicate on BOTH dimensions scans
+    only the files whose parquet FOOTER min/max can intersect the box
+    (footers are harvested by a distributed mapInPandas job — the
+    Iceberg/Delta manifest-worker shape — and only surviving paths
+    reach the driver). tests/test_skipread.py pins the BENEFIT (most
+    files pruned, result reads only selected files); this gate entry
+    pins the CONTRACT: pruning is conservative, so the rows are
+    byte-identical to a plain filtered scan — which is exactly the
+    oracle. All passthrough columns, no arithmetic: hash-exact. The
+    reference's sink is a flat to_csv with no layout or skipping
+    story at all (df_manager.py:82-84)."""
+    import shutil
+
+    from utc_cuip_kafka_aws_connector_spark.operators.skipread import (
+        skipping_read,
+        write_clustered_files,
+    )
+
+    path = f"{_IO_SCRATCH}/q117_clustered"
+    shutil.rmtree(path, ignore_errors=True)
+    dims = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("o_day"),
+        "o_totalprice",
+    )
+    write_clustered_files(dims, path, "o_custkey", "o_day", bits=8, n_files=32)
+    return skipping_read(
+        spark, path, {"o_custkey": (10, 59), "o_day": (9862, 10226)}
+    )
+
+
+def _bpe_train_oracle(k: int = 8) -> str:
+    """DuckDB replay of bpe_train: the word histogram, then k
+    chained (pair-count -> deterministic argmax -> framed-string
+    REPLACE) iterations. Every CTE is MATERIALIZED — each s{i}
+    references k{i} twice and s{i-1} once, so DuckDB's default CTE
+    inlining would re-evaluate s0 Theta(3^k) times."""
+    parts = [
+        r"""
+    WITH wf AS MATERIALIZED (
+      SELECT u.word AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(word)
+      GROUP BY u.word),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             chr(31) || array_to_string(string_split_regex(word, ''), chr(31)||chr(31)) || chr(31) AS s
+      FROM wf)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms[j] AS a, syms[j+1] AS b
+            FROM (SELECT freq, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms FROM s{i-1}),
+                 UNNEST(range(1, len(syms))) AS u(j))
+      GROUP BY a, b),
+    k{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{i} AS MATERIALIZED (
+      SELECT freq,
+             replace(s, (SELECT chr(31)||a||chr(31)||chr(31)||b||chr(31) FROM k{i}),
+                        (SELECT chr(31)||a||b||chr(31) FROM k{i})) AS s
+      FROM s{i-1})""")
+    tail = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({i} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, cnt AS pair_count FROM k{i}"
+        for i in range(1, k + 1)
+    )
+    return ",".join(parts) + "\n" + tail
+
+
+@query("q118_bpe_train", oracle=_bpe_train_oracle())
+def q118_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table TRAINING (operators/bpetrain.py,
+    the public Sennrich 2016 algorithm): 8 merges learned from the
+    documents corpus — the trainer whose output the q112 encoder
+    applies, completing the tokenizer story. ONE corpus-scale shuffle
+    (the word histogram) collapses the text stream to its Zipf vocab;
+    the iterations then run JVM-side on that table with a 1-row
+    argmax collect each (driver-small by construction), and
+    resegmentation is the same framed-string literal REPLACE the q112
+    oracle pins. Ties in the argmax break (count DESC, lhs, rhs) —
+    pinned identically in the Spark plan, this oracle, and the
+    pure-Python reference trainer of tests/test_bpetrain.py, which is
+    what makes training deterministic enough to hash-check: integer
+    counts, no floats anywhere."""
+    from utc_cuip_kafka_aws_connector_spark.operators.bpetrain import bpe_train
+
+    return bpe_train(T(spark, sf_dir, "documents"), n_merges=8)
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -3959,87 +4071,116 @@ def q116_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest oracle-parity suite still covers ALL queries every run.
 # ===========================================================================
 
+# ---------------------------------------------------------------------------
+# Post-ceiling rotation policy (decided round 8; the catalog hit the
+# 50-slot / 2-round-freshness ceiling of ~100 gated queries at r7).
+# From here, every NEW gate query must be paired with a RETIREMENT:
+# a query whose driver-gate slot is redundant (superseded by a
+# stronger entry) moves to pytest-only coverage. A retired query
+# stays in the CATALOG — it still runs in the local all-queries
+# oracle-parity suite every pytest run (tests/test_oracle_parity.py),
+# its code is still fingerprint-frozen (any drift forces it back
+# through the window via test_changed_queries_are_in_gate_window) —
+# but it is exempt from the every-other-round driver-rotation
+# invariant and never takes a window slot again. Its ledger row keeps
+# its last REAL driver round as a historical fact.
+#
+# Retired at r8:
+#   q78_near_dup_pairs_exact — the naive full-inverted-index
+#   similarity join, kept as the verification-grade baseline for
+#   q113's prefix-filtered join (which supersedes it in production
+#   and holds a fresh driver row); its oracle parity remains locally
+#   enforced and tests/test_setjoin.py uses it as the ground-truth
+#   generator.
+# ---------------------------------------------------------------------------
+GATE_RETIRED: frozenset[str] = frozenset({"q78_near_dup_pairs_exact"})
+
 _GATE_PRIORITY = [
-    # r8 ROTATION PLAN (write once, so the next round doesn't have to
-    # re-derive it): all 48 queries resting on r6 evidence MUST fill
-    # the r8 window (test_no_attestation_older_than_one_round enforces
-    # it), leaving only ~2 slots for new/changed queries -- the
-    # 50-slot / 2-round-freshness ceiling is ~100 catalog queries.
-    # Run `python tools/gate_fingerprints.py --reconcile` FIRST, then
-    # rotate, then `--round 8` (evicted provisional stamps demote
-    # automatically, verified against ledger git history).
+    # r8 ROTATION (executed exactly as the r7 plan prescribed):
+    # `python tools/gate_fingerprints.py --reconcile` ran FIRST
+    # (0 phantoms — the r7 ledger was already a fixed point), then
+    # the 48 queries resting on r6 evidence fill the window — their
+    # rows turn 2 rounds old at r8 close, so the freshness invariant
+    # breaks at r9 without them — and the 2 remaining slots go to
+    # this round's new operators (q117 skipping-driven clustered
+    # read, q118 BPE merge training). q78 is RETIRED (policy above)
+    # and rests permanently on its r7 row.
     #
-    # --- round-7 rotation. FIRST: the six r4-resters -- their green
-    #     rows are exactly 2 rounds old, the freshness invariant
-    #     ("no green row older than 2 rounds") breaks at r7 without
-    #     them (r6 lesson: they were stamped for a window they were
-    #     later rotated out of; the ledger is now reconciled against
-    #     CORRECTNESS reality and these are non-negotiable) ---
-    "q22_union_by_name",
-    "q23_predicates",
-    "q24_conditional_tiers",
-    "q25_null_filter",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    # --- every r5-attested query (35): their rows turn 2 rounds old
-    #     at r7 close, so rotating all of them in now lands the whole
-    #     catalog on r6/r7 evidence and clears the rotation debt.
-    #     q87/q98 additionally drifted (operators/packing.py grew
-    #     distributed_prefix_sum; q98 rewired onto it) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q52_pivot_unpivot",
-    "q63_grouped_map",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q78_near_dup_pairs_exact",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
+    # r9 ROTATION PLAN (write once, so the next round doesn't have to
+    # re-derive it): the 49 non-retired r7-attested queries (the r7
+    # window minus q78) rest through r8 and MUST fill the r9 window,
+    # leaving exactly ONE free slot thanks to the q78 retirement.
+    # Spend it on the semantic-dedup oversized-cluster guard: wire
+    # operators/skew.py::recluster_oversized (built + property-tested
+    # this round) into semantic_dedup's candidate generation
+    # (semdedup.py:78) — q110 is in the r9 window anyway, so that
+    # drift is legal. Also legal ONLY at r9 (their dependents are all
+    # r7-attested, hence in-window then): the packing.py
+    # totals-persist leak fix (ADVICE r7) and the setjoin.py:62 stale
+    # docstring pointer (-> tests/test_schema_contract.py). Any NEW
+    # r9 query beyond that needs another retirement.
+    #
+    # --- the 48 r6-resters ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q13_having",
+    "q14_distinct_months",
+    "q18_rank_ntile",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q57_sql_cte_top_orders",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q64_udtf_word_split",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q82_sampling",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q103_near_dup_full_table",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q106_document_chunking",
+    "q108_mixture_weights",
     # --- new this round (never attested) ---
-    "q110_semantic_dedup",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q115_zorder_layout",
-    "q116_hilbert_layout",
-    # --- changed this round (fingerprint drift => re-attest): their
-    #     oracles moved from literal-space to regexp \s+ splitting ---
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
-    # (no fill slots left: the last one went to q116; q80/q81/q95/q103
-    #  rest on r6 evidence and rotate back in at r8)
+    "q117_clustered_skipping_read",
+    "q118_bpe_train",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
 assert not _missing, f"_GATE_PRIORITY names unknown queries: {_missing}"
 assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)), "duplicate in _GATE_PRIORITY"
+assert GATE_RETIRED <= set(CATALOG), "GATE_RETIRED names unknown queries"
+assert not GATE_RETIRED & set(_GATE_PRIORITY), (
+    "a retired query cannot take a gate-window slot"
+)
 _ordered = {n: CATALOG[n] for n in _GATE_PRIORITY}
 _ordered.update({n: e for n, e in CATALOG.items() if n not in _ordered})
 CATALOG.clear()
