@@ -261,6 +261,37 @@ def test_demote_evicted_provisionals(tmp_path):
         )
 
 
+def test_force_restamped_drifted_query_is_not_demoted(tmp_path):
+    """The r7 ADVICE finding: under ``--force``, a drifted non-window
+    query is deliberately re-stamped at the round being prepared, so
+    main() must treat it as stamped-this-run and EXCLUDE it from
+    eviction demotion — its current fp necessarily differs from any
+    historical attestation, so passing only the window would make
+    demote_evicted_provisionals raise and --force could never write
+    the ledger. main() now passes ``window | drifted`` as the stamped
+    set; this pins that composition's behavior."""
+    tool = _fingerprint_tool()
+    # qx drifted outside the window and was --force re-stamped at r9
+    # (no CORRECTNESS_r09 file yet -> provisional).
+    ledger = {"qx": {"fp": "fp_new", "attested_round": 9}}
+    fps = {"qx": "fp_new"}
+    window: set[str] = set()
+    drifted = ["qx"]
+    stamped = window | set(drifted)  # the fixed main() composition
+    demoted = tool.demote_evicted_provisionals(
+        ledger, stamped, fps, corr_dir=str(tmp_path),
+        fp_at_attestation=lambda n, r: "fp_old",
+    )
+    assert demoted == []
+    assert ledger["qx"]["attested_round"] == 9
+    # and the source really does compose the stamped set this way
+    import inspect
+
+    assert "window | (set(drifted) if args.force else set())" in inspect.getsource(
+        tool.main
+    )
+
+
 def test_fp_at_attestation_reads_git_history():
     """The git-history lookup must recover, for a resting query (one
     attested at the ledger's oldest round), exactly the fingerprint

@@ -38,7 +38,9 @@ def load_probe(path: str) -> float | None:
             return float(load["probe_sec"])
     tail = doc.get("tail")
     if isinstance(tail, str):
-        m = re.search(r'"probe_sec":\s*([0-9.]+)', tail)
+        # number pattern covers scientific notation: json.dumps emits
+        # e.g. 9.7e-05 for very small probe times (round-7 ADVICE)
+        m = re.search(r'"probe_sec":\s*([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)', tail)
         if m:
             return float(m.group(1))
     return None
@@ -69,7 +71,9 @@ def load_timings(path: str) -> dict[str, float]:
         # \s* not a literal space: bench.py's compact line is emitted
         # with separators=(",", ":") -- no space after the colon.
         pairs = re.findall(
-            r'"(q\w+|pipeline_ingest|curate_pipeline)":\s*([0-9.]+)', doc["tail"]
+            r'"(q\w+|pipeline_ingest|curate_pipeline)":'
+            r"\s*([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)",
+            doc["tail"],
         )
         if pairs:
             return {k: float(v) for k, v in pairs}

@@ -387,7 +387,15 @@ def main() -> int:
             ledger[name] = {"fp": fps[name], "attested_round": args.round}
         # else: out-of-window and unchanged -- keep the prior attestation
     ledger = {n: ledger[n] for n in CATALOG}  # drop deleted queries, fix order
-    demoted = demote_evicted_provisionals(ledger, window, fps)
+    # Names stamped in THIS run are legitimate provisionals: the
+    # window queries, plus (under --force) the drifted non-window
+    # queries that were just re-stamped. Excluding the latter from
+    # demotion is what lets --force do its stated job -- a drifted
+    # query's current fp necessarily differs from its last attested
+    # fp, so demote_evicted_provisionals would otherwise always raise
+    # and the ledger would never be written (round-7 ADVICE finding).
+    stamped = window | (set(drifted) if args.force else set())
+    demoted = demote_evicted_provisionals(ledger, stamped, fps)
     for name, prov, real in demoted:
         print(
             f"demoted {name}: provisional r{prov} stamp (rotated out of "

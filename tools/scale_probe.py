@@ -81,6 +81,19 @@ def main() -> int:
             CATALOG[name].builder(spark, sf_dir).collect()
             pts.append((sf, time.perf_counter() - t0))
             clear()
+        if len(pts) < 2:
+            # a slope needs two scale factors; emit alpha=null instead
+            # of a ZeroDivisionError (round-7 ADVICE)
+            out[name] = {
+                "sec": {str(sf): round(t, 3) for sf, t in pts},
+                "alpha": None,
+            }
+            print(
+                f"{name:<32s} need at least two scale-factor fixture dirs "
+                f"to fit a slope ({len(pts)} present)",
+                file=sys.stderr,
+            )
+            continue
         xs = [math.log(sf) for sf, _ in pts]
         ys = [math.log(t) for _, t in pts]
         n = len(pts)

@@ -1,0 +1,218 @@
+"""Oversized-cluster guard for cluster-bucketed candidate generation.
+
+``semantic_dedup`` (operators/semdedup.py) generates candidate pairs
+with a self equi-join on cluster id — cost ~ sum_c |c|^2. That is the
+whole scale story, and it has one failure mode at 100 TB: a
+degenerate embedding distribution (a boilerplate flood, a collapsed
+encoder) can put a huge fraction of the corpus into ONE cluster,
+whose |c|^2 then dominates everything. This module bounds that cost:
+clusters above a row cap are recursively RE-CLUSTERED on sub-
+centroids drawn from their own members (the geometry-aware split,
+mirroring operators/packing.py::distributed_prefix_sum's
+bounded-level recursion), and anything still oversized when the
+depth budget runs out — e.g. a cluster of near-identical vectors,
+which no geometric split can separate — is salted into hash
+sub-buckets of ~cap rows.
+
+Splitting a cluster necessarily drops some within-cluster candidate
+pairs (the unguarded join would have compared all of them), so the
+guard also emits STITCH pairs: each refined sub-bucket's minimum-id
+representative paired with the parent cluster's overall minimum-id
+representative. Downstream these ride the normal cosine-verified
+candidate path, so in the common degenerate case — the oversized
+cluster IS one near-duplicate group — transitive closure still
+collapses it to a single component: within-bucket pairs connect each
+bucket, stitch pairs connect the buckets. The approximation this
+introduces (cross-sub-bucket pairs beyond the representatives are
+not compared) is the same one semantic dedup already makes across
+top-level clusters by design (Abbas et al. 2023's within-cluster
+restriction).
+
+Round-9 wiring plan (this module lands test-first in round 8, in its
+own module, because editing semdedup.py would drift q110's gate fingerprint outside the
+round-8 window): semantic_dedup gains ``cluster_cap`` and calls
+``recluster_oversized`` between ``ivf_assign`` and the candidate
+join, unioning the stitch pairs into the candidate set; the default
+cap stays far above fixture cluster sizes so the q110 oracle is
+unchanged and the guard's behavior stays pinned by
+tests/test_clusterguard.py's degenerate-distribution properties.
+
+Zero-cost when idle: one driver-small aggregate (#clusters rows)
+checks for oversized clusters; if none, the input frame is returned
+unchanged (identity) and no extra job, shuffle, or plan weight is
+added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from utc_cuip_kafka_aws_connector_spark.functions import cosine
+
+
+def recluster_oversized(
+    df: DataFrame,
+    assigned: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    n_split: int = 8,
+    max_depth: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Bound every cluster of ``assigned`` (id, cluster) to ~``cap``
+    members. Returns ``(refined, stitches)``:
+
+    - ``refined``: (id_col, cluster_col) with cluster ids as STRINGS
+      (sub-clusters extend the parent key, ``"3/1/0"`` or ``"3#2"``
+      for a salted leaf), no cluster larger than ``cap`` except salted
+      leaves' hash-balance wobble (bounded in expectation at cap, and
+      deterministic for a given id set);
+    - ``stitches``: (id_a, id_b) representative pairs (id_a < id_b)
+      that preserve connectivity across the sub-buckets of each split
+      cluster for downstream transitive closure.
+
+    When nothing exceeds ``cap`` the input is returned as-is (with the
+    cluster id cast to string) and ``stitches`` is empty.
+    """
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    spark = df.sparkSession
+    base = assigned.select(
+        F.col(id_col), F.col(cluster_col).cast("string").alias("ckey")
+    )
+    sizes = base.groupBy("ckey").agg(F.count(F.lit(1)).alias("n"))
+    oversized = [r.ckey for r in sizes.filter(F.col("n") > cap).collect()]
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long").select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    if not oversized:
+        return (
+            base.select(F.col(id_col), F.col("ckey").alias(cluster_col)),
+            empty_pairs,
+        )
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    done = base.join(F.broadcast(sizes.filter(F.col("n") <= cap)), "ckey").select(
+        id_col, "ckey"
+    )
+    big = base.join(
+        F.broadcast(sizes.filter(F.col("n") > cap).select("ckey")), "ckey"
+    )
+
+    parts = [done]
+    for _depth in range(max_depth):
+        # geometry-aware split: n_split sub-centroids per oversized
+        # cluster, drawn deterministically from its own members.
+        # Drawing them with a row_number window over the full cluster
+        # would shuffle the entire hot cluster into ONE task -- the
+        # exact skew this guard exists to remove -- so instead the
+        # candidate pool is a scan-local hash SAMPLE (expected ~8x
+        # n_split survivors per cluster; only the sample is sorted),
+        # unioned with each cluster's min-id member so every cluster
+        # is guaranteed at least one sub-centroid even if the sample
+        # comes up empty. The sub-centroid table is small by
+        # construction and broadcast.
+        csizes = sizes.filter(F.col("n") > cap).select("ckey", "n")
+        pool = (
+            big.join(F.broadcast(csizes), "ckey")
+            .withColumn(
+                "_k",
+                F.greatest(
+                    (F.col("n") / F.lit(n_split * 8)).cast("long"), F.lit(1)
+                ),
+            )
+            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")) == 0)
+            .select("ckey", id_col)
+        )
+        anchors = big.groupBy("ckey").agg(F.min(id_col).alias(id_col))
+        pool = pool.unionByName(anchors).distinct()
+        order = W.partitionBy("ckey").orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+        reps = (
+            pool.withColumn("_rn", F.row_number().over(order))
+            .filter(F.col("_rn") <= n_split)
+            .join(vecs, id_col)
+            .select("ckey", F.col("_rn").alias("_sub"), F.col("_v").alias("_c"))
+        )
+        best = W.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_sub"))
+        refined = (
+            big.join(vecs, id_col)
+            .join(F.broadcast(reps), "ckey")
+            .withColumn("_sim", cosine(F.col("_v"), F.col("_c")))
+            .withColumn("_pick", F.row_number().over(best))
+            .filter(F.col("_pick") == 1)
+            .select(
+                id_col,
+                F.concat(F.col("ckey"), F.lit("/"), F.col("_sub")).alias("ckey"),
+            )
+            # truncate lineage each depth (the connected_components
+            # pattern): without this the joins-of-windows-of-joins
+            # plan doubles per level and every downstream action
+            # recomputes the whole tower. The checkpointed frame is
+            # only the still-oversized slice, so this is small.
+            .localCheckpoint(eager=True)
+        )
+        sizes = refined.groupBy("ckey").agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            refined.join(F.broadcast(sizes.filter(F.col("n") <= cap)), "ckey").select(
+                id_col, "ckey"
+            )
+        )
+        # one driver-small aggregate (#clusters rows) decides both the
+        # loop exit and the next level's input.
+        still_over = sizes.filter(F.col("n") > cap).select("ckey").collect()
+        if not still_over:
+            big = None
+            break
+        big = refined.join(
+            F.broadcast(sizes.filter(F.col("n") > cap).select("ckey")), "ckey"
+        )
+
+    if big is not None:
+        # depth budget exhausted (identical-vector clusters make no
+        # geometric progress): salt into ceil(n/cap) hash sub-buckets.
+        counts = big.groupBy("ckey").agg(F.count(F.lit(1)).alias("n"))
+        salted = (
+            big.join(F.broadcast(counts), "ckey")
+            .withColumn(
+                "_b",
+                F.pmod(F.xxhash64(F.col(id_col)), F.ceil(F.col("n") / cap)),
+            )
+            .select(
+                id_col,
+                F.concat(F.col("ckey"), F.lit("#"), F.col("_b")).alias("ckey"),
+            )
+        )
+        parts.append(salted)
+
+    refined_all = parts[0]
+    for p in parts[1:]:
+        refined_all = refined_all.unionByName(p)
+
+    # connectivity stitches: within each ORIGINAL oversized cluster,
+    # pair every sub-bucket's min-id representative with the parent's
+    # overall min-id representative (a star over representatives).
+    split_members = refined_all.withColumn(
+        "_root", F.split(F.col("ckey"), "[/#]").getItem(0)
+    ).filter(F.col("_root").isin(oversized))
+    bucket_reps = split_members.groupBy("_root", "ckey").agg(
+        F.min(id_col).alias("_rep")
+    )
+    root_reps = bucket_reps.groupBy("_root").agg(F.min("_rep").alias("_anchor"))
+    stitches = (
+        bucket_reps.join(F.broadcast(root_reps), "_root")
+        .filter(F.col("_rep") != F.col("_anchor"))
+        .select(
+            F.least("_anchor", "_rep").alias("id_a"),
+            F.greatest("_anchor", "_rep").alias("id_b"),
+        )
+        .distinct()
+    )
+    return (
+        refined_all.select(F.col(id_col), F.col("ckey").alias(cluster_col)),
+        stitches,
+    )
