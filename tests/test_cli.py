@@ -334,3 +334,55 @@ def test_cli_layout_end_to_end(spark, tmp_path, capsys):
         assert back.count() == 256
         assert set(back.columns) == {"x", "y"}  # curve key dropped
     assert "hilbert curve" in capsys.readouterr().out
+
+
+def test_cli_classify_end_to_end(spark, tmp_path, capsys):
+    """`classify` trains on labeled docs and both predicts and emits
+    the log-odds filter table through the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    train = [(i, "clean prose sentence words " * 3, "keep") for i in range(20)] + [
+        (i + 20, "junk spam garbled noise " * 3, "drop") for i in range(20)
+    ]
+    score = [(100, "clean prose sentence words indeed"), (101, "junk spam garbled mess")]
+    tr, src = str(tmp_path / "train"), str(tmp_path / "score")
+    spark.createDataFrame(train, "doc_id long, text string, lang string").write.parquet(tr)
+    spark.createDataFrame(score, "doc_id long, text string").write.parquet(src)
+
+    pred = str(tmp_path / "pred")
+    assert (
+        cli.main(["classify", "--train", tr, "--input", src, "--output", pred]) == 0
+    )
+    got = {r.doc_id: r.predicted for r in spark.read.parquet(pred).collect()}
+    assert got == {100: "keep", 101: "drop"}
+    assert "trained on 40 docs" in capsys.readouterr().out
+
+    odds = str(tmp_path / "odds")
+    assert (
+        cli.main(
+            ["classify", "--train", tr, "--input", src, "--output", odds,
+             "--keep-label", "keep"]
+        )
+        == 0
+    )
+    o = {r.doc_id: r.log_odds for r in spark.read.parquet(odds).collect()}
+    assert o[100] > 0 > o[101]
+    assert "log-odds vs 'keep'" in capsys.readouterr().out
+
+
+def test_cli_hotkeys_end_to_end(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "rows")
+    rows = [("hot",)] * 900 + [(f"u{i}",) for i in range(100)]
+    spark.createDataFrame(rows, "k string").write.parquet(src)
+    assert (
+        cli.main(
+            ["hotkeys", "--input", src, "--column", "k",
+             "--k", "8", "--rows-per-task", "300"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "         900  hot" in out
+    assert "suggested salt buckets: 3" in out

@@ -115,3 +115,40 @@ def test_k_validation(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="k must be"):
         mg_summaries(df, "k", 0).collect()
+
+
+# --- pure-Python Misra-Gries invariants (hypothesis; no Spark) ---
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from utc_cuip_kafka_aws_connector_spark.operators.heavyhitters import _mg_compress
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    k=st.integers(min_value=1, max_value=12),
+    batch=st.integers(min_value=1, max_value=50),
+)
+def test_mg_stream_invariants(stream, k, batch):
+    """Replay the exact per-batch loop mg_summaries runs: after any
+    prefix, (a) at most k counters, (b) no counter over-estimates,
+    (c) every counter under-estimates by at most n/(k+1) -- so any
+    value with true frequency > n/k is guaranteed present."""
+    counts: dict = {}
+    for i in range(0, len(stream), batch):
+        for v, c in Counter(stream[i : i + batch]).items():
+            counts[v] = counts.get(v, 0) + c
+        counts = _mg_compress(counts, k)
+    exact = Counter(stream)
+    n = len(stream)
+    assert len(counts) <= k
+    for v, w in counts.items():
+        assert 0 < w <= exact[v]
+        assert w >= exact[v] - n / (k + 1)
+    for v, c in exact.items():
+        if c > n / k:
+            assert v in counts

@@ -337,6 +337,68 @@ def run_layout(
     return {"rows": spark.read.parquet(output_path).count()}
 
 
+def run_classify(
+    spark: SparkSession,
+    train_path: str,
+    input_path: str,
+    output_path: str,
+    label_col: str = "lang",
+    keep_label: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Model-based corpus classification/filtering (operators/
+    nbquality.py): train the hashed-NB classifier on ``train_path``'s
+    labeled docs, then either predict a label per input doc or (with
+    ``keep_label``) emit the log-odds quality-filter table. Returns
+    {train, scored}."""
+    from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
+        nb_log_odds,
+        nb_predict,
+        nb_train,
+    )
+
+    train = spark.read.parquet(train_path)
+    model = nb_train(train, text_col=text_col, label_col=label_col)
+    docs = spark.read.parquet(input_path)
+    out = (
+        nb_log_odds(docs, model, keep_label, id_col=id_col, text_col=text_col)
+        if keep_label
+        else nb_predict(docs, model, id_col=id_col, text_col=text_col)
+    )
+    out.write.mode("overwrite").parquet(output_path)
+    return {
+        "train": train.count(),
+        "scored": spark.read.parquet(output_path).count(),
+    }
+
+
+def run_hotkeys(
+    spark: SparkSession,
+    input_path: str,
+    column: str,
+    k: int = 64,
+    rows_per_task: int | None = None,
+) -> dict:
+    """Skew diagnosis (operators/heavyhitters.py): exact frequencies
+    of every value above n/k in ``column``, with k-bounded shuffle
+    state; optionally the salt-bucket advice for salted_join at the
+    given per-task row budget. Returns {hitters, salt_buckets}."""
+    from utc_cuip_kafka_aws_connector_spark.operators.heavyhitters import (
+        heavy_hitters,
+        suggest_salt_buckets,
+    )
+
+    df = spark.read.parquet(input_path)
+    hitters = heavy_hitters(df, column, k=k).collect()
+    salt = (
+        suggest_salt_buckets(df, column, rows_per_task, k=k)
+        if rows_per_task
+        else None
+    )
+    return {"hitters": hitters, "salt_buckets": salt}
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
     parser.add_argument(
@@ -433,6 +495,38 @@ def main(argv: list[str] | None = None) -> int:
     layout.add_argument("--y-col", required=True)
     layout.add_argument("--bits", type=int, default=8)
     layout.add_argument("--curve", choices=["z", "hilbert"], default="z")
+
+    classify = sub.add_parser(
+        "classify",
+        help="train the hashed-NB classifier on labeled docs, then "
+        "predict labels (or emit a --keep-label log-odds filter table)",
+    )
+    classify.add_argument("--train", required=True, help="labeled training parquet")
+    classify.add_argument("--input", required=True, help="corpus parquet to score")
+    classify.add_argument("--output", required=True, help="predictions/odds parquet")
+    classify.add_argument("--label-col", default="lang")
+    classify.add_argument(
+        "--keep-label",
+        default=None,
+        help="emit (id, log_odds) vs this label instead of predictions",
+    )
+    classify.add_argument("--id-col", default="doc_id")
+    classify.add_argument("--text-col", default="text")
+
+    hotkeys = sub.add_parser(
+        "hotkeys",
+        help="exact heavy hitters of a column (Misra-Gries bounded "
+        "state) + optional salt-bucket advice for skewed joins",
+    )
+    hotkeys.add_argument("--input", required=True, help="parquet path")
+    hotkeys.add_argument("--column", required=True)
+    hotkeys.add_argument("--k", type=int, default=64, help="report values above n/k")
+    hotkeys.add_argument(
+        "--rows-per-task",
+        type=int,
+        default=None,
+        help="also print suggested salt buckets for this per-task row budget",
+    )
 
     compact = sub.add_parser(
         "compact",
@@ -592,6 +686,36 @@ def main(argv: list[str] | None = None) -> int:
             f"laid out {stats['rows']} rows on the {args.curve} curve over "
             f"({args.x_col}, {args.y_col}), output={args.output}"
         )
+    elif args.cmd == "classify":
+        stats = run_classify(
+            spark,
+            args.train,
+            args.input,
+            args.output,
+            label_col=args.label_col,
+            keep_label=args.keep_label,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        mode = f"log-odds vs {args.keep_label!r}" if args.keep_label else "predictions"
+        print(
+            f"classify: trained on {stats['train']} docs, wrote {mode} for "
+            f"{stats['scored']} docs, output={args.output}"
+        )
+    elif args.cmd == "hotkeys":
+        stats = run_hotkeys(
+            spark,
+            args.input,
+            args.column,
+            k=args.k,
+            rows_per_task=args.rows_per_task,
+        )
+        if not stats["hitters"]:
+            print(f"hotkeys: no value of {args.column} exceeds n/{args.k}")
+        for r in stats["hitters"]:
+            print(f"{r['freq']:>12d}  {r[args.column]}")
+        if stats["salt_buckets"] is not None:
+            print(f"suggested salt buckets: {stats['salt_buckets']}")
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
