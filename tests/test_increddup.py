@@ -1,0 +1,118 @@
+"""operators/increddup.py: incremental corpus dedup against a
+persisted LSH index.
+
+Evidence: planted near-copies of corpus docs are flagged with the
+right canonical id, fresh docs pass, within-batch siblings resolve
+to the earlier id, the index update closes the loop across batches,
+and on unambiguous plants the incremental path agrees with the full
+batch minhash_lsh_pairs run over the unioned corpus.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.dedup import minhash_lsh_pairs
+from utc_cuip_kafka_aws_connector_spark.operators.increddup import (
+    build_lsh_index,
+    incremental_near_dups,
+    updated_index,
+)
+
+
+def _doc(seed: int, n: int = 30) -> str:
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(200)}" for _ in range(n))
+
+
+def _near_copy(seed: int) -> str:
+    toks = _doc(seed).split()
+    toks[4] = "edited"
+    toks[22] = "tweaked"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_lsh_index(corpus)
+
+
+@pytest.fixture(scope="module")
+def new_batch(spark):
+    rows = (
+        [(100 + i, _near_copy(i)) for i in range(4)]  # copies of corpus 0..3
+        + [(200 + i, _doc(50 + i)) for i in range(4)]  # fresh
+        + [(300, _doc(77)), (301, _doc(77))]  # intra-batch exact pair
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flags_copies_and_passes_fresh(new_batch, index):
+    v = {
+        r.doc: (r.is_dup, r.dup_of, r.sim)
+        for r in incremental_near_dups(new_batch, index, 0.5).collect()
+    }
+    assert len(v) == 10
+    for i in range(4):
+        is_dup, dup_of, sim = v[100 + i]
+        assert is_dup and dup_of == i and sim >= 0.5
+    for i in range(4):
+        assert not v[200 + i][0]
+    assert v[300][0] is False  # earlier sibling is canonical
+    assert v[301] == (True, 300, 1.0)  # exact copy
+
+
+def test_within_batch_toggle(new_batch, index):
+    v = {
+        r.doc: r.is_dup
+        for r in incremental_near_dups(
+            new_batch, index, 0.5, within_batch=False
+        ).collect()
+    }
+    assert v[301] is False  # sibling matching disabled
+    assert v[100] is True  # index matching unaffected
+
+
+def test_index_update_closes_the_loop(spark, new_batch, index, corpus):
+    verdict = incremental_near_dups(new_batch, index, 0.5)
+    idx2 = updated_index(index, new_batch, verdict)
+    # accepted docs (fresh + canonical sibling) entered the index...
+    docs_in = {r.doc for r in idx2.select("doc").distinct().collect()}
+    assert docs_in == set(range(10)) | {200, 201, 202, 203, 300}
+    # ...so a later copy of doc 300 is now caught against the index
+    batch3 = spark.createDataFrame([(400, _doc(77))], "doc_id long, text string")
+    v = {r.doc: (r.is_dup, r.dup_of) for r in
+         incremental_near_dups(batch3, idx2, 0.5).collect()}
+    assert v[400] == (True, 300)
+
+
+def test_agrees_with_full_batch_dedup_on_plants(spark, corpus, new_batch, index):
+    """On unambiguous plants the incremental dup set must equal what
+    the FULL minhash_lsh_pairs run over corpus+batch reports for new
+    docs (restricted to pairs whose canonical side is the older id)."""
+    full = minhash_lsh_pairs(
+        corpus.unionByName(new_batch), "doc_id", jaccard_threshold=0.5
+    ).collect()
+    full_new_dups = {r.doc_b for r in full if r.doc_b >= 100}
+    v = incremental_near_dups(new_batch, index, 0.5).collect()
+    assert {r.doc for r in v if r.is_dup} == full_new_dups
+
+
+def test_no_cartesian_in_the_plan(new_batch, index):
+    plan = (
+        incremental_near_dups(new_batch, index)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -11,10 +11,10 @@ module is its streaming counterpart, the same public MinHash-LSH
 construction (Broder 1997; banding as in Leskovec/Rajaraman/Ullman
 ch.3) run incrementally:
 
-1. stateless: ``sketch_documents`` (imported, shared with the batch
-   path — one vectorized Arrow pass) -> signature -> ``bands`` band
-   keys per doc (posexplode; band key = xxhash64 of the signature
-   slice, salted with the band index).
+1. stateless: ``operators/lshbands.py::banded_signatures`` (shared
+   with the incremental batch dedup in operators/increddup.py; one
+   vectorized Arrow sketch pass) -> signature -> ``bands`` band keys
+   per doc.
 2. stateful: ``applyInPandasWithState`` per band key. State is the
    bucket's previously seen (id, signature) rows, packed to a single
    binary blob (ids array + flat int64 signature matrix), capped at
@@ -55,35 +55,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from utc_cuip_kafka_aws_connector_spark.operators.dedup import sketch_documents
-
-
-def banded_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """(band_key long, doc long, sig array<long>): one row per (doc,
-    band), band key = xxhash64(band index, signature slice). Works on
-    batch and streaming frames alike (stateless)."""
-    if num_hashes % bands:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    r = num_hashes // bands
-    sk = sketch_documents(
-        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
-    ).select("doc", "sig")
-    keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.slice(F.col("sig"), b * r + 1, r))
-            for b in range(bands)
-        ]
-    )
-    return sk.select(
-        F.explode(keys).alias("band_key"), F.col("doc"), F.col("sig")
-    )
+from utc_cuip_kafka_aws_connector_spark.operators.lshbands import (
+    banded_signatures,
+)
 
 
 def near_dup_matches(
