@@ -137,3 +137,35 @@ def test_score_plan_is_jvm_only(docs, model):
 def test_alpha_validation(docs):
     with pytest.raises(ValueError, match="alpha"):
         nb_train(docs, alpha=0.0)
+
+
+def test_token_logprob_ranks_reference_like_text_higher(spark):
+    """Single-label perplexity-proxy: docs made of reference vocab
+    score a higher per-token logprob than out-of-domain docs, the
+    score is length-normalized, and empty docs come back null."""
+    ref = [(i, "clean prose sentence words flow " * 4, "ref") for i in range(30)]
+    m = nb_train(
+        spark.createDataFrame(ref, "doc_id long, text string, lang string"),
+        label_col="lang",
+        n_features=N_FEAT,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
+        nb_token_logprob,
+    )
+
+    probe = spark.createDataFrame(
+        [
+            (1, "clean prose sentence"),
+            (2, "clean prose sentence " * 20),  # same content, 20x longer
+            (3, "zorp blag unknown gibberish"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in nb_token_logprob(probe, m, "ref").collect()}
+    assert got[1].logprob_per_token > got[3].logprob_per_token
+    assert got[2].logprob_per_token == pytest.approx(
+        got[1].logprob_per_token, rel=1e-9
+    )  # length-normalized
+    assert got[4].n_tokens == 0 and got[4].logprob_per_token is None
+    assert got[2].n_tokens == 60

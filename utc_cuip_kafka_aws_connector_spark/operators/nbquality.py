@@ -184,3 +184,49 @@ def nb_log_odds(
     return keep.join(rest, id_col).select(
         id_col, (F.col("_keep") - F.col("_rest")).alias("log_odds")
     )
+
+
+def nb_token_logprob(
+    df: DataFrame,
+    model: dict,
+    label: str,
+    id_col: str = "doc_id",
+    text_col: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, logprob_per_token): each document's mean token
+    log-likelihood under ONE label's unigram model — the
+    perplexity-proxy quality score (CCNet's "score against a
+    reference-domain LM and filter the tail" shape, with the hashed
+    unigram model standing in for the n-gram LM). Unlike
+    ``nb_log_odds`` this needs no contrast class: train on the
+    reference corpus only (single label) and threshold on
+    logprob_per_token. Length-normalized, so long docs are not
+    penalized; empty docs score null."""
+    text_col = text_col or model["text_col"]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_features(text_col, model["n_features"])).alias("feature"),
+    )
+    pri = model["priors"].filter(F.col("label") == label)
+    scored = (
+        toks.crossJoin(F.broadcast(pri.select("label", "log_unseen")))
+        .join(model["likelihood"], ["label", "feature"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("log_lik"), F.col("log_unseen")).alias("ll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("ll") / F.count(F.lit(1))).alias("logprob_per_token"),
+    )
+    # docs with zero tokens never reach the explode -- join them back
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "logprob_per_token",
+        )
+    )
