@@ -185,3 +185,47 @@ def pq_search_rerank(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    vectors: DataFrame,
+    model: dict,
+    centroids: "np.ndarray",
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cluster_col: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-IVFPQ shape: ``coded`` carries a coarse
+    ``cluster_col`` (from similarity.ivf_assign over the same
+    ``centroids``), the query's ``nprobe`` nearest coarse cells are
+    picked on the driver, and only those cells' rows pay the ADC
+    scan (a pushed-down ``isin`` partition/row-group filter when the
+    code table is written partitioned by cluster) before the exact
+    rerank. At 100 TB this is the difference between scanning the
+    corpus and scanning nprobe/n_cells of it."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cd = ((np.asarray(centroids, dtype=np.float64) - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(cd)[:nprobe]]
+    cell = coded.filter(F.col(cluster_col).isin(probes))
+    short = pq_adc_topk(
+        cell, model, query_vec, shortlist or 4 * k, id_col, codes_col
+    ).select(id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    diff = F.zip_with(
+        F.col(vec_col).cast("array<double>"), qarr, lambda x, y: x - y
+    )
+    dist = F.aggregate(
+        F.transform(diff, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )
