@@ -38,6 +38,10 @@ DEFAULT_QUERIES = [
     "q98_token_shards",
     "q114_bm25_retrieval",
     "q115_zorder_layout",
+    # round 8: the skipping-driven read (scan-locality claim) and
+    # distributed BPE training (one histogram shuffle claim)
+    "q117_clustered_skipping_read",
+    "q118_bpe_train",
 ]
 
 SF_DIRS = [
