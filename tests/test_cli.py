@@ -386,3 +386,34 @@ def test_cli_hotkeys_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "         900  hot" in out
     assert "suggested salt buckets: 3" in out
+
+
+def test_cli_report_end_to_end(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "hello world text", "en"), (1, "hello world text", "en"), (2, "mas texto aqui", "es")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    assert cli.main(["report", "--input", src]) == 0
+    out = capsys.readouterr().out
+    assert "rows" in out and "3.0000" in out
+    assert "exact_dup_ratio" in out and "0.3333" in out
+    assert "lang:en" in out and "0.6667" in out
+
+
+def test_cli_normalize_end_to_end(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src, dest = str(tmp_path / "in"), str(tmp_path / "out")
+    lig = "ﬁ"  # 'fi' ligature -> NFKC folds to "fi"
+    spark.createDataFrame(
+        [(0, f"{lig}le   One")], "doc_id long, text string"
+    ).write.parquet(src)
+    assert (
+        cli.main(["normalize", "--input", src, "--output", dest, "--lower"]) == 0
+    )
+    (r,) = spark.read.parquet(dest).collect()
+    assert r.text == "file one"
+    assert "normalized 1 docs (NFKC, lower)" in capsys.readouterr().out

@@ -399,6 +399,35 @@ def run_hotkeys(
     return {"hitters": hitters, "salt_buckets": salt}
 
 
+def run_report(spark: SparkSession, input_path: str) -> list:
+    """Corpus data-card (operators/report.py) over a parquet corpus;
+    returns the (metric, value) rows for display."""
+    from utc_cuip_kafka_aws_connector_spark.operators.report import corpus_report
+
+    return corpus_report(spark.read.parquet(input_path)).collect()
+
+
+def run_normalize(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lower: bool = False,
+    strip_accents: bool = False,
+    form: str = "NFKC",
+) -> dict:
+    """Unicode-normalize a corpus's text column (operators/
+    normalize.py) and write the cleaned parquet. Returns {rows}."""
+    from utc_cuip_kafka_aws_connector_spark.operators.normalize import (
+        normalize_text,
+    )
+
+    df = spark.read.parquet(input_path)
+    normalize_text(df, form=form, lower=lower, strip_accents=strip_accents).write.mode(
+        "overwrite"
+    ).parquet(output_path)
+    return {"rows": spark.read.parquet(output_path).count()}
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="utc_cuip_kafka_aws_connector_spark")
     parser.add_argument(
@@ -495,6 +524,22 @@ def main(argv: list[str] | None = None) -> int:
     layout.add_argument("--y-col", required=True)
     layout.add_argument("--bits", type=int, default=8)
     layout.add_argument("--curve", choices=["z", "hilbert"], default="z")
+
+    report = sub.add_parser(
+        "report", help="print the corpus data-card (rows, lengths, quality, "
+        "entropy, dup ratio, slice distributions)"
+    )
+    report.add_argument("--input", required=True, help="documents parquet path")
+
+    norm = sub.add_parser(
+        "normalize", help="unicode-normalize the text column (NFKC + control "
+        "strip + whitespace collapse; optional lower/accent strip)"
+    )
+    norm.add_argument("--input", required=True)
+    norm.add_argument("--output", required=True)
+    norm.add_argument("--form", default="NFKC", choices=["NFC", "NFKC", "NFD", "NFKD"])
+    norm.add_argument("--lower", action="store_true")
+    norm.add_argument("--strip-accents", action="store_true")
 
     classify = sub.add_parser(
         "classify",
@@ -685,6 +730,24 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"laid out {stats['rows']} rows on the {args.curve} curve over "
             f"({args.x_col}, {args.y_col}), output={args.output}"
+        )
+    elif args.cmd == "report":
+        for r in run_report(spark, args.input):
+            print(f"{r.metric:<28s} {r.value:.4f}")
+    elif args.cmd == "normalize":
+        stats = run_normalize(
+            spark,
+            args.input,
+            args.output,
+            lower=args.lower,
+            strip_accents=args.strip_accents,
+            form=args.form,
+        )
+        print(
+            f"normalized {stats['rows']} docs ({args.form}"
+            f"{', lower' if args.lower else ''}"
+            f"{', strip-accents' if args.strip_accents else ''}), "
+            f"output={args.output}"
         )
     elif args.cmd == "classify":
         stats = run_classify(
