@@ -116,3 +116,30 @@ def test_no_cartesian_in_the_plan(new_batch, index):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_differential_vs_full_dedup(spark, seed):
+    """Randomized corpora (varying sizes, planted copy rates): the
+    incremental path's dup set must equal the full batch run's
+    new-doc dup set — same bands, same hashes, clear-margin plants."""
+    rng = random.Random(seed)
+    n_corpus = rng.randrange(6, 14)
+    corpus_rows = [(i, _doc(seed * 100 + i)) for i in range(n_corpus)]
+    new_rows = []
+    nid = 1000
+    for i in range(rng.randrange(4, 9)):
+        if rng.random() < 0.4:  # plant a near-copy of a corpus doc
+            new_rows.append((nid, _near_copy(seed * 100 + rng.randrange(n_corpus))))
+        else:
+            new_rows.append((nid, _doc(seed * 1000 + 500 + i)))
+        nid += 1
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    verdict = incremental_near_dups(new, build_lsh_index(corpus), 0.5)
+    inc_dups = {r.doc for r in verdict.collect() if r.is_dup}
+    full = minhash_lsh_pairs(
+        corpus.unionByName(new), "doc_id", jaccard_threshold=0.5
+    ).collect()
+    full_dups = {r.doc_b for r in full if r.doc_b >= 1000}
+    assert inc_dups == full_dups
