@@ -152,3 +152,32 @@ def test_mg_stream_invariants(stream, k, batch):
     for v, c in exact.items():
         if c > n / k:
             assert v in counts
+
+
+def test_summary_shuffle_sits_above_the_sketch(spark):
+    """Plan pin for the q119 scale contract: in the candidate stage
+    the ONLY Exchange keys on the MapInPandas OUTPUT — i.e. what
+    shuffles is the <= (k+1)-rows-per-partition summary stream, never
+    the raw key space. (Root-first formatted explain: the Exchange
+    parent prints before its MapInPandas descendant.)"""
+    from tests.plan_utils import formatted_plan
+
+    df, _ = _zipfish(spark)
+    agg = (
+        mg_summaries(df, "k", 8)
+        .groupBy("k")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    import re
+
+    plan = formatted_plan(agg)
+    # node numbers increase leaf -> root in formatted explain; the
+    # fixture's own repartition() contributes a round-robin Exchange
+    # below the sketch, so pin the KEYED exchanges specifically.
+    hash_ex = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange\nInput.*\nArguments: hashpartitioning\(k#", plan)
+    ]
+    mip = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) MapInPandas", plan)]
+    assert len(hash_ex) == 1 and len(mip) == 1
+    assert hash_ex[0] > mip[0]  # the keyed shuffle consumes summary rows
