@@ -1,16 +1,15 @@
-"""Round-9 wiring rehearsal: projection -> ivf_assign ->
-clusterguard -> cosine-verified candidates -> connected components,
-composed exactly the way semdedup.semantic_dedup will consume the
-guard next rotation window (clusterguard.py module docstring's
-wiring plan) — WITHOUT editing semdedup.py (its q110 fingerprint is
-out-of-window this round).
+"""The oversized-cluster guard behind the PUBLIC entry point:
+``semantic_dedup(cluster_cap=...)`` (wired at round 9; this file was
+the round-8 wiring rehearsal and now pins the production path).
 
 The scenario is the guard's reason to exist: a boilerplate flood
 (300 near-identical vectors) lands in ONE coarse cluster that the
-unguarded |c|^2 candidate join would make quadratic. The composed
-pipeline must (a) bound the candidate cost, (b) still collapse the
-flood to a single component with one canonical survivor, and
-(c) leave genuinely distinct blobs and singletons untouched.
+unguarded |c|^2 candidate join would make quadratic. The guarded
+operator must (a) bound the refined cluster sizes, (b) still
+collapse the flood to a single component with one canonical
+survivor, and (c) leave genuinely distinct blobs and singletons
+untouched — and with a cap no cluster reaches, it must return
+EXACTLY what the unguarded operator returns.
 """
 
 from __future__ import annotations
@@ -19,15 +18,14 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from utc_cuip_kafka_aws_connector_spark.functions import cosine
 from utc_cuip_kafka_aws_connector_spark.operators.clusterguard import (
     recluster_oversized,
 )
-from utc_cuip_kafka_aws_connector_spark.operators.dedup import dedup_clusters
 from utc_cuip_kafka_aws_connector_spark.operators.projection import (
     pca_fit,
     pca_transform,
 )
+from utc_cuip_kafka_aws_connector_spark.operators.semdedup import semantic_dedup
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import ivf_assign
 
 FLOOD, BLOB, SINGLETON = 300, 20, 10
@@ -62,48 +60,20 @@ def corpus(spark):
     ).repartition(8)
 
 
-def _composed_dedup(df, centroids, cap=CAP, cos_threshold=0.95):
-    """semantic_dedup's candidate path with the guard spliced in
-    between assignment and the bucket join — the exact r9 shape."""
-    assigned = ivf_assign(df, centroids).select("vec_id", "centroid_id")
-    refined, stitches = recluster_oversized(df, assigned, cap=cap)
-    left = refined.select(F.col("vec_id").alias("id_a"), "centroid_id")
-    right = refined.select(F.col("vec_id").alias("id_b"), "centroid_id")
-    cand = (
-        left.join(right, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .unionByName(stitches)  # connectivity across split buckets
-        .distinct()
-    )
-    va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= cos_threshold)
-        .select("id_a", "id_b")
-    )
-    return refined, dedup_clusters(df, pairs, id_col="vec_id", src="id_a", dst="id_b")
+CENTROIDS = np.array(
+    [
+        # one coarse centroid right on the flood, one per blob, one
+        # for the singleton region -> the flood cluster is 7.5x CAP
+        [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+    ]
+)
 
 
-def test_guarded_pipeline_bounds_cost_and_keeps_semantics(corpus):
-    # one coarse centroid right on the flood, one per blob, one for
-    # the singleton region -> the flood cluster is 7.5x the cap
-    centroids = np.array(
-        [
-            [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-            [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-            [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
-            [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
-        ]
-    )
-    refined, result = _composed_dedup(corpus, centroids)
-    sizes = [r["count"] for r in refined.groupBy("centroid_id").count().collect()]
+def _check_semantics(rows):
     n = FLOOD + 2 * BLOB + SINGLETON
-    assert max(sizes) <= 2 * CAP  # guard bound (salted-leaf wobble allowed)
-    assert sum(s * s for s in sizes) < n * 4 * CAP  # near-linear candidates
-    rows = result.collect()
     assert len(rows) == n
     comp = {r.vec_id: r.component for r in rows}
     keep = {r.vec_id for r in rows if r.keep}
@@ -123,20 +93,57 @@ def test_guarded_pipeline_bounds_cost_and_keeps_semantics(corpus):
     assert len({comp[i] for i in singles}) == SINGLETON
 
 
+def test_guarded_public_entry_point_bounds_cost_and_keeps_semantics(corpus):
+    """The degenerate-distribution property, against semantic_dedup
+    itself: a cap the flood cluster exceeds 7.5x must not change the
+    dedup outcome (stitches preserve connectivity), and the refined
+    assignment the operator builds internally must respect the cap —
+    asserted by reproducing the guard's own input (same centroids,
+    same cap: recluster_oversized is deterministic)."""
+    result = semantic_dedup(
+        corpus, centroids=CENTROIDS, cos_threshold=0.95, cluster_cap=CAP
+    )
+    _check_semantics(result.collect())
+    assigned = ivf_assign(corpus, CENTROIDS).select("vec_id", "centroid_id")
+    refined, _ = recluster_oversized(corpus, assigned, cap=CAP)
+    sizes = [r["count"] for r in refined.groupBy("centroid_id").count().collect()]
+    n = FLOOD + 2 * BLOB + SINGLETON
+    assert max(sizes) <= 2 * CAP  # guard bound (salted-leaf wobble allowed)
+    assert sum(s * s for s in sizes) < n * 4 * CAP  # near-linear candidates
+
+
+def test_guard_idle_is_exactly_the_unguarded_result(corpus):
+    """With a cap above every cluster size (the q110 fixture regime),
+    the guarded operator returns row-for-row what cluster_cap=None
+    returns — the identity contract the gate oracle leans on."""
+    guarded = semantic_dedup(
+        corpus, centroids=CENTROIDS, cos_threshold=0.95, cluster_cap=10_000
+    )
+    unguarded = semantic_dedup(
+        corpus, centroids=CENTROIDS, cos_threshold=0.95, cluster_cap=None
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
+
+
 def test_projection_front_end_composes(corpus):
     """PCA-reduce to 4 dims first (the production front-end), then
-    the guarded pipeline on the PROJECTED vectors — same semantic
-    outcome, proving the two round-8 modules stack."""
+    the guarded operator on the PROJECTED vectors — same semantic
+    outcome, proving the modules stack."""
     model = pca_fit(corpus, k=4)
     proj = pca_transform(corpus, model, out_col="proj").select(
         "vec_id", F.col("proj").alias("embedding")
     )
     c = np.array(
-        [r.embedding for r in proj.filter(F.col("vec_id").isin(0, 300, 320, 345)).collect()]
+        [
+            r.embedding
+            for r in proj.filter(F.col("vec_id").isin(0, 300, 320, 345)).collect()
+        ]
     )
-    refined, result = _composed_dedup(proj, c, cos_threshold=0.98)
-    sizes = [r["count"] for r in refined.groupBy("centroid_id").count().collect()]
-    assert max(sizes) <= 2 * CAP
+    result = semantic_dedup(
+        proj, centroids=c, cos_threshold=0.98, cluster_cap=CAP
+    )
     rows = result.collect()
     comp = {r.vec_id: r.component for r in rows}
     assert len({comp[i] for i in range(FLOOD)}) == 1  # flood still one group

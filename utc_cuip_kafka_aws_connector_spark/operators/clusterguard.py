@@ -28,14 +28,15 @@ not compared) is the same one semantic dedup already makes across
 top-level clusters by design (Abbas et al. 2023's within-cluster
 restriction).
 
-Round-9 wiring plan (this module lands test-first in round 8, in its
-own module, because editing semdedup.py would drift q110's gate fingerprint outside the
-round-8 window): semantic_dedup gains ``cluster_cap`` and calls
-``recluster_oversized`` between ``ivf_assign`` and the candidate
-join, unioning the stitch pairs into the candidate set; the default
-cap stays far above fixture cluster sizes so the q110 oracle is
-unchanged and the guard's behavior stays pinned by
-tests/test_clusterguard.py's degenerate-distribution properties.
+Wired into ``semantic_dedup`` at round 9 (it landed test-first in
+round 8, in its own module, because editing semdedup.py would have
+drifted q110's gate fingerprint outside the round-8 window):
+semantic_dedup's ``cluster_cap`` calls ``recluster_oversized``
+between ``ivf_assign`` and the candidate join and unions the stitch
+pairs into the candidate set; the default cap stays far above
+fixture cluster sizes so the q110 oracle is unchanged, and the
+guarded public entry point is pinned by the degenerate-distribution
+properties of tests/test_guard_integration.py.
 
 Zero-cost when idle: one driver-small aggregate (#clusters rows)
 checks for oversized clusters; if none, the input frame is returned

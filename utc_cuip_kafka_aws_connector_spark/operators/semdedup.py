@@ -6,9 +6,10 @@ survivor -- the embedding-cluster dedup family beside the LSH one
 (operators/similarity.py::lsh_ann_pairs feeding dedup_clusters).
 
 Own module on purpose: it composes operators.similarity (cluster
-assignment, centroid sources) with operators.dedup (transitive
-closure) without adding weight to either. Catalog entries built on it
-name all three modules so the gate fingerprint covers the whole
+assignment, centroid sources), operators.clusterguard (the oversized-
+cluster cost bound, wired at round 9) and operators.dedup (transitive
+closure) without adding weight to any of them. Catalog entries built
+on it name all four modules so the gate fingerprint covers the whole
 dependency closure.
 """
 
@@ -19,6 +20,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.functions import cosine
+from utc_cuip_kafka_aws_connector_spark.operators.clusterguard import (
+    recluster_oversized,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.dedup import dedup_clusters
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     ivf_assign,
@@ -34,6 +38,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     centroid_source: str = "hash_spread",
+    cluster_cap: int | None = 10_000,
 ) -> DataFrame:
     """Semantic dedup over an embedding column. Returns
     (id, component, keep) in ``dedup_clusters``'s contract:
@@ -53,7 +58,22 @@ def semantic_dedup(
     ``ivf_topk``: ``"hash_spread"`` (deterministic uniform draw,
     oracle-friendly) or ``"kmeans"`` (distributed k-means|| -- the
     production build; tighter clusters mean fewer cross-cluster
-    false negatives)."""
+    false negatives).
+
+    ``cluster_cap`` bounds the one failure mode of the sum_c |c|^2
+    cost model: a degenerate embedding distribution (boilerplate
+    flood, collapsed encoder) that lands a huge corpus fraction in
+    ONE cluster, whose |c|^2 then dominates everything. Clusters
+    above the cap are geometry-aware re-clustered / salted by
+    ``clusterguard.recluster_oversized`` BEFORE the candidate join,
+    and the guard's connectivity stitches ride the normal
+    cosine-verified candidate path -- so in the common degenerate
+    case (the flood IS one near-dup group) transitive closure still
+    collapses it to one component. The default (10k) keeps the worst
+    per-bucket candidate volume ~1e8 pairs; when no cluster exceeds
+    it the guard costs ONE driver-small aggregate (#clusters rows)
+    and the plan is the unguarded identity. ``None`` disables
+    (verification-grade exact-within-cluster behavior)."""
     if centroids is None:
         if centroid_source == "kmeans":
             centroids = kmeans_centroids(df, n_clusters, vec_col=vec_col)
@@ -73,6 +93,11 @@ def semantic_dedup(
     assigned = ivf_assign(df, centroids, id_col, vec_col).select(
         id_col, "centroid_id"
     )
+    stitches = None
+    if cluster_cap is not None:
+        assigned, stitches = recluster_oversized(
+            df, assigned, cap=cluster_cap, id_col=id_col, vec_col=vec_col
+        )
     left = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
     right = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
     cand = (
@@ -80,6 +105,12 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    if stitches is not None:
+        # duplicate-free by construction: a stitch pair spans two
+        # DIFFERENT sub-buckets, so it cannot also come out of the
+        # within-bucket self-join, and the guard already distinct()s
+        # its own output -- no dedup shuffle needed here.
+        cand = cand.unionByName(stitches)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = (

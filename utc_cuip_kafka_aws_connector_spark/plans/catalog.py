@@ -3566,8 +3566,12 @@ def q110_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN clusters only, connected components, min-id survivors --
     the embedding-cluster dedup family (Abbas et al. 2023) beside the
     LSH one (q81). Composes operators.similarity (ivf_assign,
-    centroid sources) and operators.dedup (dedup_clusters) -- named
-    here so the gate fingerprint spans the dependency closure.
+    centroid sources), operators.clusterguard (the r9-wired
+    oversized-cluster cost bound -- idle at fixture sizes, where the
+    default 10k cap exceeds every cluster, so candidates are exactly
+    the unguarded within-cluster set) and operators.dedup
+    (dedup_clusters) -- named here so the gate fingerprint spans the
+    dependency closure.
     Planted closed-form oracle in q81's style, different candidate
     generator under test: an identical copy of every vector at
     vec_id + 200000 must land in the same cluster (identical input ->
