@@ -510,12 +510,18 @@ def test_distributed_prefix_sum_matches_bruteforce_all_levels(spark):
         distributed_prefix_sum(df, "oid", "val", bucket_width=1)
 
 
-def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
-    """Plan-shape check for the forced-recursion path: each recursion
-    level adds one PARTITIONED window over an ever-smaller totals
-    frame; only the deepest level runs the single unpartitioned
-    window. 64 ids / width 4 = 16 buckets > max 4 -> one recursion
-    (16 -> 4 buckets): 2 partitioned windows + 1 unpartitioned."""
+def test_distributed_prefix_sum_window_shapes(spark):
+    """Plan-shape checks. HINT path (caller supplies n_buckets; no
+    measuring job, fully lazy): the corpus-level window is
+    PARTITIONED and the single unpartitioned window only ever sees
+    the <= max_window_rows offsets frame. MEASURED small path: the
+    offsets are driver-computed from the bounded measuring collect
+    (ADVICE r7 leak fix -- nothing persists), so the lazy plan is one
+    partitioned window joined BROADCAST to a local offsets table.
+    MEASURED recursion path: the tower materializes to scratch
+    storage at build time and the returned plan scans it -- again one
+    partitioned window, no unpartitioned window over anything; depth
+    exactness stays pinned by the brute-force tests above."""
     from tests.plan_utils import formatted_plan, window_arguments
     from utc_cuip_kafka_aws_connector_spark.operators.packing import (
         distributed_prefix_sum,
@@ -524,15 +530,58 @@ def test_distributed_prefix_sum_recursion_depth_is_logarithmic(spark):
     df = spark.range(64).select(
         F.col("id").alias("oid"), F.lit(1).cast("long").alias("val")
     )
+    hinted = distributed_prefix_sum(
+        df, "oid", "val", bucket_width=1000, n_buckets=1
+    )
+    plan = formatted_plan(hinted)
+    unpartitioned, partitioned = window_arguments(plan)
+    assert len(unpartitioned) == 1, plan
+    assert len(partitioned) == 1, plan
+
+    small = distributed_prefix_sum(df, "oid", "val", bucket_width=1000)
+    plan = formatted_plan(small)
+    unpartitioned, partitioned = window_arguments(plan)
+    assert len(unpartitioned) == 0, plan
+    assert len(partitioned) == 1, plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan  # driver offsets
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
     out = distributed_prefix_sum(
         df, "oid", "val", bucket_width=4, max_window_rows=4
     )
     plan = formatted_plan(out)
     unpartitioned, partitioned = window_arguments(plan)
-    assert len(unpartitioned) == 1, plan
-    assert len(partitioned) == 2, plan
+    assert len(unpartitioned) == 0, plan
+    assert len(partitioned) == 1, plan
+    assert "Scan parquet" in plan  # the staged recursion offsets
     [last] = out.orderBy(F.col("oid").desc()).limit(1).collect()
     assert last["cum"] == 64
+
+
+def test_distributed_prefix_sum_measuring_path_releases_its_cache(spark):
+    """ADVICE r7 regression pin: the n_buckets-measuring path used to
+    persist() the bucket totals and never unpersist -- one stranded
+    cached frame per call for the session lifetime. The persistent-
+    RDD registry must end where it started (delta, not absolute: the
+    shared test session may hold other suites' caches)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.range(100).select(
+        F.col("id").alias("oid"), F.lit(2).cast("long").alias("val")
+    )
+    # measuring (n_buckets=None) in both branch shapes incl. recursion
+    for kwargs in (
+        {"bucket_width": 1000},
+        {"bucket_width": 4, "max_window_rows": 4},
+    ):
+        assert distributed_prefix_sum(df, "oid", "val", **kwargs).count() == 100
+    # Deterministic, no GC dance: the small branch never persists
+    # (driver-computed offsets) and the recursion branch unpersists
+    # inside the call after staging its offsets.
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_distributed_prefix_sum_fuzz(spark):

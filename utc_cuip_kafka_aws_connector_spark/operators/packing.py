@@ -113,41 +113,96 @@ def distributed_prefix_sum(
         ),
     )
     totals = bdf.groupBy("_psum_bucket").agg(F.sum(value_col).alias("_psum_tot"))
-    if n_buckets is None:
-        # The measuring count() is a real job over the full input;
-        # persist totals FIRST so that job materializes the (tiny,
-        # one-row-per-bucket) aggregate and the offsets computation
-        # below reuses it instead of re-scanning everything -- the
-        # count must not double the operator's work.
-        totals = totals.persist()
-        n_buckets = totals.count()
+    spark = df.sparkSession
+    measured = n_buckets is None
+    if measured:
+        # ADVICE r7 (persist leak): the old measuring path cached
+        # totals, counted, and NEVER unpersisted — one stranded frame
+        # per call for the session lifetime, and any lazily-returned
+        # alternative (persist-until-later, localCheckpoint) pins its
+        # blocks just the same once the plan has executed. Instead,
+        # materialize the measuring job's output DIRECTLY: collect at
+        # most max_window_rows + 1 aggregate rows (the same bound
+        # that caps the offsets window, ~16 bytes each — driver-safe
+        # by the same argument that makes the broadcast below safe).
+        # One job, same corpus-scan count as the old cached design,
+        # and nothing left registered in the block manager.
+        head = totals.limit(max_window_rows + 1).collect()
+        n_buckets = len(head)
     if n_buckets <= max_window_rows:
-        offsets = totals.withColumn(
-            "_psum_off",
-            F.coalesce(
-                F.sum("_psum_tot").over(
-                    W.orderBy("_psum_bucket").rowsBetween(W.unboundedPreceding, -1)
+        if measured:
+            # The collected totals ARE the offsets input: compute the
+            # exclusive prefix sum driver-side (exact integer/decimal
+            # math, <= max_window_rows rows) — the classic two-level
+            # prefix sum with driver offsets, replacing the old
+            # cache + one-task window job.
+            head.sort(key=lambda r: r[0])
+            rows, run = [], 0
+            for r in head:
+                rows.append((r[0], run))
+                run += r[1]
+            from pyspark.sql.types import StructField, StructType
+
+            tschema = {f.name: f for f in totals.schema.fields}
+            offsets = spark.createDataFrame(
+                rows,
+                StructType(
+                    [
+                        tschema["_psum_bucket"],
+                        StructField(
+                            "_psum_off", tschema["_psum_tot"].dataType
+                        ),
+                    ]
                 ),
-                F.lit(0).cast("long"),
-            ),
-        ).select("_psum_bucket", "_psum_off")
+            )
+        else:
+            offsets = totals.withColumn(
+                "_psum_off",
+                F.coalesce(
+                    F.sum("_psum_tot").over(
+                        W.orderBy("_psum_bucket").rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            ).select("_psum_bucket", "_psum_off")
         joined = within.join(F.broadcast(offsets), "_psum_bucket")
     else:
-        rec = distributed_prefix_sum(
-            totals.select(
-                F.col("_psum_bucket").alias("_psum_key"),
-                F.col("_psum_tot").alias("_psum_val"),
-            ),
-            "_psum_key",
-            "_psum_val",
-            out_col="_psum_cum",
-            bucket_width=bucket_width,
-            max_window_rows=max_window_rows,
-        )
-        offsets = rec.select(
-            F.col("_psum_key").alias("_psum_bucket"),
-            (F.col("_psum_cum") - F.col("_psum_val")).alias("_psum_off"),
-        )
+        if measured:
+            # Recursion with an unknown bucket count: cache totals so
+            # the recursive tower doesn't re-aggregate the corpus per
+            # level, but RELEASE the cache before returning by
+            # staging the recursion's offsets to scratch storage (at
+            # cluster scale this is an object-store staging table;
+            # offsets are one row per bucket, far smaller than the
+            # input) and returning a plain scan of the staged result.
+            import tempfile
+
+            totals = totals.persist()
+        try:
+            rec = distributed_prefix_sum(
+                totals.select(
+                    F.col("_psum_bucket").alias("_psum_key"),
+                    F.col("_psum_tot").alias("_psum_val"),
+                ),
+                "_psum_key",
+                "_psum_val",
+                out_col="_psum_cum",
+                bucket_width=bucket_width,
+                max_window_rows=max_window_rows,
+            )
+            offsets = rec.select(
+                F.col("_psum_key").alias("_psum_bucket"),
+                (F.col("_psum_cum") - F.col("_psum_val")).alias("_psum_off"),
+            )
+            if measured:
+                stage = tempfile.mkdtemp(prefix="psum_offsets_")
+                offsets.write.mode("overwrite").parquet(stage)
+                offsets = spark.read.parquet(stage)
+        finally:
+            if measured:
+                totals.unpersist()
         joined = within.join(offsets, "_psum_bucket")  # too big to broadcast
     return joined.withColumn(
         out_col, F.col("_psum_off") + F.col("_psum_in")

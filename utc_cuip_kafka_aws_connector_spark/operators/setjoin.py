@@ -59,7 +59,7 @@ def tokenize_distinct(
 ) -> DataFrame:
     """(id, toks array<string>) with toks = distinct lowercase words.
     Single-space split matches the fixture contract pinned by
-    tests/test_fixture_contract.py (and every text oracle)."""
+    tests/test_schema_contract.py (and every text oracle)."""
     toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
