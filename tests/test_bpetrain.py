@@ -157,3 +157,53 @@ def test_word_histogram_is_the_only_corpus_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_driver_and_distributed_paths_are_bit_identical(spark, seed):
+    """The r9 collect-when-small contract: the default (driver) path
+    and driver_vocab_rows=None (forced distributed) must agree on
+    EVERY output column for corpora engineered to collide — and both
+    must equal the naive reference trainer."""
+    texts = _random_texts(seed)
+    df = _corpus_df(spark, texts)
+    fast = [
+        tuple(r)
+        for r in bpe_train(df, 12).orderBy("merge_rank").collect()
+    ]
+    slow = [
+        tuple(r)
+        for r in bpe_train(df, 12, driver_vocab_rows=None)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fast == slow
+    assert [(a, b, c) for _, a, b, _, c in fast] == reference_train(texts, 12)
+
+
+def test_driver_trainer_differential_many_merges(spark):
+    """The heap+index driver trainer vs the naive O(k*V*L) reference
+    at a merge count big enough to exhaust most of a tiny corpus —
+    exercises stale-heap invalidation, stale index entries, and the
+    early-stop tail in one run."""
+    texts = _random_texts(7, n_docs=60)
+    df = _corpus_df(spark, texts)
+    got = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(df, 200).orderBy("merge_rank").collect()
+    ]
+    assert got == reference_train(texts, 200)
+
+
+def test_driver_path_is_job_frugal(spark):
+    """The fast path's reason to exist: jobs must NOT scale with
+    n_merges. Count Spark jobs via the status tracker — histogram
+    materialization + vocab collect + result createDataFrame leave a
+    small constant, far under the distributed path's ~2 per merge."""
+    tracker = spark.sparkContext.statusTracker()
+    texts = _random_texts(8)
+    df = _corpus_df(spark, texts)
+    base = len(tracker.getJobIdsForGroup())
+    bpe_train(df, 50).collect()
+    ran = len(tracker.getJobIdsForGroup()) - base
+    assert 0 < ran <= 8, ran

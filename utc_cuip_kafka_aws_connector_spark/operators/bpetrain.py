@@ -35,6 +35,14 @@ the pure-Python reference trainer in tests/test_bpetrain.py). The
 vocab table is persisted once and the framed base re-derived per
 iteration from k accumulated replaces — O(k^2) cheap string rewrites
 over vocab rows, no lineage blowup, no checkpointing needed.
+
+Round 9 adds the collect-when-small fast path: when the histogram's
+row count fits a driver budget (default 2M rows), the k iterations
+run on the driver via a heap+index Sennrich trainer instead of ~2
+Spark jobs per merge — bit-identical output (differential-tested),
+and the practical difference between "8 merges in a test" and "a 32k
+merge production vocabulary" (64k sequential jobs vs seconds). See
+``bpe_train``'s docstring for the crossover argument.
 """
 
 from __future__ import annotations
@@ -75,6 +83,78 @@ def word_histogram(
     )
 
 
+def _driver_train(
+    wf: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The collect-when-small trainer: classic Sennrich over a
+    driver-resident (word, freq) vocab, with the two standard
+    accelerations that make large merge counts practical — a
+    pair -> affected-words index (only words containing the winning
+    pair are re-segmented and only their pair counts change) and a
+    lazily-invalidated max-heap over pair counts (argmax without
+    rescanning the stats dict per merge). Bit-identical to the
+    distributed path and to tests/test_bpetrain.py's naive reference
+    trainer: integer counts, ties broken (count DESC, lhs, rhs) —
+    the heap key (-cnt, lhs, rhs) realizes exactly that order."""
+    import heapq
+    from collections import defaultdict
+
+    segs = [list(w) for w, _ in wf]
+    freqs = [f for _, f in wf]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (s, f) in enumerate(zip(segs, freqs)):
+        for pair in zip(s, s[1:]):
+            stats[pair] += f
+            index[pair].add(i)
+    heap = [(-c, a, b) for (a, b), c in stats.items()]
+    heapq.heapify(heap)
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        # pop stale entries (count changed since push); every count
+        # change pushes a fresh entry, so the true maximum is always
+        # present and the first VALID pop is the deterministic argmax
+        while heap:
+            nc, a, b = heap[0]
+            if -nc > 0 and stats.get((a, b), 0) == -nc:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        cnt = -heap[0][0]
+        a, b = heap[0][1], heap[0][2]
+        out.append((rank, a, b, a + b, cnt))
+
+        def _bump(pair: tuple[str, str], delta: int, i: int) -> None:
+            stats[pair] += delta
+            if stats[pair] > 0:
+                heapq.heappush(heap, (-stats[pair], pair[0], pair[1]))
+            if delta > 0:
+                index[pair].add(i)
+
+        for i in sorted(index.pop((a, b), ())):
+            s, f = segs[i], freqs[i]
+            if not any(
+                s[j] == a and s[j + 1] == b for j in range(len(s) - 1)
+            ):
+                continue  # stale index entry: pair already merged away
+            for pair in zip(s, s[1:]):
+                _bump(pair, -f, i)
+            merged, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(s[j])
+                    j += 1
+            segs[i] = merged
+            for pair in zip(merged, merged[1:]):
+                _bump(pair, f, i)
+        stats.pop((a, b), None)
+    return out
+
+
 def _pair_counts(seg: DataFrame) -> DataFrame:
     """(a, b, cnt): every adjacent symbol pair in the current framed
     segmentation, weighted by word frequency. All positions count
@@ -99,24 +179,43 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    driver_vocab_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     merge table as (merge_rank, lhs, rhs, merged, pair_count) rows,
     merge_rank 1-based in learn order. Stops early (fewer rows) if
     the corpus runs out of adjacent pairs. Every count is an integer
     and every tie deterministic, so the table is bit-identical across
-    engines and runs."""
+    engines, runs, and the two execution paths below.
+
+    Collect-when-small (the crossover that makes production vocab
+    sizes plausible): training always starts with the ONE
+    corpus-scale shuffle — the word histogram, which collapses even a
+    100 TB text stream to its Zipf vocabulary. After that, Sennrich
+    iterations are vocab-sized work, and the right engine depends
+    only on the vocab row count: the distributed path costs ~2 Spark
+    jobs per merge (pair-count aggregate + 1-row argmax collect), so
+    a 32k-merge vocabulary would mean ~64k sequential jobs — hours of
+    scheduler floor even though each job is cheap — while the
+    heap+index driver trainer (``_driver_train``) handles millions of
+    merges over a collected vocab in seconds. Default crossover
+    2M rows (~tens of MB of (word, freq) on the driver — the same
+    order as a broadcast dimension); above it, the iterations stay
+    distributed on the persisted vocab so a pathological vocabulary
+    that cannot fit the driver still trains. ``None`` forces the
+    distributed path (used by the differential tests that pin the
+    two paths bit-identical)."""
     spark = df.sparkSession
-    base = (
-        word_histogram(df, text_col)
-        .withColumn("s", _framed(F.col("word")))
-        .select("freq", "s")
-        .persist()
-    )
+    hist = word_histogram(df, text_col).persist()
     try:
-        base.count()  # materialize the one corpus-scale shuffle
-        seg = base
-        learned: list[tuple[int, str, str, str, int]] = []
+        n_vocab = hist.count()  # materialize the one corpus-scale shuffle
+        if driver_vocab_rows is not None and n_vocab <= driver_vocab_rows:
+            learned = _driver_train(
+                [(r.word, int(r.freq)) for r in hist.collect()], n_merges
+            )
+            return spark.createDataFrame(learned, TRAIN_SCHEMA)
+        seg = hist.withColumn("s", _framed(F.col("word"))).select("freq", "s")
+        learned = []
         for rank in range(1, n_merges + 1):
             pick = (
                 _pair_counts(seg)
@@ -138,7 +237,7 @@ def bpe_train(
             )
         return spark.createDataFrame(learned, TRAIN_SCHEMA)
     finally:
-        base.unpersist()
+        hist.unpersist()
 
 
 def bpe_train_merges(
