@@ -70,3 +70,19 @@ def test_empty_reference_column_raises(spark):
     cur = spark.range(10).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="non-null"):
         numeric_drift(ref, cur, ["v"]).collect()
+
+
+def test_null_rate_is_its_own_metric_not_phantom_bin_drift(spark):
+    """ADVICE r8 regression pin: two sides with IDENTICAL value
+    distributions but different null rates must read psi == js == 0
+    (masses are conditional on non-null and sum to 1) while the
+    null-rate columns expose the actual movement."""
+    vals = [(float(i % 10),) for i in range(1000)]
+    ref = spark.createDataFrame(vals + [(None,)] * 50, "v double")
+    cur = spark.createDataFrame(vals + [(None,)] * 500, "v double")
+    r = numeric_drift(ref, cur, ["v"]).first()
+    assert r.psi == pytest.approx(0.0, abs=1e-9)
+    assert r.js == pytest.approx(0.0, abs=1e-9)
+    assert r.verdict == "stable"
+    assert r.null_rate_ref == pytest.approx(50 / 1050)
+    assert r.null_rate_cur == pytest.approx(500 / 1500)

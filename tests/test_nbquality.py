@@ -169,3 +169,39 @@ def test_token_logprob_ranks_reference_like_text_higher(spark):
     )  # length-normalized
     assert got[4].n_tokens == 0 and got[4].logprob_per_token is None
     assert got[2].n_tokens == 60
+
+
+def test_empty_docs_get_prior_only_rows_everywhere(spark):
+    """ADVICE r8 regression pin: zero-token docs must not vanish from
+    nb_score / nb_predict / nb_log_odds (the CLI classify command was
+    writing fewer rows than the input corpus). An empty doc's
+    log-joint is exactly the class prior — an empty likelihood
+    product — so it predicts the majority-prior class."""
+    import math
+
+    from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
+        nb_log_odds,
+        nb_predict,
+        nb_score,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "good words here", "keep")] * 3 + [(1, "bad stuff", "drop")],
+        "doc_id long, text string, label string",
+    )
+    model = nb_train(train, label_col="label")
+    docs = spark.createDataFrame(
+        [(10, "good words"), (11, ""), (12, "   ")],
+        "doc_id long, text string",
+    )
+    scores = nb_score(docs, model)
+    assert scores.count() == 3 * 2  # every id x every label
+    pred = {r.doc_id: r for r in nb_predict(docs, model).collect()}
+    assert set(pred) == {10, 11, 12}
+    # empty docs score prior-only: majority class wins, score == log prior
+    assert pred[11].predicted == "keep"
+    assert pred[11].score == pytest.approx(math.log(3 / 4))
+    odds = {r.doc_id: r.log_odds for r in nb_log_odds(docs, model, "keep").collect()}
+    assert set(odds) == {10, 11, 12}
+    assert odds[11] == pytest.approx(math.log(3 / 4) - math.log(1 / 4))

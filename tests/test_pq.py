@@ -135,3 +135,25 @@ def test_validation(emb, model):
         pq_fit(emb, m=7)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(emb, model, [0.0] * 3, 5)
+
+
+def test_encode_survives_empty_partitions(spark):
+    """ADVICE r8: empty Arrow batches (empty input partitions) must
+    not crash the encoder's subspace slicing."""
+    import numpy as np
+
+    from utc_cuip_kafka_aws_connector_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(32)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(16)  # more partitions than needed -> some empty at the tail
+    model = pq_fit(df, m=2, nbits=2)
+    empty = df.filter("vec_id < 0").repartition(4)
+    assert pq_encode(empty, model).count() == 0
+    got = pq_encode(df, model)
+    assert got.count() == 32
+    assert got.schema["codes"].dataType.simpleString() == "array<smallint>"

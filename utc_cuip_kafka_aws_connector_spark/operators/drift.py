@@ -38,7 +38,17 @@ from utc_cuip_kafka_aws_connector_spark.operators.stats import histogram
 
 def _bin_masses(
     ref: DataFrame, cur: DataFrame, col: str, nbins: int
-) -> tuple[list[float], list[float]]:
+) -> tuple[list[float], list[float], float, float]:
+    """Mass vectors over the reference-bounded bins for both sides,
+    plus each side's NULL RATE. The pre-r9 bug (ADVICE r8): nulls
+    were neither excluded nor separately counted — ``histogram``'s
+    ``least(floor(NULL), nbins-1)`` quietly banked them in the last
+    regular bin, so a null-rate difference between sides surfaced as
+    phantom bin drift and broke the 0.1/0.25 verdict thresholds.
+    Masses are now computed over NON-NULL rows only (they sum to
+    exactly 1) and null-rate drift is reported as its own explicit
+    metric; the null count comes from one count/count(col) aggregate
+    per side (a second cheap scan — fine for a diagnostic operator)."""
     lo, hi = ref.agg(F.min(col), F.max(col)).first()
     if lo is None:
         raise ValueError(f"reference side has no non-null {col!r}")
@@ -46,14 +56,24 @@ def _bin_masses(
     hi = float(hi) if float(hi) > lo else lo + 1.0  # constant column
     buckets = list(range(-1, nbins + 1))  # underflow .. overflow
 
-    def masses(df: DataFrame) -> list[float]:
-        rows = {r.bucket: r.n for r in histogram(df, col, lo, hi, nbins).collect()}
-        total = sum(rows.values())
-        if total == 0:
+    def masses(df: DataFrame) -> tuple[list[float], float]:
+        n_all, n_vals = df.agg(
+            F.count(F.lit(1)), F.count(F.col(col))
+        ).first()
+        if n_vals == 0:
             raise ValueError(f"empty side for {col!r}")
-        return [rows.get(b, 0) / total for b in buckets]
+        nonnull = df.filter(F.col(col).isNotNull())
+        rows = {
+            r.bucket: r.n for r in histogram(nonnull, col, lo, hi, nbins).collect()
+        }
+        total = sum(rows.values())
+        return (
+            [rows.get(b, 0) / total for b in buckets],
+            (n_all - n_vals) / n_all,
+        )
 
-    return masses(ref), masses(cur)
+    (p, null_ref), (q, null_cur) = masses(ref), masses(cur)
+    return p, q, null_ref, null_cur
 
 
 def psi(p: list[float], q: list[float], eps: float = 1e-6) -> float:
@@ -89,17 +109,23 @@ def numeric_drift(
     cols: list[str],
     nbins: int = 20,
 ) -> DataFrame:
-    """(column, psi, js, verdict) for each numeric column — verdict
-    per the conventional PSI reading ('stable' < 0.1 <= 'moderate'
-    < 0.25 <= 'major'). Bin bounds come from the REFERENCE side;
-    current-side mass outside them is charged to the overflow bins."""
+    """(column, psi, js, null_rate_ref, null_rate_cur, verdict) for
+    each numeric column — verdict per the conventional PSI reading
+    ('stable' < 0.1 <= 'moderate' < 0.25 <= 'major'). Bin bounds come
+    from the REFERENCE side; current-side mass outside them is
+    charged to the overflow bins. PSI/JS are conditional on non-null
+    values; null-rate movement is its own pair of columns so a
+    nullability regression is visible as itself instead of smearing
+    phantom drift across every bin (ADVICE r8)."""
     spark = ref.sparkSession
     out = []
     for col in cols:
-        p, q = _bin_masses(ref, cur, col, nbins)
+        p, q, null_ref, null_cur = _bin_masses(ref, cur, col, nbins)
         s = psi(p, q)
         verdict = "stable" if s < 0.1 else ("moderate" if s < 0.25 else "major")
-        out.append((col, s, jensen_shannon(p, q), verdict))
+        out.append((col, s, jensen_shannon(p, q), null_ref, null_cur, verdict))
     return spark.createDataFrame(
-        out, "column string, psi double, js double, verdict string"
+        out,
+        "column string, psi double, js double, null_rate_ref double, "
+        "null_rate_cur double, verdict string",
     )

@@ -215,6 +215,12 @@ def _bucket_stats(
     )
 
 
+# NOTE (r9): tableread.write_clustered_manifested wraps this writer
+# to persist a skip manifest at write time. The option is NOT folded
+# into this signature yet because q117's builder docstring names
+# operators.layout, so any AST change here drifts its out-of-window
+# fingerprint; fold it in at r10 when q117 re-enters the gate window
+# (comments are AST-invisible, so this note is safe).
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -115,7 +115,13 @@ def nb_score(
 ) -> DataFrame:
     """Per-document (id, label, score) log-joint table — every doc
     scored under every label (labels broadcast-small), unseen
-    features falling back to the label's smoothing term."""
+    features falling back to the label's smoothing term. Zero-token
+    docs never reach the explode, but their log-joint is simply the
+    prior (an empty product of likelihoods), so they are joined back
+    with prior-only scores — every input id appears under every
+    label, and downstream scorers (predict / log_odds) keep the full
+    corpus row count (ADVICE r8: they used to silently drop empty
+    docs)."""
     text_col = text_col or model["text_col"]
     toks = df.select(
         F.col(id_col),
@@ -131,13 +137,18 @@ def nb_score(
             F.coalesce(F.col("log_lik"), F.col("log_unseen")).alias("ll"),
         )
     )
-    return (
-        scored_tokens.groupBy(id_col, "label")
-        .agg(F.sum("ll").alias("ll_sum"))
-        .join(F.broadcast(pri.select("label", "log_prior")), "label")
-        .select(
-            id_col, "label", (F.col("ll_sum") + F.col("log_prior")).alias("score")
-        )
+    sums = scored_tokens.groupBy(id_col, "label").agg(
+        F.sum("ll").alias("ll_sum")
+    )
+    grid = df.select(id_col).crossJoin(
+        F.broadcast(pri.select("label", "log_prior"))
+    )
+    return grid.join(sums, [id_col, "label"], "left").select(
+        id_col,
+        "label",
+        (F.coalesce(F.col("ll_sum"), F.lit(0.0)) + F.col("log_prior")).alias(
+            "score"
+        ),
     )
 
 

