@@ -417,3 +417,39 @@ def test_cli_normalize_end_to_end(spark, tmp_path, capsys):
     (r,) = spark.read.parquet(dest).collect()
     assert r.text == "file one"
     assert "normalized 1 docs (NFKC, lower)" in capsys.readouterr().out
+
+
+def test_cli_ann_build_and_search(spark, tmp_path, capsys):
+    """End-to-end CLI: build a PCA->IVF->PQ index from parquet, then
+    search it — the user-facing composition of the round-8 ANN stack."""
+    import numpy as np
+
+    from utc_cuip_kafka_aws_connector_spark.cli import main
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(v) for v in rng.randn(8) + (i % 4) * 5.0])
+        for i in range(200)
+    ]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert (
+        main(
+            [
+                "ann", "--op", "build", "--path", idx, "--input", src,
+                "--cells", "4", "--m", "4", "--nbits", "5",
+            ]
+        )
+        or 0
+    ) == 0
+    capsys.readouterr()
+    q = ",".join(str(v) for v in rows[0][1])
+    assert (
+        main(["ann", "--op", "search", "--path", idx, "--query", q,
+              "--k", "5", "--nprobe", "4"])
+        or 0
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    assert out[0].split()[0] == "0"  # the query IS row 0: exact self-match first

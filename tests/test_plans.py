@@ -148,23 +148,25 @@ def test_q97_window_is_partitioned(spark):
 
 
 def test_q98_no_global_row_window(spark):
-    """The shard assigner's windows run over doc_id buckets (row data)
-    and over the tiny bucket-totals frame -- the ROW-data cumsum must
-    be partitioned by bucket, the offsets must come back BROADCAST,
-    and below the recursion threshold the plan must keep exactly the
-    TWO-LEVEL shape: one unpartitioned window total (over bucket
-    totals), never over row data."""
+    """The shard assigner's ROW-data cumsum must be partitioned by
+    doc_id bucket with the offsets coming back BROADCAST. Since the r9
+    leak fix, the measuring path computes the bucket offsets on the
+    DRIVER from the bounded totals collect (no persist, nothing
+    cached), so the lazy plan has ZERO unpartitioned windows anywhere
+    -- strictly stronger than the old two-level shape, whose one
+    unpartitioned window ran over the bucket totals."""
     from tests.plan_utils import window_arguments
 
     p = plan_of(spark, "q98_token_shards")
     assert "BroadcastHashJoin" in p, "offsets not broadcast back"
     unpartitioned, partitioned = window_arguments(p)
-    assert len(unpartitioned) == 1, (
-        f"two-level shape broken: {len(unpartitioned)} unpartitioned windows\n{p}"
+    assert len(unpartitioned) == 0, (
+        f"unpartitioned window crept back into the row path\n{p}"
     )
     assert any("_psum_bucket" in a for a in partitioned), (
         "row cumsum not bucket-partitioned"
     )
+    assert "Scan ExistingRDD" in p, "driver-computed offsets missing"
 
 
 def test_q106_chunking_is_scan_local(spark):

@@ -573,6 +573,24 @@ def main(argv: list[str] | None = None) -> int:
         help="also print suggested salt buckets for this per-task row budget",
     )
 
+    ann = sub.add_parser(
+        "ann",
+        help="approximate-nearest-neighbor index over an embedding "
+        "column: build a PCA->IVF->PQ index to disk, then search it",
+    )
+    ann.add_argument("--op", required=True, choices=["build", "search"])
+    ann.add_argument("--path", required=True, help="index directory")
+    ann.add_argument("--input", default=None, help="build: parquet with (id, embedding)")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--pca", type=int, default=None, help="build: reduce to this many dims first")
+    ann.add_argument("--cells", type=int, default=16, help="build: IVF coarse cells")
+    ann.add_argument("--m", type=int, default=8, help="build: PQ subspaces")
+    ann.add_argument("--nbits", type=int, default=6, help="build: bits per PQ code")
+    ann.add_argument("--query", default=None, help="search: comma-separated floats")
+    ann.add_argument("--k", type=int, default=10)
+    ann.add_argument("--nprobe", type=int, default=4)
+
     compact = sub.add_parser(
         "compact",
         help="lake maintenance: merge each partition's small files to ~target size "
@@ -779,6 +797,43 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['freq']:>12d}  {r[args.column]}")
         if stats["salt_buckets"] is not None:
             print(f"suggested salt buckets: {stats['salt_buckets']}")
+    elif args.cmd == "ann":
+        from utc_cuip_kafka_aws_connector_spark.operators.annindex import (
+            ann_fit,
+            ann_load,
+            ann_save,
+            ann_search,
+        )
+
+        if args.op == "build":
+            if not args.input:
+                parser.error("ann --op build requires --input")
+            df = spark.read.parquet(args.input)
+            index = ann_fit(
+                df,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                k_pca=args.pca,
+                n_cells=args.cells,
+                m=args.m,
+                nbits=args.nbits,
+            )
+            ann_save(spark, df, index, args.path)
+            print(
+                f"built ann index at {args.path}: cells={args.cells} "
+                f"m={args.m} nbits={args.nbits}"
+                + (f" pca={args.pca}" if args.pca else "")
+            )
+        else:
+            if not args.query:
+                parser.error("ann --op search requires --query")
+            q = [float(x) for x in args.query.split(",")]
+            index, coded, vectors = ann_load(spark, args.path)
+            rows = ann_search(
+                index, coded, q, k=args.k, nprobe=args.nprobe, vectors=vectors
+            ).collect()
+            for r in rows:
+                print(f"{r[index['id_col']]:>12d}  dist={r['dist']:.6f}")
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
