@@ -1,0 +1,95 @@
+"""operators/tokenio.py: tokenizer.json save/load round trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from utc_cuip_kafka_aws_connector_spark.operators.encode import (
+    bpe_encode,
+    bpe_vocab,
+    corpus_chars,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.bpetrain import (
+    bpe_train_merges,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+    from_tokenizer_json,
+    load_tokenizer,
+    save_tokenizer,
+    to_tokenizer_json,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe_train_merges(docs, 8)
+    vocab = bpe_vocab(merges, corpus_chars(docs))
+    return docs, merges, vocab
+
+
+def test_roundtrip_is_exact(spark, trained, tmp_path):
+    _, merges, vocab = trained
+    path = str(tmp_path / "tokenizer.json")
+    save_tokenizer(spark, path, merges, vocab)
+    merges2, vocab2 = load_tokenizer(spark, path)
+    assert merges2 == merges
+    assert vocab2 == vocab
+
+
+def test_loaded_model_encodes_identically(spark, trained, tmp_path):
+    docs, merges, vocab = trained
+    path = str(tmp_path / "tokenizer.json")
+    save_tokenizer(spark, path, merges, vocab)
+    merges2, vocab2 = load_tokenizer(spark, path)
+    a = {r.doc_id: r.ids for r in bpe_encode(docs, merges, vocab).collect()}
+    b = {r.doc_id: r.ids for r in bpe_encode(docs, merges2, vocab2).collect()}
+    assert a == b
+
+
+def test_document_shape_is_the_public_format(trained):
+    _, merges, vocab = trained
+    doc = json.loads(to_tokenizer_json(merges, vocab))
+    assert doc["model"]["type"] == "BPE"
+    assert doc["model"]["unk_token"] == "<unk>"
+    assert doc["model"]["merges"][0].count(" ") == 1
+    # vocab serialized in id order so diffs are stable
+    ids = list(doc["model"]["vocab"].values())
+    assert ids == sorted(ids)
+
+
+def test_pair_style_merges_accepted(trained):
+    _, merges, vocab = trained
+    doc = json.loads(to_tokenizer_json(merges, vocab))
+    doc["model"]["merges"] = [[a, b] for a, b in merges]  # tokenizers >= 0.20
+    m2, v2 = from_tokenizer_json(json.dumps(doc))
+    assert m2 == merges and v2 == vocab
+
+
+def test_unsupported_models_fail_loudly(trained):
+    _, merges, vocab = trained
+    base = json.loads(to_tokenizer_json(merges, vocab))
+
+    wrong_type = dict(base, model=dict(base["model"], type="Unigram"))
+    with pytest.raises(ValueError, match="model type"):
+        from_tokenizer_json(json.dumps(wrong_type))
+
+    gpt2ish = dict(base, model=dict(base["model"], continuing_subword_prefix="##"))
+    with pytest.raises(ValueError, match="continuing_subword_prefix"):
+        from_tokenizer_json(json.dumps(gpt2ish))
+
+    bf = dict(base, model=dict(base["model"], byte_fallback=True))
+    with pytest.raises(ValueError, match="byte_fallback"):
+        from_tokenizer_json(json.dumps(bf))
+
+    alien = dict(base, model=dict(base["model"], mystery=1))
+    with pytest.raises(ValueError, match="unsupported BPE model sections"):
+        from_tokenizer_json(json.dumps(alien))
+
+    bad_merge = dict(base, model=dict(base["model"], merges=["a b c"]))
+    with pytest.raises(ValueError, match="malformed merge"):
+        from_tokenizer_json(json.dumps(bad_merge))
