@@ -93,10 +93,14 @@ def test_all_hot_keys_present_with_honest_brackets(replayed):
 
 def test_state_is_k_bounded_per_bucket(replayed):
     snaps, _ = replayed
-    latest = snaps.groupBy("bucket").agg(F.max("seq").alias("seq"))
-    live = snaps.join(latest, ["bucket", "seq"])
+    from pyspark.sql.window import Window as W
+
+    live = (
+        snaps.withColumn("_m", F.max("seq").over(W.partitionBy("bucket")))
+        .filter(F.col("seq") == F.col("_m"))
+    )
     per_bucket = {
-        r.bucket: r.n for r in live.groupBy("bucket").count().withColumnRenamed("count", "n").collect()
+        r.bucket: r["count"] for r in live.groupBy("bucket").count().collect()
     }
     assert all(n <= 8 for n in per_bucket.values()), per_bucket
 

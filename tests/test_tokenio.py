@@ -46,8 +46,8 @@ def test_loaded_model_encodes_identically(spark, trained, tmp_path):
     path = str(tmp_path / "tokenizer.json")
     save_tokenizer(spark, path, merges, vocab)
     merges2, vocab2 = load_tokenizer(spark, path)
-    a = {r.doc_id: r.ids for r in bpe_encode(docs, merges, vocab).collect()}
-    b = {r.doc_id: r.ids for r in bpe_encode(docs, merges2, vocab2).collect()}
+    a = {r.doc_id: r.token_ids for r in bpe_encode(docs, merges, vocab).collect()}
+    b = {r.doc_id: r.token_ids for r in bpe_encode(docs, merges2, vocab2).collect()}
     assert a == b
 
 

@@ -140,8 +140,19 @@ def current_hot_keys(
     provably below the threshold survives, nothing above it is ever
     dropped (one-sided, like every pruning in this repo). Ordered by
     freq_lo descending, value ascending."""
-    latest = snapshots.groupBy("bucket").agg(F.max("seq").alias("seq"))
-    live = snapshots.join(F.broadcast(latest), ["bucket", "seq"])
+    from pyspark.sql.window import Window as W
+
+    # newest snapshot per bucket via a window, not a self-join (the
+    # memory-sink view trips Catalyst's conflicting-reference check
+    # when joined with an aggregate of itself); the snapshot table is
+    # sketch-sized, so a per-bucket window is trivially cheap
+    live = (
+        snapshots.withColumn(
+            "_max_seq", F.max("seq").over(W.partitionBy("bucket"))
+        )
+        .filter(F.col("seq") == F.col("_max_seq"))
+        .drop("_max_seq")
+    )
     out = live.select(
         "value",
         F.col("weight").alias("freq_lo"),
