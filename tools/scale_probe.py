@@ -42,6 +42,10 @@ DEFAULT_QUERIES = [
     # distributed BPE training (one histogram shuffle claim)
     "q117_clustered_skipping_read",
     "q118_bpe_train",
+    # round 9: heavy hitters (k-bounded summary shuffle claim) and
+    # the guard-wired semantic dedup (bounded sum_c |c|^2 claim)
+    "q119_heavy_hitters",
+    "q110_semantic_dedup",
 ]
 
 SF_DIRS = [
