@@ -1,0 +1,78 @@
+"""operators/ordering.py: deterministic epoch shuffle + curriculum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.ordering import (
+    curriculum_order,
+    epoch_shuffle,
+)
+
+
+def _order(df, id_col="doc_id"):
+    return [r[id_col] for r in df.select(id_col).collect()]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("quality"),
+    )
+
+
+def test_same_seed_epoch_is_layout_independent(spark, docs):
+    a = _order(epoch_shuffle(docs, seed=7, epoch=0))
+    b = _order(epoch_shuffle(docs.repartition(17), seed=7, epoch=0))
+    c = _order(epoch_shuffle(docs.orderBy(F.desc("doc_id")), seed=7, epoch=0))
+    assert a == b == c
+    assert sorted(a) == list(range(500))  # a real permutation
+
+
+def test_epochs_and_seeds_decorrelate(spark, docs):
+    e0 = _order(epoch_shuffle(docs, seed=7, epoch=0))
+    e1 = _order(epoch_shuffle(docs, seed=7, epoch=1))
+    s1 = _order(epoch_shuffle(docs, seed=8, epoch=0))
+    assert e0 != e1 and e0 != s1 and e1 != s1
+    # rank correlation between epochs ~ 0: mean |rank shift| of a
+    # random permutation of n=500 is ~ n/3; require a healthy fraction
+    pos0 = {d: i for i, d in enumerate(e0)}
+    shift = sum(abs(pos0[d] - i) for i, d in enumerate(e1)) / len(e1)
+    assert shift > 500 / 6
+
+
+def test_shuffle_is_not_the_identity_or_sorted(docs):
+    got = _order(epoch_shuffle(docs, seed=3, epoch=0))
+    assert got != list(range(500)) and got != sorted(got)
+
+
+def test_curriculum_stages_are_monotone_and_shuffled(spark, docs):
+    out = curriculum_order(docs, "quality", n_stages=4, seed=1).collect()
+    stages = [r.stage for r in out]
+    assert stages == sorted(stages)  # stage is the leading order
+    means = {}
+    for s in (1, 2, 3, 4):
+        vals = [r.quality for r in out if r.stage == s]
+        assert len(vals) == 125
+        means[s] = sum(vals) / len(vals)
+    # descending=True: earlier stages have HIGHER quality
+    assert means[1] > means[2] > means[3] > means[4]
+    # and ids within a stage are hash-shuffled, not id-ordered
+    ids1 = [r.doc_id for r in out if r.stage == 1]
+    assert ids1 != sorted(ids1)
+
+
+def test_curriculum_is_deterministic(spark, docs):
+    a = [tuple(r) for r in curriculum_order(docs, "quality", seed=5).collect()]
+    b = [
+        tuple(r)
+        for r in curriculum_order(docs.repartition(13), "quality", seed=5).collect()
+    ]
+    assert a == b
+
+
+def test_n_stages_validation(docs):
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(docs, "quality", n_stages=0)

@@ -1,0 +1,88 @@
+"""Deterministic training-data ordering: seeded epoch shuffles and
+quality curricula.
+
+The last step before shard-writing a training corpus is deciding the
+ORDER rows are consumed in, and at 100 TB that order must be (a) a
+real global permutation — not "whatever partition order the last
+shuffle left" — and (b) REPRODUCIBLE: a resumed or re-run job must
+regenerate byte-identical shards (the same determinism contract as
+everything in this repo), while successive epochs must decorrelate.
+``rand()`` fails (a): it is seeded per-partition, so the permutation
+changes with the partition layout. The standard fix is hash-based:
+
+- ``epoch_shuffle``: order key = ``xxhash64(id, seed, epoch)`` — a
+  pure function of ROW IDENTITY and the (seed, epoch) pair, so the
+  permutation is independent of layout, cluster size, or history.
+  One range shuffle materializes it (``repartitionByRange`` + sort
+  within partitions — the write-friendly form: shard files come out
+  globally ordered without a single-task global sort).
+- ``curriculum_order``: easy-to-hard scheduling (Bengio et al. 2009)
+  — ``n_stages`` quality buckets via ``ntile`` over the score, rows
+  shuffled hash-deterministically WITHIN each stage. Stage is the
+  leading sort key, so training consumes stage 1 first.
+
+Both return the input columns plus an ``order_key`` the caller can
+range-write by; nothing is collected, and the only corpus-scale
+operation is the one range shuffle any global ordering costs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def shuffle_key(id_col: str, seed: int, epoch: int):
+    """The deterministic permutation key: xxhash64 of (row id, seed,
+    epoch). Ties are impossible for distinct ids under a fixed
+    (seed, epoch) short of a 64-bit collision; ``id_col`` breaks even
+    those deterministically."""
+    return F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit(int(epoch)))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` globally ordered by the (seed, epoch) permutation, with
+    the key exposed as ``order_key``. Layout-independent: any input
+    partitioning yields the identical row order."""
+    keyed = df.withColumn("order_key", shuffle_key(id_col, seed, epoch))
+    parts = (
+        keyed.repartitionByRange(n_partitions, "order_key", id_col)
+        if n_partitions
+        else keyed.repartitionByRange("order_key", id_col)
+    )
+    return parts.sortWithinPartitions("order_key", id_col)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    seed: int = 0,
+    epoch: int = 0,
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering: rows bucketed into ``n_stages`` by
+    ``score_col`` (``descending=True`` = highest-quality first),
+    hash-shuffled within each stage, ``stage`` and ``order_key``
+    exposed. The ntile window is the only full-sort of the score and
+    runs UNPARTITIONED — at true scale substitute precomputed stage
+    thresholds (approx quantiles) for the window; the window form is
+    the exact, oracle-friendly contract."""
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    order = F.desc(score_col) if descending else F.asc(score_col)
+    staged = df.withColumn(
+        "stage", F.ntile(n_stages).over(W.orderBy(order, F.asc(id_col)))
+    )
+    keyed = staged.withColumn("order_key", shuffle_key(id_col, seed, epoch))
+    return keyed.repartitionByRange("stage", "order_key", id_col).sortWithinPartitions(
+        "stage", "order_key", id_col
+    )
