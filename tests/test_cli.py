@@ -453,3 +453,33 @@ def test_cli_ann_build_and_search(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 5
     assert out[0].split()[0] == "0"  # the query IS row 0: exact self-match first
+
+
+def test_cli_clean_end_to_end(spark, tmp_path, capsys):
+    """clean = extract -> boilerplate -> substring dedup as one verb."""
+    from utc_cuip_kafka_aws_connector_spark.cli import main
+
+    para = " ".join(f"quoted{i}" for i in range(40))
+    rows = [
+        (
+            i,
+            f"<p>body {i} words here</p><div>Site Footer Banner 2024</div>"
+            + (f"<p>{para}</p>" if i in (3, 7) else ""),
+        )
+        for i in range(30)
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "clean")
+    rc = main(
+        [
+            "clean", "--input", src, "--output", out, "--html",
+            "--boiler-min-docs", "15", "--substr-window", "30",
+        ]
+    ) or 0
+    assert rc == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert len(got) == 30
+    assert all("<p>" not in t and "Site Footer" not in t for t in got.values())
+    assert "quoted0" in got[3] and "quoted0" not in got[7]  # canonical kept once
+    assert "body 5 words here" in got[5]

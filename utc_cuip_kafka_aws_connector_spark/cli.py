@@ -573,6 +573,25 @@ def main(argv: list[str] | None = None) -> int:
         help="also print suggested salt buckets for this per-task row budget",
     )
 
+    clean = sub.add_parser(
+        "clean",
+        help="crawl cleaning chain: HTML-to-text extraction, line-level "
+        "boilerplate strip, exact repeated-substring dedup",
+    )
+    clean.add_argument("--input", required=True, help="parquet with (id, text)")
+    clean.add_argument("--output", required=True)
+    clean.add_argument("--id-col", default="doc_id")
+    clean.add_argument("--text-col", default="text")
+    clean.add_argument("--html", action="store_true", help="input is HTML markup")
+    clean.add_argument(
+        "--boiler-min-docs", type=int, default=10,
+        help="strip lines occurring in at least this many distinct docs",
+    )
+    clean.add_argument(
+        "--substr-window", type=int, default=50,
+        help="remove repeated token spans of at least this length (0 = skip)",
+    )
+
     ann = sub.add_parser(
         "ann",
         help="approximate-nearest-neighbor index over an embedding "
@@ -797,6 +816,46 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['freq']:>12d}  {r[args.column]}")
         if stats["salt_buckets"] is not None:
             print(f"suggested salt buckets: {stats['salt_buckets']}")
+    elif args.cmd == "clean":
+        from utc_cuip_kafka_aws_connector_spark.operators.boilerplate import (
+            strip_boilerplate,
+        )
+        from utc_cuip_kafka_aws_connector_spark.operators.extract import (
+            html_to_text,
+        )
+        from utc_cuip_kafka_aws_connector_spark.operators.substrdedup import (
+            strip_duplicate_spans,
+        )
+
+        df = spark.read.parquet(args.input)
+        n_in = df.count()
+        if args.html:
+            df = html_to_text(df, text_col=args.text_col)
+        df = strip_boilerplate(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            min_docs=args.boiler_min_docs,
+        )
+        if args.substr_window:
+            df = strip_duplicate_spans(
+                df,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                window=args.substr_window,
+            )
+        df.write.mode("overwrite").parquet(args.output)
+        print(
+            f"cleaned {n_in} docs"
+            + (" (html extracted)" if args.html else "")
+            + f", boilerplate min_docs={args.boiler_min_docs}"
+            + (
+                f", substr window={args.substr_window}"
+                if args.substr_window
+                else ""
+            )
+            + f", output={args.output}"
+        )
     elif args.cmd == "ann":
         from utc_cuip_kafka_aws_connector_spark.operators.annindex import (
             ann_fit,
