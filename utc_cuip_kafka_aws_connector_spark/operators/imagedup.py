@@ -172,17 +172,20 @@ def image_dhash(
     )
 
 
-def image_near_dups(
+def hamming_near_dups(
     hashed: DataFrame,
     max_distance: int = 6,
     bands: int = 8,
     id_col: str = "doc_id",
+    hash_col: str = "dhash",
 ) -> DataFrame:
-    """(id_a, id_b, distance), id_a < id_b, every pair of hashes
-    within ``max_distance`` Hamming bits. Complete for
-    max_distance <= bands - 1 (pigeonhole over the band split);
-    candidates come from per-band equi-joins, verification is exact
-    JVM ``bit_count``."""
+    """(id_a, id_b, distance), id_a < id_b, every pair of 64-bit
+    hashes within ``max_distance`` Hamming bits — generic over the
+    hash source (image dHash here, audio energy hash in
+    operators/audiodup.py, any future 64-bit perceptual signature).
+    Complete for max_distance <= bands - 1 (pigeonhole over the band
+    split); candidates come from per-band equi-joins, verification is
+    exact JVM ``bit_count``."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_distance > bands - 1:
@@ -191,7 +194,9 @@ def image_near_dups(
             f"({max_distance} > {bands - 1}); raise bands"
         )
     width = 64 // bands
-    h = hashed.filter(F.col("dhash").isNotNull()).select(id_col, "dhash")
+    h = hashed.filter(F.col(hash_col).isNotNull()).select(
+        id_col, F.col(hash_col).alias("dhash")
+    )
     banded = h.select(
         id_col,
         "dhash",
@@ -223,3 +228,14 @@ def image_near_dups(
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+
+
+def image_near_dups(
+    hashed: DataFrame,
+    max_distance: int = 6,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``hamming_near_dups`` over the ``image_dhash`` output (kept as
+    the image-named entry point)."""
+    return hamming_near_dups(hashed, max_distance, bands, id_col, "dhash")
