@@ -179,6 +179,32 @@ def main() -> None:
         errors["curate_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"  curate_pipeline FAILED: {errors['curate_pipeline']}", file=sys.stderr, flush=True)
 
+    # The round-9 crawl-cleaning chain (CLI `clean`: line-level
+    # boilerplate strip -> exact repeated-substring dedup) end-to-end
+    # including the sink, over the documents table.
+    try:
+        from utc_cuip_kafka_aws_connector_spark.operators.boilerplate import (
+            strip_boilerplate,
+        )
+        from utc_cuip_kafka_aws_connector_spark.operators.substrdedup import (
+            strip_duplicate_spans,
+        )
+
+        drop_all_blocks()
+        t0 = time.perf_counter()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cleaned = strip_duplicate_spans(
+            strip_boilerplate(docs, min_docs=50), window=30
+        )
+        cleaned.write.mode("overwrite").parquet(
+            "/tmp/spark_graft_io/bench_clean"
+        )
+        timings["clean_pipeline"] = round(time.perf_counter() - t0, 4)
+        print(f"  clean_pipeline: {timings['clean_pipeline']}s", file=sys.stderr, flush=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["clean_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  clean_pipeline FAILED: {errors['clean_pipeline']}", file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

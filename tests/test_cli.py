@@ -483,3 +483,39 @@ def test_cli_clean_end_to_end(spark, tmp_path, capsys):
     assert all("<p>" not in t and "Site Footer" not in t for t in got.values())
     assert "quoted0" in got[3] and "quoted0" not in got[7]  # canonical kept once
     assert "body 5 words here" in got[5]
+
+
+def test_cli_clean_with_rules_and_domain_cap(spark, tmp_path, capsys):
+    from utc_cuip_kafka_aws_connector_spark.cli import main
+
+    prose = (
+        "This is a normal document with enough words in every line to pass.\n"
+        "It has several sentences and the usual stop words that prose has.\n"
+        "All of the lines end with terminal punctuation as they should.\n"
+        "A final sentence adds the extra words that the word count rule "
+        "needs to clear its minimum bound of fifty with a little room."
+    )
+    rows = []
+    for i in range(30):
+        # 25 good docs spread over domains; doc i<20 on big.com
+        url = f"https://big.com/p{i}?utm_source=x" if i < 20 else f"https://s{i}.org/a"
+        rows.append((i, prose + f"\nUnique closing line number {i} is here.", url))
+    rows.append((98, "too short", "https://big.com/short"))
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
+    out = str(tmp_path / "clean")
+    rc = main(
+        [
+            "clean", "--input", src, "--output", out,
+            "--boiler-min-docs", "40", "--substr-window", "0",
+            "--gopher", "--c4", "--url-col", "url", "--max-per-domain", "5",
+        ]
+    ) or 0
+    assert rc == 0
+    got = spark.read.parquet(out)
+    rows_out = got.collect()
+    ids = {r.doc_id for r in rows_out}
+    assert 98 not in ids                       # gopher word count
+    assert len([i for i in ids if i < 20]) == 5  # domain cap on big.com
+    assert len([i for i in ids if 20 <= i < 30]) == 10
+    assert all("utm_source" not in r.url for r in rows_out)  # normalized

@@ -591,6 +591,22 @@ def main(argv: list[str] | None = None) -> int:
         "--substr-window", type=int, default=50,
         help="remove repeated token spans of at least this length (0 = skip)",
     )
+    clean.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher quality rules (Rae 2021 defaults) after cleaning",
+    )
+    clean.add_argument(
+        "--c4", action="store_true",
+        help="apply the C4 document rules (Raffel 2020) after cleaning",
+    )
+    clean.add_argument(
+        "--url-col", default=None,
+        help="URL column: normalize it and enable --max-per-domain",
+    )
+    clean.add_argument(
+        "--max-per-domain", type=int, default=None,
+        help="cap documents per registered domain (requires --url-col)",
+    )
 
     ann = sub.add_parser(
         "ann",
@@ -844,9 +860,43 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 window=args.substr_window,
             )
+        stages = []
+        if args.c4:
+            from utc_cuip_kafka_aws_connector_spark.operators.rulefilters import (
+                apply_c4,
+            )
+
+            df = apply_c4(df, text_col=args.text_col)
+            stages.append("c4")
+        if args.gopher:
+            from utc_cuip_kafka_aws_connector_spark.operators.rulefilters import (
+                apply_gopher,
+            )
+
+            df = apply_gopher(df, text_col=args.text_col)
+            stages.append("gopher")
+        if args.url_col:
+            from utc_cuip_kafka_aws_connector_spark.operators.urlops import (
+                normalize_url,
+                per_domain_cap,
+            )
+            from pyspark.sql import functions as _F
+
+            df = df.withColumn(args.url_col, normalize_url(args.url_col))
+            if args.max_per_domain:
+                df = per_domain_cap(
+                    df,
+                    url_col=args.url_col,
+                    max_per_domain=args.max_per_domain,
+                    id_col=args.id_col,
+                )
+            stages.append("url")
+        elif args.max_per_domain:
+            parser.error("--max-per-domain requires --url-col")
         df.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
         print(
-            f"cleaned {n_in} docs"
+            f"cleaned {n_in} -> {n_out} docs"
             + (" (html extracted)" if args.html else "")
             + f", boilerplate min_docs={args.boiler_min_docs}"
             + (
@@ -854,6 +904,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.substr_window
                 else ""
             )
+            + (f", rules: {'+'.join(stages)}" if stages else "")
             + f", output={args.output}"
         )
     elif args.cmd == "ann":
