@@ -59,7 +59,7 @@ def test_broken_query_cannot_zero_the_artifact(spark, monkeypatch, capsys, tmp_p
     assert payload["errors"] == 1
     assert payload["partial"] is True  # totals over survivors only
     assert payload["value"] > 0
-    assert payload["n_queries"] == 4  # 2 healthy + pipeline_ingest + curate_pipeline
+    assert payload["n_queries"] == 5  # 2 healthy + pipeline_ingest + curate_pipeline + clean_pipeline
 
     # The complete per-query envelope (timings + err entries) lands
     # at the redirected bench_full.json path.
