@@ -130,3 +130,26 @@ def test_search_without_vectors_returns_adc_estimates(spark, corpus):
     assert len(rows) == 10
     exact = {r.vec_id for r in _flat_topk(corpus, QUERY, 10).collect()}
     assert len({r.vec_id for r in rows} & exact) >= 6  # code-only recall
+
+
+def test_incremental_append_is_searchable(spark, corpus, tmp_path):
+    from utc_cuip_kafka_aws_connector_spark.operators.annindex import ann_append
+
+    path = str(tmp_path / "idx")
+    index = ann_fit(corpus, n_cells=8, m=4, nbits=6)
+    ann_save(spark, corpus, index, path)
+    # new batch: clones of row 7 far ids away, plus genuinely new points
+    base = corpus.filter(F.col("vec_id") == 7).first().embedding
+    fresh = spark.createDataFrame(
+        [(10_000 + i, [v + 0.001 * i for v in base]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert ann_append(spark, fresh, path) == 5
+    index2, coded2, vectors2 = ann_load(spark, path)
+    assert coded2.count() == N + 5
+    top = ann_search(
+        index2, coded2, list(base), k=6, nprobe=8, vectors=vectors2,
+        shortlist=N + 5,
+    ).collect()
+    got = {r.vec_id for r in top}
+    assert 7 in got and {10_000, 10_001, 10_002} <= got  # appended rows found

@@ -227,3 +227,32 @@ def ann_search(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    store_vectors: bool = True,
+) -> int:
+    """Incrementally index new vectors into a saved index: encode
+    them under the STORED model (centroids/codebooks frozen — the
+    standard IVF discipline; retrain with ann_fit when drift
+    monitoring says the space moved) and append to ``codes/`` (cell
+    partitions) and ``vectors/``. Returns the number of rows
+    appended. Append-only, like every incremental store in this repo
+    (increddup's LSH index, cardinality's sketch rows): searches see
+    new rows immediately, nothing existing is rewritten."""
+    text = _fs_read_text(spark, posixpath.join(path, INDEX_FILE))
+    if text is None:
+        raise FileNotFoundError(f"no {INDEX_FILE} under {path}")
+    index = json.loads(text)
+    coded = ann_encode(df, index)
+    coded.write.mode("append").partitionBy("centroid_id").parquet(
+        posixpath.join(path, "codes")
+    )
+    if store_vectors:
+        df.select(index["id_col"], index["vec_col"]).write.mode(
+            "append"
+        ).parquet(posixpath.join(path, "vectors"))
+    return df.count()
