@@ -72,3 +72,54 @@ def test_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     card = {r.metric: r.value for r in corpus_report(df).collect()}
     assert card == {"rows": 0.0}
+
+
+def test_release_report_between_versions(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        release_report,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"document body {i} words here", "en", "s0", 25 + (i % 5))
+         for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new = (
+        old.filter(F.col("doc_id") >= 10)  # 10 removed
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") < 15, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(1000 + i, f"fresh doc {i} text", "de", "s1", 300 + i)
+                 for i in range(20)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+    )
+    rep = {r.metric: r.value for r in release_report(old, new).collect()}
+    assert rep["docs_added"] == 20
+    assert rep["docs_removed"] == 10
+    assert rep["docs_changed"] == 5
+    assert rep["rows_delta"] == 10  # 100 -> 110
+    assert rep["drift:n_chars_psi"] > 0.1  # the fresh docs sit out of range
+    assert rep["drift:n_chars_null_rate_delta"] == pytest.approx(0.0)
+    # slice mass moved toward de/s1
+    assert rep.get("lang:de_delta", 0) > 0.1
+
+
+def test_release_report_identity(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        release_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"same doc {i}", 10) for i in range(50)],
+        "doc_id long, text string, n_chars long",
+    )
+    rep = {r.metric: r.value for r in release_report(df, df).collect()}
+    assert rep["docs_added"] == rep["docs_removed"] == rep["docs_changed"] == 0
+    assert all(v == pytest.approx(0.0, abs=1e-9) for m, v in rep.items()
+               if m.endswith("_delta") or m.endswith("_psi"))

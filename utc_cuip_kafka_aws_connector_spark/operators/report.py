@@ -88,3 +88,65 @@ def corpus_report(
             out.append((f"{col}:<other>", (n - covered) / n))
 
     return spark.createDataFrame(out, "metric string, value double")
+
+
+def release_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drift_cols: tuple[str, ...] = ("n_chars",),
+    nbins: int = 20,
+) -> DataFrame:
+    """Release notes between two corpus versions, as one
+    (metric, value) frame — the diff the data card of version N+1
+    publishes against version N (public practice: the changelog
+    blocks of versioned corpus releases). Pure composition:
+
+      docs_added / docs_removed / docs_changed   membership by id,
+                    change = same id, different md5(text)
+      <metric>_delta   every scalar metric of ``corpus_report``,
+                    new minus old (slices included, absent = 0)
+      drift:<col>_psi  numeric drift of ``drift_cols`` (old side =
+                    reference bins, the operators/drift.py contract)
+    """
+    from utc_cuip_kafka_aws_connector_spark.operators.drift import (
+        numeric_drift,
+    )
+
+    spark = old.sparkSession
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_old"))
+    nw = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_new"))
+    joined = o.join(nw, id_col, "full")
+    membership = joined.agg(
+        F.sum(F.col("_h_old").isNull().cast("long")).alias("added"),
+        F.sum(F.col("_h_new").isNull().cast("long")).alias("removed"),
+        F.sum(
+            (
+                F.col("_h_old").isNotNull()
+                & F.col("_h_new").isNotNull()
+                & (F.col("_h_old") != F.col("_h_new"))
+            ).cast("long")
+        ).alias("changed"),
+    ).first()
+    out = [
+        ("docs_added", float(membership.added or 0)),
+        ("docs_removed", float(membership.removed or 0)),
+        ("docs_changed", float(membership.changed or 0)),
+    ]
+
+    old_m = {r.metric: r.value for r in corpus_report(old, id_col, text_col).collect()}
+    new_m = {r.metric: r.value for r in corpus_report(new, id_col, text_col).collect()}
+    for metric in sorted(set(old_m) | set(new_m)):
+        out.append(
+            (f"{metric}_delta", new_m.get(metric, 0.0) - old_m.get(metric, 0.0))
+        )
+
+    cols = [c for c in drift_cols if c in old.columns and c in new.columns]
+    if cols:
+        for r in numeric_drift(old, new, list(cols), nbins=nbins).collect():
+            out.append((f"drift:{r.column}_psi", float(r.psi)))
+            out.append((f"drift:{r.column}_null_rate_delta",
+                        float(r.null_rate_cur - r.null_rate_ref)))
+
+    return spark.createDataFrame(out, "metric string, value double")
