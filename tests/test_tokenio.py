@@ -93,3 +93,25 @@ def test_unsupported_models_fail_loudly(trained):
     bad_merge = dict(base, model=dict(base["model"], merges=["a b c"]))
     with pytest.raises(ValueError, match="malformed merge"):
         from_tokenizer_json(json.dumps(bad_merge))
+
+
+def test_tokenizer_report_coverage_and_compression(spark, trained):
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        tokenizer_report,
+    )
+
+    docs, merges, vocab = trained
+    rows = tokenizer_report(docs, merges, vocab).collect()
+    assert rows and {r.lang for r in rows} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+    for r in rows:
+        # trained on this very corpus: zero OOV, and merges compress
+        assert r.oov_rate == 0.0
+        assert 1.0 < r.chars_per_token < 20.0
+    # an alien-alphabet corpus shows up as OOV leakage
+    alien = spark.createDataFrame(
+        [(0, "σπάρκ γραφτ τεστ", "el")], "doc_id long, text string, lang string"
+    )
+    leak = tokenizer_report(alien, merges, vocab).first()
+    assert leak.oov_rate == 1.0

@@ -121,3 +121,56 @@ def load_tokenizer(
     if text is None:
         raise FileNotFoundError(path)
     return from_tokenizer_json(text)
+
+
+def tokenizer_report(
+    df,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str | None = "lang",
+):
+    """Tokenizer fitness per corpus slice: (slice, n_docs, n_tokens,
+    oov_rate, chars_per_token) — the two numbers a tokenizer is
+    judged by before training commits to it (unknown-token leakage
+    and compression; the fertility/coverage tables of every tokenizer
+    paper). One encode pass (operators/encode.py's Arrow kernel) and
+    one aggregation; unk is id 0 by the vocab contract."""
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.operators.encode import bpe_encode
+
+    ids = bpe_encode(df.select(id_col, text_col), merges, vocab)
+    enriched = df.select(
+        id_col,
+        F.length(
+            F.regexp_replace(F.col(text_col), r"\s+", "")
+        ).alias("_chars"),
+        *( [F.col(slice_col)] if slice_col and slice_col in df.columns else [] ),
+    ).join(ids, id_col)
+    group = (
+        [slice_col]
+        if slice_col and slice_col in enriched.columns
+        else []
+    )
+    agg = enriched.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("token_ids")).alias("n_tokens"),
+        F.sum(
+            F.size(F.filter(F.col("token_ids"), lambda t: t == F.lit(0)))
+        ).alias("_unk"),
+        F.sum("_chars").alias("_chars"),
+    )
+    out = agg.select(
+        *group,
+        "n_docs",
+        "n_tokens",
+        (F.col("_unk") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "oov_rate"
+        ),
+        (F.col("_chars") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+    return out.orderBy(*group) if group else out
