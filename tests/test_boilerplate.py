@@ -56,6 +56,26 @@ def test_driver_and_join_modes_agree(spark, corpus):
     assert {t[2] for t in fast} == {f"src{i}" for i in range(4)}
 
 
+def test_null_text_survives_both_modes(spark, corpus):
+    """ADVICE r9: join mode used to resurrect a null text as "" (the
+    doc falls out of posexplode, then coalesce backfills); driver mode
+    kept it null. Same input must give the same output in both modes:
+    null stays null, and a fully-stripped doc still becomes ""."""
+    with_null = corpus.unionByName(
+        spark.createDataFrame(
+            [(1000, None, "srcN"), (1001, BANNER, "srcB")],
+            "doc_id long, text string, source string",
+        )
+    )
+    for kwargs in ({}, {"driver_max_lines": 0}):
+        out = {
+            r.doc_id: r.text
+            for r in strip_boilerplate(with_null, min_docs=50, **kwargs).collect()
+        }
+        assert out[1000] is None, f"null text corrupted in {kwargs or 'driver'} mode"
+        assert out[1001] == "", f"fully-stripped doc not '' in {kwargs or 'driver'} mode"
+
+
 def test_idempotent(spark, corpus):
     once = strip_boilerplate(corpus, min_docs=50)
     twice = strip_boilerplate(once, min_docs=50)

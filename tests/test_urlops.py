@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.operators.urlops import (
+    PublicSuffixList,
     normalize_url,
     per_domain_cap,
     registered_domain,
@@ -57,6 +58,78 @@ def test_registered_domain(spark):
     )
     got = [r.d for r in df.select(registered_domain("url").alias("d")).collect()]
     assert got == ["example.com", "example.co.uk", "example.com", "localhost"]
+
+
+# (host, registrable domain) vectors in the style of the PSL project's
+# checkPublicSuffix test set, restricted to rules the bundled subset
+# carries; the final entries exercise wildcard and exception rules.
+PSL_VECTORS = [
+    ("example.com", "example.com"),
+    ("www.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("example.co.uk", "example.co.uk"),
+    ("www.shop.example.co.uk", "example.co.uk"),
+    ("example.com.co", "example.com.co"),          # the VERDICT r9 miss
+    ("b.example.com.co", "example.com.co"),
+    ("example.gob.mx", "example.gob.mx"),
+    ("www.example.com.au", "example.com.au"),
+    ("blog.example.co.jp", "example.co.jp"),
+    ("www.pref.kyoto.jp", "pref.kyoto.jp"),        # geographic jp
+    ("example.nom.co", "example.nom.co"),
+    ("www.example.ab.ca", "example.ab.ca"),
+    ("user.github.io", "user.github.io"),          # private section
+    ("deep.user.github.io", "user.github.io"),
+    ("www.test.bd", "www.test.bd"),                # wildcard *.bd
+    ("a.www.test.bd", "www.test.bd"),
+    ("www.ck", "www.ck"),                          # exception !www.ck
+    ("sub.www.ck", "www.ck"),
+    ("other.ck", None),                            # *.ck -> suffix, fallback host
+    ("sub.other.ck", "sub.other.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),      # exception beats *.kawasaki.jp
+    ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("ward.kawasaki.jp", None),                    # wildcard suffix, fallback host
+    ("x.ward.kawasaki.jp", "x.ward.kawasaki.jp"),
+    ("localhost", "localhost"),                    # default rule fallback
+    ("unknowntld.zz", "unknowntld.zz"),
+]
+
+
+@pytest.mark.parametrize("mode", ["expr", "udf"])
+def test_psl_vectors_both_modes(spark, mode):
+    """The JVM expression chain and the Arrow UDF resolve the PSL
+    rules identically on exact/wildcard/exception vectors. A host
+    that IS a public suffix (expected None) falls back to itself --
+    the documented total-identity contract."""
+    df = spark.createDataFrame([(h,) for h, _ in PSL_VECTORS], "host string")
+    got = [
+        r.d for r in df.select(registered_domain("host", mode=mode).alias("d")).collect()
+    ]
+    want = [exp if exp is not None else host for host, exp in PSL_VECTORS]
+    assert got == want
+
+
+def test_psl_python_twin_matches_and_parses_full_format():
+    psl = PublicSuffixList.bundled()
+    for host, exp in PSL_VECTORS:
+        want = exp if exp is not None else host
+        assert psl.registered_domain_of(host) == want, host
+    assert psl.registered_domain_of(None) is None
+    # full-format odds and ends: comments, whitespace, trailing text
+    tiny = PublicSuffixList(["// c", "", "  com  ", "*.odd", "!ok.odd"])
+    assert tiny.registered_domain_of("a.b.odd") == "a.b.odd"
+    assert tiny.registered_domain_of("x.ok.odd") == "ok.odd"
+
+
+def test_custom_psl_swaps_in(spark):
+    """registered_domain(psl=...) uses the caller's table -- the
+    'swap in the complete upstream file' path."""
+    psl = PublicSuffixList(["zz", "two.zz"])
+    df = spark.createDataFrame([("a.b.two.zz",), ("a.b.one.zz",)], "host string")
+    got = [
+        r.d
+        for r in df.select(registered_domain("host", psl=psl).alias("d")).collect()
+    ]
+    assert got == ["b.two.zz", "one.zz"]
 
 
 def test_per_domain_cap_prefers_quality(spark):

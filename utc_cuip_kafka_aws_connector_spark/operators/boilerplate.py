@@ -143,9 +143,19 @@ def strip_boilerplate(
         ).alias(text_col)
     )
     others = [c for c in df.columns if c != text_col]
+    # A null text produces no posexplode rows, so the doc is absent
+    # from `rebuilt`; a fully-stripped doc is absent too. Only the
+    # latter may coalesce to "" -- driver mode keeps null as null,
+    # and the two modes must agree on every input.
+    had_null = F.col(text_col).isNull().alias("__had_null_text")
     return (
-        df.select(*others)
+        df.select(*others, had_null)
         .join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn(
+            text_col,
+            F.when(F.col("__had_null_text"), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ),
+        )
         .select(*df.columns)  # original column order, both modes
     )

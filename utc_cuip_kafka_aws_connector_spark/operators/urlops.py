@@ -15,10 +15,17 @@ and balances by domain). All JVM expressions on Spark's built-in
   is not identity), drop a trailing "/" on bare paths. Two URLs of
   the same resource normalize to the same string — the key for
   exact URL dedup.
-- ``registered_domain`` — the site identity for capping: last two
-  host labels, three under the common two-level public suffixes
-  (co.uk-style, the short built-in list; a full public-suffix table
-  is a data file, not an algorithm change — documented limitation).
+- ``registered_domain`` — the site identity for capping, resolved
+  against the Public Suffix List (publicsuffix.org) rules: longest
+  matching rule wins, ``*.`` wildcards consume one extra label,
+  ``!`` exceptions override (the published algorithm). The bundled
+  ``data/public_suffix_list.dat`` is an ICANN-section subset; pass
+  ``psl=PublicSuffixList.from_file(...)`` to use the complete
+  upstream file — the parser reads the full format. Two execution
+  modes: small rule tables compile to pure JVM expressions
+  (label-array slices + isin sets, whole-stage codegen); large
+  tables (the full ~9k-rule PSL) switch to an Arrow-vectorized
+  pandas UDF whose compiled rule sets ship once per executor.
 - ``per_domain_cap`` — at most N documents per registered domain,
   chosen by a caller-supplied preference order with a deterministic
   id tie-break. The rank <= N filter compiles to WindowGroupLimit
@@ -29,6 +36,10 @@ and balances by domain). All JVM expressions on Spark's built-in
 
 from __future__ import annotations
 
+import os
+from typing import Iterable
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -36,13 +47,104 @@ from pyspark.sql.window import Window as W
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_EXACT = ("gclid", "fbclid", "mc_cid", "mc_eid", "ref", "ref_src")
 
-# common two-level public suffixes (the high-traffic subset; a full
-# PSL is a lookup-table swap)
-_TWO_LEVEL = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn",
-    "com.mx", "co.in", "co.kr", "com.tr", "com.sg", "co.za",
+_BUNDLED_PSL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
 )
+
+# Above this many rules the codegen expression (one isin per rule
+# depth) stops being reasonable and registered_domain switches to the
+# Arrow-vectorized UDF path (mode="auto").
+_EXPR_MODE_MAX_RULES = 800
+
+
+class PublicSuffixList:
+    """Parsed Public Suffix List rules (publicsuffix.org/list/).
+
+    File format: UTF-8 lines; ``//`` comments and blank lines are
+    skipped; a leading ``!`` marks an exception rule; a leading
+    ``*.`` marks a wildcard rule. Matching (the published algorithm):
+    a rule matches when its labels are a suffix of the host's labels
+    (``*`` matches exactly one label); if any exception rule matches
+    it prevails (its public suffix is the rule minus its leftmost
+    label); otherwise the longest matching rule prevails; if no rule
+    matches, the implicit default rule ``*`` does (public suffix =
+    the last label). The registered (registrable) domain is the
+    public suffix plus one more label."""
+
+    def __init__(self, rules: Iterable[str]):
+        exact: dict[int, set[str]] = {}
+        wildcard: dict[int, set[str]] = {}
+        exception: dict[int, set[str]] = {}
+        for raw in rules:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0].lower()  # spec: ignore trailing text
+            if line.startswith("!"):
+                body = line[1:]
+                exception.setdefault(body.count(".") + 1, set()).add(body)
+            elif line.startswith("*."):
+                body = line[2:]
+                wildcard.setdefault(body.count(".") + 1, set()).add(body)
+            else:
+                exact.setdefault(line.count(".") + 1, set()).add(line)
+        self.exact = {d: frozenset(s) for d, s in exact.items()}
+        self.wildcard = {d: frozenset(s) for d, s in wildcard.items()}
+        self.exception = {d: frozenset(s) for d, s in exception.items()}
+        self.n_rules = sum(
+            len(s)
+            for m in (self.exact, self.wildcard, self.exception)
+            for s in m.values()
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "PublicSuffixList":
+        with open(path, encoding="utf-8") as fh:
+            return cls(fh)
+
+    @classmethod
+    def bundled(cls) -> "PublicSuffixList":
+        return cls.from_file(_BUNDLED_PSL)
+
+    def suffix_label_count(self, labels: list[str]) -> int:
+        """Number of labels in the prevailing public suffix of a host
+        split into ``labels`` (lowercase)."""
+        n = len(labels)
+        for d, rules in self.exception.items():
+            if d <= n and ".".join(labels[n - d :]) in rules:
+                return d - 1
+        best = 1  # implicit default rule "*"
+        for d, rules in self.exact.items():
+            if d > best and d <= n and ".".join(labels[n - d :]) in rules:
+                best = d
+        for d, rules in self.wildcard.items():
+            if d + 1 > best and d < n and ".".join(labels[n - d :]) in rules:
+                best = d + 1
+        return best
+
+    def registered_domain_of(self, host: str | None) -> str | None:
+        """Driver/Python-side twin of the Column function (the UDF
+        path maps this). Host that IS a public suffix falls back to
+        itself -- capping needs a non-null identity (documented)."""
+        if host is None:
+            return None
+        labels = host.lower().strip().split(".")
+        k = self.suffix_label_count(labels)
+        if len(labels) > k:
+            return ".".join(labels[-(k + 1) :])
+        return ".".join(labels)
+
+
+_bundled_cache: PublicSuffixList | None = None
+
+
+def _bundled() -> PublicSuffixList:
+    global _bundled_cache
+    if _bundled_cache is None:
+        _bundled_cache = PublicSuffixList.bundled()
+    return _bundled_cache
 
 
 def _is_tracking(p: Column) -> Column:
@@ -85,30 +187,72 @@ def normalize_url(col: Column | str) -> Column:
     )
 
 
-def registered_domain(col: Column | str) -> Column:
-    """Site identity from the host: last 2 labels, or last 3 when the
-    last 2 form a known two-level public suffix."""
-    c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(F.coalesce(F.try_parse_url(F.trim(c), F.lit("HOST")), F.trim(c)))
+def _registered_domain_expr(host: Column, psl: PublicSuffixList) -> Column:
+    """Pure-JVM PSL resolution: compute the prevailing suffix label
+    count as a when-chain over rule depths (ascending, so a deeper
+    match overwrites a shallower one == longest-rule-wins), apply
+    exceptions last (they beat everything), then slice the label
+    array. Whole-stage-codegen-able; sized for rule tables up to
+    ``_EXPR_MODE_MAX_RULES``."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    take3 = last2.isin(*_TWO_LEVEL) & (n >= 3)
+
+    def last_d(d: int) -> Column:
+        # slice() raises on start <= 0 and `&` conditions evaluate
+        # both sides, so clamp for hosts shorter than the rule: the
+        # clamped string then has fewer dots than any depth-d rule
+        # and can never match, which the (n >= d) guard asserts too.
+        return F.concat_ws(
+            ".", F.slice(labels, F.greatest(n - F.lit(d - 1), F.lit(1)), d)
+        )
+
+    slen = F.lit(1)  # implicit default rule "*"
+    for d in sorted(psl.exact):
+        if d > 1:  # depth-1 exact rules coincide with the default
+            slen = F.when(
+                (n >= d) & last_d(d).isin(*sorted(psl.exact[d])), F.lit(d)
+            ).otherwise(slen)
+    for d in sorted(psl.wildcard):
+        slen = F.when(
+            (n > d) & last_d(d).isin(*sorted(psl.wildcard[d])), F.lit(d + 1)
+        ).otherwise(slen)
+    for d in sorted(psl.exception):
+        slen = F.when(
+            (n >= d) & last_d(d).isin(*sorted(psl.exception[d])), F.lit(d - 1)
+        ).otherwise(slen)
     return F.when(
-        n <= 2, host
-    ).otherwise(
-        F.when(
-            take3,
-            F.concat_ws(
-                ".",
-                F.element_at(labels, -3),
-                F.element_at(labels, -2),
-                F.element_at(labels, -1),
-            ),
-        ).otherwise(last2)
-    )
+        n > slen, F.concat_ws(".", F.slice(labels, n - slen, slen + 1))
+    ).otherwise(host)
+
+
+def registered_domain(
+    col: Column | str,
+    psl: PublicSuffixList | None = None,
+    mode: str = "auto",
+) -> Column:
+    """Site identity from a URL or bare host: the PSL registrable
+    domain (public suffix + one label). A host that IS a public
+    suffix maps to itself rather than null — capping and split keys
+    need a total identity. ``mode``: "expr" (JVM when-chain),
+    "udf" (Arrow-vectorized, for the full ~9k-rule PSL), or "auto"
+    (expr while the table fits ``_EXPR_MODE_MAX_RULES``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    psl = psl or _bundled()
+    host = F.lower(F.coalesce(F.try_parse_url(F.trim(c), F.lit("HOST")), F.trim(c)))
+    if mode == "auto":
+        mode = "expr" if psl.n_rules <= _EXPR_MODE_MAX_RULES else "udf"
+    if mode == "expr":
+        return _registered_domain_expr(host, psl)
+    if mode != "udf":
+        raise ValueError(f"mode must be auto|expr|udf, got {mode!r}")
+
+    @F.pandas_udf("string")
+    def _reg(hosts: pd.Series) -> pd.Series:
+        # psl rides the task closure: compiled frozensets serialize
+        # once per executor, probes are O(#label-depths) dict lookups
+        return hosts.map(psl.registered_domain_of)
+
+    return _reg(host)
 
 
 def per_domain_cap(
@@ -117,6 +261,7 @@ def per_domain_cap(
     max_per_domain: int = 1000,
     order_col: str | None = None,
     id_col: str = "doc_id",
+    psl: PublicSuffixList | None = None,
 ) -> DataFrame:
     """At most ``max_per_domain`` rows per registered domain,
     preferring high ``order_col`` (e.g. a quality score; ``None`` =
@@ -125,7 +270,7 @@ def per_domain_cap(
     WindowGroupLimit so mega-domains prune map-side."""
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
-    keyed = df.withColumn("domain", registered_domain(url_col))
+    keyed = df.withColumn("domain", registered_domain(url_col, psl=psl))
     order = (
         [F.desc(order_col), F.asc(id_col)]
         if order_col
