@@ -272,3 +272,26 @@ def test_q116_hilbert_same_shape_as_zorder(spark):
     # same as q115's pin: the 1-row stats frame must come back as a
     # broadcast, never a shuffled join
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q120_strip_is_scan_local(spark):
+    """Driver-mode boilerplate strip: the returned frame's plan must
+    be scan -> line synthesis (JVM expressions) -> ONE Arrow stage
+    (the hot-set probe) with NO Exchange -- the corpus is never
+    shuffled to be cleaned. The hot-set detection aggregate runs
+    separately and is bounded by total_lines/min_docs."""
+    p = plan_of(spark, "q120_boilerplate_strip")
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q121_cap_is_window_group_limit_no_python(spark):
+    """Per-domain cap: PSL resolution stays pure JVM expression work
+    (no Python stage) and the rank<=N filter compiles to
+    WindowGroupLimit, so mega-domains prune map-side before the one
+    domain-keyed Exchange."""
+    p = plan_of(spark, "q121_per_domain_cap")
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
