@@ -64,8 +64,70 @@ def test_grouped_store_and_rollup(spark):
     store = cms_sketch(df, ["day"], "user")
     assert store.count() == 2
     total = cms_merge(store).first()
-    est = cms_query(total.cms, ["u0"])
+    assert (total.depth, total.width) == (DEPTH, WIDTH)  # geometry rides along
+    est = cms_query(total.cms, ["u0"], total.depth, total.width)
     assert est["u0"] >= 40  # 10 in d1 + 30 in d2
+
+
+def test_depth_rows_are_decorrelated():
+    """ADVICE r9 (medium): with the old linear (h * salt) % width row
+    hashing, keys colliding in row 0 collided in EVERY row, so
+    min-over-depth added nothing. With the splitmix64 finalizer a
+    row-0 collision must say ~nothing about row 1: among row-0
+    colliders, the row-1 collision rate stays near the 1/width
+    chance level instead of 1.0."""
+    import pandas as pd
+
+    from utc_cuip_kafka_aws_connector_spark.operators.cms import _rows_cols
+
+    vals = pd.Series([f"key{i}" for i in range(20_000)])
+    r0, r1 = _rows_cols(vals, 2, WIDTH)
+    by_bucket: dict = {}
+    for i, b in enumerate(r0):
+        by_bucket.setdefault(int(b), []).append(i)
+    pairs = both = 0
+    for idx in by_bucket.values():
+        for a, b in zip(idx, idx[1:]):  # chain pairs: enough samples
+            pairs += 1
+            both += int(r1[a] == r1[b])
+    assert pairs > 1000  # the test has power
+    assert both / pairs < 0.05, (
+        f"row-1 collision rate among row-0 colliders = {both / pairs:.3f}; "
+        "rows are still correlated"
+    )
+
+
+def test_query_geometry_mismatch_raises(spark):
+    df, _ = _stream(spark)
+    row = cms_sketch(df, [], "k", depth=2, width=2048).first()
+    est = cms_query(row.cms, ["hot"], row.depth, row.width)  # self-described: fine
+    assert est["hot"] >= 500
+    # 2*2048 == 4*1024: equal-area geometries are indistinguishable
+    # from the array length, so defaults are refused outright.
+    with pytest.raises(ValueError, match="geometry required"):
+        cms_query(row.cms, ["hot"])  # the old silent 4x1024 reshape
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_query(row.cms, ["hot"], depth=3, width=1024)  # wrong area
+
+
+def test_merge_refuses_mixed_geometry(spark):
+    df, _ = _stream(spark)
+    mixed = cms_sketch(df, [], "k", depth=4, width=1024).unionByName(
+        cms_sketch(df, [], "k", depth=2, width=2048)
+    )
+    with pytest.raises(Exception, match="different"):
+        cms_merge(mixed).collect()
+
+
+def test_group_cardinality_guard(spark):
+    df = spark.createDataFrame(
+        [(f"g{i}", "v") for i in range(50)], "g string, v string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="distinct"):
+        cms_sketch(df, ["g"], "v", max_groups_per_partition=10).collect()
+    assert (
+        cms_sketch(df, ["g"], "v", max_groups_per_partition=64).count() == 50
+    )
 
 
 def test_determinism_across_layouts(spark):

@@ -21,10 +21,27 @@ answer and is linear, so it composes exactly like the HLL store:
   eps = e / width, delta = exp(-depth). One-sided — the same
   "never lies low" shape as every conservative bound in this repo.
 
-Hashing is pandas' 64-bit siphash of the value string, salted per
-depth row by a fixed odd multiplier — deterministic across runs,
-partitions, and engines (the determinism contract), no Python
-row loop.
+Hashing is pandas' 64-bit siphash of the value string, then one
+splitmix64 finalizer per depth row over (hash XOR row-salt) —
+deterministic across runs, partitions, and engines (the determinism
+contract), no Python row loop. The non-linear finalizer is what
+makes the depth rows INDEPENDENT: a plain ``(h * odd_salt) % width``
+is an invertible linear map of the shared hash, so two keys that
+collide in one row collide in every row (for any width coprime to
+the salts — including every power of two, where only ``h mod width``
+matters) and min-over-depth degenerates to depth=1 (ADVICE r9). With
+the finalizer, a row-0 collision says nothing about row 1, which is
+exactly the pairwise-independence shape the published
+``P[est > true + eps*N] <= e^-depth`` bound needs
+(Cormode & Muthukrishnan 2005), and
+tests/test_cms.py::test_depth_rows_are_decorrelated pins it.
+
+Stored rows are SELF-DESCRIBING: (depth, width) ride beside the
+counter array, ``cms_merge`` refuses to add matrices of different
+geometry, and ``cms_query`` takes NO default geometry — the caller
+must pass the stored row's depth/width (equal-area geometries like
+2x2048 vs 4x1024 are indistinguishable from array length, so a
+default would reshape silently into garbage estimates; ADVICE r9).
 """
 
 from __future__ import annotations
@@ -44,12 +61,24 @@ _SALTS = np.array(
 )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """The splitmix64 finalizer (Steele/Lea/Flood 2014, public): a
+    bijective avalanche mixer — every output bit depends non-linearly
+    on every input bit, so reducing mod a power-of-two width keeps
+    rows decorrelated. uint64 wraparound is the algorithm."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _rows_cols(values: pd.Series, depth: int, width: int):
     h = pd.util.hash_array(values.astype(str).to_numpy(dtype=object)).astype(
         np.uint64
     )
     with np.errstate(over="ignore"):
-        return [(h * _SALTS[d]) % np.uint64(width) for d in range(depth)]
+        return [
+            _splitmix64(h ^ _SALTS[d]) % np.uint64(width) for d in range(depth)
+        ]
 
 
 def cms_sketch(
@@ -58,11 +87,23 @@ def cms_sketch(
     value_col: str,
     depth: int = 4,
     width: int = 1024,
+    max_groups_per_partition: int = 2048,
 ) -> DataFrame:
-    """(keys..., n_rows, cms binary) — one Count-Min matrix per key
-    group, built map-side (one matrix per partition per group) and
-    SUMMED in the aggregate via a commutative binary fold expressed
-    as elementwise array addition over the flattened counters."""
+    """(keys..., depth, width, n_rows, cms) — one Count-Min matrix
+    per key group, built map-side (one matrix per partition per
+    group) and SUMMED in the aggregate via a commutative binary fold
+    expressed as elementwise array addition over the flattened
+    counters.
+
+    Memory contract: the per-partition accumulator holds one
+    depth x width x 8-byte matrix PER GROUP SEEN IN THAT PARTITION —
+    the intended group keys are low-cardinality slices (day, source,
+    shard), ~32 KiB each at the defaults. A high-cardinality key
+    would OOM the executor silently, so the accumulator refuses
+    loudly past ``max_groups_per_partition`` (2048 ≈ 64 MiB at the
+    defaults; ADVICE r9): repartition by the group key first — each
+    partition then holds few groups — or raise the knob
+    deliberately."""
     if depth < 1 or depth > len(_SALTS):
         raise ValueError(f"depth must be 1..{len(_SALTS)}, got {depth}")
     if width < 2:
@@ -81,6 +122,14 @@ def cms_sketch(
                 vals = sub[value_col].dropna()
                 if not len(vals):
                     continue
+                if gkey not in acc and len(acc) >= max_groups_per_partition:
+                    raise ValueError(
+                        f"cms_sketch saw more than {max_groups_per_partition} "
+                        f"distinct {keys} groups in one partition "
+                        f"(~{depth * width * 8 // 1024} KiB of counters "
+                        "each). Repartition by the group key first, or "
+                        "raise max_groups_per_partition deliberately."
+                    )
                 m = acc.setdefault(
                     gkey, np.zeros((depth, width), dtype=np.int64)
                 )
@@ -109,15 +158,27 @@ def cms_sketch(
             lambda acc, m: F.zip_with(acc, m, lambda a, b: a + b),
         ).alias("cms"),
     )
-    return merged
+    return merged.select(
+        *keys,
+        F.lit(depth).cast("int").alias("depth"),
+        F.lit(width).cast("int").alias("width"),
+        "n_rows",
+        "cms",
+    )
 
 
 def cms_merge(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Roll stored sketch rows up to ``keys`` (None/[] = one global
-    row): matrices and row counts add exactly."""
+    row): matrices and row counts add exactly. Geometry is validated
+    IN the plan: a group mixing (depth, width) pairs fails the job
+    loudly (adding a 4x1024 matrix to a 2x2048 one would be silent
+    garbage), and the common geometry rides along in the output."""
     grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
     first_len = F.size(F.first("cms"))
-    return grouped.agg(
+    agg = grouped.agg(
+        F.count_distinct(F.struct("depth", "width")).alias("_n_geoms"),
+        F.first("depth").alias("depth"),
+        F.first("width").alias("width"),
         F.sum("n_rows").alias("n_rows"),
         F.aggregate(
             F.collect_list("cms"),
@@ -125,14 +186,56 @@ def cms_merge(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
             lambda acc, m: F.zip_with(acc, m, lambda a, b: a + b),
         ).alias("cms"),
     )
+    # The check rides the n_rows output column (a dropped column would
+    # be pruned by Catalyst and never evaluated). when/otherwise with
+    # identical branches gets simplified away, so the failing branch
+    # must be raise_error itself: pass -> n_rows, fail -> job dies.
+    out_keys = list(keys) if keys else []
+    return agg.select(
+        *out_keys,
+        "depth",
+        "width",
+        F.when(F.col("_n_geoms") == 1, F.col("n_rows"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "cms_merge: sketches in one group have different "
+                    "(depth, width) geometries — they cannot be added"
+                )
+            )
+        )
+        .alias("n_rows"),
+        "cms",
+    )
 
 
 def cms_query(
-    cms: list[int], values: list, depth: int = 4, width: int = 1024
+    cms: list[int],
+    values: list,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> dict:
     """Driver-side point estimates from one stored sketch row:
     value -> min over depth rows. est >= true always; the overshoot
-    bound is eps*N with eps = e/width at confidence 1 - e^-depth."""
+    bound is eps*N with eps = e/width at confidence 1 - e^-depth.
+    (depth, width) must be the stored row's own depth/width columns —
+    there are NO defaults, because geometries of equal area (2x2048
+    vs 4x1024) are indistinguishable from the array length alone and
+    a wrong reshape returns garbage estimates silently (ADVICE r9).
+    A (depth, width) that does not cover the array raises."""
+    if depth is None or width is None:
+        raise ValueError(
+            "cms_query geometry required: pass the depth/width stored "
+            "beside the cms column (row.depth, row.width). Defaults are "
+            "refused — equal-area geometries like 2x2048 and 4x1024 "
+            "cannot be told apart from the array length."
+        )
+    if depth * width != len(cms):
+        raise ValueError(
+            f"cms_query geometry mismatch: depth*width = {depth}*{width} = "
+            f"{depth * width}, but the sketch array has {len(cms)} counters. "
+            "Pass the depth/width stored beside the cms column."
+        )
     m = np.asarray(cms, dtype=np.int64).reshape(depth, width)
     s = pd.Series(values)
     out = {}
