@@ -213,8 +213,18 @@ def _registered_domain_expr(host: Column, psl: PublicSuffixList) -> Column:
                 (n >= d) & last_d(d).isin(*sorted(psl.exact[d])), F.lit(d)
             ).otherwise(slen)
     for d in sorted(psl.wildcard):
+        # Longest-rule-wins ACROSS rule kinds: a depth-d wildcard
+        # yields a suffix of d+1 labels and must not downgrade an
+        # already-matched deeper exact rule (spec: the longest
+        # matching rule prevails; the Python twin suffix_label_count
+        # takes the max the same way). Guarding slen < d+1 keeps the
+        # two execution modes bit-identical on overlapping tables
+        # like {c.d, a.b.c.d, *.c.d} for host x.a.b.c.d.
         slen = F.when(
-            (n > d) & last_d(d).isin(*sorted(psl.wildcard[d])), F.lit(d + 1)
+            (n > d)
+            & (slen < F.lit(d + 1))
+            & last_d(d).isin(*sorted(psl.wildcard[d])),
+            F.lit(d + 1),
         ).otherwise(slen)
     for d in sorted(psl.exception):
         slen = F.when(
