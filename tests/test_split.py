@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.operators.split import (
     leakage_safe_split,
+    md5_unit_hash,
     split_report,
 )
 
@@ -86,3 +87,27 @@ def test_validation(spark, corpus):
         leakage_safe_split(df, comp, {})
     with pytest.raises(ValueError, match="positive"):
         leakage_safe_split(df, comp, {"a": -1.0, "b": 2.0})
+
+
+def test_md5_unit_hash_injection_matches_hex_threshold(spark, corpus):
+    """unit_hash= overrides the xxhash64 default; md5_unit_hash's
+    numeric cut at exact binary fractions is bit-equivalent to the
+    lexicographic hex-prefix compare a SQL oracle uses (the q122 gate
+    contract): u < 0.75  <=>  substr(md5(comp), 1, 8) < 'c0000000'."""
+    import hashlib
+
+    df, comp = corpus
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    out = leakage_safe_split(df, comp, fr, unit_hash=md5_unit_hash).collect()
+
+    def expect(component: int) -> str:
+        h = hashlib.md5(str(component).encode()).hexdigest()[:8]
+        return "train" if h < "c0000000" else ("val" if h < "e0000000" else "test")
+
+    for r in out:
+        assert r.split == expect(r.component), (r.doc_id, r.component)
+    # still component-consistent and layout-independent
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())

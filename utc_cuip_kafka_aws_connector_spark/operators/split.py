@@ -27,7 +27,7 @@ across releases — the property tests pin that stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # xxhash64 -> uniform [0, 1): shift to non-negative 2^63 space first
@@ -39,6 +39,23 @@ def _unit_hash(col, seed: int):
     return (h.cast("double") + F.lit(float(1 << 63))) / F.lit(_HASH_SPAN)
 
 
+def md5_unit_hash(col: Column) -> Column:
+    """Engine-portable [0, 1) hash: the first 8 hex chars of
+    md5(string(col)) as an integer, scaled by 2^-32. Every value is
+    an exact multiple of 2^-32, so a cut at an exactly-representable
+    binary fraction (0.75, 0.125, ...) compares identically to a
+    lexicographic comparison of the hex prefix against the cut's
+    8-hex-digit image — which is how a SQL oracle on another engine
+    reproduces the assignment bit-for-bit (the q82 md5-threshold
+    pattern). The xxhash64 default stays the production path; this
+    exists for ``unit_hash=`` injection where cross-engine exactness
+    matters more than hash speed."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     components: DataFrame,
@@ -46,13 +63,19 @@ def leakage_safe_split(
     seed: int = 0,
     id_col: str = "doc_id",
     comp_col: str = "component",
+    unit_hash=None,
 ) -> DataFrame:
     """``df`` plus (``component``, ``split``): every row of the same
     near-dup component receives the same split label. ``components``
     is any (id, component) frame from the dedup family; ids absent
     from it are singletons (their own component). ``fractions`` maps
     split name -> weight (normalized internally); iteration order of
-    the dict fixes the cut order, so pass it in a stable order."""
+    the dict fixes the cut order, so pass it in a stable order.
+    ``unit_hash`` (Column -> Column mapping the component key to a
+    double in [0, 1)) overrides the seeded-xxhash64 default — e.g.
+    ``md5_unit_hash`` when the assignment must be reproducible on an
+    engine without Spark's xxhash64; ``seed`` is ignored then (fold
+    the seed into the override if it needs one)."""
     if not fractions:
         raise ValueError("fractions must name at least one split")
     total = float(sum(fractions.values()))
@@ -67,7 +90,11 @@ def leakage_safe_split(
         "component", F.coalesce(F.col("_sp_comp"), F.col(id_col))
     ).drop("_sp_comp")
 
-    u = _unit_hash(F.col("component"), seed)
+    u = (
+        unit_hash(F.col("component"))
+        if unit_hash is not None
+        else _unit_hash(F.col("component"), seed)
+    )
     expr = None
     acc = 0.0
     names = list(fractions)

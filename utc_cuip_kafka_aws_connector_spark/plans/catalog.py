@@ -4239,6 +4239,63 @@ def q121_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain")
 
 
+@query(
+    "q122_leakage_safe_split",
+    oracle="""
+    WITH comp AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, component,
+             substr(md5(CAST(component AS VARCHAR)), 1, 8) AS h
+      FROM comp
+    )
+    SELECT doc_id, component,
+           CASE WHEN h < 'c0000000' THEN 'train'
+                WHEN h < 'e0000000' THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def q122_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/split.py — the
+    §2.D curation step that cuts along duplicate COMPONENTS, not
+    rows, so near-copies never straddle an eval boundary; promoted to
+    the gate at r12 per the r11 VERDICT). Components here are the
+    exact-dup groups — min(doc_id) over identical text, one window,
+    both engines exact — standing in for any (id, component) frame
+    the dedup family emits. The split itself is the operator's
+    group-join + singleton-coalesce + cumulative-fraction when-chain,
+    with ``md5_unit_hash`` injected for the cut: every hash value is
+    an exact multiple of 2^-32 and the 3/4 + 1/8 + 1/8 fractions are
+    exact binary, so u < 0.75 in Spark is bit-equivalent to the
+    oracle's lexicographic hex compare against 'c0000000' (0.75 *
+    2^32) — the q82 md5-threshold pattern extended from row sampling
+    to component assignment. One equi-join of docs to components is
+    the only data motion; at 100 TB both sides hash-partition on
+    doc_id and the assignment itself is a scan-local projection.
+    Straddle-freedom is verified by the hash compare itself: a row
+    whose split disagreed with its component's hash image would
+    value-mismatch."""
+    from utc_cuip_kafka_aws_connector_spark.operators.split import (
+        leakage_safe_split,
+        md5_unit_hash,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    comp = docs.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("text")).alias("component")
+    )
+    assigned = leakage_safe_split(
+        docs.select("doc_id", "text"),
+        comp,
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        unit_hash=md5_unit_hash,
+    )
+    return assigned.select("doc_id", "component", "split")
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
@@ -4303,6 +4360,17 @@ def q121_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   keeps its oracle in the local parity suite on its frozen r8
 #   evidence, and any fingerprint drift forces it back through the
 #   window.
+#
+# Retired at r12 (the r11 plan's pre-named candidate, drawn from the
+#   EXPIRING r9 cohort so the retirement frees a same-round slot —
+#   the corrected cohort rule):
+#   q63_grouped_map — the deliberate row-at-a-time-adjacent
+#   applyInPandas API demo. Its vectorized twin q61 pins the same
+#   grouped-map surface under fresh driver rows every rotation, and
+#   it has been the VERDICT's sole perf-weak entry since r7; one
+#   gate slot for a teaching artifact is the wrong spend at the
+#   50-slot ceiling. Like every retiree it keeps its oracle in the
+#   local parity suite on its frozen r9 evidence.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
@@ -4310,91 +4378,96 @@ GATE_RETIRED: frozenset[str] = frozenset(
         "q24_conditional_tiers",
         "q52_pivot_unpivot",
         "q103_near_dup_full_table",
+        "q63_grouped_map",
     }
 )
 
 _GATE_PRIORITY = [
-    # r10 ROTATION (the r9 plan, executed with one recorded
-    # arithmetic correction -- see the q52/q103 retirement notes
-    # above): `python tools/gate_fingerprints.py --reconcile` ran
-    # FIRST (0 phantoms -- the r9 ledger was a fixed point). The 48
-    # non-retired r8-attested queries fill the window (their rows
-    # turn 2 rounds old at r10 close; q103 retired out of this
-    # cohort). The 2 remaining slots are the two genuinely NEW
-    # entries the r9 VERDICT named: q120_boilerplate_strip (the free
-    # slot) and q121_per_domain_cap (the q103 slot). In-window
-    # module drifts this round: boilerplate.py (join-mode null-text
-    # fix, ADVICE r9) under q120, and urlops.py (full-PSL
-    # registered_domain) under q121 -- both NEW entries, so no
-    # resting fingerprint is disturbed; skipread.py edits ride q117
-    # (in-window).
+    # r12 ROTATION (the r11 plan, executed one round late — r11 was
+    # a single-fix micro-round that left the window untouched, so the
+    # ledger steps ran at r12 open instead: `--reconcile` (0
+    # phantoms), then `--round 11` while the tree was still
+    # byte-identical to what the r11 driver verified, recording the
+    # r11 window's 50 green re-attestations the r11 builder never
+    # stamped). Window: the 48 r9-attested queries whose rows expire
+    # at r12 close (the r9 cohort minus the retired q52 and q63) +
+    # q121_per_domain_cap (r11-fresh, taken in-window deliberately so
+    # this round's urlops.py edits — full-PSL bundle, deepest-
+    # exception pin, overlap regression vectors — ride a slot, the
+    # q117/skipread precedent) + ONE new entry on the slot freed by
+    # retiring q63 out of the expiring cohort:
+    # q122_leakage_safe_split (operators/split.py, md5-portable cut
+    # — the r11 VERDICT's named promotion).
     #
-    # r11 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the 49 r9-attested queries
-    # that rest through r10 (the r9 window minus the retired q52),
-    # leaving exactly ONE free slot. A second new entry at r11
-    # requires retiring a member of the EXPIRING r9 cohort (that is
-    # the corrected cohort rule); the named candidate is
-    # q63_grouped_map -- the deliberate row-at-a-time API demo whose
-    # vectorized twin q61 pins the same surface (it has been the
-    # VERDICT's sole perf-weak entry since r7). Module edits legal
-    # at r11: those whose dependent queries are r10-attested (this
-    # window below); packing.py (q87/q98) and stats.py (q89) stay
-    # frozen until the r11 window opens for the r9 cohort.
+    # r13 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the 49 r11-attested queries
+    # that rest through r12 (the r11 window minus q121, which is
+    # r12-attested), leaving exactly ONE free slot; the named
+    # promotion is a curriculum_order stage query (ntile over
+    # (score DESC, id) is exactly oracle-expressible; the xxhash64
+    # within-stage shuffle stays pytest-grade). A second new entry
+    # requires retiring a member of the EXPIRING r11 cohort; the
+    # named candidate is q14_distinct_months (subsumed by q10
+    # count-distinct + q33 calendar aggregation). Module edits legal
+    # at r13: those whose dependents are all r12-attested — dedup.py
+    # unfreezes then (checkpoint_dir= for connected_components is
+    # scheduled r13 work), as do text.py, sampling.py, similarity.py,
+    # multimodal.py, layout.py/skipread.py, stats.py, diff.py,
+    # chunking.py, boilerplate.py, streaming/ops.py.
     #
-    # --- the 48 non-retired r8-resters ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q101_stream_static_join",
-    "q102_image_decode",
-    "q104_audio_decode",
-    "q105_video_frame_sample",
-    "q106_document_chunking",
-    "q108_mixture_weights",
-    "q117_clustered_skipping_read",
-    "q13_having",
-    "q14_distinct_months",
-    "q18_rank_ntile",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q40_exact_dedup",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q50_multimodal_features",
-    "q51_ngram_jaccard_pairs",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q60_streaming_tumbling",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
-    "q66_salted_aggregation",
-    "q67_null_safe_join",
-    "q73_nation_trade_volume",
-    "q79_ivf_ann_topk",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q82_sampling",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    "q95_stream_stream_join",
-    "q97_budget_selection",
-    "q99_curation_pipeline",
-    # --- new this round (never attested; q120 on the free slot,
-    # q121 funded by the q103 retirement) ---
-    "q120_boilerplate_strip",
+    # --- the 48 expiring r9-resters ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q08_interval_join",
+    "q09_asof_join",
+    "q10_count_distinct",
+    "q11_multidim_agg",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q17_lag_lead",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q25_null_filter",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q30_json_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q65_sessionize",
+    "q71_time_windows",
+    "q74_top_supplier",
+    "q75_promo_share",
+    "q77_explode_dimension_stats",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q92_txlog_skipping",
+    "q93_change_feed",
+    "q94_decontamination",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q100_bucketed_join",
+    "q107_token_rarity",
+    "q109_content_defined_chunks",
+    "q110_semantic_dedup",
+    "q111_chunk_dedup",
+    "q112_bpe_token_count",
+    "q113_prefix_jaccard_join",
+    "q114_bm25_retrieval",
+    "q115_zorder_layout",
+    "q116_hilbert_layout",
+    "q118_bpe_train",
+    "q119_heavy_hitters",
+    # --- in-window ride for this round's urlops.py edits ---
     "q121_per_domain_cap",
+    # --- new this round (never attested; the q63-retirement slot) ---
+    "q122_leakage_safe_split",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
