@@ -19,13 +19,18 @@ and balances by domain). All JVM expressions on Spark's built-in
   against the Public Suffix List (publicsuffix.org) rules: longest
   matching rule wins, ``*.`` wildcards consume one extra label,
   ``!`` exceptions override (the published algorithm). The bundled
-  ``data/public_suffix_list.dat`` is an ICANN-section subset; pass
-  ``psl=PublicSuffixList.from_file(...)`` to use the complete
-  upstream file — the parser reads the full format. Two execution
-  modes: small rule tables compile to pure JVM expressions
-  (label-array slices + isin sets, whole-stage codegen); large
-  tables (the full ~9k-rule PSL) switch to an Arrow-vectorized
-  pandas UDF whose compiled rule sets ship once per executor.
+  ``data/public_suffix_list.dat`` is the COMPLETE upstream file
+  (ICANN + private sections, ~9.5k rules, as shipped by the Debian
+  ``publicsuffix`` package), so unlisted-registry hosts
+  (``foo.gov.bd``-style) resolve correctly by default; pass
+  ``psl=PublicSuffixList.from_file(...)`` or an inline rule list to
+  substitute a custom table. Two execution modes: small rule tables
+  compile to pure JVM expressions (label-array slices + isin sets,
+  whole-stage codegen); large tables — including the bundled
+  default — switch to an Arrow-vectorized pandas UDF whose compiled
+  rule sets ship once per executor (a ~9.5k-term when-chain would
+  blow the JVM 64KB method limit out of codegen, so expr mode
+  refuses tables over its budget).
 - ``per_domain_cap`` — at most N documents per registered domain,
   chosen by a caller-supplied preference order with a deterministic
   id tie-break. The rank <= N filter compiles to WindowGroupLimit
@@ -112,8 +117,12 @@ class PublicSuffixList:
         """Number of labels in the prevailing public suffix of a host
         split into ``labels`` (lowercase)."""
         n = len(labels)
-        for d, rules in self.exception.items():
-            if d <= n and ".".join(labels[n - d :]) in rules:
+        # Deepest exception wins when several match (possible only in
+        # a custom table; upstream never overlaps exceptions) -- the
+        # expr chain applies exceptions ascending with overwrite, so
+        # descending-first-match here keeps the two modes bit-equal.
+        for d in sorted(self.exception, reverse=True):
+            if d <= n and ".".join(labels[n - d :]) in self.exception[d]:
                 return d - 1
         best = 1  # implicit default rule "*"
         for d, rules in self.exact.items():
@@ -252,6 +261,16 @@ def registered_domain(
     if mode == "auto":
         mode = "expr" if psl.n_rules <= _EXPR_MODE_MAX_RULES else "udf"
     if mode == "expr":
+        if psl.n_rules > _EXPR_MODE_MAX_RULES:
+            # A ~9.5k-term when-chain blows the JVM's 64KB method
+            # limit and falls out of codegen into interpreted
+            # evaluation -- strictly worse than the Arrow UDF at any
+            # scale. Refuse rather than quietly build it.
+            raise ValueError(
+                f"expr mode is sized for <= {_EXPR_MODE_MAX_RULES} rules "
+                f"(got {psl.n_rules}); use mode='udf' (or 'auto') for "
+                "large tables like the bundled complete PSL"
+            )
         return _registered_domain_expr(host, psl)
     if mode != "udf":
         raise ValueError(f"mode must be auto|expr|udf, got {mode!r}")
