@@ -115,3 +115,27 @@ def test_tokenizer_report_coverage_and_compression(spark, trained):
     )
     leak = tokenizer_report(alien, merges, vocab).first()
     assert leak.oov_rate == 1.0
+
+
+def test_tokenizer_report_respects_external_unk_id(spark):
+    """r10 ADVICE low: an external tokenizer.json whose unk is NOT id
+    0 must report oov against ITS unk id — id 0 is a real token
+    there, and counting it as unk corrupts oov_rate both ways."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        tokenizer_report,
+    )
+
+    # external-style vocab: 'a' holds id 0, unk sits at id 3
+    vocab = {"a": 0, "b": 1, "c": 2, "<unk>": 3}
+    docs = spark.createDataFrame(
+        [(0, "a b a", "en"), (1, "a z", "en")], "doc_id long, text string, lang string"
+    )
+    rep = tokenizer_report(docs, [], vocab).first()
+    # 5 tokens total, exactly one miss ('z') -> 1/5; the three id-0
+    # 'a' tokens must NOT count
+    assert rep.n_tokens == 5 and rep.oov_rate == 0.2
+
+    # no unk declared: the one miss ('z') still counts via the -1
+    # sentinel and the id-0 'a' hits still don't
+    rep2 = tokenizer_report(docs, [], {"a": 0, "b": 1}, unk_token=None).first()
+    assert rep2.oov_rate == pytest.approx(1 / 5)

@@ -180,6 +180,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     driver_vocab_rows: int | None = 2_000_000,
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     merge table as (merge_rank, lhs, rhs, merged, pair_count) rows,
@@ -204,9 +205,17 @@ def bpe_train(
     distributed on the persisted vocab so a pathological vocabulary
     that cannot fit the driver still trains. ``None`` forces the
     distributed path (used by the differential tests that pin the
-    two paths bit-identical)."""
+    two paths bit-identical).
+
+    ``histogram`` substitutes a caller-built (word, freq) frame for
+    the whitespace histogram — how ``bytelevel.byte_level_train``
+    reuses this merge loop over byte-symbol pieces; the symbols are
+    opaque here, so the loop and its determinism guarantees carry
+    over unchanged."""
     spark = df.sparkSession
-    hist = word_histogram(df, text_col).persist()
+    hist = (
+        histogram if histogram is not None else word_histogram(df, text_col)
+    ).persist()
     try:
         n_vocab = hist.count()  # materialize the one corpus-scale shuffle
         if driver_vocab_rows is not None and n_vocab <= driver_vocab_rows:

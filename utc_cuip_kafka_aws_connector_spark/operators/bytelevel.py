@@ -1,0 +1,278 @@
+"""Byte-level BPE: the GPT-2 tokenizer family's representation,
+wired into this repo's distributed train/encode stack.
+
+Character-level BPE (operators/bpetrain.py + operators/encode.py)
+carries an ``<unk>`` escape hatch because its alphabet is whatever
+the training corpus happened to contain. The byte-level scheme
+(Radford et al. 2019, the public ``openai/gpt-2`` ``encoder.py``;
+the Hugging Face ``ByteLevel`` pretokenizer reimplements it) removes
+unknowns entirely: text is UTF-8 encoded and every BYTE is mapped to
+a printable stand-in character from a fixed 256-symbol alphabet, so
+any string whatsoever is representable and BPE merges are learned
+over byte-stand-in strings. This module provides that alphabet, the
+GPT-2 pretokenizer split, a byte-level trainer (delegating the merge
+loop to ``bpetrain.bpe_train`` over a byte-symbol histogram), and a
+spec-driven distributed encoder that runs models loaded from real
+``tokenizer.json`` files (operators/tokenio.py's ``TokenizerSpec``),
+including SentencePiece-style ``byte_fallback`` (``<0xNN>`` tokens
+for out-of-vocab characters, the Llama-family convention).
+
+Alphabet (the published ``bytes_to_unicode`` construction): the 188
+printable latin-1 bytes map to themselves; the remaining 68 bytes
+map to U+0100.. in ascending byte order — a bijection, so decode is
+exact. Space (0x20) maps to ``Ġ`` (U+0120), which is why GPT-2
+merges look like ``("Ġ", "t")``.
+
+Pretokenizer: the GPT-2 split regex (contractions, space-prefixed
+letter runs, space-prefixed digit runs, space-prefixed punctuation
+runs, trailing whitespace) expressed with stdlib ``re`` classes —
+``\\p{L}`` as ``[^\\W\\d_]`` and ``\\p{N}`` as ``\\d``, exact for ASCII
+and for all Unicode letters/decimal digits (only the rare Nl/No
+number categories classify as letters instead of numbers; the
+committed fixture pins ASCII parity). ``use_regex=False`` (an HF
+ByteLevel option) skips the split and feeds whole texts to BPE.
+
+Scale shape is identical to the character-level stack: training is
+ONE corpus-scale histogram shuffle (here over pretokenized pieces)
+and then vocab-sized merge iterations; encoding is one
+Arrow-batched ``mapInPandas`` scan with a per-executor piece cache —
+no shuffle, no collect of corpus data.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
+    bpe_encode_word,
+)
+
+# GPT-2 split pattern via stdlib re (see module docstring): the
+# contraction suffixes, " ?letters+", " ?digits+", " ?punct+",
+# whitespace-not-before-nonspace, then whitespace.
+_GPT2_SPLIT = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+@functools.lru_cache(maxsize=1)
+def byte_to_unicode() -> dict[int, str]:
+    """byte value -> stand-in character (the published GPT-2
+    bijection): printable latin-1 bytes map to themselves, the rest
+    to consecutive codepoints from U+0100."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    mapping: dict[int, str] = {b: chr(b) for b in keep}
+    n = 0
+    for b in range(256):
+        if b not in mapping:
+            mapping[b] = chr(256 + n)
+            n += 1
+    return mapping
+
+
+@functools.lru_cache(maxsize=1)
+def unicode_to_byte() -> dict[str, int]:
+    return {c: b for b, c in byte_to_unicode().items()}
+
+
+def text_to_byte_symbols(piece: str) -> str:
+    """One pretokenized piece -> its byte-stand-in symbol string (the
+    string BPE merges operate on)."""
+    table = byte_to_unicode()
+    return "".join(table[b] for b in piece.encode("utf-8"))
+
+
+def byte_symbols_to_text(symbols: str) -> str:
+    """Exact inverse of ``text_to_byte_symbols`` (the alphabet is a
+    bijection)."""
+    table = unicode_to_byte()
+    return bytes(table[c] for c in symbols).decode("utf-8")
+
+
+def byte_pretokenize(
+    text: str, add_prefix_space: bool = False, use_regex: bool = True
+) -> list[str]:
+    """The ByteLevel pretokenizer: optional leading-space injection
+    (HF ``add_prefix_space``), then the GPT-2 split (or the whole
+    text as one piece when ``use_regex`` is off)."""
+    if add_prefix_space and text and not text.startswith(" "):
+        text = " " + text
+    if not use_regex:
+        return [text] if text else []
+    return _GPT2_SPLIT.findall(text)
+
+
+def byte_level_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    add_prefix_space: bool = False,
+    use_regex: bool = True,
+) -> DataFrame:
+    """(word, freq) over byte-symbol pretokenized pieces — the
+    byte-level analogue of ``bpetrain.word_histogram`` and the single
+    corpus-scale shuffle of byte-level training. The mapInPandas
+    stage emits per-batch partial counts (a map-side combine in
+    Python, bounding the shuffle at piece-vocabulary size), then one
+    groupBy totals them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for text in pdf[text_col].fillna("").astype(str):
+                for piece in byte_pretokenize(text, add_prefix_space, use_regex):
+                    sym = text_to_byte_symbols(piece)
+                    counts[sym] = counts.get(sym, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(counts), "freq": list(counts.values())}
+            )
+
+    partial = df.select(text_col).mapInPandas(run, "word string, freq long")
+    return partial.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
+def byte_level_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token -> id for a byte-level model: the 256 alphabet symbols
+    in byte order (ids 0..255 — total coverage, hence no unk), then
+    merge products in rank order. Deterministic in ``merges``."""
+    vocab: dict[str, int] = {}
+    table = byte_to_unicode()
+    for b in range(256):
+        vocab[table[b]] = len(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    return vocab
+
+
+def byte_level_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    add_prefix_space: bool = False,
+    use_regex: bool = True,
+    driver_vocab_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Learn a byte-level merge table: the byte-symbol histogram
+    feeds ``bpetrain.bpe_train``'s merge loop unchanged (same
+    deterministic tie-breaks, same collect-when-small crossover).
+    Returns the (merge_rank, lhs, rhs, merged, pair_count) table;
+    pair ``byte_level_vocab`` + ``tokenio.to_tokenizer_json(...,
+    byte_level=True)`` to persist a loadable model."""
+    from utc_cuip_kafka_aws_connector_spark.operators.bpetrain import bpe_train
+
+    hist = byte_level_histogram(df, text_col, add_prefix_space, use_regex)
+    return bpe_train(
+        df,
+        n_merges,
+        text_col=text_col,
+        driver_vocab_rows=driver_vocab_rows,
+        histogram=hist,
+    )
+
+
+def _encode_piece_symbols(
+    symbols: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int | None,
+    byte_fallback: bool,
+) -> list[int]:
+    """Symbol string -> ids under the spec's miss policy: vocab hit,
+    else <0xNN> byte tokens (byte_fallback), else unk, else a loud
+    error — never a silent drop."""
+    ids: list[int] = []
+    for tok in bpe_encode_word(symbols, merges):
+        i = vocab.get(tok)
+        if i is not None:
+            ids.append(i)
+            continue
+        if byte_fallback:
+            bts = [vocab.get(f"<0x{b:02X}>") for b in tok.encode("utf-8")]
+            if all(b is not None for b in bts):
+                ids.extend(bts)
+                continue
+        if unk_id is not None:
+            ids.append(unk_id)
+            continue
+        raise ValueError(
+            f"token {tok!r} is outside the vocab and the model declares "
+            "no unk_token/byte_fallback escape"
+        )
+    return ids
+
+
+def spec_encode(
+    df: DataFrame,
+    spec,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    cache_cap: int = 1_000_000,
+) -> DataFrame:
+    """(id, out_col array<int>) under a ``tokenio.TokenizerSpec`` —
+    the one encoder for every model shape this engine loads:
+    byte-level specs run ByteLevel pretokenize -> byte symbols ->
+    merges; character-level specs run the whitespace split the rest
+    of the repo uses, with ``byte_fallback`` honored on vocab misses.
+    One Arrow-batched scan, per-executor piece cache, no shuffle."""
+    merges = list(spec.merges)
+    vocab = dict(spec.vocab)
+    unk_id = vocab.get(spec.unk_token) if spec.unk_token else None
+    byte_level = bool(spec.byte_level)
+    add_prefix_space = bool(spec.add_prefix_space)
+    use_regex = bool(getattr(spec, "use_regex", True))
+    byte_fallback = bool(getattr(spec, "byte_fallback", False))
+    ws = re.compile(r"\s+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def encode_piece(piece: str) -> list[int]:
+            ids = cache.get(piece)
+            if ids is None:
+                symbols = text_to_byte_symbols(piece) if byte_level else piece
+                ids = _encode_piece_symbols(
+                    symbols, merges, vocab, unk_id, byte_fallback
+                )
+                if len(cache) < cache_cap:
+                    cache[piece] = ids
+            return ids
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].fillna("").astype(str):
+                pieces = (
+                    byte_pretokenize(text, add_prefix_space, use_regex)
+                    if byte_level
+                    else [w for w in ws.split(text) if w]
+                )
+                ids: list[int] = []
+                for piece in pieces:
+                    ids.extend(encode_piece(piece))
+                out.append(ids)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=f"{id_col} long, {out_col} array<int>"
+    )
+
+
+def decode_byte_ids(ids: list[int], vocab: dict[str, int]) -> str:
+    """Driver-side inverse of byte-level encoding for one document:
+    ids -> tokens -> stand-in symbols -> UTF-8 bytes -> text. Exact
+    (the alphabet is a bijection and byte-level never drops)."""
+    inv = {i: t for t, i in vocab.items()}
+    return byte_symbols_to_text("".join(inv[i] for i in ids))

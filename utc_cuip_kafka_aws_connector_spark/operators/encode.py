@@ -92,11 +92,14 @@ def bpe_encode(
     text_col: str = "text",
     out_col: str = "token_ids",
     cache_cap: int = 1_000_000,
+    unk_id: int = 0,
 ) -> DataFrame:
     """(id, out_col array<int>): whitespace-split words (``\\s+``,
     empties dropped — the shared corpus tokenizer), each word
     BPE-encoded by the rank-order merge semantics and mapped through
-    ``vocab`` (unknown symbol -> 0). Scan-local: no shuffle."""
+    ``vocab`` (unknown symbol -> ``unk_id``; 0 under this repo's
+    ``bpe_vocab`` contract — pass the looked-up id for an external
+    vocab whose unk sits elsewhere). Scan-local: no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[int]] = {}
@@ -104,7 +107,7 @@ def bpe_encode(
         def encode_word(w: str) -> list[int]:
             ids = cache.get(w)
             if ids is None:
-                ids = [vocab.get(s, 0) for s in bpe_encode_word(w, merges)]
+                ids = [vocab.get(s, unk_id) for s in bpe_encode_word(w, merges)]
                 if len(cache) < cache_cap:
                     cache[w] = ids
             return ids

@@ -11,23 +11,41 @@ writes and reads that subset, so a merge table learned here drops
 into any consumer of that format, and a BPE model trained elsewhere
 can drive this repo's distributed encoder.
 
-Scope is the honest subset the engine implements: plain
-whitespace-pretokenized BPE with a single unk token — no added
-tokens, normalizers, or byte-level pretokenizer sections (absent
-sections simply aren't emitted; on load, unknown sections are
-REJECTED loudly rather than silently dropped, so a byte-level GPT-2
-tokenizer cannot masquerade as loadable).
+Scope is the honest subset the engine implements, now in two model
+shapes:
+
+- plain whitespace-pretokenized BPE with a single unk token (this
+  repo's character-level trainer), and
+- byte-level BPE (the GPT-2 family: ``pre_tokenizer.type ==
+  "ByteLevel"``, no unk — operators/bytelevel.py holds the alphabet,
+  pretokenizer, trainer and encoder), plus SentencePiece-style
+  ``model.byte_fallback`` (``<0xNN>`` escape tokens, the
+  Llama-family convention) on the character-level path.
+
+``from_tokenizer_json_spec`` parses either shape into a
+``TokenizerSpec`` that ``bytelevel.spec_encode`` runs distributed;
+the legacy two-tuple ``from_tokenizer_json`` keeps its old contract
+(plain models only — byte-level input still raises, pointing at the
+spec API, so it can never silently mis-tokenize through the old
+path). Sections this engine cannot faithfully run — normalizers,
+non-ByteLevel pretokenizers, id-altering post-processors,
+truncation/padding — are REJECTED loudly rather than silently
+dropped. ``added_tokens`` are accepted and folded into the vocab;
+the encoder deliberately does NOT carve special tokens out of
+running text (special tokens are boundaries the training pipeline
+inserts, not strings learned from documents).
 
 Round-trip contract, pinned in tests/test_tokenio.py: save(train(C))
 -> load -> encode == encode with the in-memory model, token for
-token; and load(save(x)) == x exactly. Files go through the
-Hadoop-FS helpers (operators/tableread.py), so an index on s3a://
-works the same as a local path.
+token; and load(save(x)) == x exactly — for both shapes. Files go
+through the Hadoop-FS helpers (operators/tableread.py), so an index
+on s3a:// works the same as a local path.
 """
 
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
@@ -50,31 +68,73 @@ _SUPPORTED_MODEL_KEYS = {
     "ignore_merges",
 }
 
+# Top-level sections a real `tokenizers` file carries. Anything else
+# is rejected: an unknown section could change tokenization.
+_KNOWN_TOP_KEYS = {
+    "version",
+    "truncation",
+    "padding",
+    "added_tokens",
+    "normalizer",
+    "pre_tokenizer",
+    "post_processor",
+    "decoder",
+    "model",
+}
+
+
+@dataclass(frozen=True)
+class TokenizerSpec:
+    """Everything the distributed encoder needs from a
+    ``tokenizer.json``: the BPE tables plus the pretokenization/
+    escape options this engine supports. ``bytelevel.spec_encode``
+    consumes this directly."""
+
+    merges: list[tuple[str, str]]
+    vocab: dict[str, int]
+    unk_token: str | None = UNK
+    byte_level: bool = False
+    add_prefix_space: bool = False
+    use_regex: bool = True
+    byte_fallback: bool = False
+    added_tokens: dict[str, int] = field(default_factory=dict)
+
 
 def to_tokenizer_json(
-    merges: list[tuple[str, str]], vocab: dict[str, int]
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    byte_level: bool = False,
+    add_prefix_space: bool = False,
+    unk_token: str | None = UNK,
 ) -> str:
     """The (vocab, merges) pair as a ``tokenizer.json`` document
-    string — model section only, BPE type, unk declared."""
-    doc = {
+    string. Default shape is unchanged from earlier rounds (model
+    section only, unk declared); ``byte_level=True`` emits the GPT-2
+    shape instead — ByteLevel pre_tokenizer + decoder sections and no
+    unk (byte coverage is total), loadable by any consumer of the
+    public format."""
+    doc: dict = {
         "version": "1.0",
         "model": {
             "type": "BPE",
-            "unk_token": UNK,
+            "unk_token": None if byte_level else unk_token,
             "vocab": dict(sorted(vocab.items(), key=lambda kv: kv[1])),
             "merges": [f"{a} {b}" for a, b in merges],
         },
     }
+    if byte_level:
+        section = {
+            "type": "ByteLevel",
+            "add_prefix_space": bool(add_prefix_space),
+            "trim_offsets": True,
+            "use_regex": True,
+        }
+        doc["pre_tokenizer"] = section
+        doc["decoder"] = section
     return json.dumps(doc, ensure_ascii=False, indent=2)
 
 
-def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int]]:
-    """Parse the supported subset back to (merges, vocab). Raises on
-    models this engine cannot faithfully run (non-BPE types,
-    byte-level options, subword prefixes) instead of mis-tokenizing
-    silently."""
-    doc = json.loads(text)
-    model = doc.get("model") or {}
+def _parse_model(model: dict) -> tuple[list[tuple[str, str]], dict[str, int]]:
     if model.get("type") != "BPE":
         raise ValueError(f"unsupported tokenizer model type: {model.get('type')!r}")
     unknown = set(model) - _SUPPORTED_MODEL_KEYS
@@ -84,10 +144,8 @@ def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int
         if model.get(opt):
             raise ValueError(
                 f"{opt}={model[opt]!r} is not supported (this engine runs "
-                "plain whitespace-pretokenized BPE)"
+                "plain whitespace- or byte-level-pretokenized BPE)"
             )
-    if model.get("byte_fallback"):
-        raise ValueError("byte_fallback is not supported")
     merges_raw = model.get("merges") or []
     merges: list[tuple[str, str]] = []
     for m in merges_raw:
@@ -105,13 +163,112 @@ def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int
     return merges, vocab
 
 
+def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
+    """Parse a ``tokenizer.json`` into a ``TokenizerSpec`` — the full
+    supported surface: plain whitespace BPE, byte-level (GPT-2
+    family) BPE, ``byte_fallback`` escapes, ``added_tokens``. Raises
+    on any section whose semantics this engine cannot reproduce
+    (normalizers, non-ByteLevel pretokenizers, id-altering
+    post-processors, truncation/padding) instead of mis-tokenizing
+    silently."""
+    doc = json.loads(text)
+    if not isinstance(doc, dict):
+        raise ValueError("tokenizer.json must be one JSON object")
+    unknown = set(doc) - _KNOWN_TOP_KEYS
+    if unknown:
+        raise ValueError(f"unsupported tokenizer sections: {sorted(unknown)}")
+    for sec in ("truncation", "padding", "normalizer"):
+        if doc.get(sec) is not None:
+            raise ValueError(
+                f"{sec}={doc[sec].get('type', doc[sec])!r} is not supported "
+                "(it would change tokenization; strip it or preprocess "
+                "upstream)"
+                if isinstance(doc[sec], dict)
+                else f"{sec} is not supported"
+            )
+
+    byte_level = False
+    add_prefix_space = False
+    use_regex = True
+    pre = doc.get("pre_tokenizer")
+    if pre is not None:
+        ptype = pre.get("type") if isinstance(pre, dict) else None
+        if ptype == "ByteLevel":
+            byte_level = True
+            add_prefix_space = bool(pre.get("add_prefix_space", False))
+            use_regex = bool(pre.get("use_regex", True))
+        elif ptype == "WhitespaceSplit":
+            pass  # exactly this repo's \s+ split
+        else:
+            raise ValueError(
+                f"unsupported pre_tokenizer type: {ptype!r} (supported: "
+                "ByteLevel, WhitespaceSplit, absent)"
+            )
+    post = doc.get("post_processor")
+    if post is not None and post.get("type") != "ByteLevel":
+        # ByteLevel post-processing only adjusts offsets; anything
+        # else (TemplateProcessing etc.) INSERTS ids.
+        raise ValueError(
+            f"unsupported post_processor type: {post.get('type')!r} "
+            "(it would alter token ids)"
+        )
+    # decoder: display-only (ids unaffected) -- accepted and ignored.
+
+    merges, vocab = _parse_model(doc.get("model") or {})
+    added: dict[str, int] = {}
+    for tok in doc.get("added_tokens") or []:
+        content, tid = str(tok["content"]), int(tok["id"])
+        if vocab.get(content, tid) != tid:
+            raise ValueError(
+                f"added token {content!r} id {tid} conflicts with vocab "
+                f"id {vocab[content]}"
+            )
+        added[content] = tid
+        vocab[content] = tid
+    unk = doc.get("model", {}).get("unk_token")
+    return TokenizerSpec(
+        merges=merges,
+        vocab=vocab,
+        unk_token=str(unk) if unk is not None else None,
+        byte_level=byte_level,
+        add_prefix_space=add_prefix_space,
+        use_regex=use_regex,
+        byte_fallback=bool(doc.get("model", {}).get("byte_fallback")),
+        added_tokens=added,
+    )
+
+
+def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Legacy two-tuple loader: the plain whitespace-BPE subset only.
+    Byte-level and byte_fallback models still RAISE here — code built
+    on the (merges, vocab) pair would mis-tokenize them; load those
+    through ``from_tokenizer_json_spec`` + ``bytelevel.spec_encode``
+    instead."""
+    spec = from_tokenizer_json_spec(text)
+    if spec.byte_level:
+        raise ValueError(
+            "byte-level tokenizer: load with from_tokenizer_json_spec and "
+            "encode with bytelevel.spec_encode"
+        )
+    if spec.byte_fallback:
+        raise ValueError(
+            "byte_fallback tokenizer: load with from_tokenizer_json_spec "
+            "and encode with bytelevel.spec_encode"
+        )
+    return spec.merges, spec.vocab
+
+
 def save_tokenizer(
     spark: SparkSession,
     path: str,
     merges: list[tuple[str, str]],
     vocab: dict[str, int],
+    byte_level: bool = False,
+    add_prefix_space: bool = False,
 ) -> None:
-    _fs_write_text(spark, path, to_tokenizer_json(merges, vocab))
+    _fs_write_text(
+        spark, path, to_tokenizer_json(merges, vocab, byte_level, add_prefix_space)
+    )
 
 
 def load_tokenizer(
@@ -123,6 +280,16 @@ def load_tokenizer(
     return from_tokenizer_json(text)
 
 
+def load_tokenizer_spec(spark: SparkSession, path: str) -> TokenizerSpec:
+    """``load_tokenizer`` for the full supported surface (byte-level
+    and byte_fallback models included): feed the result to
+    ``bytelevel.spec_encode``."""
+    text = _fs_read_text(spark, path)
+    if text is None:
+        raise FileNotFoundError(path)
+    return from_tokenizer_json_spec(text)
+
+
 def tokenizer_report(
     df,
     merges: list[tuple[str, str]],
@@ -130,18 +297,28 @@ def tokenizer_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     slice_col: str | None = "lang",
+    unk_token: str | None = UNK,
 ):
     """Tokenizer fitness per corpus slice: (slice, n_docs, n_tokens,
     oov_rate, chars_per_token) — the two numbers a tokenizer is
     judged by before training commits to it (unknown-token leakage
     and compression; the fertility/coverage tables of every tokenizer
     paper). One encode pass (operators/encode.py's Arrow kernel) and
-    one aggregation; unk is id 0 by the vocab contract."""
+    one aggregation. The unk id is looked up from the vocab's
+    ``unk_token`` entry — an external tokenizer.json whose unk is not
+    id 0 reports correctly (``None`` or an absent entry counts no
+    token as unk, e.g. byte-level models with total coverage)."""
     from pyspark.sql import functions as F
 
     from utc_cuip_kafka_aws_connector_spark.operators.encode import bpe_encode
 
-    ids = bpe_encode(df.select(id_col, text_col), merges, vocab)
+    unk_id = vocab.get(unk_token) if unk_token is not None else None
+    # no unk in the vocab: misses get a sentinel no real token holds,
+    # so they still count as OOV without colliding with token id 0
+    eff_unk = unk_id if unk_id is not None else -1
+    ids = bpe_encode(
+        df.select(id_col, text_col), merges, vocab, unk_id=eff_unk
+    )
     enriched = df.select(
         id_col,
         F.length(
@@ -158,7 +335,7 @@ def tokenizer_report(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("token_ids")).alias("n_tokens"),
         F.sum(
-            F.size(F.filter(F.col("token_ids"), lambda t: t == F.lit(0)))
+            F.size(F.filter(F.col("token_ids"), lambda t: t == F.lit(eff_unk)))
         ).alias("_unk"),
         F.sum("_chars").alias("_chars"),
     )
