@@ -34,7 +34,7 @@ def test_one_sided_bound_and_accuracy(spark):
     row = cms_sketch(df, [], "k", DEPTH, WIDTH).first()
     assert row.n_rows == sum(exact.values())
     probes = ["hot", "warm", "tail3", "never_seen"]
-    est = cms_query(row.cms, probes, DEPTH, WIDTH)
+    est = cms_query(row.cms, probes, DEPTH, WIDTH, row.hash_v)
     n = row.n_rows
     eps_n = math.e / WIDTH * n  # ~3.8 at these sizes
     for v in probes:
@@ -65,7 +65,7 @@ def test_grouped_store_and_rollup(spark):
     assert store.count() == 2
     total = cms_merge(store).first()
     assert (total.depth, total.width) == (DEPTH, WIDTH)  # geometry rides along
-    est = cms_query(total.cms, ["u0"], total.depth, total.width)
+    est = cms_query(total.cms, ["u0"], total.depth, total.width, total.hash_v)
     assert est["u0"] >= 40  # 10 in d1 + 30 in d2
 
 
@@ -100,14 +100,14 @@ def test_depth_rows_are_decorrelated():
 def test_query_geometry_mismatch_raises(spark):
     df, _ = _stream(spark)
     row = cms_sketch(df, [], "k", depth=2, width=2048).first()
-    est = cms_query(row.cms, ["hot"], row.depth, row.width)  # self-described: fine
+    est = cms_query(row.cms, ["hot"], row.depth, row.width, row.hash_v)
     assert est["hot"] >= 500
     # 2*2048 == 4*1024: equal-area geometries are indistinguishable
     # from the array length, so defaults are refused outright.
     with pytest.raises(ValueError, match="geometry required"):
         cms_query(row.cms, ["hot"])  # the old silent 4x1024 reshape
     with pytest.raises(ValueError, match="geometry mismatch"):
-        cms_query(row.cms, ["hot"], depth=3, width=1024)  # wrong area
+        cms_query(row.cms, ["hot"], depth=3, width=1024, hash_v=row.hash_v)
 
 
 def test_merge_refuses_mixed_geometry(spark):
@@ -117,6 +117,44 @@ def test_merge_refuses_mixed_geometry(spark):
     )
     with pytest.raises(Exception, match="different"):
         cms_merge(mixed).collect()
+
+
+def test_merge_guard_survives_column_pruning(spark):
+    """ADVICE r10: the mixed-geometry guard used to ride ONLY n_rows,
+    so `select('cms')` let Catalyst prune the check away and a mixed
+    merge returned garbage counters silently. The guard now rides
+    every consumable column."""
+    df, _ = _stream(spark)
+    mixed = cms_sketch(df, [], "k", depth=4, width=1024).unionByName(
+        cms_sketch(df, [], "k", depth=2, width=2048)
+    )
+    with pytest.raises(Exception, match="different"):
+        cms_merge(mixed).select("cms").collect()
+    with pytest.raises(Exception, match="different"):
+        cms_merge(mixed).select("n_rows").collect()
+
+
+def test_hash_scheme_version_is_enforced(spark):
+    """ADVICE r10: rows are stamped with the probe-scheme version;
+    mixing schemes in a merge, or querying with a stale/absent
+    version, refuses instead of silently breaking est >= true."""
+    df, _ = _stream(spark)
+    store = cms_sketch(df, [], "k", DEPTH, WIDTH)
+    row = store.first()
+    assert row.hash_v == 2  # splitmix64-decorrelated probes (r10)
+
+    # a persisted pre-r10 row surfaces as hash_v=1 after backfill
+    legacy = store.withColumn("hash_v", F.lit(1).cast("int"))
+    with pytest.raises(Exception, match="retired probe scheme"):
+        cms_merge(legacy).select("cms").collect()
+    # mixing schemes is "different geometry" before it is "retired"
+    with pytest.raises(Exception, match="different"):
+        cms_merge(store.unionByName(legacy)).select("cms").collect()
+
+    with pytest.raises(ValueError, match="hash scheme required"):
+        cms_query(row.cms, ["hot"], row.depth, row.width)
+    with pytest.raises(ValueError, match="hash scheme v1"):
+        cms_query(row.cms, ["hot"], row.depth, row.width, hash_v=1)
 
 
 def test_group_cardinality_guard(spark):

@@ -558,6 +558,31 @@ def test_distributed_prefix_sum_window_shapes(spark):
     assert last["cum"] == 64
 
 
+def test_prefix_sum_staging_dirs_are_tracked_and_swept(spark):
+    """ADVICE r10: the measured recursion path staged one
+    psum_offsets_* scratch dir per call and never removed it. Staged
+    dirs now register for an atexit sweep (they must outlive the
+    lazily-read plan, so process exit is their natural lifetime)."""
+    import os
+
+    from utc_cuip_kafka_aws_connector_spark.operators import packing
+
+    df = spark.range(40).select(
+        F.col("id").alias("oid"), F.lit(1).cast("long").alias("val")
+    )
+    before = list(packing._PSUM_STAGES)
+    out = packing.distributed_prefix_sum(
+        df, "oid", "val", bucket_width=4, max_window_rows=4
+    )
+    new = [d for d in packing._PSUM_STAGES if d not in before]
+    assert new and all(os.path.isdir(d) for d in new)
+    [last] = out.orderBy(F.col("oid").desc()).limit(1).collect()
+    assert last["cum"] == 40
+    packing._cleanup_psum_stages()
+    assert not packing._PSUM_STAGES
+    assert all(not os.path.exists(d) for d in new)
+
+
 def test_distributed_prefix_sum_measuring_path_releases_its_cache(spark):
     """ADVICE r7 regression pin: the n_buckets-measuring path used to
     persist() the bucket totals and never unpersist -- one stranded

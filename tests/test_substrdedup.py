@@ -130,6 +130,12 @@ def test_validation(spark):
         duplicate_windows(df, window=1)
     with pytest.raises(ValueError, match="stride"):
         duplicate_windows(df, stride=0)
+    # ADVICE r10: a string id used to die as an opaque numpy cast
+    # error inside the Arrow worker; now it refuses up-front, at plan
+    # build time, with the remediation in the message
+    strs = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        duplicate_windows(strs, window=2)
 
 
 # --- hypothesis properties (the repo's §5.2 idiom) ---------------------------

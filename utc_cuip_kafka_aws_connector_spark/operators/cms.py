@@ -60,6 +60,16 @@ _SALTS = np.array(
     dtype=np.uint64,
 )
 
+# Hash-scheme version stored beside every sketch row. A Count-Min
+# matrix is only meaningful under the EXACT probe scheme that built
+# it: querying counters written by a different scheme returns
+# arbitrary cells and silently breaks the est >= true guarantee.
+# v2 = siphash + per-row splitmix64 finalizer (the r10 decorrelation);
+# the retired pre-r10 linear-probe scheme is v1 and its rows carry no
+# version column at all — they fail loudly on the missing column /
+# required argument instead of being mis-queried (ADVICE r10).
+_HASH_V = 2
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """The splitmix64 finalizer (Steele/Lea/Flood 2014, public): a
@@ -162,6 +172,7 @@ def cms_sketch(
         *keys,
         F.lit(depth).cast("int").alias("depth"),
         F.lit(width).cast("int").alias("width"),
+        F.lit(_HASH_V).cast("int").alias("hash_v"),
         "n_rows",
         "cms",
     )
@@ -169,16 +180,23 @@ def cms_sketch(
 
 def cms_merge(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Roll stored sketch rows up to ``keys`` (None/[] = one global
-    row): matrices and row counts add exactly. Geometry is validated
-    IN the plan: a group mixing (depth, width) pairs fails the job
-    loudly (adding a 4x1024 matrix to a 2x2048 one would be silent
-    garbage), and the common geometry rides along in the output."""
+    row): matrices and row counts add exactly. Geometry AND hash
+    scheme are validated IN the plan: a group mixing (depth, width)
+    pairs, or carrying rows from a different probe scheme, fails the
+    job loudly (adding a 4x1024 matrix to a 2x2048 one — or to a
+    matrix hashed under a retired scheme — would be silent garbage).
+    The guard rides EVERY output column a consumer could use (both
+    ``n_rows`` and ``cms``), so Catalyst column pruning cannot
+    optimize the check away no matter which columns the caller
+    selects (ADVICE r10); the common geometry rides along in the
+    output."""
     grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
     first_len = F.size(F.first("cms"))
     agg = grouped.agg(
-        F.count_distinct(F.struct("depth", "width")).alias("_n_geoms"),
+        F.count_distinct(F.struct("depth", "width", "hash_v")).alias("_n_geoms"),
         F.first("depth").alias("depth"),
         F.first("width").alias("width"),
+        F.first("hash_v").alias("hash_v"),
         F.sum("n_rows").alias("n_rows"),
         F.aggregate(
             F.collect_list("cms"),
@@ -186,26 +204,44 @@ def cms_merge(sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
             lambda acc, m: F.zip_with(acc, m, lambda a, b: a + b),
         ).alias("cms"),
     )
-    # The check rides the n_rows output column (a dropped column would
-    # be pruned by Catalyst and never evaluated). when/otherwise with
-    # identical branches gets simplified away, so the failing branch
-    # must be raise_error itself: pass -> n_rows, fail -> job dies.
+
+    # when/otherwise with identical branches gets simplified away, so
+    # the failing branch must be raise_error itself: pass -> the real
+    # column, fail -> job dies.
+    def _guarded(col: str):
+        return (
+            F.when(
+                F.col("_n_geoms") != 1,
+                F.raise_error(
+                    F.lit(
+                        "cms_merge: sketches in one group have different "
+                        "(depth, width, hash_v) — they cannot be added"
+                    )
+                ),
+            )
+            .when(
+                F.col("hash_v") != _HASH_V,
+                F.raise_error(
+                    F.lit(
+                        "cms_merge: sketches were built under hash scheme "
+                        f"v!={_HASH_V} (a retired probe scheme); their "
+                        "counters are not addressable by this build — "
+                        "rebuild the sketches with cms_sketch"
+                    )
+                ),
+            )
+            .otherwise(F.col(col))
+            .alias(col)
+        )
+
     out_keys = list(keys) if keys else []
     return agg.select(
         *out_keys,
         "depth",
         "width",
-        F.when(F.col("_n_geoms") == 1, F.col("n_rows"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "cms_merge: sketches in one group have different "
-                    "(depth, width) geometries — they cannot be added"
-                )
-            )
-        )
-        .alias("n_rows"),
-        "cms",
+        "hash_v",
+        _guarded("n_rows"),
+        _guarded("cms"),
     )
 
 
@@ -214,21 +250,36 @@ def cms_query(
     values: list,
     depth: int | None = None,
     width: int | None = None,
+    hash_v: int | None = None,
 ) -> dict:
     """Driver-side point estimates from one stored sketch row:
     value -> min over depth rows. est >= true always; the overshoot
     bound is eps*N with eps = e/width at confidence 1 - e^-depth.
-    (depth, width) must be the stored row's own depth/width columns —
-    there are NO defaults, because geometries of equal area (2x2048
-    vs 4x1024) are indistinguishable from the array length alone and
-    a wrong reshape returns garbage estimates silently (ADVICE r9).
-    A (depth, width) that does not cover the array raises."""
+    (depth, width, hash_v) must be the stored row's own columns —
+    there are NO defaults: geometries of equal area (2x2048 vs
+    4x1024) are indistinguishable from the array length alone, and a
+    row hashed under a retired probe scheme would be probed at
+    arbitrary cells, silently breaking est >= true (ADVICE r9/r10).
+    A mismatch of either raises."""
     if depth is None or width is None:
         raise ValueError(
             "cms_query geometry required: pass the depth/width stored "
             "beside the cms column (row.depth, row.width). Defaults are "
             "refused — equal-area geometries like 2x2048 and 4x1024 "
             "cannot be told apart from the array length."
+        )
+    if hash_v is None:
+        raise ValueError(
+            "cms_query hash scheme required: pass the hash_v stored "
+            "beside the cms column (row.hash_v). Rows without one were "
+            "built by a retired probe scheme and must be rebuilt with "
+            "cms_sketch."
+        )
+    if hash_v != _HASH_V:
+        raise ValueError(
+            f"cms_query: sketch was built under hash scheme v{hash_v}, "
+            f"this build probes v{_HASH_V} — the counters are not "
+            "addressable; rebuild the sketch with cms_sketch"
         )
     if depth * width != len(cms):
         raise ValueError(

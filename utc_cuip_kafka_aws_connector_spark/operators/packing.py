@@ -22,9 +22,33 @@ operator oracle-checkable end to end.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+
+# Scratch dirs staged by distributed_prefix_sum's measured path. The
+# returned DataFrame reads them LAZILY, so they must outlive the call;
+# their natural lifetime is the process. One atexit sweep removes them
+# instead of leaking one dir per call (ADVICE r10).
+_PSUM_STAGES: list[str] = []
+
+
+def _psum_stage_dir() -> str:
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="psum_offsets_")
+    if not _PSUM_STAGES:
+        atexit.register(_cleanup_psum_stages)
+    _PSUM_STAGES.append(stage)
+    return stage
+
+
+def _cleanup_psum_stages() -> None:
+    while _PSUM_STAGES:
+        shutil.rmtree(_PSUM_STAGES.pop(), ignore_errors=True)
 
 
 def with_shard(df: DataFrame, id_col: str, hex_chars: int = 1) -> DataFrame:
@@ -177,8 +201,6 @@ def distributed_prefix_sum(
             # cluster scale this is an object-store staging table;
             # offsets are one row per bucket, far smaller than the
             # input) and returning a plain scan of the staged result.
-            import tempfile
-
             totals = totals.persist()
         try:
             rec = distributed_prefix_sum(
@@ -197,7 +219,7 @@ def distributed_prefix_sum(
                 (F.col("_psum_cum") - F.col("_psum_val")).alias("_psum_off"),
             )
             if measured:
-                stage = tempfile.mkdtemp(prefix="psum_offsets_")
+                stage = _psum_stage_dir()  # swept at process exit
                 offsets.write.mode("overwrite").parquet(stage)
                 offsets = spark.read.parquet(stage)
         finally:

@@ -91,6 +91,16 @@ def duplicate_windows(
         raise ValueError(f"window must be >= 2, got {window}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
+    # The kernel packs ids into an int64 vector; validate here rather
+    # than letting np.full raise an opaque cast error deep inside the
+    # Arrow worker (ADVICE r10).
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"duplicate_windows needs an integral {id_col!r} (got "
+            f"{id_type}); map string ids to a surrogate long first, "
+            "e.g. xxhash64(id) or a dimension join"
+        )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
