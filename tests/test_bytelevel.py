@@ -126,6 +126,15 @@ def test_gpt2_pretokenize_vectors():
         assert "".join(byte_pretokenize(t)) == t
 
 
+def test_exact_unicode_classes_with_regex_module():
+    """With the `regex` module available (this container has it), the
+    split runs the EXACT published pattern: Nl/No characters are
+    \\p{N}, so a roman numeral breaks a letter run."""
+    pytest.importorskip("regex")
+    assert byte_pretokenize("xⅫy") == ["x", "Ⅻ", "y"]  # U+216B is Nl
+    assert byte_pretokenize("a½") == ["a", "½"]          # U+00BD is No
+
+
 # --- fixture load + encode parity ---------------------------------------
 
 

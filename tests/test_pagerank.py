@@ -110,3 +110,28 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.5)
+
+
+def test_reliable_checkpoint_dir_matches_local(spark, tmp_path):
+    """checkpoint_dir= (r9-r11 briefs): iteration state goes to
+    reliable storage — the path actually receives checkpoint data —
+    and the ranks are bit-identical to the localCheckpoint default
+    (same synchronous iterations, only the truncation store moves)."""
+    import os
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r.node: r.rank for r in pagerank(df).collect()}
+    ckdir = str(tmp_path / "pr_ckpt")
+    reliable = {
+        r.node: r.rank for r in pagerank(df, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    walked = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckdir)
+        for f in files
+    ]
+    assert walked, "no checkpoint data written to checkpoint_dir"

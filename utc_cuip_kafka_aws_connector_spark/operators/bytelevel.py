@@ -53,14 +53,25 @@ from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
     bpe_encode_word,
 )
 
-# GPT-2 split pattern via stdlib re (see module docstring): the
-# contraction suffixes, " ?letters+", " ?digits+", " ?punct+",
-# whitespace-not-before-nonspace, then whitespace.
-_GPT2_SPLIT = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
-    r"|\s+(?!\S)|\s+"
-)
+# GPT-2 split pattern. With the `regex` module (present in this
+# container, probed r12) the EXACT published pattern runs — real
+# \p{L}/\p{N} classes; without it, the stdlib approximation in the
+# module docstring (identical on ASCII and all common text, Nl/No
+# classify as letters instead of numbers).
+try:
+    import regex as _regex
+
+    _GPT2_SPLIT = _regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        r"|\s+(?!\S)|\s+"
+    )
+except ImportError:  # pragma: no cover - exercised only without `regex`
+    _GPT2_SPLIT = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+        r"|\s+(?!\S)|\s+"
+    )
 
 
 @functools.lru_cache(maxsize=1)

@@ -14,9 +14,12 @@ completes the iterative family:
 Spark shape per iteration: one equi-join of the rank frame to the
 edge table on the source (contributions = rank/outdeg), one groupBy
 on the destination, a driver-small dangling-mass aggregate (ONE
-double), and a localCheckpoint to truncate lineage — the exact
-connected_components discipline (reliable checkpointing knob for
-hours-long runs would follow the same pattern). Convergence is the
+double), and a checkpoint to truncate lineage — the exact
+connected_components discipline. ``checkpoint_dir=`` switches the
+truncation from executor-local blocks to reliable storage for
+hours-long runs (see ``pagerank``'s docstring); the same knob lands
+on connected_components when dedup.py's gate cohort rotates back
+into the window (the stamped r13 plan). Convergence is the
 L1 delta against the previous iteration, a one-row aggregate;
 iteration stops at ``tol`` or ``max_iter`` (raising if unconverged,
 like connected_components, so a silent half-converged rank table
@@ -42,24 +45,41 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 40,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) over the distinct nodes of ``edges``; ranks sum
     to 1. Duplicate edges count once (the web-graph convention:
-    a link exists or it does not)."""
+    a link exists or it does not).
+
+    ``checkpoint_dir`` selects RELIABLE checkpointing: each
+    iteration's state is written to that path (HDFS/object store on a
+    cluster) instead of executor-local storage, so an executor loss
+    partway through an hours-long run replays from the last persisted
+    state rather than losing lineage AND data — localCheckpoint (the
+    default, right for local mode and short jobs) stores blocks only
+    on the executors that computed them. Same truncation discipline
+    either way; the differential test pins both paths identical."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    nodes = (
+    nodes = _ckpt(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = e.join(outdeg, "s").localCheckpoint(eager=True)
+    links = _ckpt(e.join(outdeg, "s"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -82,7 +102,7 @@ def pagerank(
             .first()[0]
             or 0.0
         )
-        new_ranks = (
+        new_ranks = _ckpt(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -92,7 +112,6 @@ def pagerank(
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         delta = (
             new_ranks.join(
