@@ -153,3 +153,45 @@ def test_incremental_append_is_searchable(spark, corpus, tmp_path):
     ).collect()
     got = {r.vec_id for r in top}
     assert 7 in got and {10_000, 10_001, 10_002} <= got  # appended rows found
+
+
+def test_vacuum_drops_deleted_ids_and_compacts(spark, corpus, tmp_path):
+    """ann_vacuum (r10 brief): deletions stop surfacing in search,
+    survivors are untouched, append fragmentation compacts, and the
+    vacuumed copy loads through plain ann_load."""
+    from utc_cuip_kafka_aws_connector_spark.operators.annindex import (
+        ann_append,
+        ann_vacuum,
+    )
+
+    path = str(tmp_path / "idx_frag")
+    dest = str(tmp_path / "idx_clean")
+    index = ann_fit(corpus, n_cells=8, m=4, nbits=6)
+    ann_save(spark, corpus, index, path)
+    # fragment the index with several small appends
+    for j in range(3):
+        fresh = spark.createDataFrame(
+            [
+                (20_000 + 10 * j + i, [float(v) for v in np.random.RandomState(j * 10 + i).randn(D)])
+                for i in range(4)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        ann_append(spark, fresh, path)
+
+    target = corpus.filter(F.col("vec_id") == 7).first().embedding
+    dels = spark.createDataFrame([(7,), (20_000,)], "vec_id long")
+    stats = ann_vacuum(spark, path, dest, delete_ids=dels)
+    assert stats["rows_dropped"] == 2
+    assert stats["rows_kept"] == N + 12 - 2
+    assert stats["files_after"] <= stats["files_before"]
+
+    index2, coded2, vectors2 = ann_load(spark, dest)
+    assert coded2.count() == N + 12 - 2
+    assert coded2.filter(F.col("vec_id").isin(7, 20_000)).count() == 0
+    top = ann_search(
+        index2, coded2, list(target), k=5, nprobe=8, vectors=vectors2,
+        shortlist=N + 12,
+    ).collect()
+    assert all(r.vec_id != 7 for r in top)  # the deleted row is gone
+    assert top  # survivors still searchable

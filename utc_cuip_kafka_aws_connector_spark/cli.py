@@ -613,9 +613,19 @@ def main(argv: list[str] | None = None) -> int:
         help="approximate-nearest-neighbor index over an embedding "
         "column: build a PCA->IVF->PQ index to disk, then search it",
     )
-    ann.add_argument("--op", required=True, choices=["build", "search"])
+    ann.add_argument("--op", required=True, choices=["build", "search", "vacuum"])
     ann.add_argument("--path", required=True, help="index directory")
     ann.add_argument("--input", default=None, help="build: parquet with (id, embedding)")
+    ann.add_argument(
+        "--dest", default=None,
+        help="vacuum: output index directory (write-aside, swap after — "
+        "never rewrites the live index in place)",
+    )
+    ann.add_argument(
+        "--delete-ids", default=None,
+        help="vacuum: parquet whose first column holds ids to drop "
+        "(omit for compaction only)",
+    )
     ann.add_argument("--id-col", default="vec_id")
     ann.add_argument("--vec-col", default="embedding")
     ann.add_argument("--pca", type=int, default=None, help="build: reduce to this many dims first")
@@ -933,6 +943,23 @@ def main(argv: list[str] | None = None) -> int:
                 f"built ann index at {args.path}: cells={args.cells} "
                 f"m={args.m} nbits={args.nbits}"
                 + (f" pca={args.pca}" if args.pca else "")
+            )
+        elif args.op == "vacuum":
+            from utc_cuip_kafka_aws_connector_spark.operators.annindex import (
+                ann_vacuum,
+            )
+
+            if not args.dest:
+                parser.error("ann --op vacuum requires --dest")
+            dels = (
+                spark.read.parquet(args.delete_ids) if args.delete_ids else None
+            )
+            stats = ann_vacuum(spark, args.path, args.dest, delete_ids=dels)
+            print(
+                f"vacuumed {args.path} -> {args.dest}: kept "
+                f"{stats['rows_kept']}, dropped {stats['rows_dropped']}, "
+                f"files {stats['files_before']} -> {stats['files_after']} "
+                "(swap the directories when satisfied)"
             )
         else:
             if not args.query:

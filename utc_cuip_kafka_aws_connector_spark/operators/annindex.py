@@ -68,6 +68,7 @@ from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
 from utc_cuip_kafka_aws_connector_spark.operators.tableread import (
     _fs_read_text,
     _fs_write_text,
+    list_data_files,
 )
 
 INDEX_FILE = "_index.json"
@@ -256,3 +257,63 @@ def ann_append(
             "append"
         ).parquet(posixpath.join(path, "vectors"))
     return df.count()
+
+
+def ann_vacuum(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    delete_ids: DataFrame | None = None,
+    target_file_mb: int = 128,
+) -> dict:
+    """Index retention (the r10 brief's VACUUM gap): the append-only
+    lifecycle accumulates two kinds of debt — one parquet fragment
+    per cell per ``ann_append`` call (a daily-append year is ~365
+    files per cell, each probe paying per-file open cost), and rows
+    for vectors the corpus has since dropped (dedup removals,
+    takedowns), which keep surfacing in search results. This rewrites
+    the index WITHOUT them: codes and vectors are read, anti-joined
+    against ``delete_ids`` (any frame whose first column holds ids;
+    None = compaction only), re-coalesced toward ``target_file_mb``
+    per cell partition, and written to ``dest`` with the model file
+    copied verbatim — the read path is untouched, so searches against
+    ``dest`` are plain ``ann_load``. Same swap discipline as the
+    lake ``compact`` verb: write aside, verify, then repoint/rename
+    (never rewrite a live index in place — a failed in-place rewrite
+    loses the only copy). Returns {"rows_kept", "rows_dropped",
+    "files_before", "files_after"}.
+
+    Scale shape: one scan + anti-join (broadcast when the delete set
+    is takedown-sized) + one write, all partitioned by centroid_id;
+    nothing collects."""
+    index, coded, vectors = ann_load(spark, path)
+    id_col = index["id_col"]
+    files_before = len(list_data_files(spark, posixpath.join(path, "codes")))
+    total = coded.count()
+    if delete_ids is not None:
+        first = delete_ids.columns[0]
+        dels = delete_ids.select(F.col(first).alias(id_col)).distinct()
+        coded = coded.join(F.broadcast(dels), id_col, "left_anti")
+        if vectors is not None:
+            vectors = vectors.join(F.broadcast(dels), id_col, "left_anti")
+    kept = coded.count()
+
+    # ~target-sized files per cell: rows/file from the code-row width
+    # (id + cell + m bytes ≈ 32 bytes conservative on disk)
+    rows_per_file = max(1, (target_file_mb * 1024 * 1024) // 64)
+    n_files = max(1, int(kept // rows_per_file) or 1)
+    coded.repartition(n_files, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(posixpath.join(dest, "codes"))
+    if vectors is not None:
+        vectors.write.mode("overwrite").parquet(
+            posixpath.join(dest, "vectors")
+        )
+    _fs_write_text(spark, posixpath.join(dest, INDEX_FILE), json.dumps(index))
+    files_after = len(list_data_files(spark, posixpath.join(dest, "codes")))
+    return {
+        "rows_kept": kept,
+        "rows_dropped": total - kept,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -42,6 +42,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
+    bloom_build,
+    bloom_semi_filter,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.lshbands import (
     banded_signatures,
 )
@@ -70,6 +74,26 @@ def build_lsh_index(
     )
 
 
+def index_band_bloom(
+    index: DataFrame, fpp: float = 0.01, num_items: int | None = None
+) -> dict:
+    """A Bloom summary of the index's ``band_key`` set
+    (operators/bloom.py), built once when the index is written and
+    persisted beside it (the dict is JSON-able: m, k, bits, n_added).
+    Pass it to ``incremental_near_dups(index_bloom=...)`` to
+    pre-screen each new batch: a probe row whose band bucket is
+    absent from the summary CANNOT join any index row (Bloom's
+    no-false-negative side), so the typical mostly-novel crawl batch
+    skips the index shuffle for most of its rows at the cost of a
+    broadcast-sized bitmap — the runtime-filter pattern applied to
+    the dedup index join. ~12 MB summarizes 10M buckets at 1% FPR;
+    false positives only pass a few extra rows into the join they
+    would have reached anyway, so results are exactly unchanged
+    (test-pinned equivalence)."""
+    n = num_items if num_items is not None else index.count()
+    return bloom_build(index, "band_key", max(n, 1), fpp)
+
+
 def incremental_near_dups(
     new_df: DataFrame,
     index: DataFrame,
@@ -80,6 +104,7 @@ def incremental_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     within_batch: bool = True,
+    index_bloom: dict | None = None,
 ) -> DataFrame:
     """One row per NEW doc: (doc, dup_of, sim, is_dup). ``dup_of``
     is the best match at or above ``sim_threshold`` — an existing
@@ -87,14 +112,23 @@ def incremental_near_dups(
     sibling in the same batch — else null/false.
 
     The index side never self-joins; candidate generation is
-    equi-joins on band_key only."""
+    equi-joins on band_key only. ``index_bloom`` (see
+    ``index_band_bloom``) pre-screens the probe side of the INDEX
+    join scan-locally; the within-batch join is unaffected (its
+    matches are not in the index), so the verdict is identical with
+    or without the screen."""
     nb = banded_signatures(
         new_df, id_col, text_col, num_hashes, bands, shingle_n
     )
     probes = nb.select(
         "band_key", F.col("doc"), F.col("sig")
     )
-    vs_index = probes.join(
+    index_probes = (
+        bloom_semi_filter(probes, "band_key", index_bloom)
+        if index_bloom is not None
+        else probes
+    )
+    vs_index = index_probes.join(
         index.select(
             "band_key",
             F.col("doc").alias("cand"),
@@ -153,3 +187,19 @@ def updated_index(
         accepted, id_col, text_col, num_hashes, bands, shingle_n
     )
     return index.unionByName(fresh)
+
+
+def vacuum_lsh_index(index: DataFrame, delete_ids: DataFrame) -> DataFrame:
+    """Index retention, the LSH twin of ``annindex.ann_vacuum``: the
+    index rows minus every doc in ``delete_ids`` (any frame whose
+    first column holds doc ids — removals from dedup, takedowns,
+    retention windows). A removed doc otherwise keeps matching future
+    batches forever, silently rejecting fresh documents as
+    duplicates of content the corpus no longer contains. One
+    anti-join (broadcast at takedown sizes); rewrite the persisted
+    index table with the result and rebuild the band Bloom
+    (``index_band_bloom``) in the same maintenance pass — Blooms
+    cannot unlearn, so the summary must be rebuilt, not patched."""
+    first = delete_ids.columns[0]
+    dels = delete_ids.select(F.col(first).alias("doc")).distinct()
+    return index.join(F.broadcast(dels), "doc", "left_anti")
