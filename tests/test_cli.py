@@ -519,3 +519,67 @@ def test_cli_clean_with_rules_and_domain_cap(spark, tmp_path, capsys):
     assert len([i for i in ids if i < 20]) == 5  # domain cap on big.com
     assert len([i for i in ids if 20 <= i < 30]) == 10
     assert all("utm_source" not in r.url for r in rows_out)  # normalized
+
+
+def test_cli_curate_full_funnel_and_split(spark, tmp_path, capsys):
+    """curate-full (curate_v4, the r10/r11 briefs' composition gap):
+    every stage shrinks-or-holds the corpus, planted near-dups die at
+    the near-dedup stage, the decontaminated doc disappears, the
+    split column lands leakage-safely (near-dup components share a
+    split), and the funnel report prints."""
+    import random
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rng = random.Random(5)
+
+    def doc(seed, n=40):
+        r = random.Random(seed)
+        return " ".join(
+            r.choice(["the", "a", "of", "and", "to", "in", "is", "it"])
+            if i % 3 == 0
+            else f"word{r.randrange(500)}"
+            for i in range(n)
+        )
+
+    rows = [(i, doc(i), "en") for i in range(60)]
+    rows += [(100 + i, doc(i), "en") for i in range(5)]  # exact dups of 0..4
+    near = doc(7).split()
+    near[3] = "edited"
+    rows += [(200, " ".join(near), "en")]  # near-dup of 7
+    rows += [(300, "tiny", "en")]  # fails quality
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, doc(13))], "doc_id long, text string"
+    ).write.parquet(bench)  # doc 13 is contaminated verbatim
+
+    out = str(tmp_path / "built")
+    rc = cli.main(
+        [
+            "curate-full",
+            "--input", inp,
+            "--output", out,
+            "--boiler-min-docs", "1000",  # keep text intact for this corpus
+            "--near-dup-threshold", "0.7",
+            "--decontam", bench,
+            "--decontam-threshold", "0.5",
+            "--keep-rates", "en=1.0",
+            "--split", "train=0.75,val=0.125,test=0.125",
+            "--seed", "3",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "curate-full" in printed and "near_dedup" in printed
+
+    got = spark.read.parquet(out)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert 300 not in ids                       # quality gate
+    assert not ids & {100, 101, 102, 103, 104}  # exact dups (min id kept)
+    assert 200 not in ids and 7 in ids          # near-dup loses to 7
+    assert 13 not in ids                        # decontaminated
+    assert "split" in got.columns
+    sp = {r.doc_id: r.split for r in got.collect()}
+    assert set(sp.values()) <= {"train", "val", "test"}
