@@ -583,3 +583,47 @@ def test_cli_curate_full_funnel_and_split(spark, tmp_path, capsys):
     assert "split" in got.columns
     sp = {r.doc_id: r.split for r in got.collect()}
     assert set(sp.values()) <= {"train", "val", "test"}
+
+
+def test_cli_tokenizer_lifecycle_both_shapes(spark, tmp_path, capsys):
+    """tokenizer train -> encode -> report, plain and byte-level: the
+    byte-level model reports structurally-zero OOV and its encode
+    output decodes back to the exact text."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        decode_byte_ids,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        load_tokenizer_spec,
+    )
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    for flag, name in [([], "plain"), (["--byte-level"], "byte")]:
+        model = str(tmp_path / f"{name}.json")
+        ids_out = str(tmp_path / f"{name}_ids")
+        assert cli.main(
+            ["tokenizer", "--op", "train", "--model", model,
+             "--input", inp, "--merges", "12"] + flag
+        ) == 0
+        assert "trained" in capsys.readouterr().out
+        assert cli.main(
+            ["tokenizer", "--op", "encode", "--model", model,
+             "--input", inp, "--output", ids_out]
+        ) == 0
+        assert "encoded" in capsys.readouterr().out
+        assert cli.main(
+            ["tokenizer", "--op", "report", "--model", model, "--input", inp]
+        ) == 0
+        report = capsys.readouterr().out
+        assert "chars/token" in report
+        if name == "byte":
+            assert "oov=0.0000" in report  # byte coverage is total
+            spec = load_tokenizer_spec(spark, model)
+            row = spark.read.parquet(ids_out).orderBy("doc_id").first()
+            text = (
+                spark.read.parquet(inp)
+                .filter(f"doc_id = {row.doc_id}")
+                .first()
+                .text
+            )
+            assert decode_byte_ids(row.token_ids, spec.vocab) == text

@@ -854,6 +854,26 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--k", type=int, default=10)
     ann.add_argument("--nprobe", type=int, default=4)
 
+    tok = sub.add_parser(
+        "tokenizer",
+        help="BPE tokenizer lifecycle: train a merge table to "
+        "tokenizer.json (plain or byte-level), encode a corpus to id "
+        "arrays, report per-slice fitness (OOV + compression)",
+    )
+    tok.add_argument("--op", required=True, choices=["train", "encode", "report"])
+    tok.add_argument("--model", required=True, help="tokenizer.json path")
+    tok.add_argument("--input", required=True, help="corpus parquet")
+    tok.add_argument("--output", default=None, help="encode: ids parquet path")
+    tok.add_argument("--id-col", default="doc_id")
+    tok.add_argument("--text-col", default="text")
+    tok.add_argument("--lang-col", default="lang")
+    tok.add_argument("--merges", type=int, default=1000, help="train: merge count")
+    tok.add_argument(
+        "--byte-level", action="store_true",
+        help="train: GPT-2-style byte-level model (no unk, exact text "
+        "round trip); encode/report detect the shape from the file",
+    )
+
     compact = sub.add_parser(
         "compact",
         help="lake maintenance: merge each partition's small files to ~target size "
@@ -1216,6 +1236,76 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r[index['id_col']]:>12d}  dist={r['dist']:.6f}")
+    elif args.cmd == "tokenizer":
+        from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+            load_tokenizer_spec,
+            save_tokenizer,
+            tokenizer_report_spec,
+        )
+
+        df = spark.read.parquet(args.input)
+        if args.op == "train":
+            if args.byte_level:
+                from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+                    byte_level_train,
+                    byte_level_vocab,
+                )
+
+                mdf = byte_level_train(df, args.merges, text_col=args.text_col)
+                merges = [
+                    (r.lhs, r.rhs) for r in mdf.orderBy("merge_rank").collect()
+                ]
+                vocab = byte_level_vocab(merges)
+                save_tokenizer(spark, args.model, merges, vocab, byte_level=True)
+            else:
+                from utc_cuip_kafka_aws_connector_spark.operators.bpetrain import (
+                    bpe_train_merges,
+                )
+                from utc_cuip_kafka_aws_connector_spark.operators.encode import (
+                    bpe_vocab,
+                    corpus_chars,
+                )
+
+                merges = bpe_train_merges(df, args.merges, text_col=args.text_col)
+                vocab = bpe_vocab(merges, corpus_chars(df, text_col=args.text_col))
+                save_tokenizer(spark, args.model, merges, vocab)
+            print(
+                f"trained {'byte-level ' if args.byte_level else ''}BPE: "
+                f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"
+            )
+        elif args.op == "encode":
+            from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+                spec_encode,
+            )
+
+            if not args.output:
+                parser.error("tokenizer --op encode requires --output")
+            spec = load_tokenizer_spec(spark, args.model)
+            ids = spec_encode(
+                df, spec, id_col=args.id_col, text_col=args.text_col
+            )
+            ids.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(
+                f"encoded {n} docs with {args.model} "
+                f"({'byte-level' if spec.byte_level else 'whitespace'} BPE), "
+                f"output={args.output}"
+            )
+        else:  # report
+            spec = load_tokenizer_spec(spark, args.model)
+            rows = tokenizer_report_spec(
+                df,
+                spec,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                slice_col=args.lang_col,
+            ).collect()
+            for r in rows:
+                slice_name = getattr(r, args.lang_col, "(all)")
+                print(
+                    f"{slice_name:>8}  docs={r.n_docs:<8} tokens={r.n_tokens:<10} "
+                    f"oov={r.oov_rate:.4f}  chars/token={r.chars_per_token:.2f}"
+                )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 

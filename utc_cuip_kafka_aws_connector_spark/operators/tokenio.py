@@ -319,6 +319,33 @@ def tokenizer_report(
     ids = bpe_encode(
         df.select(id_col, text_col), merges, vocab, unk_id=eff_unk
     )
+    return _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col)
+
+
+def tokenizer_report_spec(
+    df,
+    spec: TokenizerSpec,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str | None = "lang",
+):
+    """``tokenizer_report`` for any loaded ``TokenizerSpec`` — the
+    encode leg runs ``bytelevel.spec_encode``, so byte-level models
+    (structurally zero-OOV) and byte_fallback models report through
+    the same fitness columns as the plain path."""
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_encode,
+    )
+
+    unk_id = spec.vocab.get(spec.unk_token) if spec.unk_token else None
+    eff_unk = unk_id if unk_id is not None else -1
+    ids = spec_encode(df.select(id_col, text_col), spec, id_col, text_col)
+    return _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col)
+
+
+def _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col):
+    from pyspark.sql import functions as F
+
     enriched = df.select(
         id_col,
         F.length(
