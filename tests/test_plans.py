@@ -286,12 +286,16 @@ def test_q120_strip_is_scan_local(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
-def test_q121_cap_is_window_group_limit_no_python(spark):
-    """Per-domain cap: PSL resolution stays pure JVM expression work
-    (no Python stage) and the rank<=N filter compiles to
-    WindowGroupLimit, so mega-domains prune map-side before the one
-    domain-keyed Exchange."""
+def test_q121_cap_window_group_limit_and_arrow_psl(spark):
+    """Per-domain cap under the bundled COMPLETE PSL (r12): the
+    rank<=N filter still compiles to WindowGroupLimit on BOTH sides
+    of the domain Exchange (mega-domains prune map-side), and PSL
+    resolution is the documented large-table path — ONE
+    Arrow-vectorized eval, never a row-at-a-time BatchEvalPython.
+    (Small custom tables still compile to the pure-JVM when-chain;
+    tests/test_urlops.py pins that mode.)"""
     p = plan_of(spark, "q121_per_domain_cap")
-    assert "WindowGroupLimit" in p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("WindowGroupLimit") >= 2, p  # partial + final
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
     assert "MapInPandas" not in p
