@@ -222,9 +222,18 @@ def test_spec_rejects_sections_that_change_ids(fixture_spec):
     bad_pre = dict(base, pre_tokenizer={"type": "Metaspace"})
     with pytest.raises(ValueError, match="pre_tokenizer"):
         from_tokenizer_json_spec(json.dumps(bad_pre))
-    bad_post = dict(base, post_processor={"type": "TemplateProcessing"})
+    bad_post = dict(base, post_processor={"type": "RobertaProcessing"})
     with pytest.raises(ValueError, match="post_processor"):
         from_tokenizer_json_spec(json.dumps(bad_post))
+    bad_tpl = dict(
+        base,
+        post_processor={
+            "type": "TemplateProcessing",
+            "single": [{"SpecialToken": {"id": "<missing>", "type_id": 0}}],
+        },
+    )
+    with pytest.raises(ValueError, match="not in the vocab"):
+        from_tokenizer_json_spec(json.dumps(bad_tpl))
     bad_top = dict(base, mystery_section=1)
     with pytest.raises(ValueError, match="unsupported tokenizer sections"):
         from_tokenizer_json_spec(json.dumps(bad_top))
@@ -307,3 +316,150 @@ def test_byte_histogram_matches_driver_pretokenize(spark):
             sym = text_to_byte_symbols(piece)
             want[sym] = want.get(sym, 0) + 1
     assert got == want
+
+
+def test_ranked_encoder_equals_sequential_passes_on_wellformed_tables():
+    """spec_encode's lowest-rank-first kernel (O(1) in table size) and
+    the sequential-pass kernel the oracle replays
+    (tokenizer.bpe_encode_word) are bit-identical on WELL-FORMED merge
+    tables — the repo's pinned equivalence, differentialed here on the
+    committed fixture's merges and on randomized learned-style tables."""
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        ranked_bpe_encode,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
+        bpe_encode_word,
+    )
+
+    with open(FIXTURE) as fh:
+        spec = from_tokenizer_json_spec(fh.read())
+    ranks = {p: r for r, p in enumerate(spec.merges)}
+    table = byte_to_unicode()
+    for text in ["the world ends", "written words formed here", "aaaa bb"]:
+        for piece in byte_pretokenize(text):
+            syms = text_to_byte_symbols(piece)
+            assert ranked_bpe_encode(syms, ranks) == bpe_encode_word(
+                syms, spec.merges
+            ), piece
+
+    # randomized well-formed tables over a tiny alphabet: each merge
+    # side is a base char or an earlier product (the learned-table
+    # invariant)
+    for seed in range(8):
+        rng = random.Random(seed)
+        produced = ["a", "b", "c"]
+        merges = []
+        for _ in range(12):
+            x, y = rng.choice(produced), rng.choice(produced)
+            merges.append((x, y))
+            produced.append(x + y)
+        ranks2 = {p: r for r, p in enumerate(dict.fromkeys(merges))}
+        # dedupe preserving first occurrence, as a learner would
+        uniq = list(dict.fromkeys(merges))
+        for _ in range(40):
+            w = "".join(rng.choice("abc") for _ in range(rng.randrange(1, 14)))
+            assert ranked_bpe_encode(w, ranks2) == bpe_encode_word(w, uniq), (
+                seed, w, uniq,
+            )
+
+
+# --- Llama-family (sentencepiece-style) fixture --------------------------
+
+LLAMA_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "data", "llama_like_tokenizer.json"
+)
+
+
+@pytest.fixture(scope="module")
+def llama_spec():
+    with open(LLAMA_FIXTURE) as fh:
+        return from_tokenizer_json_spec(fh.read())
+
+
+def test_llama_fixture_loads_with_normalizers_and_specials(llama_spec):
+    spec = llama_spec
+    assert not spec.byte_level and spec.byte_fallback
+    assert spec.split_mode == "none"  # absent pre_tokenizer = no split
+    assert spec.normalizers == [
+        ("prepend", "▁"), ("replace", " ", "▁"),
+    ]
+    assert spec.special_prefix == [1] and spec.special_suffix == []
+    assert spec.unk_token == "<unk>" and spec.vocab["<unk>"] == 0
+    assert spec.vocab["<0x00>"] == 3 and spec.vocab["<0xFF>"] == 258
+
+
+def test_legacy_loader_refuses_sentencepiece_shape():
+    with open(LLAMA_FIXTURE) as fh:
+        text = fh.read()
+    # byte_fallback trips first; a fallback-free sentencepiece file
+    # trips the normalizer/specials check
+    with pytest.raises(ValueError, match="from_tokenizer_json_spec"):
+        from_tokenizer_json(text)
+    doc = json.loads(text)
+    doc["model"]["byte_fallback"] = False
+    with pytest.raises(ValueError, match="sentencepiece-style"):
+        from_tokenizer_json(json.dumps(doc))
+
+
+def test_llama_encode_matches_hand_derivation(spark, llama_spec):
+    """"the world" -> "▁the▁world" -> the merge cascade ends at
+    [▁the, ▁world]; 'é' (not in vocab) escapes via byte_fallback to
+    <0xC3><0xA9>; specials wrap only when asked."""
+    spec = llama_spec
+    inv = {i: t for t, i in spec.vocab.items()}
+    df = spark.createDataFrame(
+        [(0, "the world"), (1, "worlds and é"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.token_ids for r in spec_encode(df, spec).collect()}
+    assert [inv[i] for i in got[0]] == ["▁the", "▁world"]
+    # "worlds and é" -> "▁worlds▁and▁é"; the merge cascade yields
+    # [▁world, s, ▁and, ▁, é]; 's' and 'é' are outside the vocab, so
+    # byte_fallback escapes them (it wins over unk, the HF order)
+    assert [inv[i] for i in got[1]] == [
+        "▁world", "<0x73>", "▁and", "▁", "<0xC3>", "<0xA9>",
+    ]
+    assert got[2] == []  # HF Prepend is a no-op on the empty string
+    wrapped = {
+        r.doc_id: r.token_ids
+        for r in spec_encode(df, spec, add_special_tokens=True).collect()
+    }
+    assert wrapped[0][0] == 1 and wrapped[0][1:] == got[0]
+    assert wrapped[2] == [1]
+
+
+def test_llama_decode_roundtrips(spark, llama_spec):
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_decode,
+    )
+
+    spec = llama_spec
+    texts = ["the world", "and the théorld", "worlds and é"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for flag in (False, True):
+        got = {
+            r.doc_id: r.token_ids
+            for r in spec_encode(
+                df, spec, add_special_tokens=flag
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert spec_decode(got[i], spec) == t, (flag, t)
+
+
+def test_llama_whole_text_is_one_sequence(spark, llama_spec):
+    """split_mode 'none': merges can cross what whitespace would have
+    split — '▁and' exists because the space became ▁ IN the sequence,
+    and a cross-boundary merge like (d, ▁an) would be reachable if
+    ranked; pin that the text is NOT whitespace-pre-split by checking
+    a merge that consumes the ▁ between words."""
+    spec = llama_spec
+    inv = {i: t for t, i in spec.vocab.items()}
+    df = spark.createDataFrame([(0, "world and")], "doc_id long, text string")
+    (row,) = spec_encode(df, spec).collect()
+    toks = [inv[i] for i in row.token_ids]
+    assert toks == ["▁world", "▁and"]  # ▁and spans the original space

@@ -49,9 +49,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from utc_cuip_kafka_aws_connector_spark.operators.tokenizer import (
-    bpe_encode_word,
-)
 
 # GPT-2 split pattern. With the `regex` module (present in this
 # container, probed r12) the EXACT published pattern runs — real
@@ -194,9 +191,64 @@ def byte_level_train(
     )
 
 
+def ranked_bpe_encode(
+    symbols, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Lowest-rank-first BPE (the published openai/gpt-2 encoder
+    algorithm): repeatedly merge the best-ranked adjacent pair,
+    leftmost occurrence first, until no pair has a rank. Linked-list
+    + lazy heap: O(n log n) in the piece length and O(1) in the merge
+    TABLE size — where the sequential-pass kernel
+    (``tokenizer.bpe_encode_word``) costs O(n_merges * n) per piece,
+    prohibitive at real vocabulary sizes (GPT-2 ships 50k merges,
+    Llama 60k+). For well-formed learned tables the two produce
+    identical output (the repo's pinned equivalence;
+    tests/test_bytelevel.py differentials them on the fixtures and on
+    randomized well-formed tables), so ``spec_encode`` uses this form
+    unconditionally."""
+    import heapq
+
+    syms = list(symbols)
+    n = len(syms)
+    if n < 2:
+        return syms
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap: list[tuple[int, int, str, str]] = []
+
+    def push(i: int) -> None:
+        j = nxt[i]
+        if j != -1:
+            r = ranks.get((syms[i], syms[j]))
+            if r is not None:
+                heapq.heappush(heap, (r, i, syms[i], syms[j]))
+
+    for i in range(n - 1):
+        push(i)
+    while heap:
+        _, i, a, b = heapq.heappop(heap)
+        # lazy invalidation: the entry is live only if position i
+        # still holds `a` and its live successor still holds `b`
+        if not alive[i] or syms[i] != a:
+            continue
+        j = nxt[i]
+        if j == -1 or syms[j] != b:
+            continue
+        syms[i] = a + b
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[i] != -1:
+            prv[nxt[i]] = i
+        if prv[i] != -1:
+            push(prv[i])
+        push(i)
+    return [syms[i] for i in range(n) if alive[i]]
+
+
 def _encode_piece_symbols(
     symbols: str,
-    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
     vocab: dict[str, int],
     unk_id: int | None,
     byte_fallback: bool,
@@ -205,7 +257,7 @@ def _encode_piece_symbols(
     else <0xNN> byte tokens (byte_fallback), else unk, else a loud
     error — never a silent drop."""
     ids: list[int] = []
-    for tok in bpe_encode_word(symbols, merges):
+    for tok in ranked_bpe_encode(symbols, ranks):
         i = vocab.get(tok)
         if i is not None:
             ids.append(i)
@@ -232,21 +284,44 @@ def spec_encode(
     text_col: str = "text",
     out_col: str = "token_ids",
     cache_cap: int = 1_000_000,
+    add_special_tokens: bool = False,
 ) -> DataFrame:
     """(id, out_col array<int>) under a ``tokenio.TokenizerSpec`` —
     the one encoder for every model shape this engine loads:
     byte-level specs run ByteLevel pretokenize -> byte symbols ->
-    merges; character-level specs run the whitespace split the rest
-    of the repo uses, with ``byte_fallback`` honored on vocab misses.
-    One Arrow-batched scan, per-executor piece cache, no shuffle."""
-    merges = list(spec.merges)
+    merges; character-level specs apply the spec's normalizer ops
+    (sentencepiece Prepend/Replace) then split per ``split_mode`` —
+    "whitespace" (this repo's plain BPE) or "none" (the whole
+    normalized text as ONE BPE sequence, the Llama shape) — with
+    ``byte_fallback`` honored on vocab misses.
+    ``add_special_tokens`` wraps each document in the spec's
+    TemplateProcessing BOS/EOS ids (off by default: corpus pipelines
+    insert document separators at packing time, not per-encode).
+    One Arrow-batched scan, per-executor piece cache (short pieces
+    only — whole-document sequences are not worth caching), no
+    shuffle; the merge loop is ``ranked_bpe_encode``, O(len log len)
+    per piece regardless of merge-table size."""
+    ranks = {pair: r for r, pair in enumerate(spec.merges)}
     vocab = dict(spec.vocab)
     unk_id = vocab.get(spec.unk_token) if spec.unk_token else None
     byte_level = bool(spec.byte_level)
     add_prefix_space = bool(spec.add_prefix_space)
     use_regex = bool(getattr(spec, "use_regex", True))
     byte_fallback = bool(getattr(spec, "byte_fallback", False))
+    norm_ops = tuple(getattr(spec, "normalizers", ()) or ())
+    split_mode = getattr(spec, "split_mode", "whitespace")
+    prefix = list(getattr(spec, "special_prefix", ())) if add_special_tokens else []
+    suffix = list(getattr(spec, "special_suffix", ())) if add_special_tokens else []
     ws = re.compile(r"\s+")
+
+    def normalize(text: str) -> str:
+        for op in norm_ops:
+            if op[0] == "prepend":
+                if text:  # HF Prepend is a no-op on the empty string
+                    text = op[1] + text
+            else:
+                text = text.replace(op[1], op[2])
+        return text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[int]] = {}
@@ -256,23 +331,26 @@ def spec_encode(
             if ids is None:
                 symbols = text_to_byte_symbols(piece) if byte_level else piece
                 ids = _encode_piece_symbols(
-                    symbols, merges, vocab, unk_id, byte_fallback
+                    symbols, ranks, vocab, unk_id, byte_fallback
                 )
-                if len(cache) < cache_cap:
+                if len(piece) <= 256 and len(cache) < cache_cap:
                     cache[piece] = ids
             return ids
 
         for pdf in batches:
             out = []
             for text in pdf[text_col].fillna("").astype(str):
-                pieces = (
-                    byte_pretokenize(text, add_prefix_space, use_regex)
-                    if byte_level
-                    else [w for w in ws.split(text) if w]
-                )
-                ids: list[int] = []
+                text = normalize(text)
+                if byte_level:
+                    pieces = byte_pretokenize(text, add_prefix_space, use_regex)
+                elif split_mode == "whitespace":
+                    pieces = [w for w in ws.split(text) if w]
+                else:  # "none": whole text, one sequence
+                    pieces = [text] if text else []
+                ids: list[int] = list(prefix)
                 for piece in pieces:
                     ids.extend(encode_piece(piece))
+                ids.extend(suffix)
                 out.append(ids)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
@@ -287,3 +365,55 @@ def decode_byte_ids(ids: list[int], vocab: dict[str, int]) -> str:
     (the alphabet is a bijection and byte-level never drops)."""
     inv = {i: t for t, i in vocab.items()}
     return byte_symbols_to_text("".join(inv[i] for i in ids))
+
+
+_BYTE_TOKEN = re.compile(r"<0x([0-9A-Fa-f]{2})>")
+
+
+def spec_decode(ids: list[int], spec) -> str:
+    """Driver-side inverse of ``spec_encode`` for one document (the
+    verification helper, not a distributed op): strips the spec's
+    special affixes, folds ``<0xNN>`` byte-fallback runs back into
+    UTF-8, unmaps the byte-level alphabet, and inverts the
+    sentencepiece normalizer ops (replaces undone in reverse order,
+    then the prepend marker — as transformed by those undos —
+    stripped from the front). Exact for every shape the loader
+    accepts when the text round-trips at all (byte-level always;
+    char-level up to the whitespace its split discards)."""
+    inv = {i: t for t, i in spec.vocab.items()}
+    toks = [inv[i] for i in ids]
+    prefix = list(getattr(spec, "special_prefix", ()))
+    suffix = list(getattr(spec, "special_suffix", ()))
+    if prefix and ids[: len(prefix)] == prefix:
+        toks = toks[len(prefix):]
+    if suffix and len(toks) >= len(suffix) and ids[-len(suffix):] == suffix:
+        toks = toks[: len(toks) - len(suffix)]
+    parts: list[str] = []
+    buf: list[int] = []
+    for t in toks:
+        m = _BYTE_TOKEN.fullmatch(t)
+        if m:
+            buf.append(int(m.group(1), 16))
+            continue
+        if buf:
+            parts.append(bytes(buf).decode("utf-8"))
+            buf = []
+        parts.append(t)
+    if buf:
+        parts.append(bytes(buf).decode("utf-8"))
+    s = "".join(parts)
+    if spec.byte_level:
+        return byte_symbols_to_text(s)
+    ops = tuple(getattr(spec, "normalizers", ()) or ())
+
+    def undo_replaces(x: str) -> str:
+        for op in reversed(ops):
+            if op[0] == "replace":
+                x = x.replace(op[2], op[1])
+        return x
+
+    s = undo_replaces(s)
+    for op in ops:
+        if op[0] == "prepend":
+            s = s.removeprefix(undo_replaces(op[1]))
+    return s

@@ -86,9 +86,20 @@ _KNOWN_TOP_KEYS = {
 @dataclass(frozen=True)
 class TokenizerSpec:
     """Everything the distributed encoder needs from a
-    ``tokenizer.json``: the BPE tables plus the pretokenization/
-    escape options this engine supports. ``bytelevel.spec_encode``
-    consumes this directly."""
+    ``tokenizer.json``: the BPE tables plus the pretokenization,
+    normalizer and escape options this engine supports.
+    ``bytelevel.spec_encode`` consumes this directly.
+
+    ``normalizers`` is the accepted sentencepiece-style op list in
+    file order: ``("prepend", s)`` and ``("replace", old, new)`` —
+    the Llama-family ``Prepend "▁" + Replace " "→"▁"`` shape.
+    ``split_mode`` (char-level models): "whitespace" (this repo's
+    \\s+ split, written as a WhitespaceSplit section) or "none" (no
+    pre_tokenizer in the file — the sentencepiece convention: the
+    whole normalized text is one BPE sequence). ``special_prefix`` /
+    ``special_suffix`` are the TemplateProcessing single-sequence
+    specials (BOS/EOS ids), applied only when the encoder is asked
+    to (``add_special_tokens=``)."""
 
     merges: list[tuple[str, str]]
     vocab: dict[str, int]
@@ -98,6 +109,10 @@ class TokenizerSpec:
     use_regex: bool = True
     byte_fallback: bool = False
     added_tokens: dict[str, int] = field(default_factory=dict)
+    normalizers: list[tuple] = field(default_factory=list)
+    split_mode: str = "whitespace"
+    special_prefix: list[int] = field(default_factory=list)
+    special_suffix: list[int] = field(default_factory=list)
 
 
 def to_tokenizer_json(
@@ -131,6 +146,10 @@ def to_tokenizer_json(
         }
         doc["pre_tokenizer"] = section
         doc["decoder"] = section
+    else:
+        # explicit, so the spec loader's absent-means-no-split
+        # (sentencepiece) convention can never misread our files
+        doc["pre_tokenizer"] = {"type": "WhitespaceSplit"}
     return json.dumps(doc, ensure_ascii=False, indent=2)
 
 
@@ -163,33 +182,112 @@ def _parse_model(model: dict) -> tuple[list[tuple[str, str]], dict[str, int]]:
     return merges, vocab
 
 
+def _parse_normalizer(norm) -> list[tuple]:
+    """The accepted normalizer shapes: absent, ``Prepend``,
+    ``Replace`` with a literal-string pattern, or a ``Sequence`` of
+    those (the Llama/sentencepiece ``Prepend ▁ + Replace " "→"▁"``
+    stack). Anything else would change tokenization in a way this
+    engine does not reproduce — rejected loudly."""
+    if norm is None:
+        return []
+    ntype = norm.get("type") if isinstance(norm, dict) else None
+    if ntype == "Sequence":
+        ops: list[tuple] = []
+        for sub in norm.get("normalizers") or []:
+            ops.extend(_parse_normalizer(sub))
+        return ops
+    if ntype == "Prepend":
+        return [("prepend", str(norm.get("prepend", "")))]
+    if ntype == "Replace":
+        pat = norm.get("pattern")
+        if isinstance(pat, dict) and "String" in pat:
+            return [("replace", str(pat["String"]), str(norm.get("content", "")))]
+        raise ValueError(
+            "unsupported Replace normalizer pattern (only literal "
+            f"String patterns run exactly): {pat!r}"
+        )
+    raise ValueError(
+        f"unsupported normalizer type: {ntype!r} (supported: Prepend, "
+        "Replace(String), Sequence of those, absent — e.g. NFC/NFKC "
+        "must be applied upstream, operators/normalize.py)"
+    )
+
+
+def _parse_post_processor(post, vocab: dict[str, int]) -> tuple[list[int], list[int]]:
+    """(prefix ids, suffix ids) a post-processor adds around a single
+    sequence. ByteLevel only adjusts offsets (no ids); a
+    TemplateProcessing ``single`` template of specials around one
+    ``Sequence`` (the Llama BOS shape) parses to its id lists; any
+    other processor would alter ids unpredictably — rejected."""
+    if post is None:
+        return [], []
+    ptype = post.get("type")
+    if ptype == "ByteLevel":
+        return [], []
+    if ptype == "TemplateProcessing":
+        prefix: list[int] = []
+        suffix: list[int] = []
+        seen_seq = False
+        for item in post.get("single") or []:
+            if "SpecialToken" in item:
+                tok = str(item["SpecialToken"]["id"])
+                if tok not in vocab:
+                    raise ValueError(
+                        f"TemplateProcessing special {tok!r} is not in the "
+                        "vocab/added_tokens"
+                    )
+                (suffix if seen_seq else prefix).append(vocab[tok])
+            elif "Sequence" in item:
+                if seen_seq:
+                    raise ValueError(
+                        "TemplateProcessing with multiple Sequence slots is "
+                        "not supported"
+                    )
+                seen_seq = True
+            else:
+                raise ValueError(
+                    f"unsupported TemplateProcessing item: {item!r}"
+                )
+        return prefix, suffix
+    raise ValueError(
+        f"unsupported post_processor type: {ptype!r} (it would alter "
+        "token ids)"
+    )
+
+
 def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
     """Parse a ``tokenizer.json`` into a ``TokenizerSpec`` — the full
     supported surface: plain whitespace BPE, byte-level (GPT-2
-    family) BPE, ``byte_fallback`` escapes, ``added_tokens``. Raises
-    on any section whose semantics this engine cannot reproduce
-    (normalizers, non-ByteLevel pretokenizers, id-altering
-    post-processors, truncation/padding) instead of mis-tokenizing
-    silently."""
+    family) BPE, sentencepiece-style normalizers + whole-text BPE
+    with ``byte_fallback`` escapes (the Llama family, incl. its
+    TemplateProcessing BOS/EOS recorded as special_prefix/suffix),
+    ``added_tokens``. Raises on any section whose semantics this
+    engine cannot reproduce (other normalizers, other pretokenizers,
+    other post-processors, truncation/padding) instead of
+    mis-tokenizing silently.
+
+    Pre-tokenizer convention: ``WhitespaceSplit`` is this repo's
+    ``\\s+`` split (the plain writer emits it explicitly); an ABSENT
+    pre_tokenizer means NO split — the sentencepiece convention, the
+    whole normalized text is one BPE sequence."""
     doc = json.loads(text)
     if not isinstance(doc, dict):
         raise ValueError("tokenizer.json must be one JSON object")
     unknown = set(doc) - _KNOWN_TOP_KEYS
     if unknown:
         raise ValueError(f"unsupported tokenizer sections: {sorted(unknown)}")
-    for sec in ("truncation", "padding", "normalizer"):
+    for sec in ("truncation", "padding"):
         if doc.get(sec) is not None:
             raise ValueError(
-                f"{sec}={doc[sec].get('type', doc[sec])!r} is not supported "
-                "(it would change tokenization; strip it or preprocess "
-                "upstream)"
-                if isinstance(doc[sec], dict)
-                else f"{sec} is not supported"
+                f"{sec} is not supported (it would change tokenization; "
+                "strip it or preprocess upstream)"
             )
+    normalizers = _parse_normalizer(doc.get("normalizer"))
 
     byte_level = False
     add_prefix_space = False
     use_regex = True
+    split_mode = "none"
     pre = doc.get("pre_tokenizer")
     if pre is not None:
         ptype = pre.get("type") if isinstance(pre, dict) else None
@@ -198,20 +296,12 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
             add_prefix_space = bool(pre.get("add_prefix_space", False))
             use_regex = bool(pre.get("use_regex", True))
         elif ptype == "WhitespaceSplit":
-            pass  # exactly this repo's \s+ split
+            split_mode = "whitespace"
         else:
             raise ValueError(
                 f"unsupported pre_tokenizer type: {ptype!r} (supported: "
                 "ByteLevel, WhitespaceSplit, absent)"
             )
-    post = doc.get("post_processor")
-    if post is not None and post.get("type") != "ByteLevel":
-        # ByteLevel post-processing only adjusts offsets; anything
-        # else (TemplateProcessing etc.) INSERTS ids.
-        raise ValueError(
-            f"unsupported post_processor type: {post.get('type')!r} "
-            "(it would alter token ids)"
-        )
     # decoder: display-only (ids unaffected) -- accepted and ignored.
 
     merges, vocab = _parse_model(doc.get("model") or {})
@@ -225,6 +315,9 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
             )
         added[content] = tid
         vocab[content] = tid
+    special_prefix, special_suffix = _parse_post_processor(
+        doc.get("post_processor"), vocab
+    )
     unk = doc.get("model", {}).get("unk_token")
     return TokenizerSpec(
         merges=merges,
@@ -235,6 +328,10 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
         use_regex=use_regex,
         byte_fallback=bool(doc.get("model", {}).get("byte_fallback")),
         added_tokens=added,
+        normalizers=normalizers,
+        split_mode=split_mode,
+        special_prefix=special_prefix,
+        special_suffix=special_suffix,
     )
 
 
@@ -255,6 +352,16 @@ def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int
             "byte_fallback tokenizer: load with from_tokenizer_json_spec "
             "and encode with bytelevel.spec_encode"
         )
+    if spec.normalizers or spec.special_prefix or spec.special_suffix:
+        raise ValueError(
+            "sentencepiece-style tokenizer (normalizers/template "
+            "specials): load with from_tokenizer_json_spec and encode "
+            "with bytelevel.spec_encode"
+        )
+    # A bare-model file (no pre_tokenizer section at all, this repo's
+    # pre-r12 emission) is the old plain shape; callers of this legacy
+    # API whitespace-split themselves, so both split modes are fine
+    # here.
     return spec.merges, spec.vocab
 
 
