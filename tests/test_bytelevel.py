@@ -463,3 +463,51 @@ def test_llama_whole_text_is_one_sequence(spark, llama_spec):
     (row,) = spec_encode(df, spec).collect()
     toks = [inv[i] for i in row.token_ids]
     assert toks == ["▁world", "▁and"]  # ▁and spans the original space
+
+
+# --- hypothesis properties (the repo's §5.2 idiom) -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# any unicode text, surrogates excluded (not UTF-8 encodable)
+any_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(any_text, min_size=1, max_size=5))
+def test_hypothesis_byte_level_roundtrip_any_text(spark, fixture_spec, texts):
+    """Byte-level's headline property, over ARBITRARY unicode: decode
+    (encode(text)) == text exactly — total byte coverage means no
+    text can fail to round-trip."""
+    spec, _ = fixture_spec
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.token_ids for r in spec_encode(df, spec).collect()}
+    for i, t in enumerate(texts):
+        assert decode_byte_ids(got[i], spec.vocab) == t
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(any_text.map(lambda s: s.replace("▁", "")), min_size=1, max_size=4))
+def test_hypothesis_llama_shape_roundtrip(spark, llama_spec, texts):
+    """Sentencepiece-shape round trip over arbitrary text not
+    containing the ▁ marker itself (the one character the normalizer
+    inverse cannot distinguish from a rewritten space)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_decode,
+    )
+
+    spec = llama_spec
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.token_ids
+        for r in spec_encode(df, spec, add_special_tokens=True).collect()
+    }
+    for i, t in enumerate(texts):
+        assert spec_decode(got[i], spec) == t
