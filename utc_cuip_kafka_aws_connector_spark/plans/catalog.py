@@ -4410,10 +4410,11 @@ _GATE_PRIORITY = [
     # named candidate is q14_distinct_months (subsumed by q10
     # count-distinct + q33 calendar aggregation). Module edits legal
     # at r13: those whose dependents are all r12-attested — dedup.py
-    # unfreezes then (checkpoint_dir= for connected_components is
-    # scheduled r13 work), as do text.py, sampling.py, similarity.py,
-    # multimodal.py, layout.py/skipread.py, stats.py, diff.py,
-    # chunking.py, boilerplate.py, streaming/ops.py.
+    # unfreezes then (connected_components already carries the
+    # reliable_checkpoint/checkpoint_dir knob, dedup.py:288-346, so
+    # no r13 edit is owed there), as do text.py, sampling.py,
+    # similarity.py, multimodal.py, layout.py/skipread.py, stats.py,
+    # diff.py, chunking.py, boilerplate.py, streaming/ops.py.
     #
     # --- the 48 expiring r9-resters ---
     "q01_pricing_summary",
