@@ -1,0 +1,442 @@
+"""Interpolated Kneser-Ney n-gram language model: distributed
+training (pure count aggregations) and perplexity scoring (pure
+join + fold), the CCNet-style quality signal.
+
+Why this exists: the public CCNet pipeline (Wenzek et al. 2020)
+buckets Common Crawl documents into head/middle/tail by the
+perplexity of a KenLM 5-gram model trained on Wikipedia, and that
+perplexity filter is still the canonical model-based quality signal
+for LLM corpus curation (used by GPT-3-style and Llama-style data
+recipes in the public literature). ``operators/nbquality.py``
+carries a perplexity *proxy* (NB token log-prob); this module is the
+real thing — an interpolated Kneser-Ney model (Kneser & Ney 1995;
+Chen & Goodman 1999 formulation) with continuation counts for the
+lower orders, trained and scored entirely as DataFrame plans.
+
+Spark-first design — both phases are shuffle-bounded, no Python in
+either hot path:
+
+- ``kn_train``: tokenize -> pad with ``<s>``/``</s>`` -> one
+  explode + ``groupBy(gram).count`` per order (map-side partial
+  aggregation absorbs the Zipf skew: popular grams combine before
+  the exchange). Continuation counts for order k are derived from
+  the DISTINCT (k+1)-gram table (drop the first token, count) — no
+  second corpus pass. The model stays DataFrames of
+  ``(gram, p)`` / ``(ctx, b)``; nothing model-sized ever lands on
+  the driver (only two scalar aggregates: vocabulary size and the
+  unigram backoff weight).
+- ``kn_score``: one posexplode to (doc, position), per-order gram
+  strings built JVM-side with ``slice``/``array_join``, then one
+  LEFT join per order against the prob/backoff tables and a single
+  codegen'd interpolation fold
+  ``p_n + b_n*(p_{n-1} + ... b_2*(p_1 + b_1/V))`` with
+  ``coalesce(p, 0)`` / ``coalesce(b, 1)`` (unseen context = back
+  off with weight 1). Per-doc re-aggregation sums log10 probs.
+
+Scale story at 100 TB: the corpus-sized side is exploded n-grams;
+each join's build side is the LM (one row per distinct gram —
+Wikipedia-scale reference corpora give O(10^7..10^8) rows, far
+smaller than the corpus). Catalyst/AQE picks broadcast when the LM
+slice fits, shuffle-hash otherwise; hot-gram skew on the probe side
+is bounded because the build side is unique-keyed (AQE skew-join
+splits oversized probe partitions). Nothing iterates, nothing
+collects.
+
+Float caveat (same contract as operators/nbquality.py): log10
+probabilities are doubles summed per document in shuffle order —
+tolerance-stable, not bit-stable; the differential test pins
+per-document scores against a pure-Python reference at 1e-9.
+
+Exact-normalization property (pinned in tests/test_ngramlm.py):
+with discount D <= 1 every adjusted count is >= 1 >= D, so for any
+seen context h the model sums to EXACTLY
+``sum_w P(w|h) = 1`` over the training vocabulary (the discounted
+mass D*d(h)/t(h) is redistributed through the lower orders down to
+the uniform 1/V floor). This is the property that makes perplexity
+comparable across documents.
+
+Reference basis: the reference repo (389 lines, Kafka->csv/S3) has
+no model surface; this is SURVEY §2.D training-data-pipeline scope
+built from the public algorithm (Chen & Goodman 1999 eqs. 4.17-4.20;
+KenLM's <s>/</s> padding convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.text import words
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+
+def _tokens(text_col: str) -> Column:
+    """Non-empty whitespace tokens (the repo-wide tokenizer
+    contract, operators/text.py::words)."""
+    return F.filter(words(text_col), lambda w: w != F.lit(""))
+
+
+def _padded(tokens: Column, order: int) -> Column:
+    """KenLM-style sequence padding: (order-1) BOS sentinels so the
+    first real token has a full-width context, one EOS so document
+    end is a predicted event (length normalization then counts it)."""
+    bos = F.array(*[F.lit(BOS)] * (order - 1))
+    return F.concat(bos, tokens, F.array(F.lit(EOS)))
+
+
+def _grams(padded: Column, k: int) -> Column:
+    """All k-grams of the padded sequence as space-joined strings —
+    one JVM transform over start offsets, no explode yet."""
+    starts = F.sequence(F.lit(1), F.size(padded) - F.lit(k - 1))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(padded, i, k), " ")
+    )
+
+
+def _map_to_vocab(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Replace out-of-vocabulary tokens with ``<unk>`` via a
+    distributed join (the vocabulary is never collected): explode
+    with position, left-join the vocab table, re-assemble in order.
+    Returns ``(id_col, __toks array<string>)`` — one linear lineage,
+    no self-join back to ``df`` (a self-join keyed on a generated id
+    would be a recompute hazard). ``posexplode_outer`` keeps empty
+    documents as a null row, so every input id survives."""
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(_tokens(text_col)).alias("__pos", "__tok"),
+    )
+    mapped = pos.join(
+        vocab.select(F.col("token").alias("__tok"), F.lit(1).alias("__in")),
+        on="__tok",
+        how="left",
+    ).select(
+        "__id",
+        "__pos",
+        F.when(F.col("__in").isNotNull(), F.col("__tok"))
+        .otherwise(F.lit(UNK))
+        .alias("__tok"),
+    )
+    return mapped.groupBy("__id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__pos").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("__tok")),
+                    )
+                )
+            ),
+            lambda s: s.getField("__tok"),
+        ).alias("__toks")
+    ).withColumnRenamed("__id", id_col)
+
+
+def kn_train(
+    df: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    discount: float = 0.75,
+    min_count: int = 1,
+) -> dict:
+    """Train an interpolated Kneser-Ney model of the given order.
+
+    Returns ``{"order", "discount", "vocab": DataFrame(token),
+    "v_size": int, "b1": float, "probs": {k: DataFrame(gram, p)},
+    "ctx": {k: DataFrame(ctx, b)} }`` where for each order k:
+
+    - adjusted count a_k(g) = raw corpus count for k = order,
+      continuation count N1+(.g) (distinct left-extensions) below;
+    - ``p = max(a_k(hw) - D, 0) / t_k(h)`` with
+      ``t_k(h) = sum_w a_k(hw)``;
+    - ``b = D * d_k(h) / t_k(h)`` with d_k(h) = distinct extensions
+      of h — the mass released by discounting, handed to order k-1.
+
+    ``min_count`` > 1 maps rarer tokens to ``<unk>`` before counting
+    (the KenLM/SRILM open-vocabulary convention), so true OOV tokens
+    at score time share the learned ``<unk>`` statistics instead of
+    free-falling to the uniform floor.
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    if not 0.0 < discount <= 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1] so adjusted counts (>= 1) "
+            f"never go negative after discounting, got {discount}"
+        )
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    base = df.select(F.monotonically_increasing_id().alias("__id"), text_col)
+    uni = base.select(F.explode(_tokens(text_col)).alias("token"))
+    vocab = (
+        uni.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("token")
+    )
+
+    if min_count > 1:
+        toks_df = _map_to_vocab(base, text_col, "__id", vocab).select(
+            F.col("__toks").alias("toks")
+        )
+    else:
+        toks_df = base.select(_tokens(text_col).alias("toks"))
+
+    padded = toks_df.select(_padded(F.col("toks"), order).alias("p"))
+
+    # Raw counts per order (order k needs them to derive order k-1's
+    # continuation counts; only the top order keeps them as-is).
+    raw = {}
+    for k in range(1, order + 1):
+        raw[k] = (
+            padded.select(F.explode(_grams(F.col("p"), k)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("a"))
+        )
+
+    adjusted = {order: raw[order]}
+    for k in range(order - 1, 0, -1):
+        # N1+(.g): distinct (k+1)-grams that end in g.
+        adjusted[k] = (
+            raw[k + 1]
+            .select(
+                F.substring_index(F.col("gram"), " ", -k).alias("gram")
+            )
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("a"))
+        )
+    # BOS is context-only, never a predicted event; for order >= 3
+    # the (<s>, <s>) padding bigram would otherwise leak <s> into
+    # the unigram outcome set (and the uniform floor's V).
+    adjusted[1] = adjusted[1].where(F.col("gram") != BOS)
+
+    probs: dict[int, DataFrame] = {}
+    ctx: dict[int, DataFrame] = {}
+    d_lit = F.lit(float(discount))
+    for k in range(2, order + 1):
+        split = adjusted[k].select(
+            F.substring_index(F.col("gram"), " ", k - 1).alias("ctx"),
+            F.col("gram"),
+            F.col("a"),
+        )
+        totals = split.groupBy("ctx").agg(
+            F.sum("a").alias("t"), F.count(F.lit(1)).alias("d")
+        )
+        probs[k] = (
+            split.join(totals, on="ctx", how="inner")
+            .select(
+                "gram",
+                (
+                    F.greatest(F.col("a") - d_lit, F.lit(0.0)) / F.col("t")
+                ).alias("p"),
+            )
+        )
+        ctx[k] = totals.select(
+            "ctx", (d_lit * F.col("d") / F.col("t")).alias("b")
+        )
+
+    # Unigram level: one global context; two scalar aggregates only.
+    u = adjusted[1].agg(
+        F.sum("a").alias("t"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    t1, d1 = float(u["t"]), int(u["d"])
+    probs[1] = adjusted[1].select(
+        "gram",
+        (F.greatest(F.col("a") - d_lit, F.lit(0.0)) / F.lit(t1)).alias("p"),
+    )
+    b1 = discount * d1 / t1
+
+    # Uniform floor ranges over the PREDICTABLE outcomes: distinct
+    # seen unigrams (includes EOS, never BOS since BOS is never a
+    # predicted event) plus <unk> if the corpus never produced one.
+    v_size = (
+        adjusted[1]
+        .select("gram")
+        .union(
+            adjusted[1].sparkSession.createDataFrame(
+                [(UNK,)], "gram string"
+            )
+        )
+        .distinct()
+        .count()
+    )
+
+    return {
+        "order": order,
+        "discount": discount,
+        "vocab": vocab,
+        "v_size": v_size,
+        "b1": b1,
+        "probs": probs,
+        "ctx": ctx,
+    }
+
+
+def kn_score(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document log10 probability and perplexity under the
+    trained model: ``(id_col, n_tokens, log10_prob, ppl)`` with
+    ``ppl = 10 ** (-log10_prob / n_tokens)`` (KenLM's convention —
+    EOS is a predicted event, so n_tokens = len(doc) + 1).
+
+    One LEFT join per order; unseen grams coalesce to p=0, unseen
+    contexts to b=1 (full backoff). Every expression after the
+    joins is a codegen'd fold — no Python anywhere.
+    """
+    order = model["order"]
+
+    mapped = _map_to_vocab(
+        df.select(id_col, text_col), text_col, id_col, model["vocab"]
+    )
+    padded = mapped.select(
+        F.col(id_col), _padded(F.col("__toks"), order).alias("p")
+    )
+
+    # One row per predicted position j (1-based index into the
+    # padded sequence; j runs from `order` — the first real token —
+    # to size(p), the EOS event).
+    pos = padded.select(
+        F.col(id_col),
+        F.col("p"),
+        F.explode(
+            F.sequence(F.lit(order), F.size(F.col("p")))
+        ).alias("j"),
+    )
+    gram_cols = [
+        F.array_join(
+            F.slice(F.col("p"), F.col("j") - F.lit(k - 1), k), " "
+        ).alias(f"g{k}")
+        for k in range(1, order + 1)
+    ]
+    ctx_cols = [
+        F.array_join(
+            F.slice(F.col("p"), F.col("j") - F.lit(k - 1), k - 1), " "
+        ).alias(f"c{k}")
+        for k in range(2, order + 1)
+    ]
+    events = pos.select(F.col(id_col), *gram_cols, *ctx_cols)
+
+    # broadcast_model=True suits the typical shape (LM trained on a
+    # bounded reference corpus, scored against the big one); set
+    # False for an LM larger than executor memory and the joins
+    # become plain shuffle-hash joins on unique-keyed build sides.
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    for k in range(1, order + 1):
+        events = events.join(
+            hint(
+                model["probs"][k].select(
+                    F.col("gram").alias(f"g{k}"), F.col("p").alias(f"p{k}")
+                )
+            ),
+            on=f"g{k}",
+            how="left",
+        )
+    for k in range(2, order + 1):
+        events = events.join(
+            hint(
+                model["ctx"][k].select(
+                    F.col("ctx").alias(f"c{k}"), F.col("b").alias(f"b{k}")
+                )
+            ),
+            on=f"c{k}",
+            how="left",
+        )
+
+    # Interpolation fold, innermost (uniform floor) outward.
+    prob = F.lit(1.0 / model["v_size"]) * F.lit(model["b1"])
+    prob = F.coalesce(F.col("p1"), F.lit(0.0)) + prob
+    for k in range(2, order + 1):
+        prob = F.coalesce(F.col(f"p{k}"), F.lit(0.0)) + F.coalesce(
+            F.col(f"b{k}"), F.lit(1.0)
+        ) * prob
+
+    scored = events.select(F.col(id_col), F.log10(prob).alias("lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("log10_prob"),
+        F.pow(
+            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
+        ).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame, n_buckets: int = 3, ppl_col: str = "ppl"
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by perplexity
+    ascending and cut into equal-population buckets (bucket 1 =
+    lowest perplexity = most in-domain). One global window sort —
+    the same single-exchange shape as q19's global top-k; for a
+    corpus-sized frame prefer persisting the scored table and
+    filtering on approxQuantile cuts instead (documented trade-off,
+    not chosen here because exact equal population is the CCNet
+    contract)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    w = Window.orderBy(F.col(ppl_col).asc(), F.lit(0))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def save_kn_lm(model: dict, path: str) -> None:
+    """Persist the model as parquet tables + a tiny JSON sidecar
+    (order/discount/v_size/b1) so scoring clusters can load it
+    without retraining."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    model["vocab"].write.mode("overwrite").parquet(
+        os.path.join(path, "vocab")
+    )
+    for k, t in model["probs"].items():
+        t.write.mode("overwrite").parquet(os.path.join(path, f"probs_{k}"))
+    for k, t in model["ctx"].items():
+        t.write.mode("overwrite").parquet(os.path.join(path, f"ctx_{k}"))
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "order": model["order"],
+                "discount": model["discount"],
+                "v_size": model["v_size"],
+                "b1": model["b1"],
+            },
+            fh,
+        )
+
+
+def load_kn_lm(spark: SparkSession, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    order = int(meta["order"])
+    return {
+        "order": order,
+        "discount": float(meta["discount"]),
+        "v_size": int(meta["v_size"]),
+        "b1": float(meta["b1"]),
+        "vocab": spark.read.parquet(os.path.join(path, "vocab")),
+        "probs": {
+            k: spark.read.parquet(os.path.join(path, f"probs_{k}"))
+            for k in range(1, order + 1)
+        },
+        "ctx": {
+            k: spark.read.parquet(os.path.join(path, f"ctx_{k}"))
+            for k in range(2, order + 1)
+        },
+    }
