@@ -219,7 +219,11 @@ def test_spec_rejects_sections_that_change_ids(fixture_spec):
     bad_norm = dict(base, normalizer={"type": "NFC"})
     with pytest.raises(ValueError, match="normalizer"):
         from_tokenizer_json_spec(json.dumps(bad_norm))
-    bad_pre = dict(base, pre_tokenizer={"type": "Metaspace"})
+    # Metaspace became a supported pre_tokenizer at r12 (see
+    # tests/test_unigram.py); Whitespace (the \w+|[^\w\s]+ REGEX
+    # splitter — a different segmentation than WhitespaceSplit)
+    # remains unsupported.
+    bad_pre = dict(base, pre_tokenizer={"type": "Whitespace"})
     with pytest.raises(ValueError, match="pre_tokenizer"):
         from_tokenizer_json_spec(json.dumps(bad_pre))
     bad_post = dict(base, post_processor={"type": "RobertaProcessing"})

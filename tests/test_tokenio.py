@@ -74,9 +74,15 @@ def test_unsupported_models_fail_loudly(trained):
     _, merges, vocab = trained
     base = json.loads(to_tokenizer_json(merges, vocab))
 
-    wrong_type = dict(base, model=dict(base["model"], type="Unigram"))
+    wrong_type = dict(base, model=dict(base["model"], type="WordPiece"))
     with pytest.raises(ValueError, match="model type"):
         from_tokenizer_json(json.dumps(wrong_type))
+
+    # Unigram is supported since r12 — but only in its OWN serialized
+    # shape; a BPE-shaped section relabeled Unigram still fails loudly
+    mislabeled = dict(base, model=dict(base["model"], type="Unigram"))
+    with pytest.raises(ValueError, match="Unigram model sections"):
+        from_tokenizer_json(json.dumps(mislabeled))
 
     gpt2ish = dict(base, model=dict(base["model"], continuing_subword_prefix="##"))
     with pytest.raises(ValueError, match="continuing_subword_prefix"):

@@ -122,6 +122,30 @@ def byte_pretokenize(
     return _GPT2_SPLIT.findall(text)
 
 
+@functools.lru_cache(maxsize=16)
+def _metaspace_split_re(replacement: str):
+    return re.compile(f"(?={re.escape(replacement)})")
+
+
+def metaspace_pretokenize(
+    text: str, replacement: str = "▁", prepend_scheme: str = "always"
+) -> list[str]:
+    """The sentencepiece Metaspace pretokenizer (T5/ALBERT/XLNet
+    shape): literal spaces become ``replacement``, one is prepended
+    under the "always"/"first" schemes (identical for a single
+    sequence — "first" only differs for sequence PAIRS, which this
+    corpus encoder never builds), and pieces start at each
+    replacement occurrence. Only U+0020 is replaced — tabs/newlines
+    pass through to the model, exactly as the published
+    pretokenizer behaves."""
+    if not text:
+        return []
+    text = text.replace(" ", replacement)
+    if prepend_scheme != "never" and not text.startswith(replacement):
+        text = replacement + text
+    return [p for p in _metaspace_split_re(replacement).split(text) if p]
+
+
 def byte_level_histogram(
     df: DataFrame,
     text_col: str = "text",
@@ -313,6 +337,18 @@ def spec_encode(
     prefix = list(getattr(spec, "special_prefix", ())) if add_special_tokens else []
     suffix = list(getattr(spec, "special_suffix", ())) if add_special_tokens else []
     ws = re.compile(r"\s+")
+    model_type = getattr(spec, "model_type", "BPE")
+    if model_type == "Unigram":
+        from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+            unigram_encode_piece,
+            unigram_unk_score,
+        )
+
+        u_scores = dict(spec.scores)
+        u_unk_score = unigram_unk_score(u_scores)
+        u_max_len = max(len(p) for p in u_scores)
+    meta_repl = getattr(spec, "metaspace_replacement", "▁")
+    meta_prepend = getattr(spec, "metaspace_prepend", "always")
 
     def normalize(text: str) -> str:
         for op in norm_ops:
@@ -329,10 +365,18 @@ def spec_encode(
         def encode_piece(piece: str) -> list[int]:
             ids = cache.get(piece)
             if ids is None:
-                symbols = text_to_byte_symbols(piece) if byte_level else piece
-                ids = _encode_piece_symbols(
-                    symbols, ranks, vocab, unk_id, byte_fallback
-                )
+                if model_type == "Unigram":
+                    ids = unigram_encode_piece(
+                        piece, u_scores, vocab, unk_id,
+                        byte_fallback, u_unk_score, u_max_len,
+                    )
+                else:
+                    symbols = (
+                        text_to_byte_symbols(piece) if byte_level else piece
+                    )
+                    ids = _encode_piece_symbols(
+                        symbols, ranks, vocab, unk_id, byte_fallback
+                    )
                 if len(piece) <= 256 and len(cache) < cache_cap:
                     cache[piece] = ids
             return ids
@@ -345,6 +389,10 @@ def spec_encode(
                     pieces = byte_pretokenize(text, add_prefix_space, use_regex)
                 elif split_mode == "whitespace":
                     pieces = [w for w in ws.split(text) if w]
+                elif split_mode == "metaspace":
+                    pieces = metaspace_pretokenize(
+                        text, meta_repl, meta_prepend
+                    )
                 else:  # "none": whole text, one sequence
                     pieces = [text] if text else []
                 ids: list[int] = list(prefix)
@@ -404,6 +452,12 @@ def spec_decode(ids: list[int], spec) -> str:
     s = "".join(parts)
     if spec.byte_level:
         return byte_symbols_to_text(s)
+    if getattr(spec, "split_mode", "") == "metaspace":
+        # undo Metaspace before the normalizer ops (encode order was
+        # normalize -> metaspace-split)
+        s = s.replace(getattr(spec, "metaspace_replacement", "▁"), " ")
+        if getattr(spec, "metaspace_prepend", "always") != "never":
+            s = s.removeprefix(" ")
     ops = tuple(getattr(spec, "normalizers", ()) or ())
 
     def undo_replaces(x: str) -> str:

@@ -11,16 +11,20 @@ writes and reads that subset, so a merge table learned here drops
 into any consumer of that format, and a BPE model trained elsewhere
 can drive this repo's distributed encoder.
 
-Scope is the honest subset the engine implements, now in two model
-shapes:
+Scope is the honest subset the engine implements, now in three
+model shapes:
 
 - plain whitespace-pretokenized BPE with a single unk token (this
-  repo's character-level trainer), and
+  repo's character-level trainer),
 - byte-level BPE (the GPT-2 family: ``pre_tokenizer.type ==
   "ByteLevel"``, no unk — operators/bytelevel.py holds the alphabet,
   pretokenizer, trainer and encoder), plus SentencePiece-style
   ``model.byte_fallback`` (``<0xNN>`` escape tokens, the
-  Llama-family convention) on the character-level path.
+  Llama-family convention) on the character-level path, and
+- Unigram (``model.type == "Unigram"``, the T5/ALBERT/XLNet
+  family): piece scores drive operators/unigram.py's Viterbi
+  segmentation; the sentencepiece ``Metaspace`` pre_tokenizer is
+  supported for both model types.
 
 ``from_tokenizer_json_spec`` parses either shape into a
 ``TokenizerSpec`` that ``bytelevel.spec_encode`` runs distributed;
@@ -113,6 +117,17 @@ class TokenizerSpec:
     split_mode: str = "whitespace"
     special_prefix: list[int] = field(default_factory=list)
     special_suffix: list[int] = field(default_factory=list)
+    # Unigram extensions (model.type == "Unigram", the T5/ALBERT/
+    # XLNet family): piece -> log-prob scores drive operators/
+    # unigram.py's Viterbi kernel; merges is empty for that shape.
+    model_type: str = "BPE"
+    scores: dict[str, float] = field(default_factory=dict)
+    # Metaspace pre_tokenizer parameters (meaningful when
+    # split_mode == "metaspace"): the space stand-in character and
+    # whether it is prepended to the sequence ("always"/"first" vs
+    # "never").
+    metaspace_replacement: str = "▁"
+    metaspace_prepend: str = "always"
 
 
 def to_tokenizer_json(
@@ -151,6 +166,44 @@ def to_tokenizer_json(
         # (sentencepiece) convention can never misread our files
         doc["pre_tokenizer"] = {"type": "WhitespaceSplit"}
     return json.dumps(doc, ensure_ascii=False, indent=2)
+
+
+_SUPPORTED_UNIGRAM_KEYS = {"type", "vocab", "unk_id", "byte_fallback"}
+
+
+def _parse_unigram_model(
+    model: dict,
+) -> tuple[dict[str, int], dict[str, float], str | None]:
+    """The serialized Unigram model: ``vocab`` is a LIST of
+    ``[piece, score]`` pairs whose index is the token id, ``unk_id``
+    indexes the unk piece (or null for closed-vocabulary models).
+    Returns (vocab piece->id, scores piece->score, unk_token)."""
+    unknown = set(model) - _SUPPORTED_UNIGRAM_KEYS
+    if unknown:
+        raise ValueError(
+            f"unsupported Unigram model sections: {sorted(unknown)}"
+        )
+    entries = model.get("vocab") or []
+    vocab: dict[str, int] = {}
+    scores: dict[str, float] = {}
+    for i, entry in enumerate(entries):
+        piece, score = entry[0], entry[1]
+        piece = str(piece)
+        if piece in vocab:
+            raise ValueError(f"duplicate unigram piece: {piece!r}")
+        vocab[piece] = i
+        scores[piece] = float(score)
+    if not vocab:
+        raise ValueError("tokenizer.json carries no vocab")
+    unk_id = model.get("unk_id")
+    if unk_id is None:
+        return vocab, scores, None
+    unk_id = int(unk_id)
+    if not 0 <= unk_id < len(entries):
+        raise ValueError(
+            f"unk_id {unk_id} is outside the {len(entries)}-entry vocab"
+        )
+    return vocab, scores, str(entries[unk_id][0])
 
 
 def _parse_model(model: dict) -> tuple[list[tuple[str, str]], dict[str, int]]:
@@ -288,6 +341,8 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
     add_prefix_space = False
     use_regex = True
     split_mode = "none"
+    meta_repl = "▁"
+    meta_prepend = "always"
     pre = doc.get("pre_tokenizer")
     if pre is not None:
         ptype = pre.get("type") if isinstance(pre, dict) else None
@@ -297,14 +352,53 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
             use_regex = bool(pre.get("use_regex", True))
         elif ptype == "WhitespaceSplit":
             split_mode = "whitespace"
+        elif ptype == "Metaspace":
+            # The sentencepiece space stand-in splitter (T5/ALBERT/
+            # XLNet shape): spaces become `replacement`, pieces start
+            # at each replacement occurrence, and the scheme decides
+            # whether the sequence head gets one prepended.
+            split_mode = "metaspace"
+            meta_repl = str(pre.get("replacement", "▁"))
+            if not meta_repl:
+                raise ValueError("Metaspace replacement must be non-empty")
+            scheme = pre.get("prepend_scheme")
+            if scheme is None:  # legacy files carry a bool instead
+                scheme = (
+                    "always"
+                    if pre.get("add_prefix_space", True)
+                    else "never"
+                )
+            if scheme not in ("always", "first", "never"):
+                raise ValueError(
+                    f"unsupported Metaspace prepend_scheme: {scheme!r}"
+                )
+            meta_prepend = scheme
+            if pre.get("split") is False:
+                raise ValueError(
+                    "Metaspace split=false is not supported (it changes "
+                    "segmentation boundaries)"
+                )
         else:
             raise ValueError(
                 f"unsupported pre_tokenizer type: {ptype!r} (supported: "
-                "ByteLevel, WhitespaceSplit, absent)"
+                "ByteLevel, WhitespaceSplit, Metaspace, absent)"
             )
     # decoder: display-only (ids unaffected) -- accepted and ignored.
 
-    merges, vocab = _parse_model(doc.get("model") or {})
+    model = doc.get("model") or {}
+    model_type = "BPE"
+    scores: dict[str, float] = {}
+    if model.get("type") == "Unigram":
+        model_type = "Unigram"
+        if byte_level:
+            raise ValueError(
+                "ByteLevel pre_tokenizer with a Unigram model is not "
+                "supported (no public tokenizer ships that shape)"
+            )
+        merges = []
+        vocab, scores, unigram_unk = _parse_unigram_model(model)
+    else:
+        merges, vocab = _parse_model(model)
     added: dict[str, int] = {}
     for tok in doc.get("added_tokens") or []:
         content, tid = str(tok["content"]), int(tok["id"])
@@ -318,20 +412,28 @@ def from_tokenizer_json_spec(text: str) -> TokenizerSpec:
     special_prefix, special_suffix = _parse_post_processor(
         doc.get("post_processor"), vocab
     )
-    unk = doc.get("model", {}).get("unk_token")
+    if model_type == "Unigram":
+        unk = unigram_unk
+    else:
+        raw_unk = model.get("unk_token")
+        unk = str(raw_unk) if raw_unk is not None else None
     return TokenizerSpec(
         merges=merges,
         vocab=vocab,
-        unk_token=str(unk) if unk is not None else None,
+        unk_token=unk,
         byte_level=byte_level,
         add_prefix_space=add_prefix_space,
         use_regex=use_regex,
-        byte_fallback=bool(doc.get("model", {}).get("byte_fallback")),
+        byte_fallback=bool(model.get("byte_fallback")),
         added_tokens=added,
         normalizers=normalizers,
         split_mode=split_mode,
         special_prefix=special_prefix,
         special_suffix=special_suffix,
+        model_type=model_type,
+        scores=scores,
+        metaspace_replacement=meta_repl,
+        metaspace_prepend=meta_prepend,
     )
 
 
@@ -342,6 +444,12 @@ def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int
     through ``from_tokenizer_json_spec`` + ``bytelevel.spec_encode``
     instead."""
     spec = from_tokenizer_json_spec(text)
+    if spec.model_type != "BPE" or spec.split_mode == "metaspace":
+        raise ValueError(
+            "unigram/metaspace tokenizer: load with "
+            "from_tokenizer_json_spec and encode with "
+            "bytelevel.spec_encode"
+        )
     if spec.byte_level:
         raise ValueError(
             "byte-level tokenizer: load with from_tokenizer_json_spec and "
