@@ -4296,6 +4296,55 @@ def q122_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("doc_id", "component", "split")
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r13 — NOT REGISTERED. The r13 rotation plan's named free-
+# slot promotion (see the _GATE_PRIORITY comment block): the
+# curriculum stage assignment, whose ntile-over-total-order is exactly
+# oracle-expressible (the within-stage xxhash64 shuffle key is NOT and
+# stays pytest-grade in tests/test_ordering.py). Registering at r13 is
+# a two-line flip: wrap with @query(STAGED_Q123_NAME,
+# oracle=STAGED_Q123_ORACLE) and append the name to _GATE_PRIORITY's
+# free slot. Until then tests/test_curriculum_gate_stage.py runs the
+# builder against the oracle locally every pytest run, so the
+# promotion lands pre-proven.
+
+STAGED_Q123_NAME = "q123_curriculum_stages"
+STAGED_Q123_ORACLE = """
+    SELECT doc_id, n_chars,
+           ntile(4) OVER (ORDER BY n_chars DESC, doc_id ASC) AS stage
+    FROM documents
+"""
+
+
+def staged_q123_curriculum_stages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum stage assignment (operators/ordering.py — §2.D
+    deterministic training-order curation): every document bucketed
+    into 4 quality stages by ntile over (n_chars DESC, doc_id ASC) —
+    a total order, so both engines agree bit-for-bit on every stage
+    id (integer-only columns, no float surface). The operator's
+    within-stage shuffle key and range repartition are deliberately
+    NOT part of the gate projection: order_key is an xxhash64 image
+    with no DuckDB twin (pytest-grade evidence in
+    tests/test_ordering.py: layout-independence, epoch/seed
+    decorrelation, monotone stage means). Scale shape: the ntile
+    window is the one global sort — the documented curriculum_order
+    trade-off (swap in approx-quantile stage thresholds at corpus
+    scale); everything else is scan-local."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    staged = curriculum_order(
+        docs.select("doc_id", "n_chars"),
+        score_col="n_chars",
+        n_stages=4,
+    )
+    return staged.select("doc_id", "n_chars", "stage")
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
