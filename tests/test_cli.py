@@ -627,3 +627,66 @@ def test_cli_tokenizer_lifecycle_both_shapes(spark, tmp_path, capsys):
                 .text
             )
             assert decode_byte_ids(row.token_ids, spec.vocab) == text
+
+
+def test_cli_lm_train_and_score(spark, tmp_path, capsys):
+    """lm train -> score --buckets 3: scores land in parquet with
+    the expected schema and the buckets are equal-population."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "kn_lm")
+    out = str(tmp_path / "scored")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", model, "--input", inp,
+         "--order", "2", "--min-count", "2"]
+    ) == 0
+    assert "trained KN order-2" in capsys.readouterr().out
+    assert cli.main(
+        ["lm", "--op", "score", "--model", model, "--input", inp,
+         "--output", out, "--buckets", "3"]
+    ) == 0
+    assert "scored" in capsys.readouterr().out
+    scored = spark.read.parquet(out)
+    n_docs = spark.read.parquet(inp).count()
+    assert scored.count() == n_docs
+    assert {"doc_id", "n_tokens", "log10_prob", "ppl", "bucket"} <= set(
+        scored.columns
+    )
+    from pyspark.sql import functions as F
+
+    sizes = [
+        r["c"]
+        for r in scored.groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == 3
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_cli_select_dsir(spark, tmp_path, capsys):
+    """select: a target sample drawn from one source slice pulls the
+    selection toward that slice (and --weights-only writes weights
+    for every raw doc)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    target = str(tmp_path / "target")
+    out = str(tmp_path / "selected")
+    wout = str(tmp_path / "weights")
+    docs = spark.read.parquet(inp)
+    docs.where("doc_id % 5 = 0").limit(80).write.parquet(target)
+    assert cli.main(
+        ["select", "--target", target, "--input", inp, "--output", out,
+         "--k", "25", "--n-buckets", "512", "--seed", "3"]
+    ) == 0
+    assert "selected 25/" in capsys.readouterr().out
+    sel = spark.read.parquet(out)
+    assert sel.count() == 25
+    assert {"doc_id", "log_weight", "gumbel_key"} <= set(sel.columns)
+    assert cli.main(
+        ["select", "--target", target, "--input", inp, "--output", wout,
+         "--n-buckets", "512", "--weights-only"]
+    ) == 0
+    assert spark.read.parquet(wout).count() == docs.count()

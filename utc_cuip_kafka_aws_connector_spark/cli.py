@@ -874,6 +874,50 @@ def main(argv: list[str] | None = None) -> int:
         "round trip); encode/report detect the shape from the file",
     )
 
+    lm = sub.add_parser(
+        "lm",
+        help="Kneser-Ney n-gram LM lifecycle: train on a reference "
+        "corpus, score documents by perplexity (the CCNet quality "
+        "signal), bucket head/middle/tail",
+    )
+    lm.add_argument("--op", required=True, choices=["train", "score"])
+    lm.add_argument("--model", required=True, help="LM directory (parquet tables + meta)")
+    lm.add_argument("--input", required=True, help="corpus parquet")
+    lm.add_argument("--output", default=None, help="score: output parquet")
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--order", type=int, default=3, help="train: n-gram order")
+    lm.add_argument("--discount", type=float, default=0.75, help="train: KN discount D")
+    lm.add_argument(
+        "--min-count", type=int, default=1,
+        help="train: tokens rarer than this become <unk> (open vocab)",
+    )
+    lm.add_argument(
+        "--buckets", type=int, default=0,
+        help="score: also assign this many equal-population perplexity "
+        "buckets (CCNet's head/middle/tail = 3; 0 = off)",
+    )
+
+    select = sub.add_parser(
+        "select",
+        help="DSIR data selection: importance-resample raw documents "
+        "toward a target-domain sample (hashed n-gram models)",
+    )
+    select.add_argument("--target", required=True, help="target-domain sample parquet")
+    select.add_argument("--input", required=True, help="raw corpus parquet")
+    select.add_argument("--output", required=True, help="selection output parquet")
+    select.add_argument("--k", type=int, default=None,
+                        help="documents to draw (omit with --weights-only)")
+    select.add_argument("--id-col", default="doc_id")
+    select.add_argument("--text-col", default="text")
+    select.add_argument("--n-buckets", type=int, default=10_000)
+    select.add_argument("--seed", type=int, default=0)
+    select.add_argument(
+        "--weights-only", action="store_true",
+        help="write every document's log importance weight instead of "
+        "drawing a sample",
+    )
+
     compact = sub.add_parser(
         "compact",
         help="lake maintenance: merge each partition's small files to ~target size "
@@ -1286,9 +1330,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             ids.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
+            shape = (
+                "byte-level BPE" if spec.byte_level else spec.model_type
+            )
             print(
-                f"encoded {n} docs with {args.model} "
-                f"({'byte-level' if spec.byte_level else 'whitespace'} BPE), "
+                f"encoded {n} docs with {args.model} ({shape}), "
                 f"output={args.output}"
             )
         else:  # report
@@ -1306,6 +1352,79 @@ def main(argv: list[str] | None = None) -> int:
                     f"{slice_name:>8}  docs={r.n_docs:<8} tokens={r.n_tokens:<10} "
                     f"oov={r.oov_rate:.4f}  chars/token={r.chars_per_token:.2f}"
                 )
+    elif args.cmd == "lm":
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_score,
+            kn_train,
+            load_kn_lm,
+            perplexity_buckets,
+            save_kn_lm,
+        )
+
+        df = spark.read.parquet(args.input)
+        if args.op == "train":
+            model = kn_train(
+                df,
+                text_col=args.text_col,
+                order=args.order,
+                discount=args.discount,
+                min_count=args.min_count,
+            )
+            save_kn_lm(model, args.model)
+            print(
+                f"trained KN order-{args.order} LM: vocab {model['v_size']}, "
+                f"discount {args.discount}, model={args.model}"
+            )
+        else:  # score
+            if not args.output:
+                parser.error("lm --op score requires --output")
+            model = load_kn_lm(spark, args.model)
+            scored = kn_score(
+                df, model, text_col=args.text_col, id_col=args.id_col
+            )
+            if args.buckets:
+                scored = perplexity_buckets(scored, n_buckets=args.buckets)
+            scored.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(
+                f"scored {n} docs under {args.model} "
+                f"(order {model['order']}), output={args.output}"
+            )
+    elif args.cmd == "select":
+        from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
+            dsir_fit,
+            dsir_resample,
+            dsir_weights,
+        )
+
+        target = spark.read.parquet(args.target)
+        raw = spark.read.parquet(args.input)
+        model = dsir_fit(
+            target, raw, text_col=args.text_col, n_buckets=args.n_buckets
+        )
+        weighted = dsir_weights(
+            raw,
+            model,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            n_buckets=args.n_buckets,
+        )
+        if args.weights_only:
+            weighted.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"weighted {n} docs, output={args.output}")
+        else:
+            if args.k is None:
+                parser.error("select requires --k (or --weights-only)")
+            sel = dsir_resample(
+                weighted, args.k, seed=args.seed, id_col=args.id_col
+            )
+            sel.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(
+                f"selected {n}/{raw.count()} docs toward {args.target}, "
+                f"output={args.output}"
+            )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
