@@ -690,3 +690,74 @@ def test_cli_select_dsir(spark, tmp_path, capsys):
          "--n-buckets", "512", "--weights-only"]
     ) == 0
     assert spark.read.parquet(wout).count() == docs.count()
+
+
+def test_cli_curate_full_perplexity_stage(spark, tmp_path, capsys):
+    """curate-full --ppl-lm: the CCNet stage — an off-domain junk
+    document dies at the perplexity cut while in-domain docs (drawn
+    from the same distribution as the LM's training sample) survive;
+    the funnel reports the stage; mutually-exclusive knobs error."""
+    import random
+
+    import pytest as _pytest
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    def doc(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(
+            r.choice(
+                ["the", "cat", "dog", "sat", "ran", "house", "tree",
+                 "bird", "fish", "sky"]
+            )
+            for _ in range(n)
+        )
+
+    rows = [(i, doc(i), "en") for i in range(40)]
+    rows += [(900, "zxqv jkwp mmfr tttb " * 8, "en")]  # off-domain junk
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(inp)
+
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(doc(1000 + i),) for i in range(40)], "text string"
+    ).write.parquet(ref)
+    lm_dir = str(tmp_path / "lm")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", lm_dir, "--input", ref,
+         "--order", "2", "--min-count", "2"]
+    ) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "built")
+    rc = cli.main(
+        [
+            "curate-full",
+            "--input", inp,
+            "--output", out,
+            "--boiler-min-docs", "1000",
+            "--min-quality", "0.0",
+            "--ppl-lm", lm_dir,
+            "--ppl-quantile", "0.9",
+            "--near-dup-threshold", "-1",
+            "--keep-rates", "en=1.0",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "perplexity" in printed
+    ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 900 not in ids              # junk lands above the cut
+    assert len(ids & set(range(40))) >= 30
+
+    from utc_cuip_kafka_aws_connector_spark.cli import run_curate_full
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        run_curate_full(
+            spark, inp, str(tmp_path / "x"), ppl_lm=lm_dir,
+            near_dup_threshold=None,
+        )

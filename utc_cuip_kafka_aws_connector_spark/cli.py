@@ -278,6 +278,9 @@ def run_curate_full(
     gopher: bool = False,
     c4: bool = False,
     min_quality: float = 0.5,
+    ppl_lm: str | None = None,
+    ppl_max: float | None = None,
+    ppl_quantile: float | None = None,
     near_dup_threshold: float | None = 0.8,
     max_per_domain: int | None = None,
     decontam_path: str | None = None,
@@ -289,9 +292,11 @@ def run_curate_full(
 ) -> dict:
     """curate_v4 — the WHOLE corpus build as one command (the r10/r11
     briefs' composition gap): the `clean` chain, the quality gates,
-    URL hygiene, exact AND near dedup, benchmark decontamination, the
-    mixture sample, and a leakage-safe split, in the order a real
-    build runs them, with a funnel count per stage. Stage order is
+    an optional CCNet perplexity stage (``ppl_lm=`` — a Kneser-Ney
+    model from ``lm --op train``), URL hygiene, exact AND near dedup,
+    benchmark decontamination, the mixture sample, and a leakage-safe
+    split, in the order a real build runs them, with a funnel count
+    per stage. Stage order is
     the cheap-filter-first discipline: scan-local text repairs and
     quality rules shrink the corpus before any shuffle-bearing dedup
     pays its cost, and the near-dup components computed for dedup are
@@ -369,6 +374,30 @@ def run_curate_full(
             F.col("quality") >= min_quality
         ),
     )
+    if ppl_lm:
+        # CCNet's model-based stage: perplexity under a reference-
+        # corpus Kneser-Ney LM, AFTER the cheap rules (they shrink the
+        # scoring input) and BEFORE the shuffle-bearing dedup.
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_score,
+            load_kn_lm,
+        )
+
+        if (ppl_max is None) == (ppl_quantile is None):
+            raise ValueError(
+                "ppl_lm needs exactly one of ppl_max (absolute cut) or "
+                "ppl_quantile (keep the best fraction)"
+            )
+        lm = load_kn_lm(spark, ppl_lm)
+        scored = kn_score(df, lm, text_col=text_col, id_col=id_col).select(
+            id_col, "ppl"
+        )
+        df = df.join(scored, id_col, "left")
+        if ppl_quantile is not None:
+            thr = df.approxQuantile("ppl", [float(ppl_quantile)], 0.001)[0]
+        else:
+            thr = float(ppl_max)
+        df = mark("perplexity", df.filter(F.col("ppl") <= F.lit(thr)))
     if url_col:
         from utc_cuip_kafka_aws_connector_spark.operators.urlops import (
             normalize_url,
@@ -692,6 +721,19 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--gopher", action="store_true")
     curate_full.add_argument("--c4", action="store_true")
     curate_full.add_argument("--min-quality", type=float, default=0.5)
+    curate_full.add_argument(
+        "--ppl-lm", default=None,
+        help="Kneser-Ney LM dir (see `lm --op train`): adds the CCNet "
+        "perplexity stage; pair with --ppl-max or --ppl-quantile",
+    )
+    curate_full.add_argument(
+        "--ppl-max", type=float, default=None,
+        help="perplexity stage: absolute keep threshold",
+    )
+    curate_full.add_argument(
+        "--ppl-quantile", type=float, default=None,
+        help="perplexity stage: keep the best fraction, e.g. 0.9",
+    )
     curate_full.add_argument(
         "--near-dup-threshold", type=float, default=0.8,
         help="MinHash-LSH Jaccard threshold; negative to skip near dedup",
@@ -1054,6 +1096,9 @@ def main(argv: list[str] | None = None) -> int:
             gopher=args.gopher,
             c4=args.c4,
             min_quality=args.min_quality,
+            ppl_lm=args.ppl_lm,
+            ppl_max=args.ppl_max,
+            ppl_quantile=args.ppl_quantile,
             near_dup_threshold=None if ndt < 0 else ndt,
             max_per_domain=args.max_per_domain,
             decontam_path=args.decontam,
