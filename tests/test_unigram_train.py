@@ -1,0 +1,190 @@
+"""Unigram EM training (operators/unigram.py::unigram_train):
+forward-backward correctness on closed-form lattices, the EM
+monotonicity guarantee, coverage/vocab-size invariants, the full
+train -> tokenizer.json -> load -> encode loop, CLI lifecycle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+    spec_decode,
+    spec_encode,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+    from_tokenizer_json_spec,
+    to_unigram_tokenizer_json,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+    _forward_backward,
+    _m_step,
+    metaspace_word_histogram,
+    unigram_e_step,
+    unigram_train,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the fish",
+    "the dog sat on the log",
+    "a cat and a dog and a fish",
+    "the fish swam past the cat",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(t,) for t in CORPUS], "text string"
+    )
+
+
+def test_forward_backward_closed_form():
+    """Word 'ab' with pieces {a, b, ab}: two paths. Hand-computed
+    posteriors: P(path ab) = p_ab / (p_ab + p_a p_b)."""
+    logp = {
+        "a": math.log(0.3),
+        "b": math.log(0.2),
+        "ab": math.log(0.1),
+    }
+    z, exp = _forward_backward("ab", logp, 2)
+    total = 0.1 + 0.3 * 0.2
+    assert z == pytest.approx(math.log(total), abs=1e-12)
+    w_ab = 0.1 / total
+    assert exp["ab"] == pytest.approx(w_ab, abs=1e-12)
+    assert exp["a"] == pytest.approx(1 - w_ab, abs=1e-12)
+    assert exp["b"] == pytest.approx(1 - w_ab, abs=1e-12)
+
+
+def test_forward_backward_unsegmentable():
+    assert _forward_backward("ax", {"a": -1.0}, 1) is None
+
+
+def test_e_step_matches_local_computation(corpus, spark):
+    """Distributed E-step == the same forward-backward run locally
+    over the collected histogram (1e-9; the distributed sum order
+    differs)."""
+    hist = metaspace_word_histogram(corpus)
+    rows = [(r["word"], r["freq"]) for r in hist.collect()]
+    chars = sorted({c for w, _ in rows for c in w})
+    logp = _m_step({c: 1.0 for c in chars})
+    ll, exp = unigram_e_step(hist, logp, 4)
+
+    want_ll = 0.0
+    want_exp: dict[str, float] = {}
+    for w, f in rows:
+        z, e = _forward_backward(w, logp, 4)
+        want_ll += f * z
+        for p, c in e.items():
+            want_exp[p] = want_exp.get(p, 0.0) + f * c
+    assert ll == pytest.approx(want_ll, rel=1e-9)
+    assert set(exp) == set(want_exp)
+    for p in want_exp:
+        assert exp[p] == pytest.approx(want_exp[p], rel=1e-9), p
+
+
+def test_em_likelihood_non_decreasing(corpus):
+    """The EM guarantee at fixed vocabulary: each (E, M) round must
+    not decrease corpus log-likelihood."""
+    hist = metaspace_word_histogram(corpus)
+    rows = [(r["word"], r["freq"]) for r in hist.collect()]
+    pieces = {c: 1.0 for w, _ in rows for c in w}
+    pieces.update(
+        {w[i : i + 2]: 1.0 for w, _ in rows for i in range(len(w) - 1)}
+    )
+    logp = _m_step(pieces)
+    lls = []
+    for _ in range(4):
+        ll, expected = unigram_e_step(hist, logp, 2)
+        lls.append(ll)
+        logp = _m_step(expected)
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+
+
+def test_train_invariants_and_round_trip(corpus, spark):
+    vocab_scores = unigram_train(
+        corpus, vocab_size=40, max_piece_len=6, seed_size=200
+    )
+    assert vocab_scores[0] == ("<unk>", 0.0)
+    assert len(vocab_scores) <= 40
+    pieces = [p for p, _ in vocab_scores[1:]]
+    assert len(set(pieces)) == len(pieces)
+    # coverage: every corpus character survives as a single piece
+    chars = {
+        c
+        for t in CORPUS
+        for c in ("▁" + t.replace(" ", "▁"))
+    }
+    assert chars <= set(pieces)
+    # scores are a normalized distribution
+    total = sum(math.exp(s) for _, s in vocab_scores[1:])
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+    # the serialized model loads and encodes its own corpus unk-free
+    spec = from_tokenizer_json_spec(
+        to_unigram_tokenizer_json(vocab_scores)
+    )
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    out = spec_encode(df, spec).collect()
+    unk = spec.vocab["<unk>"]
+    for r in out:
+        assert unk not in r["token_ids"], r
+    # and decodes back exactly (Metaspace round trip)
+    by_id = {r["doc_id"]: r["token_ids"] for r in out}
+    for i, text in enumerate(CORPUS):
+        assert spec_decode(by_id[i], spec) == text
+
+
+def test_train_learns_frequent_words_as_pieces(corpus):
+    """'▁the' dominates the corpus; EM must keep it as one piece
+    over spelling it out char-by-char."""
+    vocab_scores = unigram_train(
+        corpus, vocab_size=40, max_piece_len=6, seed_size=200
+    )
+    scores = dict(vocab_scores[1:])
+    assert "▁the" in scores
+    spelled = sum(scores[c] for c in "▁the")
+    assert scores["▁the"] > spelled
+
+
+def test_train_validation(corpus):
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_train(corpus, vocab_size=1)
+    with pytest.raises(ValueError, match="prune_fraction"):
+        unigram_train(corpus, vocab_size=40, prune_fraction=1.5)
+    with pytest.raises(ValueError, match="single characters"):
+        unigram_train(corpus, vocab_size=5)
+
+
+def test_cli_unigram_lifecycle(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(CORPUS)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(inp)
+    model = str(tmp_path / "uni.json")
+    out = str(tmp_path / "ids")
+    assert cli.main(
+        ["tokenizer", "--op", "train", "--model", model, "--input", inp,
+         "--unigram", "--vocab-size", "40"]
+    ) == 0
+    assert "trained Unigram" in capsys.readouterr().out
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", model, "--input", inp,
+         "--output", out]
+    ) == 0
+    assert "(Unigram)" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == len(CORPUS)
+    assert cli.main(
+        ["tokenizer", "--op", "report", "--model", model, "--input", inp]
+    ) == 0
+    report = capsys.readouterr().out
+    assert "oov=0.0000" in report  # self-corpus: no unk

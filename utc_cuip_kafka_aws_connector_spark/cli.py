@@ -915,6 +915,15 @@ def main(argv: list[str] | None = None) -> int:
         help="train: GPT-2-style byte-level model (no unk, exact text "
         "round trip); encode/report detect the shape from the file",
     )
+    tok.add_argument(
+        "--unigram", action="store_true",
+        help="train: unigram-LM model (sentencepiece/T5 family, EM over "
+        "the word histogram) instead of BPE; sized by --vocab-size",
+    )
+    tok.add_argument(
+        "--vocab-size", type=int, default=8000,
+        help="train --unigram: target vocabulary size (incl. <unk>)",
+    )
 
     lm = sub.add_parser(
         "lm",
@@ -1334,7 +1343,23 @@ def main(argv: list[str] | None = None) -> int:
 
         df = spark.read.parquet(args.input)
         if args.op == "train":
-            if args.byte_level:
+            if args.unigram:
+                from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                    save_unigram_tokenizer,
+                )
+                from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+                    unigram_train,
+                )
+
+                vocab_scores = unigram_train(
+                    df, args.vocab_size, text_col=args.text_col
+                )
+                save_unigram_tokenizer(spark, args.model, vocab_scores)
+                print(
+                    f"trained Unigram: vocab {len(vocab_scores)}, "
+                    f"model={args.model}"
+                )
+            elif args.byte_level:
                 from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
                     byte_level_train,
                     byte_level_vocab,
@@ -1358,10 +1383,11 @@ def main(argv: list[str] | None = None) -> int:
                 merges = bpe_train_merges(df, args.merges, text_col=args.text_col)
                 vocab = bpe_vocab(merges, corpus_chars(df, text_col=args.text_col))
                 save_tokenizer(spark, args.model, merges, vocab)
-            print(
-                f"trained {'byte-level ' if args.byte_level else ''}BPE: "
-                f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"
-            )
+            if not args.unigram:
+                print(
+                    f"trained {'byte-level ' if args.byte_level else ''}BPE: "
+                    f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"
+                )
         elif args.op == "encode":
             from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
                 spec_encode,

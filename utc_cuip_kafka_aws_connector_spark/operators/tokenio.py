@@ -206,6 +206,52 @@ def _parse_unigram_model(
     return vocab, scores, str(entries[unk_id][0])
 
 
+def to_unigram_tokenizer_json(
+    vocab_scores: list[tuple[str, float]],
+    unk_id: int | None = 0,
+    replacement: str = "▁",
+    prepend_scheme: str = "always",
+) -> str:
+    """A trained unigram model (operators/unigram.py::unigram_train's
+    ``[(piece, score), ...]`` list, index = id) as a Unigram
+    tokenizer.json with the Metaspace pre_tokenizer — the T5-family
+    shape, loadable by any consumer of the public format (and by
+    ``from_tokenizer_json_spec``)."""
+    doc = {
+        "version": "1.0",
+        "pre_tokenizer": {
+            "type": "Metaspace",
+            "replacement": replacement,
+            "prepend_scheme": prepend_scheme,
+            "split": True,
+        },
+        "decoder": {
+            "type": "Metaspace",
+            "replacement": replacement,
+            "prepend_scheme": prepend_scheme,
+            "split": True,
+        },
+        "model": {
+            "type": "Unigram",
+            "unk_id": unk_id,
+            "vocab": [[p, float(s)] for p, s in vocab_scores],
+            "byte_fallback": False,
+        },
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=2)
+
+
+def save_unigram_tokenizer(
+    spark: SparkSession,
+    path: str,
+    vocab_scores: list[tuple[str, float]],
+    unk_id: int | None = 0,
+) -> None:
+    _fs_write_text(
+        spark, path, to_unigram_tokenizer_json(vocab_scores, unk_id)
+    )
+
+
 def _parse_model(model: dict) -> tuple[list[tuple[str, str]], dict[str, int]]:
     if model.get("type") != "BPE":
         raise ValueError(f"unsupported tokenizer model type: {model.get('type')!r}")

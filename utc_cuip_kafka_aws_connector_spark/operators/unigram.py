@@ -46,6 +46,9 @@ documentation of the serialized Unigram model
 
 from __future__ import annotations
 
+import math
+from typing import Iterator
+
 UNK_PENALTY = 10.0
 
 
@@ -148,3 +151,298 @@ def unigram_encode_piece(
             "model declares no unk_id/byte_fallback escape"
         )
     return ids
+
+
+# ---------------------------------------------------------------------------
+# Training (the EM side of Kudo 2018, distributed over the word
+# histogram). The serialized result is a loadable Unigram
+# tokenizer.json (tokenio.to_unigram_tokenizer_json), so train ->
+# save -> load -> spec_encode closes the same loop the BPE stack has.
+#
+# Honest scope: E and M steps are the exact unigram-LM EM (lattice
+# forward-backward expected counts over every word, normalized
+# multinomial update — corpus likelihood provably non-decreasing,
+# pinned in tests/test_unigram_train.py). PRUNING ranks candidate
+# pieces by expected count and keeps all single characters — a
+# documented simplification of sentencepiece's likelihood-diff
+# pruning; the model CLASS and the encode semantics are identical,
+# the selected vocabulary can differ from sentencepiece's on the
+# same corpus.
+#
+# Scale shape: ONE corpus-sized shuffle builds the (word, freq)
+# histogram (map-side partial counts in the Arrow scan, the
+# bytelevel.byte_level_histogram pattern); every EM round after that
+# is a histogram-scan mapInPandas (per-word forward-backward in
+# Python, piece table closure-broadcast) + one piece-sized groupBy.
+# The piece table (<= ~10x vocab_size rows) lives on the driver
+# between rounds — MBs, the same crossover every trainer in this
+# repo uses (bpetrain's collect-when-small discipline).
+# ---------------------------------------------------------------------------
+
+
+def metaspace_word_histogram(
+    df,
+    text_col: str = "text",
+    replacement: str = "▁",
+    prepend_scheme: str = "always",
+):
+    """(word, freq) over Metaspace-pretokenized pieces — the single
+    corpus-scale shuffle of unigram training; everything downstream
+    works on this vocabulary-sized frame."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        metaspace_pretokenize,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for text in pdf[text_col].fillna("").astype(str):
+                for piece in metaspace_pretokenize(
+                    text, replacement, prepend_scheme
+                ):
+                    counts[piece] = counts.get(piece, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(counts), "freq": list(counts.values())}
+            )
+
+    partial = df.select(text_col).mapInPandas(run, "word string, freq long")
+    return partial.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
+def _logaddexp(a: float, b: float) -> float:
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    hi, lo = (a, b) if a >= b else (b, a)
+    return hi + math.log1p(math.exp(lo - hi))
+
+
+def _forward_backward(
+    word: str, logp: dict[str, float], max_len: int
+):
+    """Lattice posteriors for one word: returns (log-likelihood,
+    {piece: expected count}) or None if the word cannot be segmented
+    with the current pieces."""
+    n = len(word)
+    NEG = float("-inf")
+    edges: list[list[tuple[int, str, float]]] = [[] for _ in range(n + 1)]
+    for j in range(1, n + 1):
+        for l in range(1, min(max_len, j) + 1):
+            piece = word[j - l : j]
+            lp = logp.get(piece)
+            if lp is not None:
+                edges[j].append((j - l, piece, lp))
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        for i, _, lp in edges[j]:
+            if alpha[i] != NEG:
+                alpha[j] = _logaddexp(alpha[j], alpha[i] + lp)
+    if alpha[n] == NEG:
+        return None
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n, 0, -1):
+        if beta[j] == NEG:
+            continue
+        for i, _, lp in edges[j]:
+            if alpha[i] != NEG:
+                beta[i] = _logaddexp(beta[i], beta[j] + lp)
+    z = alpha[n]
+    exp: dict[str, float] = {}
+    for j in range(1, n + 1):
+        if beta[j] == NEG:
+            continue
+        for i, piece, lp in edges[j]:
+            if alpha[i] != NEG:
+                exp[piece] = exp.get(piece, 0.0) + math.exp(
+                    alpha[i] + lp + beta[j] - z
+                )
+    return z, exp
+
+_LL_SENTINEL = "\x00__loglik__"
+
+
+def unigram_e_step(
+    hist, logp: dict[str, float], max_piece_len: int
+) -> tuple[float, dict[str, float]]:
+    """Distributed E-step over the (word, freq) histogram: one
+    mapInPandas scan emitting per-batch partial expected counts (and
+    the batch log-likelihood under a sentinel key), one piece-sized
+    groupBy, one vocab-sized collect. Returns (corpus log-likelihood,
+    piece -> expected count)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pieces = dict(logp)
+    max_len = int(max_piece_len)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            counts: dict[str, float] = {}
+            ll = 0.0
+            for word, freq in zip(
+                pdf["word"].astype(str), pdf["freq"].astype(int)
+            ):
+                res = _forward_backward(word, pieces, max_len)
+                if res is None:
+                    raise ValueError(
+                        f"word {word!r} is unsegmentable under the current "
+                        "piece set (single-character coverage was dropped?)"
+                    )
+                z, exp = res
+                ll += freq * z
+                for p, c in exp.items():
+                    counts[p] = counts.get(p, 0.0) + freq * c
+            counts[_LL_SENTINEL] = counts.get(_LL_SENTINEL, 0.0) + ll
+            yield pd.DataFrame(
+                {"piece": list(counts), "cnt": list(counts.values())}
+            )
+
+    rows = (
+        hist.select("word", "freq")
+        .mapInPandas(run, "piece string, cnt double")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    expected = {r["piece"]: r["cnt"] for r in rows}
+    loglik = expected.pop(_LL_SENTINEL, 0.0)
+    return loglik, expected
+
+
+def _m_step(expected: dict[str, float]) -> dict[str, float]:
+    total = sum(expected.values())
+    return {
+        p: math.log(c) - math.log(total)
+        for p, c in expected.items()
+        if c > 0.0
+    }
+
+
+def unigram_train(
+    df,
+    vocab_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    prune_fraction: float = 0.25,
+    replacement: str = "▁",
+    prepend_scheme: str = "always",
+) -> list[tuple[str, float]]:
+    """Train a unigram LM tokenizer: returns the serialized-model
+    vocab list ``[(piece, score), ...]`` with ``<unk>`` at index 0 —
+    exactly the ``model.vocab`` of a Unigram tokenizer.json
+    (``tokenio.to_unigram_tokenizer_json`` writes it;
+    ``spec_encode`` runs it).
+
+    Seeding: the ``seed_size`` most frequent substrings (length <=
+    ``max_piece_len``) of the word histogram, plus ALL single
+    characters (coverage invariant — never pruned, so every training
+    word stays segmentable and the trained model needs no unk on its
+    own corpus). Then rounds of (EM x ``em_iters``, prune the
+    lowest-expected-count multi-char pieces) until the piece count
+    fits ``vocab_size - 1``, and a final EM settle."""
+    from pyspark.sql import functions as F
+
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if not 0.0 < prune_fraction < 1.0:
+        raise ValueError(
+            f"prune_fraction must be in (0, 1), got {prune_fraction}"
+        )
+    hist = metaspace_word_histogram(
+        df, text_col, replacement, prepend_scheme
+    ).persist()
+    try:
+        if seed_size is None:
+            seed_size = 10 * vocab_size
+        # substring histogram, JVM-side: every (start, len) window of
+        # every word, weighted by word freq
+        subs = hist.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("word") - i + 1,
+                                ),
+                            ),
+                            lambda l: F.substring(F.col("word"), i, l),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+            F.col("freq"),
+        ).groupBy("piece").agg(F.sum("freq").alias("cnt"))
+        singles = {
+            r["piece"]: float(r["cnt"])
+            for r in subs.where(F.length("piece") == 1).collect()
+        }
+        if vocab_size - 1 <= len(singles):
+            raise ValueError(
+                f"vocab_size {vocab_size} cannot hold the {len(singles)} "
+                "single characters + <unk> the corpus requires"
+            )
+        top_multi = (
+            subs.where(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(max(0, seed_size - len(singles)))
+            .collect()
+        )
+        expected = dict(singles)
+        expected.update({r["piece"]: float(r["cnt"]) for r in top_multi})
+        logp = _m_step(expected)
+
+        target_pieces = vocab_size - 1  # index 0 is <unk>
+        while True:
+            for _ in range(em_iters):
+                _, expected = unigram_e_step(hist, logp, max_piece_len)
+                # coverage invariant: singles survive with floor mass
+                # (posterior mass can underflow to EXACTLY 0.0 when a
+                # whole-word piece dominates, so max-with-floor, not
+                # setdefault)
+                for ch in singles:
+                    if expected.get(ch, 0.0) < 1e-12:
+                        expected[ch] = 1e-12
+                logp = _m_step(expected)
+            multi = [p for p in logp if len(p) > 1]
+            excess = len(logp) - target_pieces
+            if excess <= 0:
+                break
+            drop_n = min(
+                excess, max(1, int(len(multi) * prune_fraction))
+            )
+            victims = sorted(
+                multi, key=lambda p: (expected.get(p, 0.0), p)
+            )[:drop_n]
+            for p in victims:
+                del logp[p]
+            # renormalize the survivors (dropping mass): exact M-step
+            # over the surviving expected counts
+            logp = _m_step(
+                {p: max(expected.get(p, 0.0), 1e-12) for p in logp}
+            )
+        _, expected = unigram_e_step(hist, logp, max_piece_len)
+        for ch in singles:
+            if expected.get(ch, 0.0) < 1e-12:
+                expected[ch] = 1e-12
+        logp = _m_step(expected)
+        vocab = [("<unk>", 0.0)] + [
+            (p, logp[p])
+            for p in sorted(
+                logp, key=lambda p: (-expected.get(p, 0.0), p)
+            )
+        ]
+        return vocab
+    finally:
+        hist.unpersist()
