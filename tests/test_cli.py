@@ -761,3 +761,56 @@ def test_cli_curate_full_perplexity_stage(spark, tmp_path, capsys):
             spark, inp, str(tmp_path / "x"), ppl_lm=lm_dir,
             near_dup_threshold=None,
         )
+
+
+def test_cli_curate_full_semantic_decontam(spark, tmp_path, capsys):
+    """curate-full --decontam-embeddings: a corpus doc whose
+    embedding duplicates an eval item dies at the semantic stage
+    even though its TEXT shares no n-grams with anything."""
+    import random
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rng = random.Random(11)
+
+    def vec(r):
+        return [r.uniform(-1, 1) for _ in range(8)]
+
+    def doc(seed, n=25):
+        r = random.Random(seed)
+        return " ".join(f"tok{r.randrange(300)}" for _ in range(n))
+
+    evec = vec(random.Random(999))
+    rows = [(i, doc(i), "en", vec(random.Random(i))) for i in range(30)]
+    rows.append((700, doc(700), "en", list(evec)))  # embedding leak
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, embedding array<double>",
+    ).write.parquet(inp)
+    ev = str(tmp_path / "eval_emb")
+    spark.createDataFrame(
+        [(0, list(evec))], "vec_id long, embedding array<double>"
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "built")
+    rc = cli.main(
+        [
+            "curate-full",
+            "--input", inp,
+            "--output", out,
+            "--boiler-min-docs", "1000",
+            "--min-quality", "0.0",
+            "--near-dup-threshold", "-1",
+            "--decontam-embeddings", ev,
+            "--decontam-cosine", "0.999",
+            "--keep-rates", "en=1.0",
+        ]
+    )
+    assert rc == 0
+    assert "semantic_decontam" in capsys.readouterr().out
+    ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 700 not in ids
+    assert len(ids) == 30

@@ -285,6 +285,9 @@ def run_curate_full(
     max_per_domain: int | None = None,
     decontam_path: str | None = None,
     decontam_threshold: float = 0.5,
+    decontam_embeddings: str | None = None,
+    decontam_cosine: float = 0.95,
+    embedding_col: str = "embedding",
     keep_rates: str = "en=1.0",
     default_rate: float = 0.2,
     split_fractions: str | None = None,
@@ -443,6 +446,29 @@ def run_curate_full(
         ).filter(F.col("contamination") >= decontam_threshold)
         df = mark(
             "decontam", df.join(tainted.select(id_col), id_col, "left_anti")
+        )
+    if decontam_embeddings:
+        # paraphrase leakage the n-gram pass misses: needs an
+        # embedding column on the corpus (upstream featurization)
+        from utc_cuip_kafka_aws_connector_spark.operators.semdecontam import (
+            semantic_decontaminate,
+        )
+
+        if embedding_col not in df.columns:
+            raise ValueError(
+                f"decontam_embeddings needs a {embedding_col!r} column on "
+                "the corpus (set embedding_col= to its name)"
+            )
+        evals = spark.read.parquet(decontam_embeddings)
+        df = mark(
+            "semantic_decontam",
+            semantic_decontaminate(
+                df,
+                evals,
+                threshold=decontam_cosine,
+                id_col=id_col,
+                vec_col=embedding_col,
+            ),
         )
     rates = {}
     for part in keep_rates.split(","):
@@ -743,6 +769,13 @@ def main(argv: list[str] | None = None) -> int:
         "--decontam", default=None, help="benchmark parquet to decontaminate against"
     )
     curate_full.add_argument("--decontam-threshold", type=float, default=0.5)
+    curate_full.add_argument(
+        "--decontam-embeddings", default=None,
+        help="eval embeddings parquet (vec_id, embedding): adds the "
+        "semantic decontamination stage; corpus needs --embedding-col",
+    )
+    curate_full.add_argument("--decontam-cosine", type=float, default=0.95)
+    curate_full.add_argument("--embedding-col", default="embedding")
     curate_full.add_argument("--keep-rates", default="en=1.0")
     curate_full.add_argument("--default-rate", type=float, default=0.2)
     curate_full.add_argument(
@@ -1112,6 +1145,9 @@ def main(argv: list[str] | None = None) -> int:
             max_per_domain=args.max_per_domain,
             decontam_path=args.decontam,
             decontam_threshold=args.decontam_threshold,
+            decontam_embeddings=args.decontam_embeddings,
+            decontam_cosine=args.decontam_cosine,
+            embedding_col=args.embedding_col,
             keep_rates=args.keep_rates,
             default_rate=args.default_rate,
             split_fractions=args.split,
