@@ -315,3 +315,39 @@ def test_rejections():
 def test_unigram_unk_score_guard():
     with pytest.raises(ValueError, match="empty"):
         unigram_unk_score({})
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=60, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.data())
+def test_viterbi_optimality_property(data):
+    """Hypothesis sweep of the seeded differential: on ANY piece
+    table and input (incl. characters outside every piece), Viterbi
+    reconstructs the input exactly and its total equals the
+    exhaustive-segmentation maximum."""
+    pieces = data.draw(
+        st.sets(
+            st.text(alphabet="abc", min_size=1, max_size=4),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    scores = {
+        p: data.draw(
+            st.floats(min_value=-12.0, max_value=-0.125, allow_nan=False)
+        )
+        for p in sorted(pieces)
+    }
+    text = data.draw(st.text(alphabet="abcd", max_size=10))
+    unk = unigram_unk_score(scores)
+    max_len = max(len(p) for p in scores)
+    segs = viterbi_segment(text, scores, unk, max_len)
+    assert "".join(p for p, _ in segs) == text
+    assert seg_total(segs, scores, unk) == pytest.approx(
+        brute_force_best(text, scores, unk), abs=1e-9
+    )
