@@ -263,3 +263,84 @@ def test_score_plan_is_join_only(trained, score_df):
     plan = kn_score(score_df, model)._jdf.queryExecution().executedPlan().toString()
     for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert node not in plan, node
+
+
+def test_kn_merge_equals_whole_corpus_train(spark, score_df):
+    """The incremental contract: merge(train(A), train(B), train(C))
+    scores every document exactly like train(A+B+C) — raw counts are
+    additive and everything else derives from them."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_merge,
+    )
+
+    parts = [TRAIN[:3], TRAIN[3:6], TRAIN[6:]]
+    dfs = [
+        spark.createDataFrame([(t,) for t in p], "text string")
+        for p in parts
+    ]
+    whole = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    merged = kn_merge([kn_train(d, order=3) for d in dfs])
+    direct = kn_train(whole, order=3)
+    assert merged["v_size"] == direct["v_size"]
+    assert merged["b1"] == pytest.approx(direct["b1"], rel=1e-12)
+    a = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, merged).collect()
+    }
+    b = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, direct).collect()
+    }
+    for d in b:
+        assert a[d] == pytest.approx(b[d], rel=1e-12), d
+
+
+def test_kn_merge_guards(corpus, spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_merge,
+    )
+
+    m2 = kn_train(corpus, order=2)
+    m3 = kn_train(corpus, order=3)
+    with pytest.raises(ValueError, match="identical"):
+        kn_merge([m2, m3])
+    open_v = kn_train(corpus, order=2, min_count=2)
+    with pytest.raises(ValueError, match="min_count"):
+        kn_merge([open_v, m2])
+    with pytest.raises(ValueError, match="at least one"):
+        kn_merge([])
+    assert kn_merge([m2]) is m2
+
+
+def test_kn_merge_survives_save_load(tmp_path, spark, score_df, corpus):
+    """Saved models keep their raw tables, so batches persisted on
+    different days still merge exactly."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_merge,
+    )
+
+    half_a = spark.createDataFrame(
+        [(t,) for t in TRAIN[:4]], "text string"
+    )
+    half_b = spark.createDataFrame(
+        [(t,) for t in TRAIN[4:]], "text string"
+    )
+    save_kn_lm(kn_train(half_a, order=2), str(tmp_path / "a"))
+    save_kn_lm(kn_train(half_b, order=2), str(tmp_path / "b"))
+    merged = kn_merge(
+        [
+            load_kn_lm(spark, str(tmp_path / "a")),
+            load_kn_lm(spark, str(tmp_path / "b")),
+        ]
+    )
+    direct = kn_train(corpus, order=2)
+    a = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, merged).collect()
+    }
+    b = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, direct).collect()
+    }
+    for d in b:
+        assert a[d] == pytest.approx(b[d], rel=1e-12), d

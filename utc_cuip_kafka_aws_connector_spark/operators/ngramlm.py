@@ -193,6 +193,8 @@ def kn_train(
 
     # Raw counts per order (order k needs them to derive order k-1's
     # continuation counts; only the top order keeps them as-is).
+    # Raw tables are ADDITIVE across corpora — they stay in the model
+    # so kn_merge can fold incremental batches without retraining.
     raw = {}
     for k in range(1, order + 1):
         raw[k] = (
@@ -200,7 +202,20 @@ def kn_train(
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("a"))
         )
+    return _model_from_raw(raw, vocab, order, discount, min_count)
 
+
+def _model_from_raw(
+    raw: dict[int, DataFrame],
+    vocab: DataFrame,
+    order: int,
+    discount: float,
+    min_count: int,
+) -> dict:
+    """Derive the scoring tables (probs/ctx/b1/v_size) from raw
+    n-gram count tables — the deterministic second half of
+    ``kn_train``, shared with ``kn_merge`` (identical counts in =>
+    bit-identical model out)."""
     adjusted = {order: raw[order]}
     for k in range(order - 1, 0, -1):
         # N1+(.g): distinct (k+1)-grams that end in g.
@@ -271,12 +286,68 @@ def kn_train(
     return {
         "order": order,
         "discount": discount,
+        "min_count": min_count,
         "vocab": vocab,
         "v_size": v_size,
         "b1": b1,
         "probs": probs,
         "ctx": ctx,
+        "raw": raw,
     }
+
+
+def kn_merge(models: list[dict]) -> dict:
+    """Fold independently-trained models into the model of the
+    UNION corpus, without touching any corpus again — the
+    incremental-retrain path (daily/monthly batches, the
+    increddup/ann_append discipline applied to the LM).
+
+    Exact because raw n-gram COUNTS are additive across corpora,
+    and everything else (continuation counts = distinct-ness of the
+    merged raw tables, discounted probs, backoff weights, V) is a
+    deterministic function of them: merge(train(A), train(B)) ==
+    train(A ∪ B) value-for-value (pinned in tests/test_ngramlm.py).
+    Requires identical order/discount and ``min_count == 1`` — an
+    open-vocab model maps tokens to <unk> per-batch, which is not
+    reconstructible from counts (a token rare in every batch but
+    frequent in the union would have been in the union vocab), so
+    merging such models is refused rather than silently wrong."""
+    from functools import reduce
+
+    if not models:
+        raise ValueError("kn_merge needs at least one model")
+    order = models[0]["order"]
+    discount = models[0]["discount"]
+    for m in models:
+        if m["order"] != order or m["discount"] != discount:
+            raise ValueError(
+                "kn_merge needs identical (order, discount); got "
+                f"{(m['order'], m['discount'])} vs {(order, discount)}"
+            )
+        if m.get("min_count", 1) != 1:
+            raise ValueError(
+                "kn_merge requires min_count=1 models (per-batch <unk> "
+                "mapping is not reconstructible from counts)"
+            )
+        if "raw" not in m:
+            raise ValueError(
+                "model carries no raw count tables (trained before "
+                "kn_merge existed, or loaded from a probs-only save)"
+            )
+    if len(models) == 1:
+        return models[0]
+    raw = {
+        k: reduce(
+            lambda a, b: a.unionByName(b), (m["raw"][k] for m in models)
+        )
+        .groupBy("gram")
+        .agg(F.sum("a").alias("a"))
+        for k in range(1, order + 1)
+    }
+    vocab = reduce(
+        lambda a, b: a.unionByName(b), (m["vocab"] for m in models)
+    ).distinct()
+    return _model_from_raw(raw, vocab, order, discount, 1)
 
 
 def kn_score(
@@ -406,11 +477,14 @@ def save_kn_lm(model: dict, path: str) -> None:
         t.write.mode("overwrite").parquet(os.path.join(path, f"probs_{k}"))
     for k, t in model["ctx"].items():
         t.write.mode("overwrite").parquet(os.path.join(path, f"ctx_{k}"))
+    for k, t in model.get("raw", {}).items():
+        t.write.mode("overwrite").parquet(os.path.join(path, f"raw_{k}"))
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(
             {
                 "order": model["order"],
                 "discount": model["discount"],
+                "min_count": model.get("min_count", 1),
                 "v_size": model["v_size"],
                 "b1": model["b1"],
             },
@@ -425,9 +499,10 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     order = int(meta["order"])
-    return {
+    model = {
         "order": order,
         "discount": float(meta["discount"]),
+        "min_count": int(meta.get("min_count", 1)),
         "v_size": int(meta["v_size"]),
         "b1": float(meta["b1"]),
         "vocab": spark.read.parquet(os.path.join(path, "vocab")),
@@ -440,3 +515,9 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
             for k in range(2, order + 1)
         },
     }
+    if os.path.isdir(os.path.join(path, "raw_1")):
+        model["raw"] = {
+            k: spark.read.parquet(os.path.join(path, f"raw_{k}"))
+            for k in range(1, order + 1)
+        }
+    return model
