@@ -814,3 +814,63 @@ def test_cli_curate_full_semantic_decontam(spark, tmp_path, capsys):
     }
     assert 700 not in ids
     assert len(ids) == 30
+
+
+def test_cli_lm_merge(spark, tmp_path, capsys):
+    """lm --op merge: two saved batch LMs fold into one that scores
+    exactly like training on the union corpus."""
+    import pytest as _pytest
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        load_kn_lm,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "a dog chased the cat",
+        "the fish swam in the sea",
+        "cats and dogs live here",
+    ]
+    a_dir, b_dir = str(tmp_path / "in_a"), str(tmp_path / "in_b")
+    spark.createDataFrame(
+        [(t,) for t in texts[:2]], "text string"
+    ).write.parquet(a_dir)
+    spark.createDataFrame(
+        [(t,) for t in texts[2:]], "text string"
+    ).write.parquet(b_dir)
+    lm_a, lm_b = str(tmp_path / "lm_a"), str(tmp_path / "lm_b")
+    for src, dst in ((a_dir, lm_a), (b_dir, lm_b)):
+        assert cli.main(
+            ["lm", "--op", "train", "--model", dst, "--input", src,
+             "--order", "2"]
+        ) == 0
+    capsys.readouterr()
+    merged_dir = str(tmp_path / "lm_merged")
+    assert cli.main(
+        ["lm", "--op", "merge", "--model", merged_dir,
+         "--input", f"{lm_a},{lm_b}"]
+    ) == 0
+    assert "merged 2 LMs" in capsys.readouterr().out
+
+    whole = spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    )
+    probe = spark.createDataFrame(
+        [("p1", "the cat swam here"), ("p2", "dogs sat on the sea")],
+        "doc_id string, text string",
+    )
+    direct = kn_train(whole, order=2)
+    merged = load_kn_lm(spark, merged_dir)
+    a = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(probe, merged).collect()
+    }
+    b = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(probe, direct).collect()
+    }
+    for d in b:
+        assert a[d] == _pytest.approx(b[d], rel=1e-12), d

@@ -964,9 +964,15 @@ def main(argv: list[str] | None = None) -> int:
         "corpus, score documents by perplexity (the CCNet quality "
         "signal), bucket head/middle/tail",
     )
-    lm.add_argument("--op", required=True, choices=["train", "score"])
+    lm.add_argument(
+        "--op", required=True, choices=["train", "score", "merge"]
+    )
     lm.add_argument("--model", required=True, help="LM directory (parquet tables + meta)")
-    lm.add_argument("--input", required=True, help="corpus parquet")
+    lm.add_argument(
+        "--input", required=True,
+        help="corpus parquet (train/score) or comma-separated saved LM "
+        "dirs (merge: fold incremental batches == whole-corpus retrain)",
+    )
     lm.add_argument("--output", default=None, help="score: output parquet")
     lm.add_argument("--id-col", default="doc_id")
     lm.add_argument("--text-col", default="text")
@@ -1461,6 +1467,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
     elif args.cmd == "lm":
         from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_merge,
             kn_score,
             kn_train,
             load_kn_lm,
@@ -1468,6 +1475,15 @@ def main(argv: list[str] | None = None) -> int:
             save_kn_lm,
         )
 
+        if args.op == "merge":
+            parts = [p.strip() for p in args.input.split(",") if p.strip()]
+            merged = kn_merge([load_kn_lm(spark, p) for p in parts])
+            save_kn_lm(merged, args.model)
+            print(
+                f"merged {len(parts)} LMs (order {merged['order']}, "
+                f"vocab {merged['v_size']}) into {args.model}"
+            )
+            return 0
         df = spark.read.parquet(args.input)
         if args.op == "train":
             model = kn_train(
