@@ -4457,13 +4457,22 @@ _GATE_PRIORITY = [
     # within-stage shuffle stays pytest-grade). A second new entry
     # requires retiring a member of the EXPIRING r11 cohort; the
     # named candidate is q14_distinct_months (subsumed by q10
-    # count-distinct + q33 calendar aggregation). Module edits legal
+    # count-distinct + q33 calendar aggregation). The promotion is
+    # PRE-STAGED below (staged_q123_curriculum_stages +
+    # STAGED_Q123_ORACLE, parity-pinned locally by
+    # tests/test_curriculum_gate_stage.py at sf0.001 and verified at
+    # sf0.01 in-session at r12) — registering is a @query wrap + one
+    # _GATE_PRIORITY append + flipping that test's
+    # not_yet_registered assertion. Module edits legal
     # at r13: those whose dependents are all r12-attested — dedup.py
     # unfreezes then (connected_components already carries the
     # reliable_checkpoint/checkpoint_dir knob, dedup.py:288-346, so
     # no r13 edit is owed there), as do text.py, sampling.py,
     # similarity.py, multimodal.py, layout.py/skipread.py, stats.py,
     # diff.py, chunking.py, boilerplate.py, streaming/ops.py.
+    # r13 follow-ups once report.py unfreezes: fold the r12-session
+    # signals (ngramlm perplexity buckets, dsir log-weights,
+    # semdecontam max_cosine) into release_report's data card.
     #
     # --- the 48 expiring r9-resters ---
     "q01_pricing_summary",
