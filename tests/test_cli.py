@@ -874,3 +874,44 @@ def test_cli_lm_merge(spark, tmp_path, capsys):
     }
     for d in b:
         assert a[d] == _pytest.approx(b[d], rel=1e-12), d
+
+
+def test_cli_pack_pipeline(spark, tmp_path, capsys):
+    """tokenizer encode -> pack: the full tokenize-and-pack chain as
+    two commands; packed rows are exact-window and lossless."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "tok.json")
+    ids = str(tmp_path / "ids")
+    packed = str(tmp_path / "packed")
+    assert cli.main(
+        ["tokenizer", "--op", "train", "--model", model, "--input", inp,
+         "--merges", "8"]
+    ) == 0
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", model, "--input", inp,
+         "--output", ids]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["pack", "--input", ids, "--output", packed,
+         "--context-len", "256", "--pad-id", "0"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "packed" in out and "fill" in out
+    rows = spark.read.parquet(packed)
+    from pyspark.sql import functions as F
+
+    assert rows.where(F.size("input_ids") != 256).count() == 0
+    n_in = (
+        spark.read.parquet(ids)
+        .agg(F.sum(F.size("token_ids")))
+        .collect()[0][0]
+    )
+    n_packed = rows.agg(F.sum("n_tokens")).collect()[0][0]
+    n_trunc = rows.where("truncated").count()
+    if n_trunc == 0:
+        assert n_packed == n_in
+    else:
+        assert n_packed < n_in

@@ -1008,6 +1008,24 @@ def main(argv: list[str] | None = None) -> int:
         "drawing a sample",
     )
 
+    pack = sub.add_parser(
+        "pack",
+        help="materialize fixed-context training rows from encoded "
+        "token ids (tokenizer --op encode output): concat docs per "
+        "budget, pad, keep doc boundaries",
+    )
+    pack.add_argument("--input", required=True, help="ids parquet (doc_id, token_ids)")
+    pack.add_argument("--output", required=True, help="packed rows parquet")
+    pack.add_argument("--context-len", type=int, required=True)
+    pack.add_argument("--pad-id", type=int, default=0)
+    pack.add_argument("--eos-id", type=int, default=None)
+    pack.add_argument("--id-col", default="doc_id")
+    pack.add_argument("--ids-col", default="token_ids")
+    pack.add_argument(
+        "--shard-hex-chars", type=int, default=1,
+        help="parallelism = 16^n packing groups (0 = one global group)",
+    )
+
     compact = sub.add_parser(
         "compact",
         help="lake maintenance: merge each partition's small files to ~target size "
@@ -1548,6 +1566,35 @@ def main(argv: list[str] | None = None) -> int:
                 f"selected {n}/{raw.count()} docs toward {args.target}, "
                 f"output={args.output}"
             )
+    elif args.cmd == "pack":
+        from pyspark.sql import functions as F
+
+        from utc_cuip_kafka_aws_connector_spark.operators.packout import (
+            pack_token_ids,
+        )
+
+        packed = pack_token_ids(
+            spark.read.parquet(args.input),
+            context_len=args.context_len,
+            pad_id=args.pad_id,
+            eos_id=args.eos_id,
+            id_col=args.id_col,
+            ids_col=args.ids_col,
+            hex_chars=args.shard_hex_chars,
+        )
+        packed.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        stats = got.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.col("truncated").cast("int")).alias("truncated"),
+        ).collect()[0]
+        fill = stats["tokens"] / max(stats["rows"] * args.context_len, 1)
+        print(
+            f"packed {stats['rows']} rows x {args.context_len} "
+            f"({stats['tokens']} tokens, fill {fill:.3f}, "
+            f"{stats['truncated']} truncated), output={args.output}"
+        )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
