@@ -351,3 +351,99 @@ def test_viterbi_optimality_property(data):
     assert seg_total(segs, scores, unk) == pytest.approx(
         brute_force_best(text, scores, unk), abs=1e-9
     )
+
+
+def test_sample_segment_posterior_and_limits():
+    """FFBS sampling: alpha=1 draws the exact lattice posterior
+    (frequency of the one-piece path on the two-path 'ab' lattice
+    matches closed form within 3 sigma); large alpha collapses onto
+    Viterbi; determinism is the caller's rng."""
+    import math
+    import random
+
+    from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+        sample_segment,
+    )
+
+    scores = {
+        "a": math.log(0.3),
+        "b": math.log(0.2),
+        "ab": math.log(0.1),
+    }
+    unk = unigram_unk_score(scores)
+    p_one = 0.1 / (0.1 + 0.3 * 0.2)
+
+    rng = random.Random(7)
+    n = 4000
+    ones = sum(
+        1
+        for _ in range(n)
+        if [p for p, _ in sample_segment("ab", scores, unk, 2, 1.0, rng)]
+        == ["ab"]
+    )
+    sigma = math.sqrt(n * p_one * (1 - p_one))
+    assert abs(ones - n * p_one) < 3 * sigma, (ones, n * p_one)
+
+    # alpha -> inf: every draw is the Viterbi segmentation
+    vit = [p for p, _ in viterbi_segment("ab", scores, unk, 2)]
+    rng = random.Random(3)
+    for _ in range(50):
+        assert [
+            p for p, _ in sample_segment("ab", scores, unk, 2, 200.0, rng)
+        ] == vit
+
+    # reconstruction + unknown chars still covered
+    rng = random.Random(1)
+    for _ in range(50):
+        segs = sample_segment("abxab", scores, unk, 2, 1.0, rng)
+        assert "".join(p for p, _ in segs) == "abxab"
+
+    with pytest.raises(ValueError, match="alpha"):
+        sample_segment("ab", scores, unk, 2, 0.0, random.Random(0))
+
+
+def test_spec_encode_subword_regularization(spark):
+    """Distributed sampling: deterministic per (seed, doc,
+    occurrence) across layouts, varies across seeds, decodes back to
+    the original text, and rejects non-Unigram models."""
+    spec = from_tokenizer_json_spec(_t5ish_json())
+    texts = [(i, "hello world hello") for i in range(6)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    a = {
+        r["doc_id"]: r["token_ids"]
+        for r in spec_encode(df, spec, sample_alpha=0.2, sample_seed=5).collect()
+    }
+    b = {
+        r["doc_id"]: r["token_ids"]
+        for r in spec_encode(
+            df.repartition(5), spec, sample_alpha=0.2, sample_seed=5
+        ).collect()
+    }
+    assert a == b  # layout-independent determinism
+    c = {
+        r["doc_id"]: r["token_ids"]
+        for r in spec_encode(df, spec, sample_alpha=0.2, sample_seed=6).collect()
+    }
+    assert a != c  # a new seed is a fresh draw
+    # at a soft temperature the 6 docs should not all share one
+    # segmentation (they have distinct doc keys)
+    assert len({tuple(v) for v in a.values()}) > 1
+    for doc_id, text in texts:
+        assert spec_decode(a[doc_id], spec) == text
+
+    bpe_spec = from_tokenizer_json_spec(
+        json.dumps(
+            {
+                "version": "1.0",
+                "model": {
+                    "type": "BPE",
+                    "unk_token": "<unk>",
+                    "vocab": {"<unk>": 0, "a": 1},
+                    "merges": [],
+                },
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="Unigram"):
+        spec_encode(df, bpe_spec, sample_alpha=0.5)

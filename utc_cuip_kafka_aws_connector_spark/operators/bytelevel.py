@@ -309,6 +309,8 @@ def spec_encode(
     out_col: str = "token_ids",
     cache_cap: int = 1_000_000,
     add_special_tokens: bool = False,
+    sample_alpha: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """(id, out_col array<int>) under a ``tokenio.TokenizerSpec`` —
     the one encoder for every model shape this engine loads:
@@ -338,8 +340,15 @@ def spec_encode(
     suffix = list(getattr(spec, "special_suffix", ())) if add_special_tokens else []
     ws = re.compile(r"\s+")
     model_type = getattr(spec, "model_type", "BPE")
+    if sample_alpha is not None and model_type != "Unigram":
+        raise ValueError(
+            "sample_alpha (subword regularization) applies only to "
+            "Unigram models"
+        )
     if model_type == "Unigram":
         from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+            sample_segment,
+            segments_to_ids,
             unigram_encode_piece,
             unigram_unk_score,
         )
@@ -383,7 +392,9 @@ def spec_encode(
 
         for pdf in batches:
             out = []
-            for text in pdf[text_col].fillna("").astype(str):
+            for doc_key, text in zip(
+                pdf[id_col], pdf[text_col].fillna("").astype(str)
+            ):
                 text = normalize(text)
                 if byte_level:
                     pieces = byte_pretokenize(text, add_prefix_space, use_regex)
@@ -396,8 +407,24 @@ def spec_encode(
                 else:  # "none": whole text, one sequence
                     pieces = [text] if text else []
                 ids: list[int] = list(prefix)
-                for piece in pieces:
-                    ids.extend(encode_piece(piece))
+                if sample_alpha is not None:
+                    # subword regularization: every occurrence draws
+                    # its own segmentation (no cache), deterministic
+                    # in (seed, doc, occurrence) — layout-independent
+                    for occ, piece in enumerate(pieces):
+                        segs = sample_segment(
+                            piece, u_scores, u_unk_score, u_max_len,
+                            sample_alpha,
+                            _det_rng(sample_seed, doc_key, occ),
+                        )
+                        ids.extend(
+                            segments_to_ids(
+                                segs, vocab, unk_id, byte_fallback
+                            )
+                        )
+                else:
+                    for piece in pieces:
+                        ids.extend(encode_piece(piece))
                 ids.extend(suffix)
                 out.append(ids)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
@@ -405,6 +432,19 @@ def spec_encode(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, schema=f"{id_col} long, {out_col} array<int>"
     )
+
+
+def _det_rng(seed: int, doc_key, occurrence: int):
+    """Seeded rng for one (document, piece-occurrence): blake2-keyed
+    so draws are reproducible run-to-run and independent of partition
+    layout (Python's salted str hash would not be)."""
+    import hashlib
+    import random
+
+    digest = hashlib.blake2s(
+        f"{seed}|{doc_key}|{occurrence}".encode()
+    ).digest()
+    return random.Random(int.from_bytes(digest[:8], "big"))
 
 
 def decode_byte_ids(ids: list[int], vocab: dict[str, int]) -> str:

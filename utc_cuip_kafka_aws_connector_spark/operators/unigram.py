@@ -131,6 +131,18 @@ def unigram_encode_piece(
     escalation ladder as the BPE path
     (bytelevel._encode_piece_symbols), never a silent drop."""
     segments = viterbi_segment(piece, scores, unk_score, max_piece_len)
+    return segments_to_ids(segments, vocab, unk_id, byte_fallback)
+
+
+def segments_to_ids(
+    segments: list[tuple[str, bool]],
+    vocab: dict[str, int],
+    unk_id: int | None,
+    byte_fallback: bool,
+) -> list[int]:
+    """The shared miss-policy ladder for any segmentation source
+    (Viterbi or sampled): vocab hit / ``<0xNN>`` byte fallback /
+    fused unk / loud error."""
     if not byte_fallback:
         segments = fuse_unknowns(segments)
     ids: list[int] = []
@@ -446,3 +458,68 @@ def unigram_train(
         return vocab
     finally:
         hist.unpersist()
+
+
+def sample_segment(
+    text: str,
+    scores: dict[str, float],
+    unk_score: float,
+    max_piece_len: int,
+    alpha: float,
+    rng,
+) -> list[tuple[str, bool]]:
+    """Subword regularization (Kudo 2018 §3): draw a segmentation
+    with probability proportional to ``exp(alpha * score(seg))`` —
+    exact forward-filtering / backward-sampling over the same
+    lattice Viterbi maximizes. ``alpha`` is the inverse temperature:
+    large alpha concentrates on the Viterbi argmax (pinned in
+    tests), alpha=1 samples the true lattice posterior, small alpha
+    flattens toward uniform-over-segmentations. ``rng`` is any
+    object with ``random()`` — the caller owns determinism."""
+    n = len(text)
+    if n == 0:
+        return []
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    NEG = float("-inf")
+    # edges[j] = (i, piece, known, alpha-scaled log score)
+    edges: list[list[tuple[int, str, bool, float]]] = [
+        [] for _ in range(n + 1)
+    ]
+    for j in range(1, n + 1):
+        for l in range(1, min(max_piece_len, j) + 1):
+            piece = text[j - l : j]
+            lp = scores.get(piece)
+            if lp is not None:
+                edges[j].append((j - l, piece, True, alpha * lp))
+        edges[j].append((j - 1, text[j - 1], False, alpha * unk_score))
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    for j in range(1, n + 1):
+        for i, _, _, lp in edges[j]:
+            if fwd[i] != NEG:
+                fwd[j] = _logaddexp(fwd[j], fwd[i] + lp)
+    out: list[tuple[str, bool]] = []
+    j = n
+    while j > 0:
+        # categorical draw over incoming edges by posterior mass
+        u = rng.random()
+        acc = 0.0
+        chosen = None
+        for i, piece, known, lp in edges[j]:
+            if fwd[i] == NEG:
+                continue
+            acc += math.exp(fwd[i] + lp - fwd[j])
+            if u <= acc:
+                chosen = (i, piece, known)
+                break
+        if chosen is None:  # float residue: take the last viable edge
+            for i, piece, known, lp in reversed(edges[j]):
+                if fwd[i] != NEG:
+                    chosen = (i, piece, known)
+                    break
+        i, piece, known = chosen
+        out.append((piece, known))
+        j = i
+    out.reverse()
+    return out
