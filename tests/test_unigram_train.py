@@ -188,3 +188,36 @@ def test_cli_unigram_lifecycle(spark, tmp_path, capsys):
     ) == 0
     report = capsys.readouterr().out
     assert "oov=0.0000" in report  # self-corpus: no unk
+
+
+def test_cli_unigram_sampled_encode(spark, tmp_path, capsys):
+    """tokenizer encode --sample-alpha on a trained unigram model:
+    deterministic under one seed, different under another."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    model = str(tmp_path / "uni.json")
+    assert cli.main(
+        ["tokenizer", "--op", "train", "--model", model, "--input", inp,
+         "--unigram", "--vocab-size", "40"]
+    ) == 0
+    outs = []
+    for seed in ("5", "5", "9"):
+        out = str(tmp_path / f"ids_{len(outs)}")
+        assert cli.main(
+            ["tokenizer", "--op", "encode", "--model", model,
+             "--input", inp, "--output", out,
+             "--sample-alpha", "0.02", "--sample-seed", seed]
+        ) == 0
+        outs.append(
+            sorted(
+                (r["doc_id"], tuple(r["token_ids"]))
+                for r in spark.read.parquet(out).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert outs[0] != outs[2]

@@ -957,6 +957,12 @@ def main(argv: list[str] | None = None) -> int:
         "--vocab-size", type=int, default=8000,
         help="train --unigram: target vocabulary size (incl. <unk>)",
     )
+    tok.add_argument(
+        "--sample-alpha", type=float, default=None,
+        help="encode (Unigram models): subword-regularization inverse "
+        "temperature — each piece occurrence samples its segmentation",
+    )
+    tok.add_argument("--sample-seed", type=int, default=0)
 
     lm = sub.add_parser(
         "lm",
@@ -1457,7 +1463,12 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("tokenizer --op encode requires --output")
             spec = load_tokenizer_spec(spark, args.model)
             ids = spec_encode(
-                df, spec, id_col=args.id_col, text_col=args.text_col
+                df,
+                spec,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                sample_alpha=args.sample_alpha,
+                sample_seed=args.sample_seed,
             )
             ids.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
