@@ -31,6 +31,10 @@ SAMPLES = [
 def _author_tars(tmp_path):
     """Write the fixture with stdlib tarfile only — proves the reader
     consumes EXTERNAL WebDataset layouts, not just its own writer."""
+    import pathlib
+
+    tmp_path = pathlib.Path(tmp_path)
+    tmp_path.mkdir(parents=True, exist_ok=True)
     by_shard: dict[str, list] = {}
     for shard, key, ext, content in SAMPLES:
         by_shard.setdefault(shard, []).append((key, ext, content))
@@ -151,3 +155,36 @@ def test_feeds_multimodal_decoder(spark, tmp_path):
     assert row["sample_rate"] == sr
     assert row["channels"] == nch
     assert row["n_frames"] == frames
+
+
+def test_cli_wds_import_export(spark, tmp_path, capsys):
+    """wds --op import/export: tars -> entry parquet -> tars -> the
+    same entries; --samples imports the map shape."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    root = _author_tars(tmp_path / "tars_in")
+    entries = str(tmp_path / "entries")
+    assert cli.main(
+        ["wds", "--op", "import", "--input", root, "--output", entries]
+    ) == 0
+    assert f"imported {len(SAMPLES)} entries" in capsys.readouterr().out
+
+    tars_out = str(tmp_path / "tars_out")
+    assert cli.main(
+        ["wds", "--op", "export", "--input", entries, "--output", tars_out]
+    ) == 0
+    assert "exported 2 tar shards" in capsys.readouterr().out
+    back = sorted(
+        (r["shard"], r["key"], r["ext"], bytes(r["content"]))
+        for r in read_tar_shards(spark, tars_out).collect()
+    )
+    assert back == sorted(SAMPLES)
+
+    samples = str(tmp_path / "samples")
+    assert cli.main(
+        ["wds", "--op", "import", "--input", root, "--output", samples,
+         "--samples", "--extensions", "txt,json"]
+    ) == 0
+    assert "imported 3 samples" in capsys.readouterr().out
+    got = spark.read.parquet(samples).collect()
+    assert all(set(r["parts"]) <= {"txt", "json"} for r in got)

@@ -1014,6 +1014,31 @@ def main(argv: list[str] | None = None) -> int:
         "drawing a sample",
     )
 
+    wds = sub.add_parser(
+        "wds",
+        help="WebDataset tar shards <-> parquet: import entry/sample "
+        "rows from tar shards, or export binary-column rows back to "
+        "deterministic tars",
+    )
+    wds.add_argument("--op", required=True, choices=["import", "export"])
+    wds.add_argument("--input", required=True,
+                     help="tar directory (import) / entries parquet (export)")
+    wds.add_argument("--output", required=True,
+                     help="parquet path (import) / tar directory (export)")
+    wds.add_argument(
+        "--extensions", default=None,
+        help="import: comma-separated entry extensions to keep",
+    )
+    wds.add_argument(
+        "--samples", action="store_true",
+        help="import: one row per sample (ext->content map) instead of "
+        "one row per entry",
+    )
+    wds.add_argument(
+        "--on-error", default="raise", choices=["raise", "skip"],
+        help="import: corrupt-shard policy",
+    )
+
     pack = sub.add_parser(
         "pack",
         help="materialize fixed-context training rows from encoded "
@@ -1577,6 +1602,35 @@ def main(argv: list[str] | None = None) -> int:
                 f"selected {n}/{raw.count()} docs toward {args.target}, "
                 f"output={args.output}"
             )
+    elif args.cmd == "wds":
+        from utc_cuip_kafka_aws_connector_spark.sources.wds import (
+            group_samples,
+            read_tar_shards,
+            save_tar_shards,
+            write_tar_shards,
+        )
+
+        if args.op == "import":
+            exts = (
+                [e.strip() for e in args.extensions.split(",") if e.strip()]
+                if args.extensions
+                else None
+            )
+            rows = read_tar_shards(
+                spark, args.input, extensions=exts, on_error=args.on_error
+            )
+            if args.samples:
+                rows = group_samples(rows)
+            rows.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            shape = "samples" if args.samples else "entries"
+            print(f"imported {n} {shape} from {args.input}, output={args.output}")
+        else:  # export
+            entries = spark.read.parquet(args.input)
+            n = save_tar_shards(
+                spark, write_tar_shards(entries), args.output
+            )
+            print(f"exported {n} tar shards to {args.output}")
     elif args.cmd == "pack":
         from pyspark.sql import functions as F
 
