@@ -115,6 +115,11 @@ def test_tokenizer_report_coverage_and_compression(spark, trained):
         # trained on this very corpus: zero OOV, and merges compress
         assert r.oov_rate == 0.0
         assert 1.0 < r.chars_per_token < 20.0
+        # fertility: whitespace BPE emits at least one subword per
+        # word and cannot emit more subwords than non-space chars —
+        # chars/token * tokens/word = chars/word stays >= 1
+        assert r.tokens_per_word >= 1.0
+        assert r.chars_per_token * r.tokens_per_word >= 1.0
     # an alien-alphabet corpus shows up as OOV leakage
     alien = spark.createDataFrame(
         [(0, "σπάρκ γραφτ τεστ", "el")], "doc_id long, text string, lang string"

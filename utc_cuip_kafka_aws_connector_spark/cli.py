@@ -1517,7 +1517,8 @@ def main(argv: list[str] | None = None) -> int:
                 slice_name = getattr(r, args.lang_col, "(all)")
                 print(
                     f"{slice_name:>8}  docs={r.n_docs:<8} tokens={r.n_tokens:<10} "
-                    f"oov={r.oov_rate:.4f}  chars/token={r.chars_per_token:.2f}"
+                    f"oov={r.oov_rate:.4f}  chars/token={r.chars_per_token:.2f}  "
+                    f"tokens/word={r.tokens_per_word:.2f}"
                 )
     elif args.cmd == "lm":
         from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (

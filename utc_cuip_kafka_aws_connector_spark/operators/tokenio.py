@@ -612,6 +612,11 @@ def _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col):
         F.length(
             F.regexp_replace(F.col(text_col), r"\s+", "")
         ).alias("_chars"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+            )
+        ).alias("_words"),
         *( [F.col(slice_col)] if slice_col and slice_col in df.columns else [] ),
     ).join(ids, id_col)
     group = (
@@ -626,6 +631,7 @@ def _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col):
             F.size(F.filter(F.col("token_ids"), lambda t: t == F.lit(eff_unk)))
         ).alias("_unk"),
         F.sum("_chars").alias("_chars"),
+        F.sum("_words").alias("_words"),
     )
     out = agg.select(
         *group,
@@ -636,6 +642,11 @@ def _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col):
         ),
         (F.col("_chars") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
             "chars_per_token"
+        ),
+        # fertility: subword tokens per whitespace word — the third
+        # number of every tokenizer-comparison table
+        (F.col("n_tokens") / F.greatest(F.col("_words"), F.lit(1))).alias(
+            "tokens_per_word"
         ),
     )
     return out.orderBy(*group) if group else out
