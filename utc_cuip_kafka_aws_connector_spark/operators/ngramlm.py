@@ -521,3 +521,50 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
             for k in range(1, order + 1)
         }
     return model
+
+
+def moore_lewis_score(
+    df: DataFrame,
+    target_model: dict,
+    generic_model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-entropy difference selection (Moore & Lewis 2010 — the
+    classic LM-based data-selection criterion, the ancestor of DSIR's
+    bucket models): per document,
+    ``ce_diff = H_target(x) - H_generic(x)`` in log10 per token —
+    NEGATIVE means the document looks more like the target domain
+    than like the generic corpus. Returns ``(id_col, n_tokens,
+    ce_target, ce_generic, ce_diff)``; select by ascending
+    ``ce_diff`` (``select_by_ce_diff``).
+
+    Two ``kn_score`` passes + one id-keyed join — both models score
+    the SAME tokenization, so length effects cancel exactly (the
+    property that makes the difference better than raw target
+    perplexity: rare-but-domain-neutral text is penalized by both
+    models equally)."""
+    t = kn_score(df, target_model, text_col, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (-F.col("log10_prob") / F.col("n_tokens")).alias("ce_target"),
+    )
+    g = kn_score(df, generic_model, text_col, id_col).select(
+        F.col(id_col),
+        (-F.col("log10_prob") / F.col("n_tokens")).alias("ce_generic"),
+    )
+    return t.join(g, on=id_col).select(
+        id_col,
+        "n_tokens",
+        "ce_target",
+        "ce_generic",
+        (F.col("ce_target") - F.col("ce_generic")).alias("ce_diff"),
+    )
+
+
+def select_by_ce_diff(scored: DataFrame, k: int) -> DataFrame:
+    """The k most target-like documents (ascending ce_diff —
+    global top-k, TakeOrderedAndProject)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return scored.orderBy(F.col("ce_diff").asc()).limit(k)
