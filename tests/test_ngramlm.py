@@ -50,7 +50,9 @@ SCORE = [
 class PyKN:
     """Independent reference: same formulas, dict arithmetic."""
 
-    def __init__(self, docs, order=3, discount=0.75, min_count=1):
+    def __init__(
+        self, docs, order=3, discount=0.75, min_count=1, prune_top=1
+    ):
         self.n = order
         self.d = discount
         uni = Counter(t for doc in docs for t in doc.split())
@@ -69,7 +71,12 @@ class PyKN:
                 for i in range(len(p) - k + 1):
                     raw[k][tuple(p[i : i + k])] += 1
 
-        self.adj = {order: dict(raw[order])}
+        self.adj = {
+            order: {
+                g: a for g, a in raw[order].items() if a >= prune_top
+            }
+        }
+        raw[order] = Counter(self.adj[order])
         for k in range(order - 1, 0, -1):
             cont = Counter()
             for g in raw[k + 1]:
@@ -393,3 +400,34 @@ def test_moore_lewis_selection(spark, corpus):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="k"):
         select_by_ce_diff(scored, 0)
+
+
+def test_kn_prune_matches_pruned_reference(corpus, score_df):
+    """Count pruning: the Spark model rebuilt from pruned top-order
+    counts == the Python reference with the same cutoff, per
+    document at 1e-9; the top table shrinks; threshold 1 is the
+    identity; probs-only models refuse."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_prune,
+    )
+
+    model = kn_train(corpus, order=3)
+    pruned = kn_prune(model, 2)
+    assert (
+        pruned["probs"][3].count() < model["probs"][3].count()
+    )
+    ref = PyKN(TRAIN, order=3, prune_top=2)
+    got = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, pruned).collect()
+    }
+    for doc_id, text in SCORE:
+        lp, _ = ref.doc_log10(text)
+        assert got[doc_id] == pytest.approx(lp, rel=1e-9, abs=1e-9), doc_id
+
+    assert kn_prune(model, 1) is model
+    with pytest.raises(ValueError, match="min_top_count"):
+        kn_prune(model, 0)
+    probs_only = {k: v for k, v in model.items() if k != "raw"}
+    with pytest.raises(ValueError, match="raw count tables"):
+        kn_prune(probs_only, 2)

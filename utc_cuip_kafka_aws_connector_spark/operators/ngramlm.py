@@ -568,3 +568,38 @@ def select_by_ce_diff(scored: DataFrame, k: int) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return scored.orderBy(F.col("ce_diff").asc()).limit(k)
+
+
+def kn_prune(model: dict, min_top_count: int) -> dict:
+    """Count pruning for deployment (KenLM's ``--prune`` in its
+    dominant form): drop top-order n-grams rarer than
+    ``min_top_count`` and re-derive the model from the pruned count
+    tables. Restricted to the TOP order on purpose — every lower
+    order's outcome set then stays a subset of the unigram outcome
+    set (top-order tails are corpus tokens, present in raw[2]'s
+    suffixes), so the exact sum-to-1 normalization identity is
+    PRESERVED; pruning lower orders would leak probability mass out
+    of the uniform floor's outcome set. Typical effect: singleton
+    trigrams are the bulk of a web-corpus LM; ``min_top_count=2``
+    shrinks the biggest table severalfold with a bounded perplexity
+    cost. Needs the model's raw tables (kn_train keeps them)."""
+    if min_top_count < 1:
+        raise ValueError(
+            f"min_top_count must be >= 1, got {min_top_count}"
+        )
+    if "raw" not in model:
+        raise ValueError(
+            "model carries no raw count tables (loaded from a "
+            "probs-only save) — retrain or reload a full save"
+        )
+    if min_top_count == 1:
+        return model
+    order = model["order"]
+    raw = dict(model["raw"])
+    raw[order] = raw[order].where(
+        F.col("a") >= F.lit(int(min_top_count))
+    )
+    return _model_from_raw(
+        raw, model["vocab"], order, model["discount"],
+        model.get("min_count", 1),
+    )
