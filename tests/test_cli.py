@@ -915,3 +915,64 @@ def test_cli_pack_pipeline(spark, tmp_path, capsys):
         assert n_packed == n_in
     else:
         assert n_packed < n_in
+
+
+def test_cli_curate_full_dsir_preselect(spark, tmp_path, capsys):
+    """curate-full --select-target: the DSIR stage shrinks the pool
+    to --select-k rows, biased toward the target domain, before the
+    rest of the funnel runs."""
+    import random
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    def doc(seed, words, n=25):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    A = ["cat", "dog", "fish", "bird", "tree", "house", "sat", "the"]
+    B = ["stock", "bond", "yield", "market", "index", "fund", "rate"]
+    rows = [(i, doc(i, A), "en") for i in range(40)]
+    rows += [(100 + i, doc(500 + i, B), "en") for i in range(40)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(inp)
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(doc(900 + i, A),) for i in range(20)], "text string"
+    ).write.parquet(target)
+
+    out = str(tmp_path / "built")
+    rc = cli.main(
+        [
+            "curate-full",
+            "--input", inp,
+            "--output", out,
+            "--select-target", target,
+            "--select-k", "30",
+            "--select-buckets", "512",
+            "--boiler-min-docs", "1000",
+            "--min-quality", "0.0",
+            "--near-dup-threshold", "-1",
+            "--keep-rates", "en=1.0",
+            "--seed", "2",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "dsir_select:30" in printed
+    ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    n_domain_a = len([i for i in ids if i < 100])
+    assert n_domain_a > len(ids) * 0.7  # selection leans to the target
+
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.cli import run_curate_full
+
+    with _pytest.raises(ValueError, match="select_k"):
+        run_curate_full(
+            spark, inp, str(tmp_path / "x"),
+            select_target=target, near_dup_threshold=None,
+        )

@@ -272,6 +272,9 @@ def run_curate_full(
     text_col: str = "text",
     lang_col: str = "lang",
     url_col: str | None = None,
+    select_target: str | None = None,
+    select_k: int | None = None,
+    select_buckets: int = 10_000,
     html: bool = False,
     boiler_min_docs: int = 10,
     substr_window: int = 0,
@@ -332,6 +335,32 @@ def run_curate_full(
         stages.append((name, frame.count()))
         return frame
 
+    if select_target:
+        # DSIR pre-selection: shrink the raw pool toward the target
+        # domain BEFORE any per-document cleaning pays its cost
+        from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
+            dsir_fit,
+            dsir_resample,
+            dsir_weights,
+        )
+
+        if not select_k:
+            raise ValueError("select_target needs select_k")
+        tgt = spark.read.parquet(select_target)
+        sel_model = dsir_fit(
+            tgt, df, text_col=text_col, n_buckets=select_buckets
+        )
+        weighted = dsir_weights(
+            df,
+            sel_model,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=select_buckets,
+        )
+        chosen = dsir_resample(
+            weighted, select_k, seed=seed, id_col=id_col
+        ).select(id_col)
+        df = mark("dsir_select", df.join(chosen, id_col, "left_semi"))
     if html:
         from utc_cuip_kafka_aws_connector_spark.operators.extract import (
             html_to_text,
@@ -740,6 +769,13 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--lang-col", default="lang")
     curate_full.add_argument("--url-col", default=None)
     curate_full.add_argument("--html", action="store_true")
+    curate_full.add_argument(
+        "--select-target", default=None,
+        help="target-domain sample parquet: adds a DSIR pre-selection "
+        "stage (importance-resample the raw pool first)",
+    )
+    curate_full.add_argument("--select-k", type=int, default=None)
+    curate_full.add_argument("--select-buckets", type=int, default=10_000)
     curate_full.add_argument("--boiler-min-docs", type=int, default=10)
     curate_full.add_argument(
         "--substr-window", type=int, default=0, help="0 = skip substring dedup"
@@ -1187,6 +1223,9 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             lang_col=args.lang_col,
             url_col=args.url_col,
+            select_target=args.select_target,
+            select_k=args.select_k,
+            select_buckets=args.select_buckets,
             html=args.html,
             boiler_min_docs=args.boiler_min_docs,
             substr_window=args.substr_window,
