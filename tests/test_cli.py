@@ -976,3 +976,19 @@ def test_cli_curate_full_dsir_preselect(spark, tmp_path, capsys):
             spark, inp, str(tmp_path / "x"),
             select_target=target, near_dup_threshold=None,
         )
+
+
+def test_cli_pack_empty_input(spark, tmp_path, capsys):
+    """pack on an empty ids table succeeds with a zero-row report
+    instead of crashing on null aggregates."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    inp = str(tmp_path / "empty_ids")
+    spark.createDataFrame(
+        [], "doc_id long, token_ids array<int>"
+    ).write.parquet(inp)
+    out = str(tmp_path / "packed")
+    assert cli.main(
+        ["pack", "--input", inp, "--output", out, "--context-len", "16"]
+    ) == 0
+    assert "packed 0 rows" in capsys.readouterr().out

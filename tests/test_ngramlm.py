@@ -314,6 +314,13 @@ def test_kn_merge_guards(corpus, spark):
     open_v = kn_train(corpus, order=2, min_count=2)
     with pytest.raises(ValueError, match="min_count"):
         kn_merge([open_v, m2])
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_prune,
+    )
+
+    pruned = kn_prune(kn_train(corpus, order=3), 2)
+    with pytest.raises(ValueError, match="pruned"):
+        kn_merge([pruned, m3])
     with pytest.raises(ValueError, match="at least one"):
         kn_merge([])
     assert kn_merge([m2]) is m2

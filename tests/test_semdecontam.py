@@ -151,3 +151,27 @@ def test_guards_and_plan(planted):
     )
     assert "Join" not in plan          # scan, not join
     assert "Exchange" not in plan      # no shuffle
+
+
+def test_string_ids_both_sides(spark):
+    """Id types follow the input schema (decontam.py's type-agnostic
+    contract): string corpus keys and string eval names work."""
+    evals = spark.createDataFrame(
+        [("gsm8k/0001", [1.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("url:a", [1.0, 0.0, 0.0]),
+            ("url:b", [0.0, 1.0, 0.0]),
+        ],
+        "doc_id string, embedding array<double>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in embedding_decontaminate(corpus, evals).collect()
+    }
+    assert rows["url:a"]["max_cosine"] == pytest.approx(1.0)
+    assert rows["url:a"]["nearest_eval_id"] == "gsm8k/0001"
+    kept = semantic_decontaminate(corpus, evals, threshold=0.99)
+    assert {r["doc_id"] for r in kept.collect()} == {"url:b"}

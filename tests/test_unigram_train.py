@@ -221,3 +221,27 @@ def test_cli_unigram_sampled_encode(spark, tmp_path, capsys):
         )
     assert outs[0] == outs[1]
     assert outs[0] != outs[2]
+
+
+def test_literal_unk_text_trains_loadable_model(spark):
+    """A corpus containing the literal string '<unk>' must not seed
+    a piece that collides with the reserved id-0 entry — the saved
+    model stays loadable and the text still encodes."""
+    corpus = spark.createDataFrame(
+        [("the model printed <unk> twice <unk> here",)] * 6
+        + [(t,) for t in CORPUS],
+        "text string",
+    )
+    vocab_scores = unigram_train(
+        corpus, vocab_size=60, max_piece_len=6, seed_size=300
+    )
+    pieces = [p for p, _ in vocab_scores]
+    assert pieces.count("<unk>") == 1  # only the reserved entry
+    spec = from_tokenizer_json_spec(
+        to_unigram_tokenizer_json(vocab_scores)
+    )
+    df = spark.createDataFrame(
+        [(0, "printed <unk> here")], "doc_id long, text string"
+    )
+    ids = spec_encode(df, spec).collect()[0]["token_ids"]
+    assert spec_decode(ids, spec) == "printed <unk> here"

@@ -188,3 +188,19 @@ def test_cli_wds_import_export(spark, tmp_path, capsys):
     assert "imported 3 samples" in capsys.readouterr().out
     got = spark.read.parquet(samples).collect()
     assert all(set(r["parts"]) <= {"txt", "json"} for r in got)
+
+
+def test_skip_mode_never_emits_partial_shards(spark, tmp_path):
+    """A tar whose INDEX parses but whose data region is truncated
+    must contribute zero entries under on_error='skip' — partial
+    samples are worse than dropped shards."""
+    root = _author_tars(tmp_path)
+    good = tarfile.open(tmp_path / "s0.tar").getmembers()
+    assert good  # fixture sanity
+    # craft a truncated shard: valid headers, cut mid-data
+    whole = (tmp_path / "s0.tar").read_bytes()
+    (tmp_path / "cut.tar").write_bytes(whole[: 512 + 4])
+    entries = read_tar_shards(spark, root, on_error="skip").collect()
+    shards = {r["shard"] for r in entries}
+    assert "cut" not in shards          # nothing partial leaked
+    assert len(entries) == len(SAMPLES)

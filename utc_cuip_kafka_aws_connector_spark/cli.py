@@ -1694,11 +1694,13 @@ def main(argv: list[str] | None = None) -> int:
             F.sum("n_tokens").alias("tokens"),
             F.sum(F.col("truncated").cast("int")).alias("truncated"),
         ).collect()[0]
-        fill = stats["tokens"] / max(stats["rows"] * args.context_len, 1)
+        n_tokens = stats["tokens"] or 0  # sums are null on empty input
+        n_trunc = stats["truncated"] or 0
+        fill = n_tokens / max(stats["rows"] * args.context_len, 1)
         print(
             f"packed {stats['rows']} rows x {args.context_len} "
-            f"({stats['tokens']} tokens, fill {fill:.3f}, "
-            f"{stats['truncated']} truncated), output={args.output}"
+            f"({n_tokens} tokens, fill {fill:.3f}, "
+            f"{n_trunc} truncated), output={args.output}"
         )
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files

@@ -191,18 +191,33 @@ def kn_train(
 
     padded = toks_df.select(_padded(F.col("toks"), order).alias("p"))
 
-    # Raw counts per order (order k needs them to derive order k-1's
-    # continuation counts; only the top order keeps them as-is).
+    # Raw counts per order 2..order (adjusted[k] derives from
+    # raw[k+1]'s distinct suffixes, so unigram raw counts are never
+    # consumed — the unigram level IS adjusted[1], from raw[2]).
     # Raw tables are ADDITIVE across corpora — they stay in the model
     # so kn_merge can fold incremental batches without retraining.
+    # Each is persisted: they are gram-vocabulary-sized and every
+    # downstream consumer (scoring tables, the two scalar aggregates,
+    # each table save_kn_lm writes) would otherwise replay the full
+    # corpus tokenize/explode lineage per action. kn_unpersist frees
+    # them.
     raw = {}
-    for k in range(1, order + 1):
+    for k in range(2, order + 1):
         raw[k] = (
             padded.select(F.explode(_grams(F.col("p"), k)).alias("gram"))
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("a"))
+            .persist()
         )
-    return _model_from_raw(raw, vocab, order, discount, min_count)
+    return _model_from_raw(raw, vocab.persist(), order, discount, min_count)
+
+
+def kn_unpersist(model: dict) -> None:
+    """Release the model's persisted count tables (call when done
+    scoring; saved models reload lazily from parquet)."""
+    for t in model.get("raw", {}).values():
+        t.unpersist()
+    model["vocab"].unpersist()
 
 
 def _model_from_raw(
@@ -329,6 +344,13 @@ def kn_merge(models: list[dict]) -> dict:
                 "kn_merge requires min_count=1 models (per-batch <unk> "
                 "mapping is not reconstructible from counts)"
             )
+        if m.get("pruned", 1) != 1:
+            raise ValueError(
+                "kn_merge refuses count-pruned models (kn_prune dropped "
+                "top-order counts, so the merge would NOT equal a "
+                "whole-corpus retrain); merge the unpruned models and "
+                "prune the result"
+            )
         if "raw" not in m:
             raise ValueError(
                 "model carries no raw count tables (trained before "
@@ -342,11 +364,12 @@ def kn_merge(models: list[dict]) -> dict:
         )
         .groupBy("gram")
         .agg(F.sum("a").alias("a"))
-        for k in range(1, order + 1)
+        .persist()
+        for k in range(2, order + 1)
     }
     vocab = reduce(
         lambda a, b: a.unionByName(b), (m["vocab"] for m in models)
-    ).distinct()
+    ).distinct().persist()
     return _model_from_raw(raw, vocab, order, discount, 1)
 
 
@@ -444,7 +467,10 @@ def kn_score(
 
 
 def perplexity_buckets(
-    scored: DataFrame, n_buckets: int = 3, ppl_col: str = "ppl"
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by perplexity
     ascending and cut into equal-population buckets (bucket 1 =
@@ -458,7 +484,12 @@ def perplexity_buckets(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    w = Window.orderBy(F.col(ppl_col).asc(), F.lit(0))
+    # tie-break on the id so equal-perplexity documents (exact dups
+    # pre-dedup) bucket identically on every run and layout
+    order_cols = [F.col(ppl_col).asc()]
+    if id_col and id_col in scored.columns:
+        order_cols.append(F.col(id_col).asc())
+    w = Window.orderBy(*order_cols)
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
@@ -485,6 +516,7 @@ def save_kn_lm(model: dict, path: str) -> None:
                 "order": model["order"],
                 "discount": model["discount"],
                 "min_count": model.get("min_count", 1),
+                "pruned": model.get("pruned", 1),
                 "v_size": model["v_size"],
                 "b1": model["b1"],
             },
@@ -515,11 +547,13 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
             for k in range(2, order + 1)
         },
     }
-    if os.path.isdir(os.path.join(path, "raw_1")):
+    if os.path.isdir(os.path.join(path, "raw_2")):
         model["raw"] = {
             k: spark.read.parquet(os.path.join(path, f"raw_{k}"))
-            for k in range(1, order + 1)
+            for k in range(2, order + 1)
         }
+    if int(meta.get("pruned", 1)) != 1:
+        model["pruned"] = int(meta["pruned"])
     return model
 
 
@@ -598,8 +632,12 @@ def kn_prune(model: dict, min_top_count: int) -> dict:
     raw = dict(model["raw"])
     raw[order] = raw[order].where(
         F.col("a") >= F.lit(int(min_top_count))
-    )
-    return _model_from_raw(
+    ).persist()
+    pruned = _model_from_raw(
         raw, model["vocab"], order, model["discount"],
         model.get("min_count", 1),
     )
+    # mark it: pruned counts are no longer the additive corpus
+    # counts, so kn_merge must refuse this model
+    pruned["pruned"] = int(min_top_count)
+    return pruned

@@ -45,13 +45,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _normalized_matrix(rows: list[tuple[int, list[float]]]):
+def _normalized_matrix(rows: list[tuple[object, list[float]]]):
     """(ids, unit-row matrix) from collected eval vectors; zero
     vectors are dropped (no direction, nothing can be 'similar' to
-    them)."""
+    them). Ids stay a plain Python list — any orderable id type
+    works (long, string, ...)."""
     import numpy as np
 
-    ids = []
+    ids: list = []
     vecs = []
     for vid, vec in rows:
         arr = np.asarray(vec, dtype=np.float64)
@@ -60,8 +61,8 @@ def _normalized_matrix(rows: list[tuple[int, list[float]]]):
             ids.append(vid)
             vecs.append(arr / n)
     if not vecs:
-        return np.asarray([], dtype=np.int64), np.zeros((0, 0))
-    return np.asarray(ids, dtype=np.int64), np.stack(vecs)
+        return [], np.zeros((0, 0))
+    return ids, np.stack(vecs)
 
 
 def embedding_decontaminate(
@@ -108,15 +109,23 @@ def embedding_decontaminate(
         for i in range(0, len(eval_ids), eval_chunk_rows)
     ]
 
-    out_schema = f"{id_col} long, max_cosine double, nearest_eval_id long"
+    # id columns keep their INPUT types (string keys are as common as
+    # integer ones — decontam.ngram_decontaminate is type-agnostic
+    # and this mirrors it)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    eval_id_type = eval_df.schema[eval_id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, max_cosine double, "
+        f"nearest_eval_id {eval_id_type}"
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
+            ids = pdf[id_col]
             best = np.full(len(pdf), -np.inf)
-            best_id = np.full(len(pdf), -1, dtype=np.int64)
+            best_id: list = [None] * len(pdf)
             valid = np.zeros(len(pdf), dtype=bool)
             vecs = []
             for v in pdf[vec_col]:
@@ -149,7 +158,7 @@ def embedding_decontaminate(
                         for i in range(len(pdf))
                     ],
                     "nearest_eval_id": [
-                        int(best_id[i]) if valid[i] else None
+                        best_id[i] if valid[i] else None
                         for i in range(len(pdf))
                     ],
                 }

@@ -396,6 +396,12 @@ def unigram_train(
             ).alias("piece"),
             F.col("freq"),
         ).groupBy("piece").agg(F.sum("freq").alias("cnt"))
+        # the literal string "<unk>" can occur in real text (dumped
+        # model output, escaped markup); as a PIECE it would collide
+        # with the reserved id-0 entry and make the serialized model
+        # unloadable (duplicate piece) — excluded from seeding, so
+        # such text segments through its characters instead
+        subs = subs.where(F.col("piece") != F.lit("<unk>"))
         singles = {
             r["piece"]: float(r["cnt"])
             for r in subs.where(F.length("piece") == 1).collect()
@@ -487,12 +493,23 @@ def sample_segment(
         [] for _ in range(n + 1)
     ]
     for j in range(1, n + 1):
+        covered = False
         for l in range(1, min(max_piece_len, j) + 1):
             piece = text[j - l : j]
             lp = scores.get(piece)
             if lp is not None:
                 edges[j].append((j - l, piece, True, alpha * lp))
-        edges[j].append((j - 1, text[j - 1], False, alpha * unk_score))
+                if l == 1:
+                    covered = True
+        if not covered:
+            # the unknown node exists ONLY where no single-char piece
+            # covers the character (the sentencepiece lattice rule) —
+            # an unconditional unk edge would be harmless under
+            # Viterbi's argmax but puts real probability mass on
+            # spurious <unk> paths under sampling
+            edges[j].append(
+                (j - 1, text[j - 1], False, alpha * unk_score)
+            )
     fwd = [NEG] * (n + 1)
     fwd[0] = 0.0
     for j in range(1, n + 1):

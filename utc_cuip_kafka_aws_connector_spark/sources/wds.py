@@ -80,6 +80,10 @@ def read_tar_shards(
                 shard = posixpath.basename(fpath)
                 if shard.endswith(".tar"):
                     shard = shard[:-4]
+                # stage per shard: a tar that errors MID-walk must
+                # contribute NOTHING (a partial sample downstream is
+                # worse than a dropped shard)
+                staged: list[tuple[str, str, str, bytes]] = []
                 try:
                     with tarfile.open(
                         fileobj=io.BytesIO(bytes(blob)), mode="r"
@@ -93,17 +97,26 @@ def read_tar_shards(
                                 key, ext = name, ""
                             if keep is not None and ext not in keep:
                                 continue
-                            rows["shard"].append(shard)
-                            rows["key"].append(key)
-                            rows["ext"].append(ext)
-                            rows["content"].append(
-                                tf.extractfile(m).read()
+                            staged.append(
+                                (shard, key, ext, tf.extractfile(m).read())
                             )
                 except tarfile.TarError as e:
                     if on_error == "raise":
                         raise ValueError(
                             f"corrupt tar shard {fpath}: {e}"
                         ) from e
+                    import sys
+
+                    print(
+                        f"wds: skipping corrupt tar shard {fpath}: {e}",
+                        file=sys.stderr,
+                    )
+                    continue
+                for s_, k_, e_, c_ in staged:
+                    rows["shard"].append(s_)
+                    rows["key"].append(k_)
+                    rows["ext"].append(e_)
+                    rows["content"].append(c_)
             yield pd.DataFrame(rows)
 
     return tars.select("path", "content").mapInPandas(walk, ENTRY_SCHEMA)
