@@ -1600,7 +1600,9 @@ def main(argv: list[str] | None = None) -> int:
                 df, model, text_col=args.text_col, id_col=args.id_col
             )
             if args.buckets:
-                scored = perplexity_buckets(scored, n_buckets=args.buckets)
+                scored = perplexity_buckets(
+                    scored, n_buckets=args.buckets, id_col=args.id_col
+                )
             scored.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(
