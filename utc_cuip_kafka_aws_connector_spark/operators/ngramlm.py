@@ -173,8 +173,7 @@ def kn_train(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
 
-    base = df.select(F.monotonically_increasing_id().alias("__id"), text_col)
-    uni = base.select(F.explode(_tokens(text_col)).alias("token"))
+    uni = df.select(F.explode(_tokens(text_col)).alias("token"))
     vocab = (
         uni.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -183,11 +182,18 @@ def kn_train(
     )
 
     if min_count > 1:
+        # the generated id exists ONLY on this branch: it must never
+        # enter the min_count=1 lineage, whose tables join against
+        # STREAMING frames (streaming/pplmon.py) and Spark rejects
+        # monotonically_increasing_id anywhere in a streaming plan
+        base = df.select(
+            F.monotonically_increasing_id().alias("__id"), text_col
+        )
         toks_df = _map_to_vocab(base, text_col, "__id", vocab).select(
             F.col("__toks").alias("toks")
         )
     else:
-        toks_df = base.select(_tokens(text_col).alias("toks"))
+        toks_df = df.select(_tokens(text_col).alias("toks"))
 
     padded = toks_df.select(_padded(F.col("toks"), order).alias("p"))
 
@@ -389,20 +395,69 @@ def kn_score(
     contexts to b=1 (full backoff). Every expression after the
     joins is a codegen'd fold — no Python anywhere.
     """
-    order = model["order"]
+    scored = kn_token_logprobs(
+        df, model, text_col, carry_cols=[id_col],
+        broadcast_model=broadcast_model, map_oov=True,
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("log10_prob"),
+        F.pow(
+            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
+        ).alias("ppl"),
+    )
 
-    mapped = _map_to_vocab(
-        df.select(id_col, text_col), text_col, id_col, model["vocab"]
-    )
-    padded = mapped.select(
-        F.col(id_col), _padded(F.col("__toks"), order).alias("p")
-    )
+
+def kn_token_logprobs(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    carry_cols: list[str] = (),
+    broadcast_model: bool = True,
+    map_oov: bool = True,
+) -> DataFrame:
+    """One row per predicted token event: ``(carry_cols..., lp)``
+    with ``lp = log10 P(token | context)`` — the shared core of
+    ``kn_score`` (which re-aggregates by document) and the streaming
+    window monitor (streaming/pplmon.py, which re-aggregates by
+    event-time window and therefore CANNOT afford the extra
+    aggregation ``map_oov`` costs: Structured Streaming allows one).
+
+    ``map_oov=True`` routes out-of-vocabulary tokens to ``<unk>``
+    before gram building (requires exactly one carry column — the
+    document id the reassembly groups on). ``map_oov=False`` skips
+    that pass; for ``min_count=1`` models the scores are IDENTICAL
+    (``<unk>`` was never trained, so an OOV token and its ``<unk>``
+    image both miss every table and land on the same uniform floor,
+    and any context containing either is equally unseen — pinned in
+    tests/test_streaming_ppl.py), which is exactly why the streaming
+    monitor insists on ``min_count=1``."""
+    order = model["order"]
+    carry = list(carry_cols)
+
+    if map_oov:
+        if len(carry) != 1:
+            raise ValueError(
+                "map_oov=True needs exactly one carry column (the "
+                "document id the <unk> reassembly groups on)"
+            )
+        mapped = _map_to_vocab(
+            df.select(carry[0], text_col), text_col, carry[0],
+            model["vocab"],
+        )
+        padded = mapped.select(
+            *carry, _padded(F.col("__toks"), order).alias("p")
+        )
+    else:
+        padded = df.select(
+            *carry, _padded(_tokens(text_col), order).alias("p")
+        )
 
     # One row per predicted position j (1-based index into the
     # padded sequence; j runs from `order` — the first real token —
     # to size(p), the EOS event).
     pos = padded.select(
-        F.col(id_col),
+        *carry,
         F.col("p"),
         F.explode(
             F.sequence(F.lit(order), F.size(F.col("p")))
@@ -420,7 +475,7 @@ def kn_score(
         ).alias(f"c{k}")
         for k in range(2, order + 1)
     ]
-    events = pos.select(F.col(id_col), *gram_cols, *ctx_cols)
+    events = pos.select(*carry, *gram_cols, *ctx_cols)
 
     # broadcast_model=True suits the typical shape (LM trained on a
     # bounded reference corpus, scored against the big one); set
@@ -456,14 +511,7 @@ def kn_score(
             F.col(f"b{k}"), F.lit(1.0)
         ) * prob
 
-    scored = events.select(F.col(id_col), F.log10(prob).alias("lp"))
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("lp").alias("log10_prob"),
-        F.pow(
-            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
-        ).alias("ppl"),
-    )
+    return events.select(*carry, F.log10(prob).alias("lp"))
 
 
 def perplexity_buckets(
