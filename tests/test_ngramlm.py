@@ -54,7 +54,7 @@ class PyKN:
         self, docs, order=3, discount=0.75, min_count=1, prune_top=1
     ):
         self.n = order
-        self.d = discount
+        self.d_spec = discount
         uni = Counter(t for doc in docs for t in doc.split())
         self.vocab = {t for t, c in uni.items() if c >= min_count}
 
@@ -86,27 +86,38 @@ class PyKN:
             g: a for g, a in self.adj[1].items() if g != (BOS,)
         }
 
+        def d_for(k):
+            if self.d_spec != "auto":
+                return float(self.d_spec)
+            n1 = sum(1 for a in self.adj[k].values() if a == 1)
+            n2 = sum(1 for a in self.adj[k].values() if a == 2)
+            d = n1 / (n1 + 2.0 * n2) if n1 > 0 else 0.0
+            return d if 0.0 < d <= 1.0 else 0.75
+
+        self.ds = {k: d_for(k) for k in range(1, order + 1)}
+
         self.p = {}
         self.b = {}
         for k in range(2, order + 1):
+            dk = self.ds[k]
             tot, dis = Counter(), Counter()
             for g, a in self.adj[k].items():
                 tot[g[:-1]] += a
                 dis[g[:-1]] += 1
             self.p[k] = {
-                g: max(a - self.d, 0.0) / tot[g[:-1]]
+                g: max(a - dk, 0.0) / tot[g[:-1]]
                 for g, a in self.adj[k].items()
             }
             self.b[k] = {
-                h: self.d * dis[h] / tot[h] for h in tot
+                h: dk * dis[h] / tot[h] for h in tot
             }
         t1 = sum(self.adj[1].values())
         d1 = len(self.adj[1])
         self.p[1] = {
-            g[0]: max(a - self.d, 0.0) / t1
+            g[0]: max(a - self.ds[1], 0.0) / t1
             for g, a in self.adj[1].items()
         }
-        self.b1 = self.d * d1 / t1
+        self.b1 = self.ds[1] * d1 / t1
         outcomes = {g[0] for g in self.adj[1]} | {UNK}
         self.v = len(outcomes)
 
@@ -438,3 +449,55 @@ def test_kn_prune_matches_pruned_reference(corpus, score_df):
     probs_only = {k: v for k, v in model.items() if k != "raw"}
     with pytest.raises(ValueError, match="raw count tables"):
         kn_prune(probs_only, 2)
+
+
+def test_auto_discount_matches_reference_and_merges(
+    spark, corpus, score_df
+):
+    """discount='auto': per-order Ney estimates from count-of-counts
+    — Spark == the extended Python reference per document at 1e-9,
+    every derived D is in (0, 1], save/load keeps the spec AND the
+    derived values, and merge == retrain still holds (both re-derive
+    their discounts from the SAME merged counts)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_merge,
+    )
+
+    model = kn_train(corpus, order=3, discount="auto")
+    assert set(model["discounts"]) == {1, 2, 3}
+    assert all(0.0 < d <= 1.0 for d in model["discounts"].values())
+    ref = PyKN(TRAIN, order=3, discount="auto")
+    assert model["discounts"] == pytest.approx(ref.ds)
+    got = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, model).collect()
+    }
+    for doc_id, text in SCORE:
+        lp, _ = ref.doc_log10(text)
+        assert got[doc_id] == pytest.approx(lp, rel=1e-9, abs=1e-9), doc_id
+
+    halves = [
+        spark.createDataFrame([(t,) for t in TRAIN[:4]], "text string"),
+        spark.createDataFrame([(t,) for t in TRAIN[4:]], "text string"),
+    ]
+    merged = kn_merge(
+        [kn_train(h, order=3, discount="auto") for h in halves]
+    )
+    m_scores = {
+        r["doc_id"]: r["log10_prob"]
+        for r in kn_score(score_df, merged).collect()
+    }
+    for d in got:
+        assert m_scores[d] == pytest.approx(got[d], rel=1e-12), d
+
+
+def test_auto_discount_save_load(tmp_path, spark, corpus, score_df):
+    model = kn_train(corpus, order=2, discount="auto")
+    save_kn_lm(model, str(tmp_path / "lm"))
+    loaded = load_kn_lm(spark, str(tmp_path / "lm"))
+    assert loaded["discount"] == "auto"
+    assert loaded["discounts"] == pytest.approx(model["discounts"])
+    a = {r["doc_id"]: r["log10_prob"] for r in kn_score(score_df, model).collect()}
+    b = {r["doc_id"]: r["log10_prob"] for r in kn_score(score_df, loaded).collect()}
+    for d in a:
+        assert b[d] == pytest.approx(a[d], rel=1e-12), d

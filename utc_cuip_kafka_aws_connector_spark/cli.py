@@ -1019,7 +1019,13 @@ def main(argv: list[str] | None = None) -> int:
     lm.add_argument("--id-col", default="doc_id")
     lm.add_argument("--text-col", default="text")
     lm.add_argument("--order", type=int, default=3, help="train: n-gram order")
-    lm.add_argument("--discount", type=float, default=0.75, help="train: KN discount D")
+    lm.add_argument(
+        "--discount",
+        type=lambda v: v if v == "auto" else float(v),
+        default=0.75,
+        help="train: KN discount D, or 'auto' for the per-order "
+        "Ney/Chen-Goodman count-of-counts estimate",
+    )
     lm.add_argument(
         "--min-count", type=int, default=1,
         help="train: tokens rarer than this become <unk> (open vocab)",

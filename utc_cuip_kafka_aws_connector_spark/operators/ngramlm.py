@@ -142,10 +142,13 @@ def kn_train(
     df: DataFrame,
     text_col: str = "text",
     order: int = 3,
-    discount: float = 0.75,
+    discount: float | str = 0.75,
     min_count: int = 1,
 ) -> dict:
     """Train an interpolated Kneser-Ney model of the given order.
+    ``discount="auto"`` estimates a per-order D from count-of-count
+    statistics (Ney/Chen-Goodman, the KenLM default) instead of the
+    fixed classic 0.75.
 
     Returns ``{"order", "discount", "vocab": DataFrame(token),
     "v_size": int, "b1": float, "probs": {k: DataFrame(gram, p)},
@@ -165,10 +168,10 @@ def kn_train(
     """
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
-    if not 0.0 < discount <= 1.0:
+    if discount != "auto" and not 0.0 < float(discount) <= 1.0:
         raise ValueError(
-            f"discount must be in (0, 1] so adjusted counts (>= 1) "
-            f"never go negative after discounting, got {discount}"
+            f"discount must be 'auto' or in (0, 1] so adjusted counts "
+            f"(>= 1) never go negative after discounting, got {discount}"
         )
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
@@ -253,10 +256,30 @@ def _model_from_raw(
     # the unigram outcome set (and the uniform floor's V).
     adjusted[1] = adjusted[1].where(F.col("gram") != BOS)
 
+    # Per-order discount: discount="auto" estimates D_k from the
+    # count-of-counts of the table being discounted (Ney et al. 1994;
+    # Chen & Goodman 1999 eq. 4.23: D = n1/(n1 + 2*n2)) — KenLM's
+    # estimator. A degenerate table (no singletons, or an estimate
+    # outside (0,1]) falls back to the classic 0.75 rather than
+    # failing the build; the normalization identity holds for ANY
+    # per-order D in (0,1].
+    discounts: dict[int, float] = {}
+    for k in range(1, order + 1):
+        if discount == "auto":
+            cc = adjusted[k].agg(
+                F.sum((F.col("a") == 1).cast("long")).alias("n1"),
+                F.sum((F.col("a") == 2).cast("long")).alias("n2"),
+            ).collect()[0]
+            n1, n2 = int(cc["n1"] or 0), int(cc["n2"] or 0)
+            d_k = n1 / (n1 + 2.0 * n2) if n1 > 0 else 0.0
+            discounts[k] = d_k if 0.0 < d_k <= 1.0 else 0.75
+        else:
+            discounts[k] = float(discount)
+
     probs: dict[int, DataFrame] = {}
     ctx: dict[int, DataFrame] = {}
-    d_lit = F.lit(float(discount))
     for k in range(2, order + 1):
+        d_lit = F.lit(discounts[k])
         split = adjusted[k].select(
             F.substring_index(F.col("gram"), " ", k - 1).alias("ctx"),
             F.col("gram"),
@@ -283,11 +306,12 @@ def _model_from_raw(
         F.sum("a").alias("t"), F.count(F.lit(1)).alias("d")
     ).collect()[0]
     t1, d1 = float(u["t"]), int(u["d"])
+    d1_lit = F.lit(discounts[1])
     probs[1] = adjusted[1].select(
         "gram",
-        (F.greatest(F.col("a") - d_lit, F.lit(0.0)) / F.lit(t1)).alias("p"),
+        (F.greatest(F.col("a") - d1_lit, F.lit(0.0)) / F.lit(t1)).alias("p"),
     )
-    b1 = discount * d1 / t1
+    b1 = discounts[1] * d1 / t1
 
     # Uniform floor ranges over the PREDICTABLE outcomes: distinct
     # seen unigrams (includes EOS, never BOS since BOS is never a
@@ -307,6 +331,7 @@ def _model_from_raw(
     return {
         "order": order,
         "discount": discount,
+        "discounts": discounts,
         "min_count": min_count,
         "vocab": vocab,
         "v_size": v_size,
@@ -563,6 +588,7 @@ def save_kn_lm(model: dict, path: str) -> None:
             {
                 "order": model["order"],
                 "discount": model["discount"],
+                "discounts": model.get("discounts", {}),
                 "min_count": model.get("min_count", 1),
                 "pruned": model.get("pruned", 1),
                 "v_size": model["v_size"],
@@ -579,9 +605,14 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     order = int(meta["order"])
+    disc = meta["discount"]
     model = {
         "order": order,
-        "discount": float(meta["discount"]),
+        "discount": disc if disc == "auto" else float(disc),
+        "discounts": {
+            int(k): float(v)
+            for k, v in (meta.get("discounts") or {}).items()
+        },
         "min_count": int(meta.get("min_count", 1)),
         "v_size": int(meta["v_size"]),
         "b1": float(meta["b1"]),
