@@ -515,3 +515,45 @@ def test_hypothesis_llama_shape_roundtrip(spark, llama_spec, texts):
     }
     for i, t in enumerate(texts):
         assert spec_decode(got[i], spec) == t
+
+
+def test_spec_decode_df_round_trips_all_shapes(spark, tmp_path, capsys):
+    """Distributed decode inverts distributed encode for the
+    byte-level shape (exact round trip) and the CLI decode verb
+    closes the encode->decode loop on real testdata."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_decode_df,
+        spec_encode,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        from_tokenizer_json_spec,
+        to_tokenizer_json,
+    )
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "bl.json")
+    ids_out = str(tmp_path / "ids")
+    texts_out = str(tmp_path / "texts")
+    assert cli.main(
+        ["tokenizer", "--op", "train", "--model", model,
+         "--input", inp, "--merges", "8", "--byte-level"]
+    ) == 0
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", model,
+         "--input", inp, "--output", ids_out]
+    ) == 0
+    assert cli.main(
+        ["tokenizer", "--op", "decode", "--model", model,
+         "--input", ids_out, "--output", texts_out]
+    ) == 0
+    assert "decoded" in capsys.readouterr().out
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(inp).select("doc_id", "text").collect()
+    }
+    back = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(texts_out).collect()
+    }
+    assert back == orig  # byte-level: exact corpus round trip

@@ -971,7 +971,10 @@ def main(argv: list[str] | None = None) -> int:
         "tokenizer.json (plain or byte-level), encode a corpus to id "
         "arrays, report per-slice fitness (OOV + compression)",
     )
-    tok.add_argument("--op", required=True, choices=["train", "encode", "report"])
+    tok.add_argument(
+        "--op", required=True,
+        choices=["train", "encode", "decode", "report"],
+    )
     tok.add_argument("--model", required=True, help="tokenizer.json path")
     tok.add_argument("--input", required=True, help="corpus parquet")
     tok.add_argument("--output", default=None, help="encode: ids parquet path")
@@ -1524,6 +1527,18 @@ def main(argv: list[str] | None = None) -> int:
                     f"trained {'byte-level ' if args.byte_level else ''}BPE: "
                     f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"
                 )
+        elif args.op == "decode":
+            from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+                spec_decode_df,
+            )
+
+            if not args.output:
+                parser.error("tokenizer --op decode requires --output")
+            spec = load_tokenizer_spec(spark, args.model)
+            texts = spec_decode_df(df, spec, id_col=args.id_col)
+            texts.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"decoded {n} docs with {args.model}, output={args.output}")
         elif args.op == "encode":
             from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
                 spec_encode,

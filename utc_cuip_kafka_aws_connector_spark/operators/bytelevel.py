@@ -511,3 +511,30 @@ def spec_decode(ids: list[int], spec) -> str:
         if op[0] == "prepend":
             s = s.removeprefix(undo_replaces(op[1]))
     return s
+
+
+def spec_decode_df(
+    df: DataFrame,
+    spec,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+) -> DataFrame:
+    """Distributed inverse of ``spec_encode``: ``(id, out_col)`` via
+    one Arrow-batched scan running ``spec_decode`` per row — the
+    inspection/debug path (sample packed shards back to text, audit
+    a tokenizer swap). Same exactness contract as ``spec_decode``:
+    byte-level always round-trips; char-level up to the whitespace
+    its split discarded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                spec_decode([int(t) for t in ids], spec)
+                for ids in pdf[ids_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: texts})
+
+    return df.select(F.col(id_col), F.col(ids_col)).mapInPandas(
+        run, schema=f"{id_col} long, {out_col} string"
+    )
