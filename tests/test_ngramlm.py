@@ -47,20 +47,30 @@ SCORE = [
 ]
 
 
+ESC = "\x00sentinel"
+
+
+def _esc(doc):
+    return [
+        ESC if t in (BOS, EOS, UNK) else t for t in doc.split()
+    ]
+
+
 class PyKN:
-    """Independent reference: same formulas, dict arithmetic."""
+    """Independent reference: same formulas, dict arithmetic,
+    including the literal-sentinel escape."""
 
     def __init__(
         self, docs, order=3, discount=0.75, min_count=1, prune_top=1
     ):
         self.n = order
         self.d_spec = discount
-        uni = Counter(t for doc in docs for t in doc.split())
+        uni = Counter(t for doc in docs for t in _esc(doc))
         self.vocab = {t for t, c in uni.items() if c >= min_count}
 
         def prep(doc):
             toks = [
-                t if t in self.vocab else UNK for t in doc.split()
+                t if t in self.vocab else UNK for t in _esc(doc)
             ]
             return [BOS] * (order - 1) + toks + [EOS]
 
@@ -134,7 +144,7 @@ class PyKN:
 
     def doc_log10(self, doc):
         toks = [
-            t if t in self.vocab else UNK for t in doc.split()
+            t if t in self.vocab else UNK for t in _esc(doc or "")
         ]
         p = [BOS] * (self.n - 1) + toks + [EOS]
         lp = 0.0
@@ -501,3 +511,93 @@ def test_auto_discount_save_load(tmp_path, spark, corpus, score_df):
     b = {r["doc_id"]: r["log10_prob"] for r in kn_score(score_df, loaded).collect()}
     for d in a:
         assert b[d] == pytest.approx(a[d], rel=1e-12), d
+
+
+def test_literal_sentinels_escape_consistently(spark, score_df):
+    """Text containing literal <s>/</s>/<unk> strings must neither
+    hit the trained padding rows nor collide with the OOV image —
+    train and score collapse them to one escape token, matching the
+    reference, and the unmapped (streaming) path stays identical."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_token_logprobs,
+    )
+
+    corpus_texts = TRAIN + ["the model wrote </s> and <unk> today"]
+    corpus = spark.createDataFrame(
+        [(t,) for t in corpus_texts], "text string"
+    )
+    model = kn_train(corpus, order=2)
+    probe = spark.createDataFrame(
+        [
+            ("s1", "the </s> cat"),
+            ("s2", "<s> the <unk> dog"),
+            ("s3", "the cat"),
+        ],
+        "doc_id string, text string",
+    )
+    ref = PyKN(corpus_texts, order=2)
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["log10_prob"])
+        for r in kn_score(probe, model).collect()
+    }
+    for doc_id, text in (
+        ("s1", "the </s> cat"),
+        ("s2", "<s> the <unk> dog"),
+        ("s3", "the cat"),
+    ):
+        lp, n = ref.doc_log10(text)
+        assert direct[doc_id][0] == n, doc_id
+        assert direct[doc_id][1] == pytest.approx(
+            lp, rel=1e-9
+        ), doc_id
+    unmapped = {
+        r["doc_id"]: (r["n"], r["lp"])
+        for r in kn_token_logprobs(
+            probe, model, carry_cols=["doc_id"], map_oov=False
+        )
+        .groupBy("doc_id")
+        .agg(
+            ngramlm.F.count(ngramlm.F.lit(1)).alias("n"),
+            ngramlm.F.sum("lp").alias("lp"),
+        )
+        .collect()
+    }
+    for d in direct:
+        assert unmapped[d][0] == direct[d][0], d
+        assert unmapped[d][1] == pytest.approx(direct[d][1], rel=1e-12), d
+
+
+def test_null_text_scores_like_empty(spark, corpus):
+    """Null text == empty text on every path (one EOS event), so the
+    streaming monitor counts the same documents batch does."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_token_logprobs,
+    )
+
+    model = kn_train(corpus, order=2)
+    df = spark.createDataFrame(
+        [("a", None), ("b", "")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in kn_score(df, model).collect()}
+    assert rows["a"]["n_tokens"] == 1 == rows["b"]["n_tokens"]
+    assert rows["a"]["log10_prob"] == rows["b"]["log10_prob"]
+    unmapped = (
+        kn_token_logprobs(df, model, carry_cols=["doc_id"], map_oov=False)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r["doc_id"]: r["count"] for r in unmapped} == {"a": 1, "b": 1}
+
+
+def test_prune_preserves_auto_discounts(spark, corpus):
+    """kn_prune must reuse the data-estimated discounts — the pruned
+    table has no singletons, so re-estimating would silently fall
+    back to 0.75."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_prune,
+    )
+
+    model = kn_train(corpus, order=3, discount="auto")
+    pruned = kn_prune(model, 2)
+    assert pruned["discounts"] == pytest.approx(model["discounts"])

@@ -73,12 +73,33 @@ from utc_cuip_kafka_aws_connector_spark.operators.text import words
 BOS = "<s>"
 EOS = "</s>"
 UNK = "<unk>"
+# Literal sentinel strings OCCURRING IN TEXT (scraped ML posts, HTML
+# dumps carry "<s>"/"</s>"/"<unk>" routinely) are collapsed to this
+# reserved escape token in BOTH training and scoring: otherwise a
+# textual "</s>" would hit the trained padding rows (and a textual
+# "<unk>" would collide with the OOV image), silently skewing scores
+# and breaking the batch==streaming identity the monitor rests on.
+# The escape contains a NUL, which the whitespace tokenizer can never
+# split out of ordinary text adjacent to these literals ambiguously —
+# and even if a corpus contained it, it would just train as one
+# ordinary token.
+SENTINEL_ESCAPE = "\x00sentinel"
 
 
 def _tokens(text_col: str) -> Column:
     """Non-empty whitespace tokens (the repo-wide tokenizer
-    contract, operators/text.py::words)."""
-    return F.filter(words(text_col), lambda w: w != F.lit(""))
+    contract, operators/text.py::words), null text treated as empty,
+    literal padding/unk sentinels escaped (see SENTINEL_ESCAPE)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(
+        words(F.coalesce(c, F.lit(""))), lambda w: w != F.lit("")
+    )
+    return F.transform(
+        toks,
+        lambda t: F.when(
+            t.isin(BOS, EOS, UNK), F.lit(SENTINEL_ESCAPE)
+        ).otherwise(t),
+    )
 
 
 def _padded(tokens: Column, order: int) -> Column:
@@ -226,6 +247,8 @@ def kn_unpersist(model: dict) -> None:
     scoring; saved models reload lazily from parquet)."""
     for t in model.get("raw", {}).values():
         t.unpersist()
+    for t in model.get("_adjusted", {}).values():
+        t.unpersist()
     model["vocab"].unpersist()
 
 
@@ -233,8 +256,9 @@ def _model_from_raw(
     raw: dict[int, DataFrame],
     vocab: DataFrame,
     order: int,
-    discount: float,
+    discount,
     min_count: int,
+    discounts_override: dict[int, float] | None = None,
 ) -> dict:
     """Derive the scoring tables (probs/ctx/b1/v_size) from raw
     n-gram count tables — the deterministic second half of
@@ -255,6 +279,11 @@ def _model_from_raw(
     # the (<s>, <s>) padding bigram would otherwise leak <s> into
     # the unigram outcome set (and the uniform floor's V).
     adjusted[1] = adjusted[1].where(F.col("gram") != BOS)
+    # derived tables are consumed 2-3x each (count-of-counts, probs/
+    # ctx, the unigram scalars) — persist the gram-sized frames so
+    # none of them replays its raw-table shuffle per consumer
+    for k in range(1, order):
+        adjusted[k] = adjusted[k].persist()
 
     # Per-order discount: discount="auto" estimates D_k from the
     # count-of-counts of the table being discounted (Ney et al. 1994;
@@ -265,7 +294,12 @@ def _model_from_raw(
     # per-order D in (0,1].
     discounts: dict[int, float] = {}
     for k in range(1, order + 1):
-        if discount == "auto":
+        if discounts_override is not None:
+            # the caller (kn_prune) already holds data-estimated
+            # values; re-estimating on a pruned table would see n1=0
+            # at the top order and silently fall back to 0.75
+            discounts[k] = float(discounts_override[k])
+        elif discount == "auto":
             cc = adjusted[k].agg(
                 F.sum((F.col("a") == 1).cast("long")).alias("n1"),
                 F.sum((F.col("a") == 2).cast("long")).alias("n2"),
@@ -339,6 +373,7 @@ def _model_from_raw(
         "probs": probs,
         "ctx": ctx,
         "raw": raw,
+        "_adjusted": adjusted,
     }
 
 
@@ -424,13 +459,20 @@ def kn_score(
         df, model, text_col, carry_cols=[id_col],
         broadcast_model=broadcast_model, map_oov=True,
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(*ppl_aggs())
+
+
+def ppl_aggs() -> list[Column]:
+    """The perplexity fold over 'lp' token rows — single-sourced so
+    batch (kn_score) and streaming (streaming/pplmon.py) can never
+    disagree on the convention."""
+    return [
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("lp").alias("log10_prob"),
         F.pow(
             F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
         ).alias("ppl"),
-    )
+    ]
 
 
 def kn_token_logprobs(
@@ -715,6 +757,7 @@ def kn_prune(model: dict, min_top_count: int) -> dict:
     pruned = _model_from_raw(
         raw, model["vocab"], order, model["discount"],
         model.get("min_count", 1),
+        discounts_override=model.get("discounts"),
     )
     # mark it: pruned counts are no longer the additive corpus
     # counts, so kn_merge must refuse this model

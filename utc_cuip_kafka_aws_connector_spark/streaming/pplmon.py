@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
     kn_token_logprobs,
+    ppl_aggs,
 )
 
 
@@ -69,13 +70,7 @@ def streaming_window_ppl(
     agg = (
         lp.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp").alias("log10_prob"),
-            F.pow(
-                F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
-            ).alias("ppl"),
-        )
+        .agg(*ppl_aggs())
     )
     return agg.select(
         F.col("w.start").alias("window_start"),
