@@ -159,6 +159,34 @@ def _map_to_vocab(
     ).withColumnRenamed("__id", id_col)
 
 
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", order: int = 2
+) -> DataFrame:
+    """Raw padded n-gram count table ``(gram, c)`` — the foundation
+    layer under ``kn_train`` exposed as a first-class product (count
+    tables are themselves a corpus-analysis artifact: coverage
+    studies, contamination fingerprints, vocabulary audits).
+
+    Semantics are IDENTICAL to the raw tables kn_train builds:
+    whitespace tokens (nulls as empty), literal ``<s>``/``</s>``/
+    ``<unk>`` occurrences collapsed to SENTINEL_ESCAPE, (order-1) BOS
+    pads + one EOS, space-joined grams. Integer-only output, so the
+    table is exactly oracle-expressible (the q124 gate projection).
+
+    Scale shape: grams are built JVM-side per document (one
+    ``transform`` over start offsets, no intermediate explode per
+    order), then ONE explode + map-side-combined groupBy — the same
+    single-shuffle plan as each kn_train order."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    padded = df.select(_padded(_tokens(text_col), order).alias("p"))
+    return (
+        padded.select(F.explode(_grams(F.col("p"), order)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def kn_train(
     df: DataFrame,
     text_col: str = "text",

@@ -4297,16 +4297,13 @@ def q122_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r13 — NOT REGISTERED. The r13 rotation plan's named free-
-# slot promotion (see the _GATE_PRIORITY comment block): the
-# curriculum stage assignment, whose ntile-over-total-order is exactly
+# REGISTERED AT r13 (the stamped plan executed on schedule): staged at
+# r12, pre-proven by tests/test_curriculum_gate_stage.py's oracle
+# differential on every pytest run since, promoted onto the free slot
+# the r12 window's q121 in-window ride left open. The curriculum
+# stage assignment's ntile-over-total-order is exactly
 # oracle-expressible (the within-stage xxhash64 shuffle key is NOT and
-# stays pytest-grade in tests/test_ordering.py). Registering at r13 is
-# a two-line flip: wrap with @query(STAGED_Q123_NAME,
-# oracle=STAGED_Q123_ORACLE) and append the name to _GATE_PRIORITY's
-# free slot. Until then tests/test_curriculum_gate_stage.py runs the
-# builder against the oracle locally every pytest run, so the
-# promotion lands pre-proven.
+# stays pytest-grade in tests/test_ordering.py).
 
 STAGED_Q123_NAME = "q123_curriculum_stages"
 STAGED_Q123_ORACLE = """
@@ -4316,6 +4313,7 @@ STAGED_Q123_ORACLE = """
 """
 
 
+@query(STAGED_Q123_NAME, oracle=STAGED_Q123_ORACLE)
 def staged_q123_curriculum_stages(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4343,6 +4341,62 @@ def staged_q123_curriculum_stages(
         n_stages=4,
     )
     return staged.select("doc_id", "n_chars", "stage")
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r14 — NOT REGISTERED. The r14 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the raw padded
+# bigram count table (operators/ngramlm.py::ngram_counts), the
+# integer-exact foundation layer every kn_train order is built from.
+# The whole r12 LM tier currently rests on pytest differentials; this
+# puts its counting substrate under a driver-grade hash-exact SQL
+# oracle. Funded by retiring q25_null_filter out of the expiring r12
+# cohort. Registering is a @query wrap + one _GATE_PRIORITY entry +
+# flipping tests/test_curriculum_gate_stage.py's q124
+# not_yet_registered assertion. Until then that test runs the parity
+# locally every pytest run, so the promotion lands pre-proven.
+# Output is (gram, c) with c >= 3: integer-only columns, no float
+# surface; the count floor keeps the gate payload bounded (the full
+# histogram is Zipf-tailed singletons) without any top-k tiebreak.
+
+STAGED_Q124_NAME = "q124_bigram_counts"
+STAGED_Q124_ORACLE = """
+    WITH toks AS (
+      SELECT list_prepend('<s>', list_append(
+        list_transform(
+          list_filter(string_split(text, ' '), t -> t <> ''),
+          t -> CASE WHEN t IN ('<s>', '</s>', '<unk>')
+                    THEN chr(0) || 'sentinel' ELSE t END),
+        '</s>')) AS tk
+      FROM documents
+    )
+    SELECT tk[i] || ' ' || tk[i + 1] AS gram, count(*) AS c
+    FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+    GROUP BY gram
+    HAVING count(*) >= 3
+"""
+
+
+def staged_q124_bigram_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padded bigram count table (operators/ngramlm.py::ngram_counts
+    — §2.D LM-curation scope, the raw-count layer under kn_train's
+    Kneser-Ney estimator). KenLM-style <s>/</s> padding, literal
+    sentinel occurrences escaped exactly as training does, grams
+    space-joined; counts are exact integers so both engines agree
+    bit-for-bit. The c >= 3 floor bounds the gate payload (Zipf
+    singleton tail stays out) while still covering every head gram.
+    Scale shape: grams built JVM-side per document, ONE explode +
+    map-side-combined groupBy — a single shuffle, the same plan as
+    each kn_train order."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        ngram_counts,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    counts = ngram_counts(docs.select("text"), text_col="text", order=2)
+    return counts.where(F.col("c") >= 3).select("gram", "c")
 
 
 # ===========================================================================
@@ -4432,101 +4486,96 @@ GATE_RETIRED: frozenset[str] = frozenset(
 )
 
 _GATE_PRIORITY = [
-    # r12 ROTATION (the r11 plan, executed one round late — r11 was
-    # a single-fix micro-round that left the window untouched, so the
-    # ledger steps ran at r12 open instead: `--reconcile` (0
-    # phantoms), then `--round 11` while the tree was still
-    # byte-identical to what the r11 driver verified, recording the
-    # r11 window's 50 green re-attestations the r11 builder never
-    # stamped). Window: the 48 r9-attested queries whose rows expire
-    # at r12 close (the r9 cohort minus the retired q52 and q63) +
-    # q121_per_domain_cap (r11-fresh, taken in-window deliberately so
-    # this round's urlops.py edits — full-PSL bundle, deepest-
-    # exception pin, overlap regression vectors — ride a slot, the
-    # q117/skipread precedent) + ONE new entry on the slot freed by
-    # retiring q63 out of the expiring cohort:
-    # q122_leakage_safe_split (operators/split.py, md5-portable cut
-    # — the r11 VERDICT's named promotion).
+    # r13 ROTATION (the stamped r12 plan, executed on schedule at r13
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r12 was
+    # 50/50 green — then this window + `--round 13` in the same
+    # commit). Window: the 49 r11-attested queries whose rows expire
+    # at r13 close (the r11 window minus q121, which re-attested at
+    # r12 on its in-window ride) + the ONE free slot spent on the
+    # pre-staged, pre-proven promotion q123_curriculum_stages
+    # (operators/ordering.py — tests/test_curriculum_gate_stage.py
+    # has run its exact oracle differential on every pytest run since
+    # r12). No retirement taken: the contingency candidate
+    # q14_distinct_months stays gated because only one slot was
+    # needed.
     #
-    # r13 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the 49 r11-attested queries
-    # that rest through r12 (the r11 window minus q121, which is
-    # r12-attested), leaving exactly ONE free slot; the named
-    # promotion is a curriculum_order stage query (ntile over
-    # (score DESC, id) is exactly oracle-expressible; the xxhash64
-    # within-stage shuffle stays pytest-grade). A second new entry
-    # requires retiring a member of the EXPIRING r11 cohort; the
-    # named candidate is q14_distinct_months (subsumed by q10
-    # count-distinct + q33 calendar aggregation). The promotion is
-    # PRE-STAGED below (staged_q123_curriculum_stages +
-    # STAGED_Q123_ORACLE, parity-pinned locally by
-    # tests/test_curriculum_gate_stage.py at sf0.001 and verified at
-    # sf0.01 in-session at r12) — registering is a @query wrap + one
-    # _GATE_PRIORITY append + flipping that test's
-    # not_yet_registered assertion. Module edits legal
-    # at r13: those whose dependents are all r12-attested — dedup.py
-    # unfreezes then (connected_components already carries the
-    # reliable_checkpoint/checkpoint_dir knob, dedup.py:288-346, so
-    # no r13 edit is owed there), as do text.py, sampling.py,
-    # similarity.py, multimodal.py, layout.py/skipread.py, stats.py,
-    # diff.py, chunking.py, boilerplate.py, streaming/ops.py.
-    # r13 follow-ups once report.py unfreezes: fold the r12-session
-    # signals (ngramlm perplexity buckets, dsir log-weights,
-    # semdecontam max_cosine) into release_report's data card.
+    # r14 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the 50 r12-attested queries
+    # that rest through r13 (the whole r12 window: the 48 r9-cohort
+    # re-attestations + q121 + q122) — ZERO free slots, so any new
+    # entry requires retiring a member of that EXPIRING r12 cohort.
+    # Named retirement candidate: q25_null_filter — it returns 0 rows
+    # at every tested SF (the weakest possible hash evidence) and its
+    # null-predicate surface is pinned by q23 (predicate forms) and
+    # q67 (null-safe equality) every rotation. The named promotion is
+    # PRE-STAGED below (staged_q124_bigram_counts +
+    # STAGED_Q124_ORACLE — integer-exact n-gram count tables, the
+    # foundation layer under kn_train, currently pytest-grade only;
+    # tests/test_curriculum_gate_stage.py runs its parity locally).
+    # Also owed at r14 while q122 is in-window: the VERDICT r12
+    # hygiene fix — switch its gate projection's exact-dup component
+    # derivation from W.partitionBy("text") to sha2(text, 256)
+    # (oracle: sha256(text)) so raw text bytes are never a shuffle
+    # key; same rows, do NOT apply mid-rest.
+    # Module edits legal at r14: those whose dependents are all
+    # r13-attested — text.py, sampling.py, similarity.py,
+    # multimodal.py, stats.py, diff.py, chunking.py, boilerplate.py,
+    # streaming/ops.py unfreeze then (their dependents sit in this
+    # r13 window); layout.py/skipread.py/urlops.py/split.py stay
+    # frozen until their r12-cohort dependents re-attest at r14.
     #
-    # --- the 48 expiring r9-resters ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q25_null_filter",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
-    "q110_semantic_dedup",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q115_zorder_layout",
-    "q116_hilbert_layout",
-    "q118_bpe_train",
-    "q119_heavy_hitters",
-    # --- in-window ride for this round's urlops.py edits ---
-    "q121_per_domain_cap",
-    # --- new this round (never attested; the q63-retirement slot) ---
-    "q122_leakage_safe_split",
+    # --- the 49 expiring r11-resters ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q13_having",
+    "q14_distinct_months",
+    "q18_rank_ntile",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q57_sql_cte_top_orders",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q64_udtf_word_split",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q82_sampling",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q106_document_chunking",
+    "q108_mixture_weights",
+    "q117_clustered_skipping_read",
+    "q120_boilerplate_strip",
+    # --- new this round (never attested; the free slot) ---
+    "q123_curriculum_stages",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
