@@ -557,3 +557,25 @@ def test_spec_decode_df_round_trips_all_shapes(spark, tmp_path, capsys):
         for r in spark.read.parquet(texts_out).collect()
     }
     assert back == orig  # byte-level: exact corpus round trip
+
+
+def test_spec_encode_decode_keep_string_doc_ids(spark, fixture_spec):
+    """ADVICE r12: the id column type must pass through verbatim —
+    corpora keyed by string ids (url hashes, uuids) are as legitimate
+    as longs, and semdecontam already honors that contract."""
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_decode_df,
+    )
+
+    spec, _ = fixture_spec
+    texts = {"doc/a": "the world", "doc/b": "Hello the world's end"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id string, text string"
+    )
+    enc = spec_encode(df, spec)
+    assert enc.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: r.token_ids for r in enc.collect()}
+    assert set(got) == set(texts)
+    dec = spec_decode_df(enc, spec)
+    assert dec.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r.doc_id: r.text for r in dec.collect()} == texts

@@ -762,6 +762,16 @@ def test_cli_curate_full_perplexity_stage(spark, tmp_path, capsys):
             near_dup_threshold=None,
         )
 
+    # ADVICE r12: an earlier stage that kills every document must
+    # produce a descriptive funnel error at the ppl-quantile stage,
+    # not an IndexError out of approxQuantile's empty [] result
+    with _pytest.raises(ValueError, match="empty frame"):
+        run_curate_full(
+            spark, inp, str(tmp_path / "x2"), ppl_lm=lm_dir,
+            ppl_quantile=0.9, min_quality=1e9,
+            near_dup_threshold=None, boiler_min_docs=1000,
+        )
+
 
 def test_cli_curate_full_semantic_decontam(spark, tmp_path, capsys):
     """curate-full --decontam-embeddings: a corpus doc whose

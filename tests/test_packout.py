@@ -120,3 +120,24 @@ def test_single_python_stage_plan(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="context_len"):
         pack_token_ids(_df(spark, [(1, [1])]), context_len=0, pad_id=0)
+
+
+def test_doc_starts_always_inside_window(spark):
+    """ADVICE r12: every doc_starts offset must be < context_len so a
+    trainer resetting attention at boundaries can never index outside
+    input_ids. With the current first-fit packer an oversized doc
+    always packs alone (start 0), so this pins the invariant the
+    filter makes locally provable — for any packer."""
+    rng = random.Random(3)
+    rows = [
+        (i, [i * 100 + j for j in range(rng.choice([1, 2, 5, 9, 15]))])
+        for i in range(60)
+    ]
+    out = pack_token_ids(
+        _df(spark, rows), context_len=8, pad_id=0, eos_id=99
+    ).collect()
+    assert any(r["truncated"] for r in out)  # fixture exercises both
+    for r in out:
+        assert all(0 <= s < 8 for s in r["doc_starts"]), r
+        if not r["truncated"]:
+            assert len(r["doc_starts"]) == r["n_docs"]

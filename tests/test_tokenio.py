@@ -150,3 +150,38 @@ def test_tokenizer_report_respects_external_unk_id(spark):
     # sentinel and the id-0 'a' hits still don't
     rep2 = tokenizer_report(docs, [], {"a": 0, "b": 1}, unk_token=None).first()
     assert rep2.oov_rate == pytest.approx(1 / 5)
+
+
+def test_legacy_loader_rejects_external_whole_text_files():
+    """ADVICE r12: a no-pre_tokenizer file that is NOT this repo's
+    pre-r12 bare shape follows the sentencepiece whole-text
+    convention — the legacy whitespace-splitting API must reject it
+    toward the spec path instead of silently mis-tokenizing."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        from_tokenizer_json,
+    )
+
+    model = {
+        "type": "BPE",
+        "unk_token": "<unk>",
+        "vocab": {"<unk>": 0, "a": 1, "b": 2, "ab": 3},
+        "merges": ["a b"],
+    }
+    # the pre-r12 bare emission still loads (back-compat contract)
+    merges, vocab = from_tokenizer_json(
+        _json.dumps({"version": "1.0", "model": model})
+    )
+    assert merges == [("a", "b")] and vocab["ab"] == 3
+    # an external whole-text file (extra benign top-level section, no
+    # pre_tokenizer) is rejected loudly
+    ext = {"version": "1.0", "truncation": None, "model": model}
+    with _pytest.raises(ValueError, match="no pre_tokenizer"):
+        from_tokenizer_json(_json.dumps(ext))
+    # extra model-section keys equally mark an external file
+    ext2 = {"version": "1.0", "model": dict(model, dropout=None)}
+    with _pytest.raises(ValueError, match="no pre_tokenizer"):
+        from_tokenizer_json(_json.dumps(ext2))

@@ -204,3 +204,52 @@ def test_skip_mode_never_emits_partial_shards(spark, tmp_path):
     shards = {r["shard"] for r in entries}
     assert "cut" not in shards          # nothing partial leaked
     assert len(entries) == len(SAMPLES)
+
+
+def test_directory_structured_tars_keep_full_path_keys(spark, tmp_path):
+    """The WebDataset convention keys a sample by the FULL member
+    path minus extension (ADVICE r12): tars built by tarring a tree
+    (including './' prefixes) must NOT merge distinct samples that
+    share a basename, and import->export must preserve the layout."""
+    import pathlib
+
+    root = pathlib.Path(tmp_path) / "tree"
+    root.mkdir(parents=True)
+    members = [
+        ("./train/000/img.jpg", b"J0"),
+        ("./train/000/img.txt", b"caption zero"),
+        ("./train/001/img.jpg", b"J1"),
+        ("./train/001/img.txt", b"caption one"),
+    ]
+    with tarfile.open(root / "t0.tar", "w") as tf:
+        for name, content in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+
+    entries = read_tar_shards(spark, str(root))
+    got = sorted(
+        (r["key"], r["ext"], bytes(r["content"])) for r in entries.collect()
+    )
+    assert got == [
+        ("train/000/img", "jpg", b"J0"),
+        ("train/000/img", "txt", b"caption zero"),
+        ("train/001/img", "jpg", b"J1"),
+        ("train/001/img", "txt", b"caption one"),
+    ]
+    # two distinct samples, not one merged basename bucket
+    samples = group_samples(entries).collect()
+    assert sorted(r["key"] for r in samples) == [
+        "train/000/img",
+        "train/001/img",
+    ]
+    # round trip: the directory layout survives in the member names
+    tars = write_tar_shards(entries)
+    blob = bytes(tars.collect()[0]["tar"])
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert sorted(m.name for m in tf.getmembers()) == [
+            "train/000/img.jpg",
+            "train/000/img.txt",
+            "train/001/img.jpg",
+            "train/001/img.txt",
+        ]

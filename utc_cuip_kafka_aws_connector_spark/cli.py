@@ -426,7 +426,18 @@ def run_curate_full(
         )
         df = df.join(scored, id_col, "left")
         if ppl_quantile is not None:
-            thr = df.approxQuantile("ppl", [float(ppl_quantile)], 0.001)[0]
+            # approxQuantile returns [] on an empty frame (everything
+            # died at an earlier stage) — fail with the funnel story,
+            # not an IndexError (ADVICE r12)
+            qs = df.approxQuantile("ppl", [float(ppl_quantile)], 0.001)
+            if not qs:
+                raise ValueError(
+                    "perplexity stage received an empty frame (every "
+                    "document was dropped by an earlier stage — see "
+                    f"the funnel counts so far: {stages}); cannot "
+                    "derive a ppl quantile threshold"
+                )
+            thr = qs[0]
         else:
             thr = float(ppl_max)
         df = mark("perplexity", df.filter(F.col("ppl") <= F.lit(thr)))

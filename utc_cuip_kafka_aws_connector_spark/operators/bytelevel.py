@@ -429,8 +429,11 @@ def spec_encode(
                 out.append(ids)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
+    # id column type passes through verbatim (string doc ids are as
+    # legitimate as longs — the semdecontam genericity contract)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        run, schema=f"{id_col} long, {out_col} array<int>"
+        run, schema=f"{id_col} {id_type}, {out_col} array<int>"
     )
 
 
@@ -535,6 +538,7 @@ def spec_decode_df(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out_col: texts})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col), F.col(ids_col)).mapInPandas(
-        run, schema=f"{id_col} long, {out_col} string"
+        run, schema=f"{id_col} {id_type}, {out_col} string"
     )

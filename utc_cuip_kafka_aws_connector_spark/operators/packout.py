@@ -103,6 +103,11 @@ def pack_token_ids(
         ),
         lambda acc: acc.getField("bs"),
     )
+    # A truncated sequence's tail documents can start AT or BEYOND the
+    # window edge; a trainer resetting attention at doc_starts would
+    # index outside input_ids. Offsets are only meaningful inside the
+    # window, so clip them to < context_len (ADVICE r12).
+    starts = F.filter(starts, lambda off: off < F.lit(context_len))
     return assigned.groupBy("shard", "seq_id").agg(
         F.concat(
             F.slice(flat, 1, context_len),

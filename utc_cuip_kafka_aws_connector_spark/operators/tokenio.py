@@ -512,10 +512,26 @@ def from_tokenizer_json(text: str) -> tuple[list[tuple[str, str]], dict[str, int
             "specials): load with from_tokenizer_json_spec and encode "
             "with bytelevel.spec_encode"
         )
-    # A bare-model file (no pre_tokenizer section at all, this repo's
-    # pre-r12 emission) is the old plain shape; callers of this legacy
-    # API whitespace-split themselves, so both split modes are fine
-    # here.
+    # split_mode "none" (no pre_tokenizer section) is ambiguous: it is
+    # BOTH this repo's pre-r12 bare emission (whose callers whitespace-
+    # split, correctly) AND the sentencepiece whole-text convention
+    # (which must NOT be whitespace-split). Accept only documents
+    # matching the pre-r12 writer's exact shape — top-level
+    # {version, model}, model keys {type, unk_token, vocab, merges} —
+    # and route everything else to the spec loader (ADVICE r12).
+    if spec.split_mode == "none":
+        doc = json.loads(text)
+        bare = set(doc) <= {"version", "model"} and set(
+            doc.get("model", {})
+        ) <= {"type", "unk_token", "vocab", "merges"}
+        if not bare:
+            raise ValueError(
+                "tokenizer.json with no pre_tokenizer (sentencepiece "
+                "whole-text convention): this legacy (merges, vocab) "
+                "API whitespace-splits and would mis-tokenize it; load "
+                "with from_tokenizer_json_spec and encode with "
+                "bytelevel.spec_encode"
+            )
     return spec.merges, spec.vocab
 
 

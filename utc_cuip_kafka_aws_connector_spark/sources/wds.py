@@ -91,10 +91,20 @@ def read_tar_shards(
                         for m in tf.getmembers():
                             if not m.isfile():
                                 continue
-                            name = posixpath.basename(m.name)
-                            key, dot, ext = name.partition(".")
+                            # WebDataset keys samples by the FULL
+                            # member path minus extension (leading
+                            # "./" normalized away) — basename-only
+                            # keying would silently merge distinct
+                            # samples from directory-structured tars
+                            # and lose the layout on round-trip
+                            name = posixpath.normpath(m.name).lstrip("/")
+                            dirpart, _, base = name.rpartition("/")
+                            stem, dot, ext = base.partition(".")
                             if not dot:
-                                key, ext = name, ""
+                                stem, ext = base, ""
+                            key = (
+                                f"{dirpart}/{stem}" if dirpart else stem
+                            )
                             if keep is not None and ext not in keep:
                                 continue
                             staged.append(
