@@ -123,3 +123,104 @@ def test_release_report_identity(spark):
     assert rep["docs_added"] == rep["docs_removed"] == rep["docs_changed"] == 0
     assert all(v == pytest.approx(0.0, abs=1e-9) for m, v in rep.items()
                if m.endswith("_delta") or m.endswith("_psi"))
+
+
+def test_model_signal_blocks_match_component_operators(spark, docs):
+    """r13 stamped follow-up: the ppl / DSIR / semdecontam blocks are
+    pure compositions — each card row equals calling the component
+    operator directly, and release_report carries them as deltas."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
+        dsir_fit,
+        dsir_weights,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        kn_unpersist,
+        perplexity_buckets,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        corpus_report,
+        release_report,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.semdecontam import (
+        embedding_decontaminate,
+    )
+
+    corpus = docs.select("doc_id", "text").limit(120)
+    ref = docs.select("text").limit(60)
+    lm = kn_train(ref, order=2, min_count=2)
+    dmodel = dsir_fit(ref, corpus, n_buckets=512).persist()
+    emb = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: (F.col("doc_id") % i + F.lit(1.0)).cast("double"),
+        ).alias("embedding"),
+    ).limit(120)
+    evals = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [0.0, 1.0, 0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with_emb = corpus.join(emb, "doc_id")
+
+    card = {
+        r.metric: r.value
+        for r in corpus_report(
+            with_emb, ppl_lm=lm, ppl_buckets=3,
+            dsir_model=dmodel, dsir_buckets=512,
+            eval_embeddings=evals, decontam_cosine=0.9,
+        ).collect()
+    }
+
+    scored = kn_score(with_emb.select("doc_id", "text"), lm)
+    assert card["ppl_mean"] == pytest.approx(
+        scored.agg(F.avg("ppl")).first()[0]
+    )
+    cuts = {
+        r.bucket: r.cut
+        for r in perplexity_buckets(scored, n_buckets=3)
+        .groupBy("bucket").agg(F.max("ppl").alias("cut")).collect()
+    }
+    assert card["ppl_bucket_cut:1"] == pytest.approx(cuts[1])
+    assert card["ppl_bucket_cut:2"] == pytest.approx(cuts[2])
+    assert card["ppl_max"] == pytest.approx(cuts[3])
+
+    assert card["dsir_logweight_mean"] == pytest.approx(
+        dsir_weights(
+            with_emb.select("doc_id", "text"), dmodel, n_buckets=512
+        ).agg(F.avg("log_weight")).first()[0]
+    )
+
+    sc = embedding_decontaminate(
+        with_emb.select("doc_id", "embedding"), evals
+    )
+    direct = sc.agg(
+        F.avg("max_cosine"),
+        F.max("max_cosine"),
+        F.sum((F.col("max_cosine") >= 0.9).cast("long")),
+    ).first()
+    n = with_emb.count()
+    assert card["semdecontam_max_cosine_mean"] == pytest.approx(float(direct[0]))
+    assert card["semdecontam_max_cosine_max"] == pytest.approx(float(direct[1]))
+    assert card["semdecontam_contaminated_ratio"] == pytest.approx(
+        float(direct[2]) / n
+    )
+
+    # identity through release_report: same corpus both sides -> the
+    # model-signal deltas are zero (and present)
+    rep = {
+        r.metric: r.value
+        for r in release_report(
+            with_emb, with_emb, ppl_lm=lm, ppl_buckets=3,
+            dsir_model=dmodel, dsir_buckets=512,
+            eval_embeddings=evals, decontam_cosine=0.9,
+        ).collect()
+    }
+    for m in (
+        "ppl_mean_delta", "dsir_logweight_mean_delta",
+        "semdecontam_contaminated_ratio_delta",
+    ):
+        assert rep[m] == pytest.approx(0.0, abs=1e-9), m
+    kn_unpersist(lm)
+    dmodel.unpersist()

@@ -16,6 +16,21 @@ calling the parts directly):
   entropy         mean char entropy + zlib ratio (entropy module)
   exact_dup_ratio 1 - distinct(md5(text))/rows (dedup.exact_dedup)
 
+Model-based signal blocks (r13, the stamped follow-up — each appears
+only when its model/eval input is passed, so the report still runs
+on a bare corpus):
+
+  ppl_*           mean perplexity under a reference Kneser-Ney LM +
+                  the CCNet head/middle/tail bucket cut thresholds
+                  (ngramlm.kn_score / perplexity_buckets)
+  dsir_*          mean per-document DSIR log importance weight vs a
+                  target domain (dsir.dsir_weights) — how in-domain
+                  the corpus is, as one number
+  semdecontam_*   eval-set semantic contamination: mean/max of
+                  max_cosine and the fraction at or above the
+                  contamination threshold (semdecontam.
+                  embedding_decontaminate)
+
 Everything is aggregation-only (no collect of row data); the result
 is a small long-format (metric, value) frame so it prints, writes,
 and diffs uniformly.
@@ -36,10 +51,24 @@ def corpus_report(
     text_col: str = "text",
     slice_cols: tuple[str, ...] = ("lang", "source"),
     top_n: int = 5,
+    ppl_lm: dict | None = None,
+    ppl_buckets: int = 3,
+    dsir_model: DataFrame | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_n_max: int = 2,
+    eval_embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    decontam_cosine: float = 0.95,
 ) -> DataFrame:
     """(metric string, value double) summary rows. ``slice_cols``
     that are absent from the frame are skipped silently (the report
-    adapts to the schema)."""
+    adapts to the schema). ``ppl_lm`` (a loaded kn model dict),
+    ``dsir_model`` (a dsir_fit frame — buckets/n_max MUST match the
+    fit, the dsir feature-space contract) and ``eval_embeddings``
+    each switch on their model-based block; all remain
+    aggregation-only compositions of the underlying operators."""
     spark = df.sparkSession
     n = df.count()
     out: list[tuple[str, float]] = [("rows", float(n))]
@@ -70,6 +99,75 @@ def corpus_report(
     distinct = df.select(F.md5(F.col(text_col))).distinct().count()
     out.append(("exact_dup_ratio", float(n - distinct) / n))
 
+    if ppl_lm is not None:
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_score,
+            perplexity_buckets,
+        )
+
+        scored = kn_score(
+            df.select(id_col, text_col), ppl_lm,
+            text_col=text_col, id_col=id_col,
+        ).persist()  # one scoring pass feeds mean + bucket cuts
+        out.append(("ppl_mean", float(scored.agg(F.avg("ppl")).first()[0])))
+        cuts = (
+            perplexity_buckets(scored, n_buckets=ppl_buckets, id_col=id_col)
+            .groupBy("bucket")
+            .agg(F.max("ppl").alias("cut"))
+            .collect()
+        )
+        for r in sorted(cuts, key=lambda r: r.bucket):
+            # bucket k's max ppl is the k/n_buckets quantile cut; the
+            # last bucket's is just the corpus max — publish it too
+            # (the card's worst-document headline)
+            name = (
+                f"ppl_bucket_cut:{r.bucket}"
+                if r.bucket < ppl_buckets
+                else "ppl_max"
+            )
+            out.append((name, float(r.cut)))
+        scored.unpersist()
+
+    if dsir_model is not None:
+        from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
+            dsir_weights,
+        )
+
+        w = dsir_weights(
+            df.select(id_col, text_col), dsir_model,
+            text_col=text_col, id_col=id_col,
+            n_buckets=dsir_buckets, n_max=dsir_n_max,
+        ).agg(F.avg("log_weight")).first()[0]
+        out.append(("dsir_logweight_mean", float(w)))
+
+    if eval_embeddings is not None:
+        from utc_cuip_kafka_aws_connector_spark.operators.semdecontam import (
+            embedding_decontaminate,
+        )
+
+        sc = embedding_decontaminate(
+            df.select(id_col, embedding_col), eval_embeddings,
+            id_col=id_col, vec_col=embedding_col,
+            eval_id_col=eval_id_col, eval_vec_col=eval_vec_col,
+        )
+        agg = sc.agg(
+            F.avg("max_cosine"),
+            F.max("max_cosine"),
+            F.sum(
+                (F.col("max_cosine") >= F.lit(decontam_cosine)).cast("long")
+            ),
+        ).first()
+        # null/zero-embedding rows score null: they carry no semantic
+        # evidence, so mean/max skip them and the ratio counts them
+        # clean (denominator stays the full corpus)
+        out += [
+            ("semdecontam_max_cosine_mean",
+             float(agg[0]) if agg[0] is not None else 0.0),
+            ("semdecontam_max_cosine_max",
+             float(agg[1]) if agg[1] is not None else 0.0),
+            ("semdecontam_contaminated_ratio", float(agg[2] or 0) / n),
+        ]
+
     for col in slice_cols:
         if col not in df.columns:
             continue
@@ -97,6 +195,7 @@ def release_report(
     text_col: str = "text",
     drift_cols: tuple[str, ...] = ("n_chars",),
     nbins: int = 20,
+    **report_kwargs,
 ) -> DataFrame:
     """Release notes between two corpus versions, as one
     (metric, value) frame — the diff the data card of version N+1
@@ -109,6 +208,14 @@ def release_report(
                     new minus old (slices included, absent = 0)
       drift:<col>_psi  numeric drift of ``drift_cols`` (old side =
                     reference bins, the operators/drift.py contract)
+
+    ``report_kwargs`` forward to ``corpus_report`` on BOTH sides, so
+    the model-based signal blocks (ppl_lm / dsir_model /
+    eval_embeddings — scored against the SAME model/eval set for old
+    and new) show up as ``*_delta`` rows: the release notes say not
+    just "docs changed" but "perplexity under the reference LM moved
+    by X, the corpus drifted Y closer to the target domain, eval
+    contamination moved Z".
     """
     from utc_cuip_kafka_aws_connector_spark.operators.drift import (
         numeric_drift,
@@ -135,8 +242,14 @@ def release_report(
         ("docs_changed", float(membership.changed or 0)),
     ]
 
-    old_m = {r.metric: r.value for r in corpus_report(old, id_col, text_col).collect()}
-    new_m = {r.metric: r.value for r in corpus_report(new, id_col, text_col).collect()}
+    old_m = {
+        r.metric: r.value
+        for r in corpus_report(old, id_col, text_col, **report_kwargs).collect()
+    }
+    new_m = {
+        r.metric: r.value
+        for r in corpus_report(new, id_col, text_col, **report_kwargs).collect()
+    }
     for metric in sorted(set(old_m) | set(new_m)):
         out.append(
             (f"{metric}_delta", new_m.get(metric, 0.0) - old_m.get(metric, 0.0))
