@@ -245,3 +245,75 @@ def test_literal_unk_text_trains_loadable_model(spark):
     )
     ids = spec_encode(df, spec).collect()[0]["token_ids"]
     assert spec_decode(ids, spec) == "printed <unk> here"
+
+
+def test_best_alt_segmentation_closed_form():
+    from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+        _best_alt_segmentation,
+    )
+
+    logp = {
+        "ab": math.log(0.3),
+        "a": math.log(0.2),
+        "b": math.log(0.1),
+        "abc": math.log(0.3),
+        "c": math.log(0.1),
+    }
+    # full-span edge disallowed: 'abc' must decompose; best is
+    # ab+c (log .3 + log .1) over a+b+c
+    assert _best_alt_segmentation("abc", logp, 8) == ["ab", "c"]
+    # a piece whose only decomposition is its characters
+    assert _best_alt_segmentation("ab", logp, 8) == ["a", "b"]
+
+
+def test_prune_losses_closed_form_and_ordering():
+    """The sentencepiece delta rule in plain-ML form: closed-form
+    check of one loss, plus the case that DISTINGUISHES it from the
+    old expected-count rule — a frequent piece with a cheap
+    alternative must be cheaper to drop than a rarer piece whose
+    alternative is expensive."""
+    from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+        _prune_losses,
+    )
+
+    expected = {
+        "xy": 10.0, "x": 1000.0, "y": 1000.0,
+        "qz": 5.0, "q": 1.0, "z": 1.0,
+    }
+    logp = {p: math.log(c / sum(expected.values()))
+            for p, c in expected.items()}
+    losses = _prune_losses(logp, expected, max_len=8)
+    S = sum(expected.values())
+    # closed form for 'xy': F=10, alt=[x, y], S'=S+10
+    F = 10.0
+    S2 = S + F
+    want = F * (
+        (math.log(F) - math.log(S))
+        - ((math.log(1000.0 + F) - math.log(S2)) * 2)
+    )
+    assert losses["xy"] == pytest.approx(want, rel=1e-12)
+    # count rule would drop 'qz' first (5 < 10); the likelihood rule
+    # must rank 'xy' cheaper to drop (its parts are everywhere)
+    assert expected["xy"] > expected["qz"]
+    assert losses["xy"] < losses["qz"]
+    # single characters never get a loss entry (coverage invariant)
+    assert set(losses) == {"xy", "qz"}
+
+
+def test_train_prunes_by_likelihood_not_count(spark):
+    """End-to-end: a corpus engineered so the two rules pick
+    different victims. 'ente' is FREQUENT but perfectly covered by
+    the even-more-frequent 'en'+'te'; 'qxj' is rarer but spells out
+    only through bottom-scored singles. The likelihood prune must
+    keep 'qxj' and segment 'ente' through its parts."""
+    corpus = spark.createDataFrame(
+        [("en te " * 40 + "ente " * 12 + "qxj " * 8,)], "text string"
+    )
+    vocab = dict(
+        unigram_train(
+            corpus, vocab_size=14, max_piece_len=4, seed_size=60,
+            em_iters=2,
+        )[1:]
+    )
+    assert "▁qxj" in vocab
+    assert "▁ente" not in vocab

@@ -174,12 +174,20 @@ def segments_to_ids(
 # Honest scope: E and M steps are the exact unigram-LM EM (lattice
 # forward-backward expected counts over every word, normalized
 # multinomial update — corpus likelihood provably non-decreasing,
-# pinned in tests/test_unigram_train.py). PRUNING ranks candidate
-# pieces by expected count and keeps all single characters — a
-# documented simplification of sentencepiece's likelihood-diff
-# pruning; the model CLASS and the encode semantics are identical,
-# the selected vocabulary can differ from sentencepiece's on the
-# same corpus.
+# pinned in tests/test_unigram_train.py). PRUNING is sentencepiece's
+# likelihood-delta rule (r13, closing the r12 documented
+# simplification): each multi-char piece is scored by the corpus
+# log-likelihood LOST if its occurrences re-segment through their
+# best alternative (Viterbi over the piece's own string with the
+# full-span edge disallowed), computed under the plain-ML analog of
+# sentencepiece's formula — plain log where sentencepiece uses
+# digamma, the consistent choice because this EM is plain
+# maximum-likelihood rather than sentencepiece's Bayesian variant
+# (the one REMAINING documented deviation; piece RANKINGS coincide
+# except within near-ties at tiny counts, where digamma's
+# correction is largest). All single characters are always kept
+# (the coverage invariant sentencepiece enforces via required
+# pieces).
 #
 # Scale shape: ONE corpus-sized shuffle builds the (word, freq)
 # histogram (map-side partial counts in the Arrow scan, the
@@ -327,6 +335,91 @@ def unigram_e_step(
     return loglik, expected
 
 
+def _best_alt_segmentation(
+    piece: str, logp: dict[str, float], max_len: int
+) -> list[str] | None:
+    """Best segmentation of ``piece`` under the current model with
+    the single full-span edge disallowed — sentencepiece's
+    "alternative segmentation" (its NBest(2) second path when the
+    piece itself is the best path). Exact DP; None when no
+    decomposition exists (impossible while single-character coverage
+    holds, kept as a guard)."""
+    n = len(piece)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for l in range(1, min(max_len, j) + 1):
+            if l == n:  # the full-span edge IS the piece — disallowed
+                continue
+            sub = piece[j - l : j]
+            lp = logp.get(sub)
+            if lp is None or best[j - l] == NEG:
+                continue
+            cand = best[j - l] + lp
+            # deterministic tie-break: longer piece wins (the
+            # viterbi_segment convention)
+            if cand > best[j] or (cand == best[j] and back[j] and l > j - back[j][0]):
+                best[j] = cand
+                back[j] = (j - l, sub)
+    if best[n] == NEG:
+        return None
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i, sub = back[j]
+        out.append(sub)
+        j = i
+    out.reverse()
+    return out
+
+
+def _prune_losses(
+    logp: dict[str, float],
+    expected: dict[str, float],
+    max_len: int,
+) -> dict[str, float]:
+    """Per-multi-char-piece corpus log-likelihood loss if the piece
+    were removed and its occurrences re-segmented through their best
+    alternative — the sentencepiece pruning objective
+    (unigram_model_trainer's PruneSentencePieces, re-derived from
+    the published algorithm description; plain-ML logs in place of
+    its digamma, see the module comment).
+
+    With F = expected count of the piece, S = total expected count,
+    alt = its alternative pieces (k of them):
+
+        S' = S + F * (k - 1)              (each occurrence now emits
+                                           k pieces instead of 1)
+        loss = F * ( [log F - log S]
+                   - sum_a [log(F_a + F) - log S'] )
+
+    Driver-side and vocab-sized (the M-step crossover discipline) —
+    one Viterbi over each piece's OWN string, never the corpus."""
+    S = sum(max(c, 0.0) for c in expected.values())
+    logS = math.log(S)
+    losses: dict[str, float] = {}
+    for p in logp:
+        if len(p) <= 1:
+            continue
+        F_p = expected.get(p, 0.0)
+        if F_p <= 0.0:
+            losses[p] = 0.0  # unused piece: free to drop
+            continue
+        alt = _best_alt_segmentation(p, logp, max_len)
+        if alt is None:
+            losses[p] = float("inf")  # irreplaceable: never drop
+            continue
+        S_alt = S + F_p * (len(alt) - 1)
+        log_alt = sum(
+            math.log(expected.get(a, 0.0) + F_p) - math.log(S_alt)
+            for a in alt
+        )
+        losses[p] = F_p * ((math.log(F_p) - logS) - log_alt)
+    return losses
+
+
 def _m_step(expected: dict[str, float]) -> dict[str, float]:
     total = sum(expected.values())
     return {
@@ -358,8 +451,9 @@ def unigram_train(
     characters (coverage invariant — never pruned, so every training
     word stays segmentable and the trained model needs no unk on its
     own corpus). Then rounds of (EM x ``em_iters``, prune the
-    lowest-expected-count multi-char pieces) until the piece count
-    fits ``vocab_size - 1``, and a final EM settle."""
+    multi-char pieces with the smallest likelihood loss — the
+    sentencepiece delta rule, see ``_prune_losses``) until the piece
+    count fits ``vocab_size - 1``, and a final EM settle."""
     from pyspark.sql import functions as F
 
     if vocab_size < 2:
@@ -440,8 +534,11 @@ def unigram_train(
             drop_n = min(
                 excess, max(1, int(len(multi) * prune_fraction))
             )
+            # sentencepiece's likelihood-delta prune: drop the pieces
+            # whose removal costs the corpus likelihood least
+            losses = _prune_losses(logp, expected, max_piece_len)
             victims = sorted(
-                multi, key=lambda p: (expected.get(p, 0.0), p)
+                multi, key=lambda p: (losses[p], p)
             )[:drop_n]
             for p in victims:
                 del logp[p]
