@@ -601,3 +601,38 @@ def test_prune_preserves_auto_discounts(spark, corpus):
     model = kn_train(corpus, order=3, discount="auto")
     pruned = kn_prune(model, 2)
     assert pruned["discounts"] == pytest.approx(model["discounts"])
+
+
+def test_kn_score_broadcast_and_shuffle_paths_identical(spark):
+    """The broadcast_model knob changes the JOIN STRATEGY only: both
+    paths must produce bit-identical scores (same joins, same fold —
+    only the physical exchange differs). Pins the identity the
+    BENCH_NOTES crossover row relies on."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        kn_unpersist,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    model = kn_train(docs, order=3, discount="auto", min_count=2)
+    a = {
+        r.doc_id: (r.n_tokens, r.log10_prob, r.ppl)
+        for r in kn_score(docs, model, broadcast_model=True).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.log10_prob, r.ppl)
+        for r in kn_score(docs, model, broadcast_model=False).collect()
+    }
+    assert set(a) == set(b) and len(a) == 150
+    for k in a:
+        assert a[k][0] == b[k][0]
+        # same per-token lp rows, same per-doc fold: sums are over the
+        # same values; groupBy order may differ, so 1e-12-grade only
+        assert a[k][1] == pytest.approx(b[k][1], abs=1e-12)
+        assert a[k][2] == pytest.approx(b[k][2], rel=1e-12)
+    kn_unpersist(model)
