@@ -1002,3 +1002,67 @@ def test_cli_pack_empty_input(spark, tmp_path, capsys):
         ["pack", "--input", inp, "--output", out, "--context-len", "16"]
     ) == 0
     assert "packed 0 rows" in capsys.readouterr().out
+
+
+def test_cli_curate_full_moore_lewis_preselect(spark, tmp_path, capsys):
+    """curate-full --select-method moore-lewis: the CE-difference
+    stage keeps exactly --select-k rows and, on a planted
+    in-domain/off-domain corpus, picks the in-domain ones (the
+    deterministic alternative to DSIR's seeded resample)."""
+    import random
+
+    import pytest as _pytest
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    def doc(seed, words, n=25):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    A = ["cat", "dog", "fish", "bird", "tree", "house", "sat", "the"]
+    B = ["stock", "bond", "yield", "market", "index", "fund", "rate"]
+    rows = [(i, doc(i, A), "en") for i in range(40)]
+    rows += [(100 + i, doc(500 + i, B), "en") for i in range(40)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(inp)
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(doc(900 + i, A),) for i in range(20)], "text string"
+    ).write.parquet(target)
+
+    out = str(tmp_path / "built_ml")
+    rc = cli.main(
+        [
+            "curate-full",
+            "--input", inp,
+            "--output", out,
+            "--select-target", target,
+            "--select-k", "30",
+            "--select-method", "moore-lewis",
+            "--boiler-min-docs", "1000",
+            "--min-quality", "0.0",
+            "--near-dup-threshold", "-1",
+            "--keep-rates", "en=1.0",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "moore_lewis_select:30" in printed
+    ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    # CE-difference is sharper than DSIR's stochastic resample: every
+    # survivor should come from the in-domain half
+    assert len(ids) == 30
+    assert all(i < 100 for i in ids), sorted(ids)
+
+    from utc_cuip_kafka_aws_connector_spark.cli import run_curate_full
+
+    with _pytest.raises(ValueError, match="select_method"):
+        run_curate_full(
+            spark, inp, str(tmp_path / "x3"),
+            select_target=target, select_k=5,
+            select_method="nope", near_dup_threshold=None,
+        )

@@ -275,6 +275,7 @@ def run_curate_full(
     select_target: str | None = None,
     select_k: int | None = None,
     select_buckets: int = 10_000,
+    select_method: str = "dsir",
     html: bool = False,
     boiler_min_docs: int = 10,
     substr_window: int = 0,
@@ -336,31 +337,66 @@ def run_curate_full(
         return frame
 
     if select_target:
-        # DSIR pre-selection: shrink the raw pool toward the target
-        # domain BEFORE any per-document cleaning pays its cost
-        from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
-            dsir_fit,
-            dsir_resample,
-            dsir_weights,
-        )
-
+        # Target-domain pre-selection: shrink the raw pool BEFORE any
+        # per-document cleaning pays its cost. Two interchangeable
+        # criteria over the same (target parquet, raw pool) inputs:
+        # DSIR's hashed-bucket importance resampling (stochastic,
+        # seeded) or Moore-Lewis cross-entropy difference (two KN LMs
+        # — target and the raw pool itself as the generic side, the
+        # Moore & Lewis 2010 setup — deterministic top-k).
         if not select_k:
             raise ValueError("select_target needs select_k")
+        if select_method not in ("dsir", "moore-lewis"):
+            raise ValueError(
+                f"select_method must be dsir|moore-lewis, got "
+                f"{select_method!r}"
+            )
         tgt = spark.read.parquet(select_target)
-        sel_model = dsir_fit(
-            tgt, df, text_col=text_col, n_buckets=select_buckets
-        )
-        weighted = dsir_weights(
-            df,
-            sel_model,
-            text_col=text_col,
-            id_col=id_col,
-            n_buckets=select_buckets,
-        )
-        chosen = dsir_resample(
-            weighted, select_k, seed=seed, id_col=id_col
-        ).select(id_col)
-        df = mark("dsir_select", df.join(chosen, id_col, "left_semi"))
+        if select_method == "dsir":
+            from utc_cuip_kafka_aws_connector_spark.operators.dsir import (
+                dsir_fit,
+                dsir_resample,
+                dsir_weights,
+            )
+
+            sel_model = dsir_fit(
+                tgt, df, text_col=text_col, n_buckets=select_buckets
+            )
+            weighted = dsir_weights(
+                df,
+                sel_model,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=select_buckets,
+            )
+            chosen = dsir_resample(
+                weighted, select_k, seed=seed, id_col=id_col
+            ).select(id_col)
+            df = mark("dsir_select", df.join(chosen, id_col, "left_semi"))
+        else:
+            from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+                kn_train,
+                kn_unpersist,
+                moore_lewis_score,
+                select_by_ce_diff,
+            )
+
+            t_lm = kn_train(tgt, text_col=text_col, order=3)
+            g_lm = kn_train(df, text_col=text_col, order=3)
+            scored = moore_lewis_score(
+                df.select(id_col, text_col), t_lm, g_lm,
+                text_col=text_col, id_col=id_col,
+            )
+            # persist the k survivor ids so downstream stage counts
+            # replay a cached id list, not two LM scoring passes
+            chosen = select_by_ce_diff(scored, select_k).select(
+                id_col
+            ).persist()
+            df = mark(
+                "moore_lewis_select", df.join(chosen, id_col, "left_semi")
+            )
+            kn_unpersist(t_lm)
+            kn_unpersist(g_lm)
     if html:
         from utc_cuip_kafka_aws_connector_spark.operators.extract import (
             html_to_text,
@@ -782,11 +818,19 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--html", action="store_true")
     curate_full.add_argument(
         "--select-target", default=None,
-        help="target-domain sample parquet: adds a DSIR pre-selection "
-        "stage (importance-resample the raw pool first)",
+        help="target-domain sample parquet: adds a pre-selection "
+        "stage shrinking the raw pool toward the target "
+        "(--select-method picks the criterion)",
     )
     curate_full.add_argument("--select-k", type=int, default=None)
     curate_full.add_argument("--select-buckets", type=int, default=10_000)
+    curate_full.add_argument(
+        "--select-method", choices=("dsir", "moore-lewis"),
+        default="dsir",
+        help="dsir = hashed-bucket importance resampling (seeded); "
+        "moore-lewis = Kneser-Ney cross-entropy difference, "
+        "deterministic top-k",
+    )
     curate_full.add_argument("--boiler-min-docs", type=int, default=10)
     curate_full.add_argument(
         "--substr-window", type=int, default=0, help="0 = skip substring dedup"
@@ -1246,6 +1290,7 @@ def main(argv: list[str] | None = None) -> int:
             select_target=args.select_target,
             select_k=args.select_k,
             select_buckets=args.select_buckets,
+            select_method=args.select_method,
             html=args.html,
             boiler_min_docs=args.boiler_min_docs,
             substr_window=args.substr_window,
