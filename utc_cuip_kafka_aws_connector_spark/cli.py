@@ -225,6 +225,138 @@ def run_stream(
     query.awaitTermination()
 
 
+def run_stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    c4: bool = False,
+    gopher: bool = False,
+    hot_key_col: str | None = None,
+    hot_k: int = 20,
+    drift_ref: str | None = None,
+    drift_cols: tuple[str, ...] = ("n_chars",),
+) -> None:
+    """The reference's consume->flush CRON shape applied to the LLM
+    curation tier (r12 VERDICT stretch): ONE AvailableNow streaming
+    query whose ``foreachBatch`` runs the rule filters, exact dedup
+    (within the batch AND against every prior batch), and the
+    hot-key / drift monitors, all writing through epoch-keyed
+    overwrite directories so replay after failure is exactly-once.
+
+    Layout under ``output_path``:
+
+      data/batch_id=<n>/           surviving documents
+      _seen_hashes/batch_id=<n>/   md5(text) of every doc this batch
+                                   KEPT (the cross-batch dedup state)
+      _monitor/hotkeys/batch_id=<n>/  per-batch top-k of hot_key_col
+      _monitor/drift/batch_id=<n>/    numeric_drift vs drift_ref
+
+    Cross-batch dedup reads ONLY ``batch_id < n`` hash dirs: a
+    replayed batch n sees exactly the state its first attempt saw
+    (its own half-written hashes are invisible and get overwritten),
+    so the kept-set is deterministic under replay — the txlog
+    snapshot-isolation discipline without the log. State grows as
+    one md5 per distinct document; at fleet scale compact the hash
+    dirs with ``compact`` or swap in the bloom pre-screen
+    (operators/increddup.py) in front of the anti-join."""
+    import glob as _glob
+
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
+
+    data_dir = f"{output_path}/data"
+    seen_dir = f"{output_path}/_seen_hashes"
+    ref = spark.read.parquet(drift_ref) if drift_ref else None
+
+    def curate_batch(batch: DataFrame, epoch_id: int) -> None:
+        cols = batch.columns
+        df = batch
+        if c4:
+            from utc_cuip_kafka_aws_connector_spark.operators.rulefilters import (
+                apply_c4,
+            )
+
+            df = apply_c4(df, text_col=text_col)
+        if gopher:
+            from utc_cuip_kafka_aws_connector_spark.operators.rulefilters import (
+                apply_gopher,
+            )
+
+            df = apply_gopher(df, text_col=text_col)
+        df = (
+            quality_score(df, text_col=text_col)
+            .filter(F.col("quality") >= min_quality)
+            .select(*cols)
+        )
+        # within-batch exact dedup (first id wins)
+        keep = exact_dedup(df, id_col=id_col, text_col=text_col)
+        df = df.join(
+            keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        )
+        # cross-batch dedup: anti-join the hashes every PRIOR batch
+        # kept. batch_id is a partition column of the seen layout, so
+        # the < epoch filter prunes the current (possibly half-
+        # replayed) epoch's dir at the file listing
+        prior = None
+        if _glob.glob(f"{seen_dir}/batch_id=*"):
+            prior = (
+                spark.read.option("basePath", seen_dir)
+                .parquet(f"{seen_dir}/batch_id=*")
+                .filter(F.col("batch_id") < F.lit(int(epoch_id)))
+            )
+        hashed = df.withColumn(
+            "content_hash", F.md5(F.col(text_col))
+        ).persist()
+        if prior is not None:
+            hashed = hashed.join(
+                prior.select("content_hash"), "content_hash", "left_anti"
+            ).persist()
+        # epoch-keyed overwrite everywhere below = idempotent replay
+        hashed.select("content_hash").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{seen_dir}/batch_id={int(epoch_id)}")
+        hashed.select(*cols).write.mode("overwrite").parquet(
+            f"{data_dir}/batch_id={int(epoch_id)}"
+        )
+        if hot_key_col and hot_key_col in cols:
+            (
+                hashed.groupBy(hot_key_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc(hot_key_col))
+                .limit(hot_k)
+                .write.mode("overwrite")
+                .parquet(f"{output_path}/_monitor/hotkeys/batch_id={int(epoch_id)}")
+            )
+        if ref is not None:
+            from utc_cuip_kafka_aws_connector_spark.operators.drift import (
+                numeric_drift,
+            )
+
+            cur = hashed.withColumn("n_chars", F.length(text_col))
+            cols_present = [
+                c for c in drift_cols if c in cur.columns and c in ref.columns
+            ]
+            if cols_present:
+                numeric_drift(ref, cur, list(cols_present)).write.mode(
+                    "overwrite"
+                ).parquet(f"{output_path}/_monitor/drift/batch_id={int(epoch_id)}")
+        hashed.unpersist()
+
+    src = spark.readStream.schema(schema).json(input_dir)
+    query = (
+        src.writeStream.foreachBatch(curate_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_curate(
     spark: SparkSession,
     input_path: str,
@@ -784,6 +916,30 @@ def main(argv: list[str] | None = None) -> int:
         help="exactly-once strategy: epoch-keyed overwrite dirs (partitioned "
         "layout preserved) or the transaction-log table (atomic manifest "
         "commits, snapshot reads, time travel)",
+    )
+
+    scurate = sub.add_parser(
+        "stream-curate",
+        help="streaming curation consumer (availableNow): rule filters + "
+        "exact dedup within AND across batches + hot-key/drift monitors "
+        "in one foreachBatch, exactly-once under replay",
+    )
+    scurate.add_argument("--input", required=True, help="jsonl directory the source watches")
+    scurate.add_argument("--output", required=True)
+    scurate.add_argument("--checkpoint", required=True)
+    scurate.add_argument(
+        "--schema", default="doc_id long, text string, lang string"
+    )
+    scurate.add_argument("--id-col", default="doc_id")
+    scurate.add_argument("--text-col", default="text")
+    scurate.add_argument("--min-quality", type=float, default=0.5)
+    scurate.add_argument("--c4", action="store_true")
+    scurate.add_argument("--gopher", action="store_true")
+    scurate.add_argument("--hot-key-col", default=None)
+    scurate.add_argument("--hot-k", type=int, default=20)
+    scurate.add_argument(
+        "--drift-ref", default=None,
+        help="reference parquet for per-batch numeric drift monitoring",
     )
 
     curate = sub.add_parser(
@@ -1797,6 +1953,23 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted {len(stats)} partitions: {files} files -> ~{targets} "
             f"at {args.target_file_mb} MiB, output={args.dest}"
         )
+    elif args.cmd == "stream-curate":
+        run_stream_curate(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            schema=args.schema,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            min_quality=args.min_quality,
+            c4=args.c4,
+            gopher=args.gopher,
+            hot_key_col=args.hot_key_col,
+            hot_k=args.hot_k,
+            drift_ref=args.drift_ref,
+        )
+        print(f"stream-curated input={args.input} output={args.output}")
     else:
         run_stream(
             spark, args.topic, args.input, args.output, args.checkpoint, args.format, args.sink
