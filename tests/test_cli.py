@@ -1155,3 +1155,59 @@ def test_stream_curate_replay_and_cross_batch_dedup(spark, tmp_path, capsys):
         f"{out}/data/batch_id=*"
     )
     assert sorted(r.doc_id for r in got.collect()) == [1, 4, 11]
+
+
+def test_cli_report_model_signal_blocks(spark, tmp_path, capsys):
+    """report --ppl-lm / --dsir-target / --eval-embeddings: the r13
+    data-card signal rows come out of the CLI verb."""
+    import random
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    def doc(seed, n=20):
+        r = random.Random(seed)
+        return " ".join(
+            r.choice(["the", "cat", "dog", "sat", "tree", "fish"])
+            for _ in range(n)
+        )
+
+    src = str(tmp_path / "docs")
+    rng = random.Random(5)
+    spark.createDataFrame(
+        [
+            (i, doc(i), "en", [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(25)
+        ],
+        "doc_id long, text string, lang string, embedding array<double>",
+    ).write.parquet(src)
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(doc(100 + i),) for i in range(20)], "text string"
+    ).write.parquet(ref)
+    lm_dir = str(tmp_path / "lm")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", lm_dir, "--input", ref,
+         "--order", "2"]
+    ) == 0
+    evals = str(tmp_path / "evals")
+    spark.createDataFrame(
+        [(0, [1.0, 0.5, -0.25, 0.0, 0.75, -1.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(evals)
+    capsys.readouterr()
+
+    assert cli.main(
+        [
+            "report", "--input", src,
+            "--ppl-lm", lm_dir,
+            "--dsir-target", ref, "--select-buckets", "256",
+            "--eval-embeddings", evals,
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    for row in (
+        "ppl_mean", "ppl_bucket_cut:1", "ppl_max",
+        "dsir_logweight_mean", "semdecontam_max_cosine_mean",
+        "semdecontam_contaminated_ratio",
+    ):
+        assert row in out, out

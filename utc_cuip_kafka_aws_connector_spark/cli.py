@@ -842,12 +842,58 @@ def run_hotkeys(
     return {"hitters": hitters, "salt_buckets": salt}
 
 
-def run_report(spark: SparkSession, input_path: str) -> list:
+def run_report(
+    spark: SparkSession,
+    input_path: str,
+    ppl_lm: str | None = None,
+    dsir_target: str | None = None,
+    select_buckets: int = 10_000,
+    eval_embeddings: str | None = None,
+    decontam_cosine: float = 0.95,
+) -> list:
     """Corpus data-card (operators/report.py) over a parquet corpus;
-    returns the (metric, value) rows for display."""
+    returns the (metric, value) rows for display. The optional
+    model-based signal blocks (r13): ``ppl_lm`` = a saved KN LM dir
+    (`lm --op train`), ``dsir_target`` = a target-domain parquet (the
+    DSIR model is fit here against this corpus), ``eval_embeddings``
+    = an eval-suite embeddings parquet (vec_id, embedding)."""
     from utc_cuip_kafka_aws_connector_spark.operators.report import corpus_report
 
-    return corpus_report(spark.read.parquet(input_path)).collect()
+    df = spark.read.parquet(input_path)
+    kwargs: dict = {}
+    lm = None
+    if ppl_lm:
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            load_kn_lm,
+        )
+
+        lm = load_kn_lm(spark, ppl_lm)
+        kwargs["ppl_lm"] = lm
+    if dsir_target:
+        from utc_cuip_kafka_aws_connector_spark.operators.dsir import dsir_fit
+
+        kwargs["dsir_model"] = dsir_fit(
+            spark.read.parquet(dsir_target), df, n_buckets=select_buckets
+        )
+        kwargs["dsir_buckets"] = select_buckets
+    if eval_embeddings:
+        if "embedding" not in df.columns:
+            raise ValueError(
+                "--eval-embeddings needs an 'embedding' column on the "
+                "corpus itself (join your embeddings table onto the "
+                f"documents first); {input_path} has columns "
+                f"{df.columns}"
+            )
+        kwargs["eval_embeddings"] = spark.read.parquet(eval_embeddings)
+        kwargs["decontam_cosine"] = decontam_cosine
+    rows = corpus_report(df, **kwargs).collect()
+    if lm is not None:
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_unpersist,
+        )
+
+        kn_unpersist(lm)
+    return rows
 
 
 def run_normalize(
@@ -1067,9 +1113,25 @@ def main(argv: list[str] | None = None) -> int:
 
     report = sub.add_parser(
         "report", help="print the corpus data-card (rows, lengths, quality, "
-        "entropy, dup ratio, slice distributions)"
+        "entropy, dup ratio, slice distributions; optional LM-perplexity, "
+        "DSIR target-likeness, and eval-contamination signal blocks)"
     )
     report.add_argument("--input", required=True, help="documents parquet path")
+    report.add_argument(
+        "--ppl-lm", default=None,
+        help="saved KN LM dir: adds ppl_mean + CCNet bucket-cut rows",
+    )
+    report.add_argument(
+        "--dsir-target", default=None,
+        help="target-domain parquet: adds the dsir_logweight_mean row",
+    )
+    report.add_argument("--select-buckets", type=int, default=10_000)
+    report.add_argument(
+        "--eval-embeddings", default=None,
+        help="eval embeddings parquet (vec_id, embedding): adds the "
+        "semantic-contamination rows",
+    )
+    report.add_argument("--decontam-cosine", type=float, default=0.95)
 
     norm = sub.add_parser(
         "normalize", help="unicode-normalize the text column (NFKC + control "
@@ -1509,7 +1571,16 @@ def main(argv: list[str] | None = None) -> int:
             f"({args.x_col}, {args.y_col}), output={args.output}"
         )
     elif args.cmd == "report":
-        for r in run_report(spark, args.input):
+        rows = run_report(
+            spark,
+            args.input,
+            ppl_lm=args.ppl_lm,
+            dsir_target=args.dsir_target,
+            select_buckets=args.select_buckets,
+            eval_embeddings=args.eval_embeddings,
+            decontam_cosine=args.decontam_cosine,
+        )
+        for r in rows:
             print(f"{r.metric:<28s} {r.value:.4f}")
     elif args.cmd == "normalize":
         stats = run_normalize(
