@@ -789,26 +789,50 @@ def run_classify(
     keep_label: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "nb",
 ) -> dict:
-    """Model-based corpus classification/filtering (operators/
-    nbquality.py): train the hashed-NB classifier on ``train_path``'s
-    labeled docs, then either predict a label per input doc or (with
-    ``keep_label``) emit the log-odds quality-filter table. Returns
-    {train, scored}."""
-    from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
-        nb_log_odds,
-        nb_predict,
-        nb_train,
-    )
-
+    """Model-based corpus classification/filtering. ``method="nb"``
+    (operators/nbquality.py): the zero-iteration generative hashed-NB
+    — predict a label per doc or (with ``keep_label``) the log-odds
+    filter table. ``method="lr"`` (operators/lrquality.py): the
+    discriminative fastText-shaped logistic regression — REQUIRES
+    ``keep_label`` (it is a binary keep-vs-drop model; training
+    labels become 1 where ``label_col == keep_label``) and emits
+    ``(id, p_keep)``. Returns {train, scored}."""
     train = spark.read.parquet(train_path)
-    model = nb_train(train, text_col=text_col, label_col=label_col)
     docs = spark.read.parquet(input_path)
-    out = (
-        nb_log_odds(docs, model, keep_label, id_col=id_col, text_col=text_col)
-        if keep_label
-        else nb_predict(docs, model, id_col=id_col, text_col=text_col)
-    )
+    if method == "nb":
+        from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
+            nb_log_odds,
+            nb_predict,
+            nb_train,
+        )
+
+        model = nb_train(train, text_col=text_col, label_col=label_col)
+        out = (
+            nb_log_odds(docs, model, keep_label, id_col=id_col, text_col=text_col)
+            if keep_label
+            else nb_predict(docs, model, id_col=id_col, text_col=text_col)
+        )
+    elif method == "lr":
+        from utc_cuip_kafka_aws_connector_spark.operators.lrquality import (
+            lr_score,
+            lr_train,
+        )
+
+        if not keep_label:
+            raise ValueError(
+                "method='lr' is a binary keep-vs-drop classifier: pass "
+                "--keep-label to mark the positive class"
+            )
+        binary = train.withColumn(
+            "label",
+            (F.col(label_col) == F.lit(keep_label)).cast("int"),
+        )
+        model = lr_train(binary, text_col=text_col, label_col="label")
+        out = lr_score(docs, model, id_col=id_col, text_col=text_col)
+    else:
+        raise ValueError(f"method must be nb|lr, got {method!r}")
     out.write.mode("overwrite").parquet(output_path)
     return {
         "train": train.count(),
@@ -1155,7 +1179,14 @@ def main(argv: list[str] | None = None) -> int:
     classify.add_argument(
         "--keep-label",
         default=None,
-        help="emit (id, log_odds) vs this label instead of predictions",
+        help="emit (id, log_odds) vs this label instead of predictions "
+        "(required for --method lr, where it marks the positive class)",
+    )
+    classify.add_argument(
+        "--method", choices=("nb", "lr"), default="nb",
+        help="nb = generative hashed Naive Bayes (one aggregation); "
+        "lr = discriminative fastText-shaped logistic regression "
+        "(MLlib L-BFGS, calibrated p_keep)",
     )
     classify.add_argument("--id-col", default="doc_id")
     classify.add_argument("--text-col", default="text")
@@ -1607,8 +1638,14 @@ def main(argv: list[str] | None = None) -> int:
             keep_label=args.keep_label,
             id_col=args.id_col,
             text_col=args.text_col,
+            method=args.method,
         )
-        mode = f"log-odds vs {args.keep_label!r}" if args.keep_label else "predictions"
+        if args.method == "lr":
+            mode = f"p_keep vs {args.keep_label!r} (lr)"
+        elif args.keep_label:
+            mode = f"log-odds vs {args.keep_label!r}"
+        else:
+            mode = "predictions"
         print(
             f"classify: trained on {stats['train']} docs, wrote {mode} for "
             f"{stats['scored']} docs, output={args.output}"
