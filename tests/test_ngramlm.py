@@ -636,3 +636,131 @@ def test_kn_score_broadcast_and_shuffle_paths_identical(spark):
         assert a[k][1] == pytest.approx(b[k][1], abs=1e-12)
         assert a[k][2] == pytest.approx(b[k][2], rel=1e-12)
     kn_unpersist(model)
+
+
+def test_stupid_backoff_matches_pure_python(spark):
+    """sb_score vs a from-scratch Stupid Backoff (Brants 2007) at
+    1e-9: longest-match raw ratios, 0.4 backoff multiplier, 1/N OOV
+    base, KenLM-style padding — including documents that force every
+    backoff depth and an empty document (EOS-only event)."""
+    import math
+
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_train,
+        kn_unpersist,
+        sb_score,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cat ate",
+        "a dog sat",
+        "the mat sat",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    order, alpha = 3, 0.4
+    model = kn_train(docs, order=order)
+
+    # pure-Python reference from first principles
+    BOS, EOS = "<s>", "</s>"
+    grams: dict[tuple, int] = {}
+    for text in corpus:
+        toks = [t for t in text.split(" ") if t]
+        seq = [BOS] * (order - 1) + toks + [EOS]
+        for k in range(1, order + 1):
+            for i in range(len(seq) - k + 1):
+                g = tuple(seq[i : i + k])
+                grams[g] = grams.get(g, 0) + 1
+    n_total = sum(c for g, c in grams.items() if len(g) == 1 and g[0] != BOS)
+
+    def s(g: tuple) -> float:
+        if len(g) == 1:
+            c = grams.get(g, 0)
+            return c / n_total if c and g[0] != BOS else 1.0 / n_total
+        if grams.get(g, 0):
+            return grams[g] / grams[g[:-1]]
+        return alpha * s(g[1:])
+
+    def ref(text: str) -> tuple[int, float]:
+        toks = [t for t in text.split(" ") if t]
+        seq = [BOS] * (order - 1) + toks + [EOS]
+        lps = [
+            math.log10(s(tuple(seq[j - order : j])))
+            for j in range(order, len(seq) + 1)
+        ]
+        return len(lps), sum(lps)
+
+    got = {r.doc_id: r for r in sb_score(docs, model).collect()}
+    for i, text in enumerate(corpus):
+        n, lp = ref(text)
+        assert got[i].n_tokens == n, (i, text)
+        assert got[i].log10_score == pytest.approx(lp, abs=1e-9), (i, text)
+        assert got[i].sbs == pytest.approx(
+            10 ** (-lp / n), rel=1e-9
+        )
+    # scoring an OOV-bearing doc exercises the 1/N base case
+    oov = spark.createDataFrame(
+        [(99, "zzz the cat")], "doc_id long, text string"
+    )
+    (row,) = sb_score(oov, model).collect()
+    n, lp = ref("zzz the cat")
+    assert row.log10_score == pytest.approx(lp, abs=1e-9)
+    # ranking sanity: in-domain text outscores word salad
+    pair = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat a ate dog on")],
+        "doc_id long, text string",
+    )
+    sbs = {r.doc_id: r.sbs for r in sb_score(pair, model).collect()}
+    assert sbs[0] < sbs[1]
+    kn_unpersist(model)
+
+
+def test_stupid_backoff_refuses_rawless_model(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_train,
+        kn_unpersist,
+        stupid_backoff_tables,
+    )
+
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    model = kn_train(docs, order=2)
+    stripped = {k: v for k, v in model.items() if k != "raw"}
+    with pytest.raises(ValueError, match="raw count tables"):
+        stupid_backoff_tables(stripped)
+    kn_unpersist(model)
+
+
+def test_cli_lm_stupid_backoff_scorer(spark, tmp_path, capsys):
+    """lm --op score --scorer stupid-backoff: the raw-ratio scorer
+    through the CLI, with sbs-keyed buckets."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog ran up the tree",)] * 10,
+        "text string",
+    ).write.parquet(ref)
+    lm_dir = str(tmp_path / "lm")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", lm_dir, "--input", ref,
+         "--order", "2"]
+    ) == 0
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zz qq xx"), (2, "the dog ran")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "scored")
+    capsys.readouterr()
+    assert cli.main(
+        ["lm", "--op", "score", "--model", lm_dir, "--input", docs,
+         "--output", out, "--scorer", "stupid-backoff", "--buckets", "3"]
+    ) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2}
+    assert "sbs" in spark.read.parquet(out).columns
+    assert got[1].sbs > got[0].sbs  # junk ranks worse
+    assert {got[i].bucket for i in got} == {1, 2, 3}

@@ -1342,6 +1342,13 @@ def main(argv: list[str] | None = None) -> int:
         help="score: also assign this many equal-population perplexity "
         "buckets (CCNet's head/middle/tail = 3; 0 = off)",
     )
+    lm.add_argument(
+        "--scorer", choices=("kn", "stupid-backoff"), default="kn",
+        help="score: interpolated Kneser-Ney perplexity (normalized, "
+        "the CCNet signal) or Stupid Backoff (Brants 2007 — raw "
+        "count ratios + 0.4 backoff, half the joins; ranking-grade, "
+        "not a probability)",
+    )
 
     select = sub.add_parser(
         "select",
@@ -1937,13 +1944,27 @@ def main(argv: list[str] | None = None) -> int:
             if not args.output:
                 parser.error("lm --op score requires --output")
             model = load_kn_lm(spark, args.model)
-            scored = kn_score(
-                df, model, text_col=args.text_col, id_col=args.id_col
-            )
-            if args.buckets:
-                scored = perplexity_buckets(
-                    scored, n_buckets=args.buckets, id_col=args.id_col
+            if args.scorer == "stupid-backoff":
+                from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+                    sb_score,
                 )
+
+                scored = sb_score(
+                    df, model, text_col=args.text_col, id_col=args.id_col
+                )
+                if args.buckets:
+                    scored = perplexity_buckets(
+                        scored, n_buckets=args.buckets,
+                        ppl_col="sbs", id_col=args.id_col,
+                    )
+            else:
+                scored = kn_score(
+                    df, model, text_col=args.text_col, id_col=args.id_col
+                )
+                if args.buckets:
+                    scored = perplexity_buckets(
+                        scored, n_buckets=args.buckets, id_col=args.id_col
+                    )
             scored.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(

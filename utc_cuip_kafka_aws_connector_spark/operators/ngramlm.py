@@ -609,6 +609,140 @@ def kn_token_logprobs(
     return events.select(*carry, F.log10(prob).alias("lp"))
 
 
+def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
+    """Per-order Stupid Backoff score tables ``{k: (gram, s)}`` plus
+    the corpus token total N, derived from the model's ADDITIVE raw
+    count tables (Brants et al. 2007, "Large Language Models in
+    Machine Translation"): ``s_k(h w) = c(h w) / c(h)`` — raw
+    relative frequencies, NO discounting, NOT normalized. The
+    web-scale scoring shortcut: at Google-corpus sizes the smoothing
+    gain vanishes and the count-table-only formulation wins on cost.
+
+    Unigram counts (and N) are derived from raw[2] suffixes exactly
+    like the KN pipeline derives its unigram level — with one BOS
+    pad per order every non-BOS token occurrence has a predecessor,
+    so ``c(w) = sum_x c(x w)`` including the EOS event; BOS is
+    context-only and excluded. Context counts come from raw[k-1]
+    (the gram IS its own context table one order down); the order-1
+    context for bigrams is the derived unigram table."""
+    if "raw" not in model:
+        raise ValueError(
+            "model carries no raw count tables (pruned or legacy "
+            "save); stupid backoff needs the additive raw counts"
+        )
+    order = model["order"]
+    uni = (
+        model["raw"][2]
+        .select(F.substring_index(F.col("gram"), " ", -1).alias("gram"), "a")
+        .groupBy("gram")
+        .agg(F.sum("a").alias("a"))
+        .where(F.col("gram") != BOS)
+    ).persist()
+    n_total = float(uni.agg(F.sum("a")).first()[0])
+    tables: dict[int, DataFrame] = {
+        1: uni.select("gram", (F.col("a") / F.lit(n_total)).alias("s"))
+    }
+    # context counts: raw[k-1] for k >= 3. The order-1 context table
+    # is PREFIX-derived (c(x) = sum over bigrams starting with x):
+    # unlike the suffix-derived predicted-event table it contains BOS
+    # (as many context occurrences as documents) and omits EOS (never
+    # a context) — exactly the occurrences-followed-by-something
+    # count a context denominator means.
+    ctx1 = (
+        model["raw"][2]
+        .select(F.substring_index(F.col("gram"), " ", 1).alias("gram"), "a")
+        .groupBy("gram")
+        .agg(F.sum("a").alias("a"))
+    )
+    ctx_counts = {2: ctx1}
+    for k in range(3, order + 1):
+        ctx_counts[k] = model["raw"][k - 1]
+    for k in range(2, order + 1):
+        tables[k] = (
+            model["raw"][k]
+            .select(
+                "gram",
+                "a",
+                F.substring_index(F.col("gram"), " ", k - 1).alias("__ctx"),
+            )
+            .join(
+                ctx_counts[k].select(
+                    F.col("gram").alias("__ctx"), F.col("a").alias("__ca")
+                ),
+                "__ctx",
+            )
+            .select("gram", (F.col("a") / F.col("__ca")).alias("s"))
+        )
+    return tables, n_total
+
+
+def sb_score(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document Stupid Backoff score:
+    ``(id_col, n_tokens, log10_score, sbs)`` with
+    ``sbs = 10 ** (-log10_score / n_tokens)`` — the perplexity-SHAPED
+    ranking statistic (scores are not probabilities, so this is not
+    a perplexity; it ranks identically within a fixed model, which
+    is all selection/bucketing needs).
+
+    ``S(w|h) = c(hw)/c(h)`` at the longest seen order, else
+    ``alpha * S`` one order down (alpha = 0.4, the published
+    constant), base case the unigram relative frequency with 1/N for
+    OOV (one pseudo-occurrence — keeps scores positive without an
+    <unk> pass; this scorer deliberately skips the OOV mapping, the
+    same trade the published web-scale usage makes).
+
+    Plan shape: HALF of kn_score's joins — one left join per order
+    on the gram string, NO context-table joins (the ratio is
+    precomputed into the score tables), then one codegen'd
+    longest-match coalesce fold and the per-doc re-aggregation."""
+    order = model["order"]
+    tables, n_total = stupid_backoff_tables(model)
+    padded = df.select(
+        id_col, _padded(_tokens(text_col), order).alias("p")
+    )
+    pos = padded.select(
+        id_col,
+        F.col("p"),
+        F.explode(F.sequence(F.lit(order), F.size(F.col("p")))).alias("j"),
+    )
+    gram_cols = [
+        F.array_join(
+            F.slice(F.col("p"), F.col("j") - F.lit(k - 1), k), " "
+        ).alias(f"g{k}")
+        for k in range(1, order + 1)
+    ]
+    events = pos.select(id_col, *gram_cols)
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    for k in range(1, order + 1):
+        events = events.join(
+            hint(
+                tables[k].select(
+                    F.col("gram").alias(f"g{k}"), F.col("s").alias(f"s{k}")
+                )
+            ),
+            on=f"g{k}",
+            how="left",
+        )
+    score = F.coalesce(F.col("s1"), F.lit(1.0 / n_total))
+    for k in range(2, order + 1):
+        score = F.coalesce(F.col(f"s{k}"), F.lit(alpha) * score)
+    scored = events.select(id_col, F.log10(score).alias("lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("log10_score"),
+        F.pow(
+            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
+        ).alias("sbs"),
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     n_buckets: int = 3,
