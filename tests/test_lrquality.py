@@ -175,3 +175,47 @@ def test_cli_classify_lr_method(spark, tmp_path, capsys):
             spark, train, docs, str(tmp_path / "x"),
             label_col="kind", method="lr",
         )
+
+
+def test_curate_full_classifier_stage(spark, tmp_path, capsys):
+    """classify --method lr --save-model -> curate-full
+    --classifier-model: the learned filter drops the junk half at its
+    own funnel stage."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    train = str(tmp_path / "train")
+    spark.createDataFrame(
+        [(i, _doc(i, GOOD), "good") for i in range(40)]
+        + [(100 + i, _doc(800 + i, JUNK), "junk") for i in range(40)],
+        "doc_id long, text string, kind string",
+    ).write.parquet(train)
+    model_dir = str(tmp_path / "clf")
+    assert cli.main(
+        [
+            "classify", "--train", train, "--input", train,
+            "--output", str(tmp_path / "ignore"),
+            "--label-col", "kind", "--keep-label", "good",
+            "--method", "lr", "--save-model", model_dir,
+        ]
+    ) == 0
+    capsys.readouterr()
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, _doc(2000 + i, GOOD), "en") for i in range(15)]
+        + [(50 + i, _doc(3000 + i, JUNK), "en") for i in range(15)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "built")
+    rc = cli.main(
+        [
+            "curate-full", "--input", docs, "--output", out,
+            "--classifier-model", model_dir,
+            "--boiler-min-docs", "1000", "--min-quality", "0.0",
+            "--near-dup-threshold", "-1", "--keep-rates", "en=1.0",
+        ]
+    )
+    assert rc == 0
+    assert "classifier:15" in capsys.readouterr().out
+    ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == set(range(15))

@@ -414,6 +414,8 @@ def run_curate_full(
     gopher: bool = False,
     c4: bool = False,
     min_quality: float = 0.5,
+    classifier_model: str | None = None,
+    classifier_min_p: float = 0.5,
     ppl_lm: str | None = None,
     ppl_max: float | None = None,
     ppl_quantile: float | None = None,
@@ -574,6 +576,23 @@ def run_curate_full(
             F.col("quality") >= min_quality
         ),
     )
+    if classifier_model:
+        # the learned keep-vs-drop filter (fastText-shaped LR,
+        # operators/lrquality.py) — after the heuristic rules shrink
+        # the scoring input, before any shuffle-bearing stage
+        from utc_cuip_kafka_aws_connector_spark.operators.lrquality import (
+            lr_filter,
+            lr_load,
+        )
+
+        clf = lr_load(spark, classifier_model)
+        df = mark(
+            "classifier",
+            lr_filter(
+                df, clf, min_p_keep=classifier_min_p,
+                id_col=id_col, text_col=text_col,
+            ),
+        )
     if ppl_lm:
         # CCNet's model-based stage: perplexity under a reference-
         # corpus Kneser-Ney LM, AFTER the cheap rules (they shrink the
@@ -790,6 +809,7 @@ def run_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "nb",
+    save_model: str | None = None,
 ) -> dict:
     """Model-based corpus classification/filtering. ``method="nb"``
     (operators/nbquality.py): the zero-iteration generative hashed-NB
@@ -830,6 +850,12 @@ def run_classify(
             (F.col(label_col) == F.lit(keep_label)).cast("int"),
         )
         model = lr_train(binary, text_col=text_col, label_col="label")
+        if save_model:
+            from utc_cuip_kafka_aws_connector_spark.operators.lrquality import (
+                lr_save,
+            )
+
+            lr_save(model, save_model)
         out = lr_score(docs, model, id_col=id_col, text_col=text_col)
     else:
         raise ValueError(f"method must be nb|lr, got {method!r}")
@@ -1065,6 +1091,12 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--c4", action="store_true")
     curate_full.add_argument("--min-quality", type=float, default=0.5)
     curate_full.add_argument(
+        "--classifier-model", default=None,
+        help="saved lrquality PipelineModel dir (classify --method lr "
+        "training, lr_save): adds the learned keep-vs-drop stage",
+    )
+    curate_full.add_argument("--classifier-min-p", type=float, default=0.5)
+    curate_full.add_argument(
         "--ppl-lm", default=None,
         help="Kneser-Ney LM dir (see `lm --op train`): adds the CCNet "
         "perplexity stage; pair with --ppl-max or --ppl-quantile",
@@ -1187,6 +1219,11 @@ def main(argv: list[str] | None = None) -> int:
         help="nb = generative hashed Naive Bayes (one aggregation); "
         "lr = discriminative fastText-shaped logistic regression "
         "(MLlib L-BFGS, calibrated p_keep)",
+    )
+    classify.add_argument(
+        "--save-model", default=None,
+        help="lr only: persist the fitted PipelineModel here (feeds "
+        "curate-full --classifier-model)",
     )
     classify.add_argument("--id-col", default="doc_id")
     classify.add_argument("--text-col", default="text")
@@ -1553,6 +1590,8 @@ def main(argv: list[str] | None = None) -> int:
             gopher=args.gopher,
             c4=args.c4,
             min_quality=args.min_quality,
+            classifier_model=args.classifier_model,
+            classifier_min_p=args.classifier_min_p,
             ppl_lm=args.ppl_lm,
             ppl_max=args.ppl_max,
             ppl_quantile=args.ppl_quantile,
@@ -1612,6 +1651,8 @@ def main(argv: list[str] | None = None) -> int:
         rows = run_report(
             spark,
             args.input,
+            classifier_model=args.classifier_model,
+            classifier_min_p=args.classifier_min_p,
             ppl_lm=args.ppl_lm,
             dsir_target=args.dsir_target,
             select_buckets=args.select_buckets,
@@ -1646,6 +1687,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             method=args.method,
+            save_model=args.save_model,
         )
         if args.method == "lr":
             mode = f"p_keep vs {args.keep_label!r} (lr)"
