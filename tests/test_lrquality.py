@@ -109,7 +109,7 @@ def test_filter_contract(spark, model):
 def test_save_load_round_trip(spark, model, tmp_path):
     path = str(tmp_path / "lrq")
     lr_save(model, path)
-    reloaded = lr_load(spark, path)
+    reloaded = lr_load(path)
     df = spark.createDataFrame(
         [(0, _doc(11, GOOD)), (1, _doc(12, JUNK))],
         "doc_id long, text string",
@@ -219,3 +219,42 @@ def test_curate_full_classifier_stage(spark, tmp_path, capsys):
     assert "classifier:15" in capsys.readouterr().out
     ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == set(range(15))
+
+
+def test_null_labels_raise_value_error(spark):
+    """Code-review r13: a null among labels must surface the binary-
+    label diagnostic, not a sorted() TypeError."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (0, "c d"), (None, "e f")],
+        "label int, text string",
+    )
+    with pytest.raises(ValueError, match="binary"):
+        lr_train(df, n_features=64)
+
+
+def test_tokenizer_contract_matches_words(spark, model):
+    """Multi-line/tabbed text tokenizes through text.words — the
+    same feature stream regardless of whitespace flavor."""
+    df = spark.createDataFrame(
+        [(0, "the cat sat on mat"), (1, "the\tcat\nsat  on mat")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.p_keep for r in lr_score(df, model).collect()}
+    assert got[0] == pytest.approx(got[1], abs=1e-12)
+
+
+def test_save_model_rejected_for_nb(spark, tmp_path):
+    import pytest as _pytest
+
+    from utc_cuip_kafka_aws_connector_spark.cli import run_classify
+
+    train = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, "a b", "x"), (1, "c d", "y")],
+        "doc_id long, text string, kind string",
+    ).write.parquet(train)
+    with _pytest.raises(ValueError, match="save-model|save_model"):
+        run_classify(
+            spark, train, train, str(tmp_path / "o"),
+            label_col="kind", method="nb", save_model=str(tmp_path / "m"),
+        )

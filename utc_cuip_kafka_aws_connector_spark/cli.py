@@ -264,14 +264,22 @@ def run_stream_curate(
     one md5 per distinct document; at fleet scale compact the hash
     dirs with ``compact`` or swap in the bloom pre-screen
     (operators/increddup.py) in front of the anti-join."""
-    import glob as _glob
-
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
+    from utc_cuip_kafka_aws_connector_spark.operators.tableread import (
+        _fs_and_path,
+    )
     from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
 
     data_dir = f"{output_path}/data"
     seen_dir = f"{output_path}/_seen_hashes"
     ref = spark.read.parquet(drift_ref) if drift_ref else None
+
+    def _seen_state_exists() -> bool:
+        # Hadoop FS of the path's OWN scheme: a driver-local glob
+        # would silently disable cross-batch dedup on s3a://hdfs://
+        # outputs (the skipread os.listdir lesson, ADVICE r8)
+        fs, jpath, _ = _fs_and_path(spark, seen_dir)
+        return bool(fs.exists(jpath) and fs.listStatus(jpath))
 
     def curate_batch(batch: DataFrame, epoch_id: int) -> None:
         cols = batch.columns
@@ -303,19 +311,21 @@ def run_stream_curate(
         # the < epoch filter prunes the current (possibly half-
         # replayed) epoch's dir at the file listing
         prior = None
-        if _glob.glob(f"{seen_dir}/batch_id=*"):
+        if _seen_state_exists():
             prior = (
                 spark.read.option("basePath", seen_dir)
                 .parquet(f"{seen_dir}/batch_id=*")
                 .filter(F.col("batch_id") < F.lit(int(epoch_id)))
             )
-        hashed = df.withColumn(
-            "content_hash", F.md5(F.col(text_col))
-        ).persist()
+        hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
         if prior is not None:
             hashed = hashed.join(
                 prior.select("content_hash"), "content_hash", "left_anti"
-            ).persist()
+            )
+        # persist ONCE, post-anti-join: the one handle every write
+        # below shares, released at the end (persisting the pre-join
+        # frame too would leak one batch-sized cache entry per batch)
+        hashed = hashed.persist()
         # epoch-keyed overwrite everywhere below = idempotent replay
         hashed.select("content_hash").distinct().write.mode(
             "overwrite"
@@ -523,7 +533,7 @@ def run_curate_full(
             )
             # persist the k survivor ids so downstream stage counts
             # replay a cached id list, not two LM scoring passes
-            chosen = select_by_ce_diff(scored, select_k).select(
+            chosen = select_by_ce_diff(scored, select_k, id_col=id_col).select(
                 id_col
             ).persist()
             df = mark(
@@ -585,7 +595,7 @@ def run_curate_full(
             lr_load,
         )
 
-        clf = lr_load(spark, classifier_model)
+        clf = lr_load(classifier_model)
         df = mark(
             "classifier",
             lr_filter(
@@ -819,6 +829,13 @@ def run_classify(
     ``keep_label`` (it is a binary keep-vs-drop model; training
     labels become 1 where ``label_col == keep_label``) and emits
     ``(id, p_keep)``. Returns {train, scored}."""
+    if save_model and method != "lr":
+        raise ValueError(
+            "--save-model only applies to --method lr (the NB model "
+            "is a DataFrame, re-derived in one aggregation — nothing "
+            "is written, so failing loudly beats a missing directory "
+            "surfacing later in curate-full)"
+        )
     train = spark.read.parquet(train_path)
     docs = spark.read.parquet(input_path)
     if method == "nb":
@@ -1651,8 +1668,6 @@ def main(argv: list[str] | None = None) -> int:
         rows = run_report(
             spark,
             args.input,
-            classifier_model=args.classifier_model,
-            classifier_min_p=args.classifier_min_p,
             ppl_lm=args.ppl_lm,
             dsir_target=args.dsir_target,
             select_buckets=args.select_buckets,

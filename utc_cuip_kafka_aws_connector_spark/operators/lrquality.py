@@ -17,7 +17,7 @@ you have a curated positive set and want calibrated probabilities.
 Spark-first shape — every stage is a compiled Scala kernel, no
 Python in train or score:
 
-- features: ``F.split`` on the literal-space token contract ->
+- features: ``text.words`` (the repo-wide regex-\s+ tokenizer) ->
   ``pyspark.ml.feature.NGram`` (bigrams) -> two ``HashingTF``
   (the hashing trick, vocabulary never collected) ->
   ``VectorAssembler``. Sparse vectors end-to-end.
@@ -51,18 +51,17 @@ built on public MLlib APIs and the published fastText recipe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKENS_COL = "__toks"
 FEATURES_COL = "features"
 
 
-def _feature_pipeline(
-    text_col: str, n_features: int, bigrams: bool
-):
+def _feature_pipeline(n_features: int, bigrams: bool):
     """The fastText feature map as an MLlib Pipeline: hashed unigram
-    (+ bigram) term-frequency sparse vectors."""
+    (+ bigram) term-frequency sparse vectors over TOKENS_COL (the
+    tokenization itself happens in ``_with_tokens``)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import HashingTF, NGram, VectorAssembler
 
@@ -86,12 +85,16 @@ def _feature_pipeline(
 
 
 def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
-    # the repo-wide tokenizer contract: literal-space split, empties
-    # dropped, null text as empty doc (matches operators/text.words)
+    # THE repo-wide tokenizer (operators/text.words: regex \s+ split)
+    # so the LR feature space genuinely shares the NB/ngram token
+    # contract on multi-line and tabbed text, not just on the
+    # single-space fixture shape; empties dropped, null text = empty
+    from utc_cuip_kafka_aws_connector_spark.operators.text import words
+
     return df.withColumn(
         TOKENS_COL,
         F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            words(F.coalesce(F.col(text_col), F.lit(""))),
             lambda t: t != F.lit(""),
         ),
     )
@@ -117,10 +120,13 @@ def lr_train(
 
     labels = [r[0] for r in df.select(label_col).distinct().collect()]
     if not set(labels) <= {0, 1}:
+        # sorted() would TypeError on a None among ints — report the
+        # offending values (nulls included) instead of crashing
+        shown = sorted((str(v) for v in labels), key=str)
         raise ValueError(
-            f"label_col must be binary 0/1, found values {sorted(labels)}"
+            f"label_col must be binary 0/1, found values {shown}"
         )
-    feats = _feature_pipeline(text_col, n_features, bigrams)
+    feats = _feature_pipeline(n_features, bigrams)
     lr = LogisticRegression(
         featuresCol=FEATURES_COL,
         labelCol=label_col,
@@ -177,7 +183,7 @@ def lr_save(model, path: str) -> None:
     model.write().overwrite().save(path)
 
 
-def lr_load(spark: SparkSession, path: str):
+def lr_load(path: str):
     from pyspark.ml import PipelineModel
 
     return PipelineModel.load(path)

@@ -272,11 +272,15 @@ def kn_train(
 
 def kn_unpersist(model: dict) -> None:
     """Release the model's persisted count tables (call when done
-    scoring; saved models reload lazily from parquet)."""
+    scoring; saved models reload lazily from parquet). Also releases
+    the cached Stupid Backoff tables if sb_score built them."""
     for t in model.get("raw", {}).values():
         t.unpersist()
     for t in model.get("_adjusted", {}).values():
         t.unpersist()
+    sb = model.pop("_sb", None)
+    if sb is not None:
+        sb[2].unpersist()  # the persisted derived-unigram table
     model["vocab"].unpersist()
 
 
@@ -624,7 +628,13 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     so ``c(w) = sum_x c(x w)`` including the EOS event; BOS is
     context-only and excluded. Context counts come from raw[k-1]
     (the gram IS its own context table one order down); the order-1
-    context for bigrams is the derived unigram table."""
+    context for bigrams is the derived unigram table.
+
+    Memoized on the model dict (``model["_sb"]``) so scoring many
+    corpora against one model derives the tables once; the persisted
+    unigram table is released by ``kn_unpersist``."""
+    if "_sb" in model:
+        return model["_sb"][0], model["_sb"][1]
     if "raw" not in model:
         raise ValueError(
             "model carries no raw count tables (pruned or legacy "
@@ -673,6 +683,7 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
             )
             .select("gram", (F.col("a") / F.col("__ca")).alias("s"))
         )
+    model["_sb"] = (tables, n_total, uni)
     return tables, n_total
 
 
@@ -879,12 +890,22 @@ def moore_lewis_score(
     )
 
 
-def select_by_ce_diff(scored: DataFrame, k: int) -> DataFrame:
+def select_by_ce_diff(
+    scored: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
     """The k most target-like documents (ascending ce_diff —
-    global top-k, TakeOrderedAndProject)."""
+    global top-k, TakeOrderedAndProject). Ties at the k boundary
+    break on the id (exact duplicates score identically, and a
+    layout-dependent boundary pick would break the determinism the
+    curate-full stage advertises — the perplexity_buckets
+    tie-break discipline). ``id_col`` absent => ce_diff alone (the
+    pre-r13 behavior, for schema-free callers)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    return scored.orderBy(F.col("ce_diff").asc()).limit(k)
+    order = [F.col("ce_diff").asc()]
+    if id_col and id_col in scored.columns:
+        order.append(F.col(id_col).asc())
+    return scored.orderBy(*order).limit(k)
 
 
 def kn_prune(model: dict, min_top_count: int) -> dict:

@@ -4364,7 +4364,9 @@ STAGED_Q124_ORACLE = """
     WITH toks AS (
       SELECT list_prepend('<s>', list_append(
         list_transform(
-          list_filter(string_split(text, ' '), t -> t <> ''),
+          list_filter(
+            regexp_split_to_array(coalesce(text, ''), '\\s+'),
+            t -> t <> ''),
           t -> CASE WHEN t IN ('<s>', '</s>', '<unk>')
                     THEN chr(0) || 'sentinel' ELSE t END),
         '</s>')) AS tk
@@ -4385,7 +4387,10 @@ def staged_q124_bigram_counts(
     Kneser-Ney estimator). KenLM-style <s>/</s> padding, literal
     sentinel occurrences escaped exactly as training does, grams
     space-joined; counts are exact integers so both engines agree
-    bit-for-bit. The c >= 3 floor bounds the gate payload (Zipf
+    bit-for-bit. The oracle replicates the FULL words() contract —
+    regex \\s+ split and null-text-as-empty-doc (which still emits
+    the '<s> </s>' gram) — not just the single-space fixture shape,
+    so the parity holds on any future driver fixture. The c >= 3 floor bounds the gate payload (Zipf
     singleton tail stays out) while still covering every head gram.
     Scale shape: grams built JVM-side per document, ONE explode +
     map-side-combined groupBy — a single shuffle, the same plan as
