@@ -258,3 +258,17 @@ def test_save_model_rejected_for_nb(spark, tmp_path):
             spark, train, train, str(tmp_path / "o"),
             label_col="kind", method="nb", save_model=str(tmp_path / "m"),
         )
+
+
+def test_lr_score_plan_is_jvm_only(spark, model):
+    """The transform chain (tokens -> HashingTF -> NGram -> assemble
+    -> LR -> vector_to_array) is compiled Scala end-to-end — no
+    Python evaluation node in the scoring plan."""
+    from tests.plan_utils import formatted_plan
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    )
+    plan = formatted_plan(lr_score(df, model))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert node not in plan, node

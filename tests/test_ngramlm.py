@@ -764,3 +764,25 @@ def test_cli_lm_stupid_backoff_scorer(spark, tmp_path, capsys):
     assert "sbs" in spark.read.parquet(out).columns
     assert got[1].sbs > got[0].sbs  # junk ranks worse
     assert {got[i].bucket for i in got} == {1, 2, 3}
+
+
+def test_sb_score_plan_is_jvm_only(spark):
+    """Stupid Backoff's whole pipeline — gram building, per-order
+    joins, longest-match fold, per-doc re-aggregation — must stay in
+    codegen: no Python evaluation node anywhere (the kn_score plan
+    discipline, at half the join count)."""
+    from tests.plan_utils import formatted_plan
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_train,
+        kn_unpersist,
+        sb_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c a")], "doc_id long, text string"
+    )
+    model = kn_train(docs, order=3)
+    plan = formatted_plan(sb_score(docs, model))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert node not in plan, node
+    kn_unpersist(model)
