@@ -76,3 +76,41 @@ def test_curriculum_is_deterministic(spark, docs):
 def test_n_stages_validation(docs):
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_order(docs, "quality", n_stages=0)
+
+
+def test_curriculum_approx_stages_match_exact(spark):
+    """method='approx' (the corpus-scale path): no unpartitioned
+    window sort in the plan, stage populations within the quantile
+    tolerance, and assignments agree with the exact ntile form away
+    from the cut boundaries."""
+    from collections import Counter
+
+    from tests.plan_utils import formatted_plan, window_arguments
+    from utc_cuip_kafka_aws_connector_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id") % 100000).alias("score"),
+    )
+    exact = curriculum_order(df, "score", n_stages=4)
+    approx = curriculum_order(df, "score", n_stages=4, method="approx")
+
+    plan = formatted_plan(approx)
+    unpartitioned, _ = window_arguments(plan)
+    assert not unpartitioned, "approx path must not globally sort"
+
+    e = {r.doc_id: r.stage for r in exact.select("doc_id", "stage").collect()}
+    a = {r.doc_id: r.stage for r in approx.select("doc_id", "stage").collect()}
+    assert set(a.values()) == {1, 2, 3, 4}
+    pops = Counter(a.values())
+    for s in (1, 2, 3, 4):
+        assert abs(pops[s] - 500) <= 50, pops  # rel_err-grade balance
+    agree = sum(e[k] == a[k] for k in e) / len(e)
+    assert agree > 0.95, agree
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        curriculum_order(df, "score", method="nope")

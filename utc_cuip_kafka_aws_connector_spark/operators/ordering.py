@@ -68,20 +68,54 @@ def curriculum_order(
     seed: int = 0,
     epoch: int = 0,
     descending: bool = True,
+    method: str = "exact",
+    rel_err: float = 0.001,
 ) -> DataFrame:
     """Curriculum ordering: rows bucketed into ``n_stages`` by
     ``score_col`` (``descending=True`` = highest-quality first),
     hash-shuffled within each stage, ``stage`` and ``order_key``
-    exposed. The ntile window is the only full-sort of the score and
-    runs UNPARTITIONED — at true scale substitute precomputed stage
-    thresholds (approx quantiles) for the window; the window form is
-    the exact, oracle-friendly contract."""
+    exposed.
+
+    ``method="exact"`` (the oracle-friendly gate contract, q123):
+    ntile over the total order — equal-population stages, ONE
+    unpartitioned window sort of (score, id).
+
+    ``method="approx"`` (the corpus-scale path, r13 — the trade-off
+    the exact form's docstring always promised): stage thresholds
+    from ``approxQuantile(rel_err)`` (Greenwald-Khanna, one
+    aggregation pass, no sort) and a codegen'd threshold-count
+    projection. Stages are equal-population only to ``rel_err``, and
+    score TIES land in one stage together instead of splitting to
+    balance counts — the behavioral difference vs ntile, and why the
+    gate pins the exact form."""
     if n_stages < 1:
         raise ValueError(f"n_stages must be >= 1, got {n_stages}")
-    order = F.desc(score_col) if descending else F.asc(score_col)
-    staged = df.withColumn(
-        "stage", F.ntile(n_stages).over(W.orderBy(order, F.asc(id_col)))
-    )
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    if method == "approx" and n_stages > 1:
+        qs = [i / n_stages for i in range(1, n_stages)]
+        cuts = df.stat.approxQuantile(score_col, qs, rel_err)
+        if not cuts:
+            raise ValueError(
+                f"approxQuantile returned no cuts — is {score_col} "
+                "all-null or the frame empty?"
+            )
+        # stage = 1 + (number of thresholds on the wrong side): the
+        # whole assignment is one codegen'd expression, no exchange
+        expr = F.lit(1)
+        for t in cuts:
+            cond = (
+                F.col(score_col) < F.lit(t)
+                if descending
+                else F.col(score_col) > F.lit(t)
+            )
+            expr = expr + cond.cast("int")
+        staged = df.withColumn("stage", expr)
+    else:
+        order = F.desc(score_col) if descending else F.asc(score_col)
+        staged = df.withColumn(
+            "stage", F.ntile(n_stages).over(W.orderBy(order, F.asc(id_col)))
+        )
     keyed = staged.withColumn("order_key", shuffle_key(id_col, seed, epoch))
     return keyed.repartitionByRange("stage", "order_key", id_col).sortWithinPartitions(
         "stage", "order_key", id_col
