@@ -786,3 +786,36 @@ def test_sb_score_plan_is_jvm_only(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert node not in plan, node
     kn_unpersist(model)
+
+
+def test_broadcast_knob_switches_join_strategy(spark):
+    """The crossover row's premise, pinned in the plan. The knob adds
+    or withholds the explicit broadcast HINT: with auto-broadcast
+    disabled (the web-scale regime, where model stats exceed any
+    threshold), True still broadcasts every model join (hints
+    override thresholds) and False broadcasts none — Catalyst falls
+    back to shuffle joins on the unique-keyed build sides. At tiny
+    local stats False may still auto-broadcast; that is Catalyst's
+    call, which is exactly the point of withholding the hint."""
+    from tests.plan_utils import formatted_plan
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        kn_unpersist,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d a")], "doc_id long, text string"
+    )
+    model = kn_train(docs, order=2)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        on = formatted_plan(kn_score(docs, model, broadcast_model=True))
+        off = formatted_plan(kn_score(docs, model, broadcast_model=False))
+    finally:
+        spark.conf.set(key, prev)
+    assert "BroadcastHashJoin" in on
+    assert "BroadcastHashJoin" not in off
+    kn_unpersist(model)
