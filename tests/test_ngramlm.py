@@ -819,3 +819,41 @@ def test_broadcast_knob_switches_join_strategy(spark):
     assert "BroadcastHashJoin" in on
     assert "BroadcastHashJoin" not in off
     kn_unpersist(model)
+
+
+def test_cli_lm_prune_lifecycle(spark, tmp_path, capsys):
+    """lm --op prune: load -> count-prune -> save; the pruned model
+    scores and is smaller at the top order."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        load_kn_lm,
+    )
+
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("the cat sat on the mat",)] * 6 + [("rare words here",)],
+        "text string",
+    ).write.parquet(ref)
+    lm_dir, pruned_dir = str(tmp_path / "lm"), str(tmp_path / "pruned")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", lm_dir, "--input", ref,
+         "--order", "3"]
+    ) == 0
+    assert cli.main(
+        ["lm", "--op", "prune", "--model", lm_dir, "--output", pruned_dir,
+         "--min-top-count", "2"]
+    ) == 0
+    assert "pruned" in capsys.readouterr().out
+    full = load_kn_lm(spark, lm_dir)
+    small = load_kn_lm(spark, pruned_dir)
+    assert small["probs"][3].count() < full["probs"][3].count()
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    ).write.parquet(docs)
+    out = str(tmp_path / "scored")
+    assert cli.main(
+        ["lm", "--op", "score", "--model", pruned_dir, "--input", docs,
+         "--output", out]
+    ) == 0
+    assert spark.read.parquet(out).count() == 1

@@ -1368,15 +1368,20 @@ def main(argv: list[str] | None = None) -> int:
         "signal), bucket head/middle/tail",
     )
     lm.add_argument(
-        "--op", required=True, choices=["train", "score", "merge"]
+        "--op", required=True,
+        choices=["train", "score", "merge", "prune"]
     )
     lm.add_argument("--model", required=True, help="LM directory (parquet tables + meta)")
     lm.add_argument(
-        "--input", required=True,
+        "--input", default=None,
         help="corpus parquet (train/score) or comma-separated saved LM "
-        "dirs (merge: fold incremental batches == whole-corpus retrain)",
+        "dirs (merge: fold incremental batches == whole-corpus "
+        "retrain); unused by prune",
     )
-    lm.add_argument("--output", default=None, help="score: output parquet")
+    lm.add_argument(
+        "--output", default=None,
+        help="score: output parquet; prune: pruned-model directory",
+    )
     lm.add_argument("--id-col", default="doc_id")
     lm.add_argument("--text-col", default="text")
     lm.add_argument("--order", type=int, default=3, help="train: n-gram order")
@@ -1390,6 +1395,11 @@ def main(argv: list[str] | None = None) -> int:
     lm.add_argument(
         "--min-count", type=int, default=1,
         help="train: tokens rarer than this become <unk> (open vocab)",
+    )
+    lm.add_argument(
+        "--min-top-count", type=int, default=2,
+        help="prune: drop top-order n-grams rarer than this (KenLM "
+        "--prune; normalization-preserving, top order only)",
     )
     lm.add_argument(
         "--buckets", type=int, default=0,
@@ -1974,6 +1984,25 @@ def main(argv: list[str] | None = None) -> int:
             save_kn_lm,
         )
 
+        if args.op != "prune" and not args.input:
+            parser.error(f"lm --op {args.op} requires --input")
+        if args.op == "prune":
+            from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+                kn_prune,
+            )
+
+            if not args.output:
+                parser.error("lm --op prune requires --output (pruned model dir)")
+            pruned = kn_prune(
+                load_kn_lm(spark, args.model), args.min_top_count
+            )
+            save_kn_lm(pruned, args.output)
+            print(
+                f"pruned {args.model} at min_top_count="
+                f"{args.min_top_count} (order {pruned['order']}, "
+                f"vocab {pruned['v_size']}) -> {args.output}"
+            )
+            return 0
         if args.op == "merge":
             parts = [p.strip() for p in args.input.split(",") if p.strip()]
             merged = kn_merge([load_kn_lm(spark, p) for p in parts])
