@@ -224,3 +224,41 @@ def test_model_signal_blocks_match_component_operators(spark, docs):
         assert rep[m] == pytest.approx(0.0, abs=1e-9), m
     kn_unpersist(lm)
     dmodel.unpersist()
+
+
+def test_cli_release_report(spark, tmp_path, capsys):
+    """release-report verb: membership + deltas + drift out of the
+    CLI, with the ppl signal block riding along."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    old_p, new_p = str(tmp_path / "v1"), str(tmp_path / "v2")
+    rows = [
+        (i, f"document number {i} body words here", 30 + i % 7)
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        rows[10:] + [(900, "fresh new doc body", 18)],
+        "doc_id long, text string, n_chars long",
+    ).write.parquet(new_p)
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(f"document number {i} body words here",) for i in range(30)],
+        "text string",
+    ).write.parquet(ref)
+    lm_dir = str(tmp_path / "lm")
+    assert cli.main(
+        ["lm", "--op", "train", "--model", lm_dir, "--input", ref,
+         "--order", "2"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["release-report", "--old", old_p, "--new", new_p,
+         "--ppl-lm", lm_dir]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "docs_added" in out and "docs_removed" in out
+    assert "ppl_mean_delta" in out
+    assert "drift:n_chars_psi" in out

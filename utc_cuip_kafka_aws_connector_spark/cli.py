@@ -927,6 +927,29 @@ def run_report(
     from utc_cuip_kafka_aws_connector_spark.operators.report import corpus_report
 
     df = spark.read.parquet(input_path)
+    kwargs, lm = _report_signal_kwargs(
+        spark, df, input_path, ppl_lm, dsir_target, select_buckets,
+        eval_embeddings, decontam_cosine,
+    )
+    rows = corpus_report(df, **kwargs).collect()
+    if lm is not None:
+        from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+            kn_unpersist,
+        )
+
+        kn_unpersist(lm)
+    return rows
+
+
+def _report_signal_kwargs(
+    spark, df, input_path, ppl_lm, dsir_target, select_buckets,
+    eval_embeddings, decontam_cosine,
+):
+    """Assemble corpus_report's model-signal kwargs from CLI paths —
+    shared by `report` and `release-report`. The DSIR model is fit
+    against ``df`` (the corpus being described; for release-report,
+    the NEW version, so both sides weigh against one model).
+    Returns (kwargs, loaded_lm_or_None)."""
     kwargs: dict = {}
     lm = None
     if ppl_lm:
@@ -953,7 +976,37 @@ def run_report(
             )
         kwargs["eval_embeddings"] = spark.read.parquet(eval_embeddings)
         kwargs["decontam_cosine"] = decontam_cosine
-    rows = corpus_report(df, **kwargs).collect()
+    return kwargs, lm
+
+
+def run_release_report(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    ppl_lm: str | None = None,
+    dsir_target: str | None = None,
+    select_buckets: int = 10_000,
+    eval_embeddings: str | None = None,
+    decontam_cosine: float = 0.95,
+    drift_cols: str = "n_chars",
+) -> list:
+    """Release notes between two corpus versions (operators/
+    report.py::release_report): membership changes, every scalar
+    card metric as new-minus-old deltas (model-signal blocks
+    included when their inputs are passed), and numeric drift of
+    ``drift_cols`` (comma-separated)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        release_report,
+    )
+
+    old = spark.read.parquet(old_path)
+    new = spark.read.parquet(new_path)
+    kwargs, lm = _report_signal_kwargs(
+        spark, new, new_path, ppl_lm, dsir_target, select_buckets,
+        eval_embeddings, decontam_cosine,
+    )
+    cols = tuple(c.strip() for c in drift_cols.split(",") if c.strip())
+    rows = release_report(old, new, drift_cols=cols, **kwargs).collect()
     if lm is not None:
         from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
             kn_unpersist,
@@ -1205,6 +1258,24 @@ def main(argv: list[str] | None = None) -> int:
         "semantic-contamination rows",
     )
     report.add_argument("--decontam-cosine", type=float, default=0.95)
+
+    relrep = sub.add_parser(
+        "release-report",
+        help="release notes between two corpus versions: membership "
+        "changes, per-metric deltas (model-signal blocks included), "
+        "numeric drift",
+    )
+    relrep.add_argument("--old", required=True, help="previous-version parquet")
+    relrep.add_argument("--new", required=True, help="new-version parquet")
+    relrep.add_argument("--ppl-lm", default=None)
+    relrep.add_argument("--dsir-target", default=None)
+    relrep.add_argument("--select-buckets", type=int, default=10_000)
+    relrep.add_argument("--eval-embeddings", default=None)
+    relrep.add_argument("--decontam-cosine", type=float, default=0.95)
+    relrep.add_argument(
+        "--drift-cols", default="n_chars",
+        help="comma-separated numeric columns for PSI drift",
+    )
 
     norm = sub.add_parser(
         "normalize", help="unicode-normalize the text column (NFKC + control "
@@ -1686,6 +1757,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in rows:
             print(f"{r.metric:<28s} {r.value:.4f}")
+    elif args.cmd == "release-report":
+        rows = run_release_report(
+            spark,
+            args.old,
+            args.new,
+            ppl_lm=args.ppl_lm,
+            dsir_target=args.dsir_target,
+            select_buckets=args.select_buckets,
+            eval_embeddings=args.eval_embeddings,
+            decontam_cosine=args.decontam_cosine,
+            drift_cols=args.drift_cols,
+        )
+        for r in rows:
+            print(f"{r.metric:<36s} {r.value:.4f}")
     elif args.cmd == "normalize":
         stats = run_normalize(
             spark,
