@@ -272,3 +272,43 @@ def test_lr_score_plan_is_jvm_only(spark, model):
     plan = formatted_plan(lr_score(df, model))
     for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert node not in plan, node
+
+
+def test_stream_curate_classifier_stage(spark, tmp_path, capsys, model):
+    """stream-curate --classifier-model: the learned filter runs per
+    micro-batch inside the one foreachBatch consumer — batch/stream
+    curation parity."""
+    import json
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    model_dir = str(tmp_path / "clf")
+    lr_save(model, model_dir)
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 0, "text": _doc(70, GOOD), "lang": "en"},
+                {"doc_id": 1, "text": _doc(71, JUNK), "lang": "en"},
+                {"doc_id": 2, "text": _doc(72, GOOD), "lang": "en"},
+            ]
+        )
+    )
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "stream-curate",
+            "--input", str(incoming),
+            "--output", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--min-quality", "0.0",
+            "--classifier-model", model_dir,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data/batch_id=*"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [0, 2]

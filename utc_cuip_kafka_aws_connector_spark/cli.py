@@ -240,6 +240,8 @@ def run_stream_curate(
     hot_k: int = 20,
     drift_ref: str | None = None,
     drift_cols: tuple[str, ...] = ("n_chars",),
+    classifier_model: str | None = None,
+    classifier_min_p: float = 0.5,
 ) -> None:
     """The reference's consume->flush CRON shape applied to the LLM
     curation tier (r12 VERDICT stretch): ONE AvailableNow streaming
@@ -273,6 +275,16 @@ def run_stream_curate(
     data_dir = f"{output_path}/data"
     seen_dir = f"{output_path}/_seen_hashes"
     ref = spark.read.parquet(drift_ref) if drift_ref else None
+    clf = None
+    if classifier_model:
+        # the learned keep-vs-drop filter (lrquality), loaded ONCE on
+        # the driver and applied per micro-batch — batch/stream
+        # curation parity with curate-full --classifier-model
+        from utc_cuip_kafka_aws_connector_spark.operators.lrquality import (
+            lr_load,
+        )
+
+        clf = lr_load(classifier_model)
 
     def _seen_state_exists() -> bool:
         # Hadoop FS of the path's OWN scheme: a driver-local glob
@@ -301,6 +313,15 @@ def run_stream_curate(
             .filter(F.col("quality") >= min_quality)
             .select(*cols)
         )
+        if clf is not None:
+            from utc_cuip_kafka_aws_connector_spark.operators.lrquality import (
+                lr_filter,
+            )
+
+            df = lr_filter(
+                df, clf, min_p_keep=classifier_min_p,
+                id_col=id_col, text_col=text_col,
+            )
         # within-batch exact dedup (first id wins)
         keep = exact_dedup(df, id_col=id_col, text_col=text_col)
         df = df.join(
@@ -1107,6 +1128,12 @@ def main(argv: list[str] | None = None) -> int:
         "--drift-ref", default=None,
         help="reference parquet for per-batch numeric drift monitoring",
     )
+    scurate.add_argument(
+        "--classifier-model", default=None,
+        help="saved lrquality PipelineModel dir: adds the learned "
+        "keep-vs-drop stage per micro-batch",
+    )
+    scurate.add_argument("--classifier-min-p", type=float, default=0.5)
 
     curate = sub.add_parser(
         "curate", help="LLM-corpus curation: quality gate -> dedup -> mixture sample"
@@ -2268,6 +2295,8 @@ def main(argv: list[str] | None = None) -> int:
             hot_key_col=args.hot_key_col,
             hot_k=args.hot_k,
             drift_ref=args.drift_ref,
+            classifier_model=args.classifier_model,
+            classifier_min_p=args.classifier_min_p,
         )
         print(f"stream-curated input={args.input} output={args.output}")
     else:
