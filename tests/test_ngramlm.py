@@ -857,3 +857,33 @@ def test_cli_lm_prune_lifecycle(spark, tmp_path, capsys):
          "--output", out]
     ) == 0
     assert spark.read.parquet(out).count() == 1
+
+
+def test_kn_prune_pre_discounts_save(spark, tmp_path):
+    """Code-review r13: a model whose save predates the per-order
+    discounts sidecar (loads as discounts={}) must prune by falling
+    back to re-estimation, not KeyError on an empty override."""
+    import json
+    import os
+
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_prune,
+        kn_train,
+        load_kn_lm,
+        save_kn_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",)] * 5 + [("odd rare text",)],
+        "text string",
+    )
+    path = str(tmp_path / "lm")
+    save_kn_lm(kn_train(docs, order=2), path)
+    meta_path = os.path.join(path, "meta.json")
+    meta = json.load(open(meta_path))
+    meta.pop("discounts", None)  # simulate the pre-discounts format
+    json.dump(meta, open(meta_path, "w"))
+    legacy = load_kn_lm(spark, path)
+    assert not legacy.get("discounts")
+    pruned = kn_prune(legacy, min_top_count=2)
+    assert pruned["probs"][2].count() > 0

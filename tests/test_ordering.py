@@ -114,3 +114,51 @@ def test_curriculum_approx_stages_match_exact(spark):
 
     with _pytest.raises(ValueError, match="method"):
         curriculum_order(df, "score", method="nope")
+
+
+def test_curriculum_approx_null_empty_and_single_stage(spark):
+    """Code-review r13 follow-ups: null scores take the exact path's
+    null-ordering stage (DESC = last, ASC = first), empty and
+    all-null frames stage gracefully, and n_stages=1 under approx
+    never plans the global ntile sort."""
+    from tests.plan_utils import formatted_plan, window_arguments
+    from utc_cuip_kafka_aws_connector_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 90), (3, None)],
+        "doc_id long, score long",
+    )
+    desc = {
+        r.doc_id: r.stage
+        for r in curriculum_order(
+            df, "score", n_stages=2, method="approx"
+        ).collect()
+    }
+    assert desc[1] == desc[3] == 2  # DESC: nulls land in the last stage
+    asc = {
+        r.doc_id: r.stage
+        for r in curriculum_order(
+            df, "score", n_stages=2, method="approx", descending=False
+        ).collect()
+    }
+    assert asc[1] == asc[3] == 1  # ASC: nulls land first
+
+    empty = spark.createDataFrame([], "doc_id long, score long")
+    assert (
+        curriculum_order(empty, "score", n_stages=3, method="approx").count()
+        == 0
+    )
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, score long"
+    )
+    got = curriculum_order(
+        all_null, "score", n_stages=3, method="approx"
+    ).collect()
+    assert {r.stage for r in got} == {3}
+
+    one = curriculum_order(df, "score", n_stages=1, method="approx")
+    unpartitioned, _ = window_arguments(formatted_plan(one))
+    assert not unpartitioned  # no global sort for the constant stage
+    assert {r.stage for r in one.collect()} == {1}

@@ -1022,11 +1022,32 @@ def run_release_report(
 
     old = spark.read.parquet(old_path)
     new = spark.read.parquet(new_path)
+    if eval_embeddings and "embedding" not in old.columns:
+        # corpus_report runs on BOTH sides — the friendly error must
+        # cover the old version too, not surface as a mid-job
+        # AnalysisException citing the wrong path
+        raise ValueError(
+            "--eval-embeddings needs an 'embedding' column on BOTH "
+            f"corpus versions; {old_path} has columns {old.columns}"
+        )
     kwargs, lm = _report_signal_kwargs(
         spark, new, new_path, ppl_lm, dsir_target, select_buckets,
         eval_embeddings, decontam_cosine,
     )
     cols = tuple(c.strip() for c in drift_cols.split(",") if c.strip())
+    missing = [
+        c for c in cols if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        import sys as _sys
+
+        # loud, not fatal: the operator contract skips absent columns,
+        # but a typo'd --drift-cols must not read as "no drift"
+        print(
+            f"release-report: WARNING — drift column(s) {missing} absent "
+            "from one or both versions; no drift rows computed for them",
+            file=_sys.stderr,
+        )
     rows = release_report(old, new, drift_cols=cols, **kwargs).collect()
     if lm is not None:
         from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (

@@ -940,7 +940,10 @@ def kn_prune(model: dict, min_top_count: int) -> dict:
     pruned = _model_from_raw(
         raw, model["vocab"], order, model["discount"],
         model.get("min_count", 1),
-        discounts_override=model.get("discounts"),
+        # a pre-discounts-format save loads with discounts={} — an
+        # empty override would KeyError in _model_from_raw; fall back
+        # to re-estimation from the (pruned) counts instead
+        discounts_override=model.get("discounts") or None,
     )
     # mark it: pruned counts are no longer the additive corpus
     # counts, so kn_merge must refuse this model

@@ -86,22 +86,31 @@ def curriculum_order(
     aggregation pass, no sort) and a codegen'd threshold-count
     projection. Stages are equal-population only to ``rel_err``, and
     score TIES land in one stage together instead of splitting to
-    balance counts — the behavioral difference vs ntile, and why the
-    gate pins the exact form."""
+    balance counts — the behavioral differences vs ntile, and why
+    the gate pins the exact form. HONESTY CAVEAT on the module's
+    reproducibility contract: GK quantile summaries merge per
+    partition, so the cut values (and documents within ``rel_err``
+    of a boundary) can differ across partition LAYOUTS — approx
+    stage ids are deterministic for a fixed layout, exact ones for
+    any layout; pin the input layout (or use method="exact") when
+    byte-identical resume matters. Null scores take the stage the
+    exact path's null ordering gives them (DESC = last, ASC =
+    first); an empty or all-null frame stages gracefully."""
     if n_stages < 1:
         raise ValueError(f"n_stages must be >= 1, got {n_stages}")
     if method not in ("exact", "approx"):
         raise ValueError(f"method must be exact|approx, got {method!r}")
-    if method == "approx" and n_stages > 1:
-        qs = [i / n_stages for i in range(1, n_stages)]
-        cuts = df.stat.approxQuantile(score_col, qs, rel_err)
-        if not cuts:
-            raise ValueError(
-                f"approxQuantile returned no cuts — is {score_col} "
-                "all-null or the frame empty?"
-            )
-        # stage = 1 + (number of thresholds on the wrong side): the
-        # whole assignment is one codegen'd expression, no exchange
+    # null scores mirror the exact path's ntile ordering: DESC puts
+    # nulls last (worst stage), ASC puts them first (stage 1)
+    null_stage = n_stages if descending else 1
+    if method == "approx":
+        cuts: list[float] = []
+        if n_stages > 1:
+            qs = [i / n_stages for i in range(1, n_stages)]
+            cuts = df.stat.approxQuantile(score_col, qs, rel_err)
+        # no cuts => n_stages == 1, an empty frame, or an all-null
+        # score column: every (null-scored) row takes its policy
+        # stage, gracefully — the exact path's behavior, not an error
         expr = F.lit(1)
         for t in cuts:
             cond = (
@@ -110,7 +119,12 @@ def curriculum_order(
                 else F.col(score_col) > F.lit(t)
             )
             expr = expr + cond.cast("int")
-        staged = df.withColumn("stage", expr)
+        staged = df.withColumn(
+            "stage",
+            F.when(
+                F.col(score_col).isNull(), F.lit(null_stage)
+            ).otherwise(expr),
+        )
     else:
         order = F.desc(score_col) if descending else F.asc(score_col)
         staged = df.withColumn(
