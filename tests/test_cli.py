@@ -1211,3 +1211,21 @@ def test_cli_report_model_signal_blocks(spark, tmp_path, capsys):
         "semdecontam_contaminated_ratio",
     ):
         assert row in out, out
+
+
+def test_cli_explain_verb(spark, capsys):
+    """explain --query: the plan-audit loop as a verb — formatted
+    physical plan out; unknown names error with suggestions."""
+    import pytest as _pytest
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    assert cli.main(
+        ["explain", "--query", "q01_pricing_summary",
+         "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    with _pytest.raises(SystemExit):
+        cli.main(["explain", "--query", "q01_pricing_summar"])
+    assert "did you mean" in capsys.readouterr().err

@@ -1596,6 +1596,21 @@ def main(argv: list[str] | None = None) -> int:
         help="parallelism = 16^n packing groups (0 = one global group)",
     )
 
+    explain = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of a catalog query "
+        "(the plan-audit loop: check pushed filters, codegen spans, "
+        "join strategies, exchanges before shipping a change)",
+    )
+    explain.add_argument(
+        "--query", required=True,
+        help="catalog query name (see `queries()` in __spark_entry__)",
+    )
+    explain.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="table directory the plan is resolved against",
+    )
+
     compact = sub.add_parser(
         "compact",
         help="lake maintenance: merge each partition's small files to ~target size "
@@ -2285,6 +2300,21 @@ def main(argv: list[str] | None = None) -> int:
             f"({n_tokens} tokens, fill {fill:.3f}, "
             f"{n_trunc} truncated), output={args.output}"
         )
+    elif args.cmd == "explain":
+        from utc_cuip_kafka_aws_connector_spark.plans.catalog import CATALOG
+
+        if args.query not in CATALOG:
+            import difflib
+
+            # suggest close names instead of a bare KeyError
+            close = difflib.get_close_matches(
+                args.query, list(CATALOG), n=3
+            )
+            parser.error(
+                f"unknown query {args.query!r}"
+                + (f"; did you mean {close}?" if close else "")
+            )
+        CATALOG[args.query].builder(spark, args.sf_dir).explain("formatted")
     elif args.cmd == "compact":
         from utc_cuip_kafka_aws_connector_spark.sources.sinks import compact_small_files
 
