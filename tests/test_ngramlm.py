@@ -887,3 +887,126 @@ def test_kn_prune_pre_discounts_save(spark, tmp_path):
     assert not legacy.get("discounts")
     pruned = kn_prune(legacy, min_top_count=2)
     assert pruned["probs"][2].count() > 0
+
+
+def test_sb_ctx1_collapses_multi_bos_padding(spark):
+    """ADVICE r13 (fixed r14): for order > 2 the bigram context count
+    c(<s>) must equal the DOCUMENT count (Brants' per-order-padding
+    formulation), not (order-1) * n_docs — the prefix derivation from
+    the multi-BOS padded raw[2] stream used to inflate it. Pinned at
+    the table level because sb_score's longest-match fold cannot
+    reach a BOS-context bigram for a self-trained model (every seen
+    '<s> w' implies a seen '<s> <s> w')."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_train,
+        kn_unpersist,
+        stupid_backoff_tables,
+    )
+
+    corpus = ["the cat", "the dog", "a cat"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    model = kn_train(docs, order=3)
+    tables, _n = stupid_backoff_tables(model)
+    s2 = {r.gram: r.s for r in tables[2].collect()}
+    # c('<s> the') = 2, c(<s>) = 3 docs (NOT 6 = 2 * n_docs)
+    assert s2["<s> the"] == pytest.approx(2.0 / 3.0, abs=0)
+    assert s2["<s> a"] == pytest.approx(1.0 / 3.0, abs=0)
+    # non-BOS contexts are untouched by the collapse filter
+    assert s2["the cat"] == pytest.approx(1.0 / 2.0, abs=0)
+    # the '<s> <s>' padding GRAM row still exists in the table (its
+    # context count collapses to n_docs too, so s = 3/3) but is
+    # unreachable: a predicted event's second token is never BOS
+    assert s2["<s> <s>"] == pytest.approx(1.0, abs=0)
+    kn_unpersist(model)
+
+
+def test_sb_train_count_only_model(spark):
+    """sb_train: the Brants count-only model scores IDENTICALLY to a
+    kn_train model under sb_score (both carry the same additive raw
+    tables), refuses kn_score, and survives kn_unpersist without a
+    vocab."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        kn_unpersist,
+        sb_score,
+        sb_train,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cat ate",
+        "a dog sat",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    sb_model = sb_train(docs, order=3)
+    kn_model = kn_train(docs, order=3)
+    got_sb = {r.doc_id: r for r in sb_score(docs, sb_model).collect()}
+    got_kn = {r.doc_id: r for r in sb_score(docs, kn_model).collect()}
+    assert set(got_sb) == set(got_kn)
+    for i in got_sb:
+        assert got_sb[i].n_tokens == got_kn[i].n_tokens
+        assert got_sb[i].log10_score == got_kn[i].log10_score
+    with pytest.raises(ValueError, match="count-only"):
+        kn_score(docs, sb_model).collect()
+    kn_unpersist(sb_model)  # no vocab key: must not raise
+    kn_unpersist(kn_model)
+    with pytest.raises(ValueError, match="order must be >= 2"):
+        sb_train(docs, order=1)
+
+
+def test_sb_match_profile_matches_pure_python(spark):
+    """sb_match_profile vs a from-scratch longest-match attribution:
+    a bigram model trained on a train split profiles a score corpus
+    containing bigram hits, unigram backoffs, OOV tokens, and an
+    empty document — exact integer equality, no epsilon."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_unpersist,
+        sb_match_profile,
+        sb_train,
+    )
+
+    train_corpus = ["the cat sat", "the dog sat"]
+    score_corpus = [
+        (0, "the cat sat"),       # all bigram hits (incl. <s>/</s> pads)
+        (1, "cat the dog"),       # seen words, mostly unseen bigrams
+        (2, "zebra the zebra"),   # OOV tokens
+        (3, ""),                  # EOS-only event: '<s> </s>' unseen
+    ]
+    train = spark.createDataFrame([(t,) for t in train_corpus], "text string")
+    docs = spark.createDataFrame(score_corpus, "doc_id long, text string")
+    model = sb_train(train, order=2)
+
+    BOS, EOS = "<s>", "</s>"
+    bigrams: set[tuple] = set()
+    unigrams: set[str] = set()
+    for t in train_corpus:
+        seq = [BOS] + [w for w in t.split(" ") if w] + [EOS]
+        bigrams.update(zip(seq, seq[1:]))
+        unigrams.update(seq[1:])  # suffix-derived: BOS excluded
+
+    expected = {}
+    for i, t in score_corpus:
+        seq = [BOS] + [w for w in t.split(" ") if w] + [EOS]
+        ev = list(zip(seq, seq[1:]))
+        hits2 = sum(1 for g in ev if g in bigrams)
+        uni = sum(1 for g in ev if g not in bigrams and g[1] in unigrams)
+        oov = sum(1 for g in ev if g not in bigrams and g[1] not in unigrams)
+        expected[i] = (len(ev), hits2, uni, oov)
+
+    got = {r.doc_id: r for r in sb_match_profile(docs, model).collect()}
+    assert set(got) == set(expected)
+    for i, (n, h2, uni, oov) in expected.items():
+        r = got[i]
+        assert (r.n_events, r.n_hits_2, r.n_unigram_hits, r.n_oov) == (
+            n, h2, uni, oov,
+        ), (i, score_corpus[i])
+        assert r.n_events == r.n_hits_2 + r.n_unigram_hits + r.n_oov
+    # the planted structure actually exercises every level
+    assert got[0].n_hits_2 == got[0].n_events
+    assert got[1].n_unigram_hits > 0
+    assert got[2].n_oov > 0
+    kn_unpersist(model)

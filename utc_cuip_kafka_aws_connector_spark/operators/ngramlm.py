@@ -281,7 +281,9 @@ def kn_unpersist(model: dict) -> None:
     sb = model.pop("_sb", None)
     if sb is not None:
         sb[2].unpersist()  # the persisted derived-unigram table
-    model["vocab"].unpersist()
+    vocab = model.get("vocab")
+    if vocab is not None:  # sb_train models are count-only, no vocab pass
+        vocab.unpersist()
 
 
 def _model_from_raw(
@@ -531,6 +533,11 @@ def kn_token_logprobs(
     and any context containing either is equally unseen — pinned in
     tests/test_streaming_ppl.py), which is exactly why the streaming
     monitor insists on ``min_count=1``."""
+    if "probs" not in model:
+        raise ValueError(
+            "count-only model (sb_train) carries no discounted KN "
+            "tables; score it with sb_score, or train with kn_train"
+        )
     order = model["order"]
     carry = list(carry_cols)
 
@@ -613,6 +620,40 @@ def kn_token_logprobs(
     return events.select(*carry, F.log10(prob).alias("lp"))
 
 
+def sb_train(
+    df: DataFrame, text_col: str = "text", order: int = 2
+) -> dict:
+    """Count-only Stupid Backoff model (Brants et al. 2007): just the
+    ADDITIVE raw n-gram count tables — no discounting, no vocabulary
+    pass, no ``<unk>`` mapping, no probability normalization. This is
+    the web-scale training shortcut the paper describes: at
+    Google-corpus sizes the smoothing machinery buys nothing for
+    ranking, and a count-only build is one map-side-combined groupBy
+    per order off ONE corpus materialization (exactly kn_train's raw
+    layer, minus everything downstream of it).
+
+    The returned dict is score-compatible with ``sb_score`` /
+    ``stupid_backoff_tables`` / ``sb_match_profile`` and additive
+    under ``kn_merge``-style unions of its raw tables; it carries no
+    ``probs``/``ctx``/``vocab``, so ``kn_score`` refuses it (KN needs
+    the discounted tables) and ``kn_unpersist`` skips the missing
+    vocab. Semantics of the counts are bit-identical to kn_train's:
+    whitespace tokens (nulls as empty), literal sentinel escaping,
+    (order-1) BOS pads + one EOS, space-joined grams."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    padded = df.select(_padded(_tokens(text_col), order).alias("p"))
+    raw = {}
+    for k in range(2, order + 1):
+        raw[k] = (
+            padded.select(F.explode(_grams(F.col("p"), k)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("a"))
+            .persist()
+        )
+    return {"order": order, "raw": raw}
+
+
 def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     """Per-order Stupid Backoff score tables ``{k: (gram, s)}`` plus
     the corpus token total N, derived from the model's ADDITIVE raw
@@ -628,7 +669,11 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     so ``c(w) = sum_x c(x w)`` including the EOS event; BOS is
     context-only and excluded. Context counts come from raw[k-1]
     (the gram IS its own context table one order down); the order-1
-    context for bigrams is the derived unigram table.
+    context for bigrams is PREFIX-derived from raw[2] with the
+    multi-BOS padding rows collapsed, so ``c(<s>)`` equals the
+    document count exactly as Brants' per-order padding would give
+    it (the r14 fix for the ADVICE r13 finding: document-initial
+    bigram backoff scores are now comparable across model orders).
 
     Memoized on the model dict (``model["_sb"]``) so scoring many
     corpora against one model derives the tables once; the persisted
@@ -657,9 +702,18 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     # unlike the suffix-derived predicted-event table it contains BOS
     # (as many context occurrences as documents) and omits EOS (never
     # a context) — exactly the occurrences-followed-by-something
-    # count a context denominator means.
+    # count a context denominator means. The suffix != BOS filter
+    # collapses the multi-BOS padding rows ("<s> <s>" grams exist in
+    # raw[2] whenever order > 2): without it c(<s>) is inflated by a
+    # factor of (order-1), deflating document-initial bigram backoff
+    # scores vs Brants' per-order-padding formulation (the ADVICE r13
+    # finding, fixed r14). For every non-BOS context the filter is
+    # vacuous — BOS never follows a non-BOS token — and at order == 2
+    # no "<s> <s>" gram exists at all, so order-2 tables are
+    # unchanged.
     ctx1 = (
         model["raw"][2]
+        .where(F.substring_index(F.col("gram"), " ", -1) != BOS)
         .select(F.substring_index(F.col("gram"), " ", 1).alias("gram"), "a")
         .groupBy("gram")
         .agg(F.sum("a").alias("a"))
@@ -715,6 +769,37 @@ def sb_score(
     longest-match coalesce fold and the per-doc re-aggregation."""
     order = model["order"]
     tables, n_total = stupid_backoff_tables(model)
+    events = _sb_events(df, model, tables, text_col, id_col, broadcast_model)
+    score = F.coalesce(F.col("s1"), F.lit(1.0 / n_total))
+    for k in range(2, order + 1):
+        score = F.coalesce(F.col(f"s{k}"), F.lit(alpha) * score)
+    scored = events.select(id_col, F.log10(score).alias("lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("log10_score"),
+        F.pow(
+            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
+        ).alias("sbs"),
+    )
+
+
+def _sb_events(
+    df: DataFrame,
+    model: dict,
+    tables: dict[int, DataFrame],
+    text_col: str,
+    id_col: str,
+    broadcast_model: bool,
+) -> DataFrame:
+    """Shared Stupid Backoff event frame: one row per predicted token
+    position (every non-BOS padded position, EOS included) carrying
+    the per-order gram strings ``g1..g<order>`` and, from one left
+    join per order against the score tables, the per-order scores
+    ``s1..s<order>`` (null = gram unseen at that order). Both the
+    float scorer (sb_score) and the integer match profiler
+    (sb_match_profile) consume exactly this frame, so their join
+    topology can never drift apart."""
+    order = model["order"]
     padded = df.select(
         id_col, _padded(_tokens(text_col), order).alias("p")
     )
@@ -741,17 +826,49 @@ def sb_score(
             on=f"g{k}",
             how="left",
         )
-    score = F.coalesce(F.col("s1"), F.lit(1.0 / n_total))
-    for k in range(2, order + 1):
-        score = F.coalesce(F.col(f"s{k}"), F.lit(alpha) * score)
-    scored = events.select(id_col, F.log10(score).alias("lp"))
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("lp").alias("log10_score"),
-        F.pow(
-            F.lit(10.0), -F.sum("lp") / F.count(F.lit(1))
-        ).alias("sbs"),
+    return events
+
+
+def sb_match_profile(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Integer-exact Stupid Backoff match structure per document:
+    ``(id_col, n_events, n_hits_<order>.., n_hits_2, n_unigram_hits,
+    n_oov)`` where each predicted-token event is attributed to the
+    LONGEST order whose gram the model has seen (exactly the level
+    sb_score's coalesce fold resolves at), ``n_unigram_hits`` counts
+    events that fell all the way to a seen unigram, and ``n_oov``
+    counts events that hit the 1/N floor. All columns are exact
+    integers — no float surface — so the scoring tier's join
+    topology (gram extraction, padding, per-order left joins,
+    longest-match resolution) is pinned by a hash-exact SQL oracle
+    (gate q125) instead of epsilon differentials. Plan shape:
+    identical to sb_score (shared ``_sb_events``) with the float fold
+    replaced by a codegen'd when-chain + one map-side-combined
+    groupBy."""
+    order = model["order"]
+    tables, _n_total = stupid_backoff_tables(model)
+    events = _sb_events(df, model, tables, text_col, id_col, broadcast_model)
+    level = F.lit(0)
+    for k in range(1, order + 1):
+        # built innermost-out: the final expression checks the
+        # highest order first — the longest seen match wins
+        level = F.when(F.col(f"s{k}").isNotNull(), F.lit(k)).otherwise(level)
+    tagged = events.select(id_col, level.alias("lvl"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for k in range(order, 1, -1):
+        aggs.append(
+            F.count(F.when(F.col("lvl") == k, F.lit(1))).alias(f"n_hits_{k}")
+        )
+    aggs.append(
+        F.count(F.when(F.col("lvl") == 1, F.lit(1))).alias("n_unigram_hits")
     )
+    aggs.append(F.count(F.when(F.col("lvl") == 0, F.lit(1))).alias("n_oov"))
+    return tagged.groupBy(id_col).agg(*aggs)
 
 
 def perplexity_buckets(

@@ -4243,7 +4243,8 @@ def q121_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q122_leakage_safe_split",
     oracle="""
     WITH comp AS (
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY sha256(text)) AS component
       FROM documents
     ),
     u AS (
@@ -4263,9 +4264,15 @@ def q122_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.D curation step that cuts along duplicate COMPONENTS, not
     rows, so near-copies never straddle an eval boundary; promoted to
     the gate at r12 per the r11 VERDICT). Components here are the
-    exact-dup groups — min(doc_id) over identical text, one window,
+    exact-dup groups — min(doc_id) over sha2(text, 256), one window,
     both engines exact — standing in for any (id, component) frame
-    the dedup family emits. The split itself is the operator's
+    the dedup family emits. The r14 hygiene fix (VERDICT r12/r13):
+    the window partitions on the 64-hex SHA-256 image instead of the
+    raw text, so document BYTES are never a shuffle key — at 100 TB
+    the exchange moves 64-byte keys, not kilobyte documents. Same
+    rows: SHA-256 is collision-free at any realistic corpus size and
+    NULL text hashes to NULL in both engines (nulls still group
+    together, exactly as PARTITION BY text did). The split itself is the operator's
     group-join + singleton-coalesce + cumulative-fraction when-chain,
     with ``md5_unit_hash`` injected for the cut: every hash value is
     an exact multiple of 2^-32 and the 3/4 + 1/8 + 1/8 fractions are
@@ -4285,7 +4292,10 @@ def q122_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     comp = docs.select(
-        "doc_id", F.min("doc_id").over(W.partitionBy("text")).alias("component")
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(F.sha2(F.col("text"), 256)))
+        .alias("component"),
     )
     assigned = leakage_safe_split(
         docs.select("doc_id", "text"),
@@ -4344,20 +4354,18 @@ def staged_q123_curriculum_stages(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r14 — NOT REGISTERED. The r14 rotation plan's named
-# promotion (see the _GATE_PRIORITY comment block): the raw padded
-# bigram count table (operators/ngramlm.py::ngram_counts), the
-# integer-exact foundation layer every kn_train order is built from.
-# The whole r12 LM tier currently rests on pytest differentials; this
-# puts its counting substrate under a driver-grade hash-exact SQL
-# oracle. Funded by retiring q25_null_filter out of the expiring r12
-# cohort. Registering is a @query wrap + one _GATE_PRIORITY entry +
-# flipping tests/test_curriculum_gate_stage.py's q124
-# not_yet_registered assertion. Until then that test runs the parity
-# locally every pytest run, so the promotion lands pre-proven.
-# Output is (gram, c) with c >= 3: integer-only columns, no float
-# surface; the count floor keeps the gate payload bounded (the full
-# histogram is Zipf-tailed singletons) without any top-k tiebreak.
+# REGISTERED AT r14 (the stamped r13 plan executed on schedule):
+# staged at r13, pre-proven by tests/test_curriculum_gate_stage.py's
+# oracle differential on every pytest run since, promoted onto the
+# slot freed by retiring q25_null_filter from the expiring r12
+# cohort. The raw padded bigram count table
+# (operators/ngramlm.py::ngram_counts) is the integer-exact
+# foundation layer every kn_train order is built from — this puts the
+# LM tier's counting substrate under a driver-grade hash-exact SQL
+# oracle. Output is (gram, c) with c >= 3: integer-only columns, no
+# float surface; the count floor keeps the gate payload bounded (the
+# full histogram is Zipf-tailed singletons) without any top-k
+# tiebreak.
 
 STAGED_Q124_NAME = "q124_bigram_counts"
 STAGED_Q124_ORACLE = """
@@ -4379,6 +4387,7 @@ STAGED_Q124_ORACLE = """
 """
 
 
+@query(STAGED_Q124_NAME, oracle=STAGED_Q124_ORACLE)
 def staged_q124_bigram_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4402,6 +4411,98 @@ def staged_q124_bigram_counts(
     docs = T(spark, sf_dir, "documents")
     counts = ngram_counts(docs.select("text"), text_col="text", order=2)
     return counts.where(F.col("c") >= 3).select("gram", "c")
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r15 — NOT REGISTERED. The r15 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the Stupid
+# Backoff SCORING tier (operators/ngramlm.py::sb_match_profile) on an
+# integer-exact surface. q124 pins the counting substrate; this pins
+# what the scorer DOES with it — padding, per-order gram extraction,
+# the per-order left joins, and longest-match resolution — by
+# attributing every predicted-token event to the order it resolved at
+# (bigram hit / unigram backoff / OOV floor) and counting per
+# document. A bigram model is trained on the doc_id % 4 == 0 quarter
+# of the corpus and scores ALL documents, so every resolution level
+# is populated (self-scoring would degenerate to all-bigram-hits).
+# Integer-only columns, no float surface. Funded by retiring
+# q14_distinct_months from the expiring r13 cohort (the standing
+# contingency candidate). Until registration,
+# tests/test_curriculum_gate_stage.py runs this exact parity every
+# pytest run, so the promotion lands pre-proven.
+
+STAGED_Q125_NAME = "q125_sb_match_profile"
+STAGED_Q125_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_prepend('<s>', list_append(
+        list_transform(
+          list_filter(
+            regexp_split_to_array(coalesce(text, ''), '\\s+'),
+            t -> t <> ''),
+          t -> CASE WHEN t IN ('<s>', '</s>', '<unk>')
+                    THEN chr(0) || 'sentinel' ELSE t END),
+        '</s>')) AS tk
+      FROM documents
+    ),
+    train AS (SELECT tk FROM toks WHERE doc_id % 4 = 0),
+    big AS (
+      SELECT tk[i] || ' ' || tk[i + 1] AS gram
+      FROM train, UNNEST(range(1, len(tk))) AS r(i)
+      GROUP BY gram
+    ),
+    uni AS (
+      SELECT tk[i + 1] AS w
+      FROM train, UNNEST(range(1, len(tk))) AS r(i)
+      GROUP BY w
+    ),
+    ev AS (
+      SELECT doc_id, tk[i] AS c1, tk[i + 1] AS w
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+    )
+    SELECT ev.doc_id AS doc_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE b.gram IS NOT NULL) AS n_hits_2,
+           count(*) FILTER (WHERE b.gram IS NULL AND u.w IS NOT NULL)
+             AS n_unigram_hits,
+           count(*) FILTER (WHERE b.gram IS NULL AND u.w IS NULL) AS n_oov
+    FROM ev
+    LEFT JOIN big b ON b.gram = ev.c1 || ' ' || ev.w
+    LEFT JOIN uni u ON u.w = ev.w
+    GROUP BY ev.doc_id
+"""
+
+
+def staged_q125_sb_match_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stupid Backoff match-structure profile (operators/ngramlm.py::
+    sb_match_profile — §2.D LM-curation scope, the scoring tier over
+    q124's counting substrate). A count-only bigram model (sb_train,
+    Brants et al. 2007) is trained on the deterministic doc_id % 4
+    quarter of the corpus; every document is then profiled: each
+    predicted-token event (KenLM padding, EOS included) is attributed
+    to the LONGEST order whose gram the model saw — exactly the level
+    sb_score's coalesce fold resolves at — and counted per document
+    as (n_events, n_hits_2, n_unigram_hits, n_oov). The oracle
+    replicates the FULL words() contract (regex \\s+ split, null text
+    as empty doc, sentinel escaping) plus the train split, the
+    per-order count tables, and the longest-match attribution in
+    pure SQL; every column is an exact integer, so both engines agree
+    bit-for-bit. Scale shape: identical to sb_score — grams built
+    JVM-side, one explode, one broadcast left join per order against
+    gram-vocabulary-sized tables, one map-side-combined groupBy; the
+    train-side count tables are each ONE shuffle (q124's plan)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        sb_match_profile,
+        sb_train,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    model = sb_train(train.select("text"), text_col="text", order=2)
+    return sb_match_profile(
+        docs.select("doc_id", "text"), model, text_col="text", id_col="doc_id"
+    )
 
 
 # ===========================================================================
@@ -4479,6 +4580,19 @@ def staged_q124_bigram_counts(
 #   gate slot for a teaching artifact is the wrong spend at the
 #   50-slot ceiling. Like every retiree it keeps its oracle in the
 #   local parity suite on its frozen r9 evidence.
+#
+# Retired at r14 (the r13 plan's pre-named candidate, drawn from the
+#   EXPIRING r12 cohort so the retirement frees a same-round slot):
+#   q25_null_filter — it returns 0 rows at every tested SF (the
+#   weakest possible hash evidence: an empty result matches an empty
+#   result), and its IS-NULL-over-outer-join surface is pinned by
+#   q23 (predicate forms incl. null predicates) and q67 (null-safe
+#   equality join) every rotation. Its slot funds the pre-staged,
+#   pre-proven q124_bigram_counts — the LM tier's integer-exact
+#   counting substrate, previously pytest-grade only. Like every
+#   retiree it keeps its oracle in the local parity suite on its
+#   frozen r12 evidence, and any fingerprint drift forces it back
+#   through the window.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
@@ -4487,100 +4601,107 @@ GATE_RETIRED: frozenset[str] = frozenset(
         "q52_pivot_unpivot",
         "q103_near_dup_full_table",
         "q63_grouped_map",
+        "q25_null_filter",
     }
 )
 
 _GATE_PRIORITY = [
-    # r13 ROTATION (the stamped r12 plan, executed on schedule at r13
-    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r12 was
-    # 50/50 green — then this window + `--round 13` in the same
-    # commit). Window: the 49 r11-attested queries whose rows expire
-    # at r13 close (the r11 window minus q121, which re-attested at
-    # r12 on its in-window ride) + the ONE free slot spent on the
-    # pre-staged, pre-proven promotion q123_curriculum_stages
-    # (operators/ordering.py — tests/test_curriculum_gate_stage.py
-    # has run its exact oracle differential on every pytest run since
-    # r12). No retirement taken: the contingency candidate
-    # q14_distinct_months stays gated because only one slot was
-    # needed.
+    # r14 ROTATION (the stamped r13 plan, executed on schedule at r14
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r13 was
+    # 50/50 green — then this window + `--round 14` in the same
+    # commit). Window: the 49 r12-attested queries whose rows expire
+    # at r14 close (the r12 window minus q25_null_filter, retired per
+    # the named plan — see GATE_RETIRED) + the freed slot spent on
+    # the pre-staged, pre-proven promotion q124_bigram_counts
+    # (operators/ngramlm.py::ngram_counts —
+    # tests/test_curriculum_gate_stage.py has run its exact oracle
+    # differential on every pytest run since r13). Also landed in
+    # this same window, as the r13 plan required: q122's hygiene fix
+    # (component derivation now partitions on sha2(text, 256) /
+    # sha256(text), never raw text bytes — same rows, re-attested on
+    # its in-window slot).
     #
-    # r14 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the 50 r12-attested queries
-    # that rest through r13 (the whole r12 window: the 48 r9-cohort
-    # re-attestations + q121 + q122) — ZERO free slots, so any new
-    # entry requires retiring a member of that EXPIRING r12 cohort.
-    # Named retirement candidate: q25_null_filter — it returns 0 rows
-    # at every tested SF (the weakest possible hash evidence) and its
-    # null-predicate surface is pinned by q23 (predicate forms) and
-    # q67 (null-safe equality) every rotation. The named promotion is
-    # PRE-STAGED below (staged_q124_bigram_counts +
-    # STAGED_Q124_ORACLE — integer-exact n-gram count tables, the
-    # foundation layer under kn_train, currently pytest-grade only;
-    # tests/test_curriculum_gate_stage.py runs its parity locally).
-    # Also owed at r14 while q122 is in-window: the VERDICT r12
-    # hygiene fix — switch its gate projection's exact-dup component
-    # derivation from W.partitionBy("text") to sha2(text, 256)
-    # (oracle: sha256(text)) so raw text bytes are never a shuffle
-    # key; same rows, do NOT apply mid-rest.
-    # Module edits legal at r14: those whose dependents are all
-    # r13-attested — text.py, sampling.py, similarity.py,
-    # multimodal.py, stats.py, diff.py, chunking.py, boilerplate.py,
-    # streaming/ops.py unfreeze then (their dependents sit in this
-    # r13 window); layout.py/skipread.py/urlops.py/split.py stay
-    # frozen until their r12-cohort dependents re-attest at r14.
+    # r15 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the 50 r13-attested queries
+    # that rest through r14 (the whole r13 window: the 49 r11-cohort
+    # re-attestations + q123) — ZERO free slots, so any new entry
+    # requires retiring a member of that EXPIRING r13 cohort. Named
+    # retirement candidate: q14_distinct_months (the standing
+    # contingency since r13) — single-column DISTINCT over a date
+    # projection, a surface q27 (date functions) and q33 (calendar
+    # month agg) pin every rotation, plus q10/q58 for the distinct
+    # aggregation form itself. The named promotion is PRE-STAGED
+    # below (staged_q125_sb_match_profile + STAGED_Q125_ORACLE — the
+    # Stupid Backoff scoring tier on an integer-exact longest-match
+    # surface; tests/test_curriculum_gate_stage.py runs its parity
+    # locally every pytest run, so the promotion lands pre-proven).
+    # Module-freeze map for r15 (check BEFORE editing anything): the
+    # r14 window is the r12 cohort, so modules whose gate dependents
+    # all sit in THIS window re-attest at r14 and their r13-attested
+    # siblings rest — at r15 the roles flip: text.py, sampling.py,
+    # similarity.py, multimodal.py, stats.py (q85+q89 span BOTH
+    # cohorts — needs both in-window, i.e. never editable under
+    # alternation without riding both), diff.py, chunking.py,
+    # boilerplate.py, ordering.py, dedup.py, streaming/ops.py
+    # unfreeze at r15 (dependents all in the r15 window);
+    # layout.py/skipread.py/urlops.py/split.py/ngramlm.py re-freeze
+    # (their dependents will be r14-attested and resting). The
+    # dedup.py rolling-hash errstate wrap (VERDICT r13 What's-wrong
+    # #4) is OWED at r15 — it was illegal at r14 because
+    # q40/q46/q47/q51/q80/q81/q99 rested on r13 rows.
     #
-    # --- the 49 expiring r11-resters ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q13_having",
-    "q14_distinct_months",
-    "q18_rank_ntile",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q40_exact_dedup",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q50_multimodal_features",
-    "q51_ngram_jaccard_pairs",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q60_streaming_tumbling",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
-    "q66_salted_aggregation",
-    "q67_null_safe_join",
-    "q73_nation_trade_volume",
-    "q79_ivf_ann_topk",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q82_sampling",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    "q95_stream_stream_join",
-    "q97_budget_selection",
-    "q99_curation_pipeline",
-    "q101_stream_static_join",
-    "q102_image_decode",
-    "q104_audio_decode",
-    "q105_video_frame_sample",
-    "q106_document_chunking",
-    "q108_mixture_weights",
-    "q117_clustered_skipping_read",
-    "q120_boilerplate_strip",
-    # --- new this round (never attested; the free slot) ---
-    "q123_curriculum_stages",
+    # --- the 49 expiring r12-resters ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q08_interval_join",
+    "q09_asof_join",
+    "q10_count_distinct",
+    "q11_multidim_agg",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q17_lag_lead",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q30_json_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q65_sessionize",
+    "q71_time_windows",
+    "q74_top_supplier",
+    "q75_promo_share",
+    "q77_explode_dimension_stats",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q92_txlog_skipping",
+    "q93_change_feed",
+    "q94_decontamination",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q100_bucketed_join",
+    "q107_token_rarity",
+    "q109_content_defined_chunks",
+    "q110_semantic_dedup",
+    "q111_chunk_dedup",
+    "q112_bpe_token_count",
+    "q113_prefix_jaccard_join",
+    "q114_bm25_retrieval",
+    "q115_zorder_layout",
+    "q116_hilbert_layout",
+    "q118_bpe_train",
+    "q119_heavy_hitters",
+    "q121_per_domain_cap",
+    "q122_leakage_safe_split",
+    # --- new this round (never attested; the q25-retirement slot) ---
+    "q124_bigram_counts",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
