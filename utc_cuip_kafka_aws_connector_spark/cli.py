@@ -242,6 +242,7 @@ def run_stream_curate(
     drift_cols: tuple[str, ...] = ("n_chars",),
     classifier_model: str | None = None,
     classifier_min_p: float = 0.5,
+    compact_every: int = 16,
 ) -> None:
     """The reference's consume->flush CRON shape applied to the LLM
     curation tier (r12 VERDICT stretch): ONE AvailableNow streaming
@@ -255,17 +256,32 @@ def run_stream_curate(
       data/batch_id=<n>/           surviving documents
       _seen_hashes/batch_id=<n>/   md5(text) of every doc this batch
                                    KEPT (the cross-batch dedup state)
+      _seen_compact/upto=<n>/      consolidated snapshot of every
+                                   hash from batch_id < n (see below)
       _monitor/hotkeys/batch_id=<n>/  per-batch top-k of hot_key_col
       _monitor/drift/batch_id=<n>/    numeric_drift vs drift_ref
 
-    Cross-batch dedup reads ONLY ``batch_id < n`` hash dirs: a
+    Cross-batch dedup reads ONLY state from ``batch_id < n``: a
     replayed batch n sees exactly the state its first attempt saw
     (its own half-written hashes are invisible and get overwritten),
     so the kept-set is deterministic under replay — the txlog
-    snapshot-isolation discipline without the log. State grows as
-    one md5 per distinct document; at fleet scale compact the hash
-    dirs with ``compact`` or swap in the bloom pre-screen
-    (operators/increddup.py) in front of the anti-join."""
+    snapshot-isolation discipline without the log.
+
+    State maintenance (r14, the ADVICE/VERDICT r13 growth fix):
+    without it the anti-join's build side is one directory per batch
+    forever, so listing + scan cost grows O(total batches) over the
+    stream's lifetime. Every ``compact_every`` epochs the consumer
+    consolidates all ``batch_id < n`` dirs into ONE write-once
+    snapshot ``_seen_compact/upto=<n>`` and deletes the raw dirs, so
+    live state is one snapshot + at most ``compact_every`` raw dirs.
+    Crash-safe at every point: a snapshot only counts once its
+    ``_SUCCESS`` marker exists, raw dirs are deleted only after that,
+    older snapshots only after the newer one commits — and the hash
+    SET a reader derives (largest committed snapshot <= n, plus raw
+    dirs in [snapshot, n)) is identical at every intermediate state,
+    so replay keeps exactly the same documents whether it lands
+    before, during, or after a compaction. ``compact_every=0``
+    disables maintenance (the pre-r14 unbounded layout)."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
     from utc_cuip_kafka_aws_connector_spark.operators.tableread import (
         _fs_and_path,
@@ -274,6 +290,7 @@ def run_stream_curate(
 
     data_dir = f"{output_path}/data"
     seen_dir = f"{output_path}/_seen_hashes"
+    compact_dir = f"{output_path}/_seen_compact"
     ref = spark.read.parquet(drift_ref) if drift_ref else None
     clf = None
     if classifier_model:
@@ -286,12 +303,81 @@ def run_stream_curate(
 
         clf = lr_load(classifier_model)
 
-    def _seen_state_exists() -> bool:
+    def _numbered_children(path: str, prefix: str) -> list[tuple[int, object]]:
         # Hadoop FS of the path's OWN scheme: a driver-local glob
         # would silently disable cross-batch dedup on s3a://hdfs://
         # outputs (the skipread os.listdir lesson, ADVICE r8)
-        fs, jpath, _ = _fs_and_path(spark, seen_dir)
-        return bool(fs.exists(jpath) and fs.listStatus(jpath))
+        fs, jpath, _ = _fs_and_path(spark, path)
+        out = []
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith(prefix):
+                    try:
+                        out.append((int(name[len(prefix):]), st.getPath()))
+                    except ValueError:
+                        continue
+        return out
+
+    def _committed_upto(epoch: int) -> int:
+        # largest snapshot at-or-below this epoch whose _SUCCESS
+        # marker exists; a torn snapshot write is invisible
+        fs, _, jvm = _fs_and_path(spark, compact_dir)
+        best = 0
+        for k, _p in _numbered_children(compact_dir, "upto="):
+            if best < k <= epoch and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{compact_dir}/upto={k}/_SUCCESS")
+            ):
+                best = k
+        return best
+
+    def _prior_hashes(epoch: int) -> DataFrame | None:
+        """Every content_hash a batch < epoch kept (None = no state):
+        the largest committed snapshot plus the raw per-batch dirs in
+        [snapshot, epoch). The derived SET is invariant under every
+        compaction crash point, which is what makes replay keep
+        exactly the same documents."""
+        upto = _committed_upto(epoch)
+        frames = []
+        if upto:
+            frames.append(
+                spark.read.parquet(f"{compact_dir}/upto={upto}")
+                .select("content_hash")
+            )
+        raw = [
+            p.toString()
+            for k, p in _numbered_children(seen_dir, "batch_id=")
+            if upto <= k < epoch
+        ]
+        if raw:
+            frames.append(
+                spark.read.parquet(*sorted(raw)).select("content_hash")
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _compact_seen(upto: int) -> None:
+        """Consolidate all batch_id < upto state into one write-once
+        snapshot, then drop the now-redundant raw dirs and older
+        snapshots. Write-once: a replayed epoch that already
+        compacted skips straight to the (idempotent) deletes."""
+        fs, _, jvm = _fs_and_path(spark, compact_dir)
+        snap = f"{compact_dir}/upto={int(upto)}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snap}/_SUCCESS")):
+            prior = _prior_hashes(int(upto))
+            if prior is None:
+                return
+            prior.distinct().write.mode("overwrite").parquet(snap)
+        for k, p in _numbered_children(seen_dir, "batch_id="):
+            if k < upto:
+                fs.delete(p, True)
+        for k, p in _numbered_children(compact_dir, "upto="):
+            if k < upto:
+                fs.delete(p, True)
 
     def curate_batch(batch: DataFrame, epoch_id: int) -> None:
         cols = batch.columns
@@ -327,21 +413,22 @@ def run_stream_curate(
         df = df.join(
             keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
         )
+        # periodic state maintenance FIRST: the hash set it hands the
+        # reader below is identical before/during/after, so the
+        # kept-set cannot depend on whether a crash interleaved here
+        if compact_every and int(epoch_id) > 0 and (
+            int(epoch_id) % compact_every == 0
+        ):
+            _compact_seen(int(epoch_id))
         # cross-batch dedup: anti-join the hashes every PRIOR batch
-        # kept. batch_id is a partition column of the seen layout, so
-        # the < epoch filter prunes the current (possibly half-
-        # replayed) epoch's dir at the file listing
-        prior = None
-        if _seen_state_exists():
-            prior = (
-                spark.read.option("basePath", seen_dir)
-                .parquet(f"{seen_dir}/batch_id=*")
-                .filter(F.col("batch_id") < F.lit(int(epoch_id)))
-            )
+        # kept — the committed snapshot + the raw dirs in
+        # [snapshot, epoch); the current (possibly half-replayed)
+        # epoch's own dir is excluded by the < epoch bound
+        prior = _prior_hashes(int(epoch_id))
         hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
         if prior is not None:
             hashed = hashed.join(
-                prior.select("content_hash"), "content_hash", "left_anti"
+                prior, "content_hash", "left_anti"
             )
         # persist ONCE, post-anti-join: the one handle every write
         # below shares, released at the end (persisting the pre-join
@@ -496,6 +583,9 @@ def run_curate_full(
     df = spark.read.parquet(input_path)
     n_read = df.count()
     stages: list[tuple[str, int]] = [("read", n_read)]
+    # frames that must stay cached through the funnel (stage counts
+    # replay them) and are released right after the final write
+    release_after_write: list[DataFrame] = []
 
     def mark(name: str, frame):
         stages.append((name, frame.count()))
@@ -553,10 +643,13 @@ def run_curate_full(
                 text_col=text_col, id_col=id_col,
             )
             # persist the k survivor ids so downstream stage counts
-            # replay a cached id list, not two LM scoring passes
+            # replay a cached id list, not two LM scoring passes;
+            # released after the final write (ADVICE r13: leaving it
+            # cached leaked one entry for the rest of the job)
             chosen = select_by_ce_diff(scored, select_k, id_col=id_col).select(
                 id_col
             ).persist()
+            release_after_write.append(chosen)
             df = mark(
                 "moore_lewis_select", df.join(chosen, id_col, "left_semi")
             )
@@ -752,6 +845,8 @@ def run_curate_full(
         )
         df = leakage_safe_split(df, comp, fr, seed=seed, id_col=id_col)
     df.write.mode("overwrite").parquet(output_path)
+    for frame in release_after_write:
+        frame.unpersist()
     survived = spark.read.parquet(output_path).count()
     stages.append(("written", survived))
     return {"stages": stages, "read": n_read, "survived": survived}
@@ -1155,6 +1250,12 @@ def main(argv: list[str] | None = None) -> int:
         "keep-vs-drop stage per micro-batch",
     )
     scurate.add_argument("--classifier-min-p", type=float, default=0.5)
+    scurate.add_argument(
+        "--compact-every", type=int, default=16,
+        help="consolidate the cross-batch hash state into one snapshot "
+        "every N epochs and drop the per-batch dirs (0 disables); "
+        "bounds listing+scan cost at CRON-daemon timescales",
+    )
 
     curate = sub.add_parser(
         "curate", help="LLM-corpus curation: quality gate -> dedup -> mixture sample"
@@ -2348,6 +2449,7 @@ def main(argv: list[str] | None = None) -> int:
             drift_ref=args.drift_ref,
             classifier_model=args.classifier_model,
             classifier_min_p=args.classifier_min_p,
+            compact_every=args.compact_every,
         )
         print(f"stream-curated input={args.input} output={args.output}")
     else:

@@ -1,4 +1,4 @@
-"""Discriminative quality classifier: logistic regression over
+r"""Discriminative quality classifier: logistic regression over
 hashed unigram+bigram features — the fastText shape (Joulin et al.
 2016) that public LLM data recipes actually deploy as "the quality
 classifier" (GPT-3's curated-vs-CommonCrawl filter, the
