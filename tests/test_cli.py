@@ -1293,6 +1293,107 @@ def test_stream_curate_seen_hash_compaction(spark, tmp_path, capsys):
     assert kept(outs["c"]) == [1, 2, 3, 5, 8, 9]
 
 
+def test_stream_curate_near_dup_suppression(spark, tmp_path, capsys):
+    """--near-dup-threshold (r14, VERDICT r13 #6): cross-batch AND
+    within-batch near-copies are suppressed and flagged to their
+    surviving originals under _monitor/neardups/; the band state
+    rides the same epoch-keyed layout + compaction as the hash
+    state; replay writes nothing."""
+    import glob
+    import json
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "today " * 3
+    )
+    other = (
+        "a calm river flows past the old stone bridge where children "
+        "often play and watch the boats drift by " * 2
+    )
+    # near-copies: one word swapped (high shingle overlap, not exact)
+    near1 = base.replace("lazy", "sleepy", 1)
+    near2 = base.replace("quick", "rapid", 1)
+    incoming = tmp_path / "inc"
+    incoming.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    batches = [
+        # within-batch: doc 2 is a near-copy of doc 1 (earlier id wins)
+        [
+            {"doc_id": 1, "text": base, "lang": "en"},
+            {"doc_id": 2, "text": near1, "lang": "en"},
+            {"doc_id": 3, "text": other, "lang": "en"},
+        ],
+        # cross-batch: doc 10 near-copies doc 1, doc 12 near-copies
+        # doc 3; doc 11 is genuinely new and must pass through
+        [
+            {"doc_id": 10, "text": near2, "lang": "en"},
+            {"doc_id": 11, "text":
+                "the little bakery on the corner opens early and fills "
+                "the street with the warm smell of fresh bread every "
+                "morning while the town slowly wakes up " * 2,
+             "lang": "en"},
+            {"doc_id": 12, "text": other.replace("calm", "quiet", 1),
+             "lang": "en"},
+        ],
+        # post-compaction (epoch 2 compacts both states): doc 20
+        # still matches doc 1 via the consolidated band snapshot
+        [{"doc_id": 20, "text": near1 + "extra", "lang": "en"}],
+    ]
+
+    def run():
+        assert cli.main(
+            [
+                "stream-curate",
+                "--input", str(incoming),
+                "--output", out,
+                "--checkpoint", ckpt,
+                "--compact-every", "2",
+                "--near-dup-threshold", "0.6",
+            ]
+        ) == 0
+        capsys.readouterr()
+
+    for i, rows in enumerate(batches):
+        (incoming / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(d) for d in rows)
+        )
+        run()
+
+    got = spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data/batch_id=*"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3, 11]
+
+    flagged = spark.read.option(
+        "basePath", f"{out}/_monitor/neardups"
+    ).parquet(f"{out}/_monitor/neardups/batch_id=*")
+    by_doc = {r.doc: r for r in flagged.collect()}
+    assert set(by_doc) == {2, 10, 12, 20}
+    assert by_doc[2].dup_of == 1 and by_doc[2].sim >= 0.6
+    assert by_doc[10].dup_of == 1 and by_doc[10].sim >= 0.6
+    assert by_doc[12].dup_of == 3 and by_doc[12].sim >= 0.6
+    assert by_doc[20].dup_of == 1 and by_doc[20].sim >= 0.6
+
+    # band state compacted at epoch 2 alongside the hash state
+    assert glob.glob(f"{out}/_seen_bands_compact/upto=*") == [
+        f"{out}/_seen_bands_compact/upto=2"
+    ]
+    assert sorted(glob.glob(f"{out}/_seen_bands/batch_id=*")) == [
+        f"{out}/_seen_bands/batch_id=2"
+    ]
+
+    # replay: same checkpoint, no new input -> nothing changes
+    n_dirs = len(glob.glob(f"{out}/data/batch_id=*"))
+    run()
+    assert len(glob.glob(f"{out}/data/batch_id=*")) == n_dirs
+    got = spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data/batch_id=*"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3, 11]
+
+
 def test_cli_report_model_signal_blocks(spark, tmp_path, capsys):
     """report --ppl-lm / --dsir-target / --eval-embeddings: the r13
     data-card signal rows come out of the CLI verb."""

@@ -243,6 +243,7 @@ def run_stream_curate(
     classifier_model: str | None = None,
     classifier_min_p: float = 0.5,
     compact_every: int = 16,
+    near_dup_threshold: float = 0.0,
 ) -> None:
     """The reference's consume->flush CRON shape applied to the LLM
     curation tier (r12 VERDICT stretch): ONE AvailableNow streaming
@@ -258,8 +259,25 @@ def run_stream_curate(
                                    KEPT (the cross-batch dedup state)
       _seen_compact/upto=<n>/      consolidated snapshot of every
                                    hash from batch_id < n (see below)
+      _seen_bands/batch_id=<n>/    (--near-dup-threshold) LSH band
+                                   rows of this batch's kept docs
+      _seen_bands_compact/upto=<n>/  its consolidated snapshot
       _monitor/hotkeys/batch_id=<n>/  per-batch top-k of hot_key_col
       _monitor/drift/batch_id=<n>/    numeric_drift vs drift_ref
+      _monitor/neardups/batch_id=<n>/  (--near-dup-threshold) every
+                                   suppressed doc flagged to its
+                                   surviving original: (doc, dup_of,
+                                   sim)
+
+    ``near_dup_threshold > 0`` adds cross-batch NEAR-duplicate
+    suppression after the exact stage: each batch is LSH-banded
+    (operators/increddup.py — the same MinHash construction as the
+    batch dedup family) and matched against the band rows of every
+    previously KEPT document; docs matching at or above the
+    threshold are dropped and flagged to their originals. The band
+    state lives in the same epoch-keyed layout as the hash state —
+    same batch_id < n reads, same compaction, same replay
+    determinism. Requires a numeric ``id_col``.
 
     Cross-batch dedup reads ONLY state from ``batch_id < n``: a
     replayed batch n sees exactly the state its first attempt saw
@@ -291,6 +309,8 @@ def run_stream_curate(
     data_dir = f"{output_path}/data"
     seen_dir = f"{output_path}/_seen_hashes"
     compact_dir = f"{output_path}/_seen_compact"
+    bands_dir = f"{output_path}/_seen_bands"
+    bands_compact_dir = f"{output_path}/_seen_bands_compact"
     ref = spark.read.parquet(drift_ref) if drift_ref else None
     clf = None
     if classifier_model:
@@ -319,40 +339,39 @@ def run_stream_curate(
                         continue
         return out
 
-    def _committed_upto(epoch: int) -> int:
+    def _committed_upto(compact_root: str, epoch: int) -> int:
         # largest snapshot at-or-below this epoch whose _SUCCESS
         # marker exists; a torn snapshot write is invisible
-        fs, _, jvm = _fs_and_path(spark, compact_dir)
+        fs, _, jvm = _fs_and_path(spark, compact_root)
         best = 0
-        for k, _p in _numbered_children(compact_dir, "upto="):
+        for k, _p in _numbered_children(compact_root, "upto="):
             if best < k <= epoch and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(f"{compact_dir}/upto={k}/_SUCCESS")
+                jvm.org.apache.hadoop.fs.Path(f"{compact_root}/upto={k}/_SUCCESS")
             ):
                 best = k
         return best
 
-    def _prior_hashes(epoch: int) -> DataFrame | None:
-        """Every content_hash a batch < epoch kept (None = no state):
+    def _prior_state(
+        state_root: str, compact_root: str, epoch: int
+    ) -> DataFrame | None:
+        """Every state row a batch < epoch wrote (None = no state):
         the largest committed snapshot plus the raw per-batch dirs in
         [snapshot, epoch). The derived SET is invariant under every
         compaction crash point, which is what makes replay keep
-        exactly the same documents."""
-        upto = _committed_upto(epoch)
+        exactly the same documents. Shared by the exact-dedup hash
+        state and the near-dup band state — same layout, same
+        crash-safety argument."""
+        upto = _committed_upto(compact_root, epoch)
         frames = []
         if upto:
-            frames.append(
-                spark.read.parquet(f"{compact_dir}/upto={upto}")
-                .select("content_hash")
-            )
+            frames.append(spark.read.parquet(f"{compact_root}/upto={upto}"))
         raw = [
             p.toString()
-            for k, p in _numbered_children(seen_dir, "batch_id=")
+            for k, p in _numbered_children(state_root, "batch_id=")
             if upto <= k < epoch
         ]
         if raw:
-            frames.append(
-                spark.read.parquet(*sorted(raw)).select("content_hash")
-            )
+            frames.append(spark.read.parquet(*sorted(raw)))
         if not frames:
             return None
         out = frames[0]
@@ -360,22 +379,22 @@ def run_stream_curate(
             out = out.unionByName(f)
         return out
 
-    def _compact_seen(upto: int) -> None:
+    def _compact_state(state_root: str, compact_root: str, upto: int) -> None:
         """Consolidate all batch_id < upto state into one write-once
         snapshot, then drop the now-redundant raw dirs and older
         snapshots. Write-once: a replayed epoch that already
         compacted skips straight to the (idempotent) deletes."""
-        fs, _, jvm = _fs_and_path(spark, compact_dir)
-        snap = f"{compact_dir}/upto={int(upto)}"
+        fs, _, jvm = _fs_and_path(spark, compact_root)
+        snap = f"{compact_root}/upto={int(upto)}"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snap}/_SUCCESS")):
-            prior = _prior_hashes(int(upto))
+            prior = _prior_state(state_root, compact_root, int(upto))
             if prior is None:
                 return
             prior.distinct().write.mode("overwrite").parquet(snap)
-        for k, p in _numbered_children(seen_dir, "batch_id="):
+        for k, p in _numbered_children(state_root, "batch_id="):
             if k < upto:
                 fs.delete(p, True)
-        for k, p in _numbered_children(compact_dir, "upto="):
+        for k, p in _numbered_children(compact_root, "upto="):
             if k < upto:
                 fs.delete(p, True)
 
@@ -413,27 +432,79 @@ def run_stream_curate(
         df = df.join(
             keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
         )
-        # periodic state maintenance FIRST: the hash set it hands the
-        # reader below is identical before/during/after, so the
+        # periodic state maintenance FIRST: the state set it hands
+        # the readers below is identical before/during/after, so the
         # kept-set cannot depend on whether a crash interleaved here
         if compact_every and int(epoch_id) > 0 and (
             int(epoch_id) % compact_every == 0
         ):
-            _compact_seen(int(epoch_id))
+            _compact_state(seen_dir, compact_dir, int(epoch_id))
+            if near_dup_threshold and near_dup_threshold > 0:
+                _compact_state(bands_dir, bands_compact_dir, int(epoch_id))
         # cross-batch dedup: anti-join the hashes every PRIOR batch
         # kept — the committed snapshot + the raw dirs in
         # [snapshot, epoch); the current (possibly half-replayed)
         # epoch's own dir is excluded by the < epoch bound
-        prior = _prior_hashes(int(epoch_id))
+        prior = _prior_state(seen_dir, compact_dir, int(epoch_id))
         hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
         if prior is not None:
             hashed = hashed.join(
-                prior, "content_hash", "left_anti"
+                prior.select("content_hash"), "content_hash", "left_anti"
             )
         # persist ONCE, post-anti-join: the one handle every write
         # below shares, released at the end (persisting the pre-join
         # frame too would leak one batch-sized cache entry per batch)
         hashed = hashed.persist()
+        verdict = None
+        if near_dup_threshold and near_dup_threshold > 0:
+            # cross-batch NEAR-dup suppression (r14, VERDICT r13 #6):
+            # the incremental LSH matcher over a band-row state
+            # maintained exactly like the hash state — epoch-keyed
+            # dirs of previously KEPT docs' (band_key, doc, sig)
+            # rows, batch_id < n reads, the same compaction. Exact
+            # dups died above, so the matcher only pays for genuine
+            # near-copies; within_batch=True makes the earlier-id
+            # sibling canonical inside one micro-batch too.
+            from utc_cuip_kafka_aws_connector_spark.operators.increddup import (
+                build_lsh_index,
+                incremental_near_dups,
+            )
+
+            prior_bands = _prior_state(
+                bands_dir, bands_compact_dir, int(epoch_id)
+            )
+            if prior_bands is None:
+                prior_bands = spark.createDataFrame(
+                    [], "band_key long, doc long, sig array<bigint>"
+                )
+            verdict = incremental_near_dups(
+                hashed,
+                prior_bands,
+                sim_threshold=near_dup_threshold,
+                id_col=id_col,
+                text_col=text_col,
+            ).persist()
+            # the audit trail the monitor tier exists for: every
+            # suppressed doc flagged to its surviving original
+            verdict.filter(F.col("is_dup")).select(
+                "doc", "dup_of", "sim"
+            ).write.mode("overwrite").parquet(
+                f"{output_path}/_monitor/neardups/batch_id={int(epoch_id)}"
+            )
+            survivors = hashed.join(
+                verdict.filter(~F.col("is_dup")).select(
+                    F.col("doc").alias(id_col)
+                ),
+                id_col,
+                "left_semi",
+            ).persist()
+            hashed.unpersist()
+            hashed = survivors
+            build_lsh_index(
+                hashed, id_col=id_col, text_col=text_col
+            ).write.mode("overwrite").parquet(
+                f"{bands_dir}/batch_id={int(epoch_id)}"
+            )
         # epoch-keyed overwrite everywhere below = idempotent replay
         hashed.select("content_hash").distinct().write.mode(
             "overwrite"
@@ -464,6 +535,8 @@ def run_stream_curate(
                     "overwrite"
                 ).parquet(f"{output_path}/_monitor/drift/batch_id={int(epoch_id)}")
         hashed.unpersist()
+        if verdict is not None:
+            verdict.unpersist()
 
     src = spark.readStream.schema(schema).json(input_dir)
     query = (
@@ -1255,6 +1328,13 @@ def main(argv: list[str] | None = None) -> int:
         help="consolidate the cross-batch hash state into one snapshot "
         "every N epochs and drop the per-batch dirs (0 disables); "
         "bounds listing+scan cost at CRON-daemon timescales",
+    )
+    scurate.add_argument(
+        "--near-dup-threshold", type=float, default=0.0,
+        help="estimated-Jaccard threshold for cross-batch NEAR-dup "
+        "suppression via the incremental LSH matcher (0 disables); "
+        "suppressed docs are flagged to their originals under "
+        "_monitor/neardups/",
     )
 
     curate = sub.add_parser(
@@ -2450,6 +2530,7 @@ def main(argv: list[str] | None = None) -> int:
             classifier_model=args.classifier_model,
             classifier_min_p=args.classifier_min_p,
             compact_every=args.compact_every,
+            near_dup_threshold=args.near_dup_threshold,
         )
         print(f"stream-curated input={args.input} output={args.output}")
     else:
