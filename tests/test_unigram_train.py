@@ -317,3 +317,96 @@ def test_train_prunes_by_likelihood_not_count(spark):
     )
     assert "▁qxj" in vocab
     assert "▁ente" not in vocab
+
+
+def test_digamma_closed_forms_and_recurrence():
+    """_digamma vs known values: psi(1) = -gamma, psi(1/2) =
+    -gamma - 2 ln 2, psi(n) = -gamma + H_{n-1}, and the recurrence
+    psi(x+1) = psi(x) + 1/x across the count range EM produces —
+    all to 1e-12."""
+    from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+        _digamma,
+    )
+
+    gamma = 0.5772156649015329
+    assert _digamma(1.0) == pytest.approx(-gamma, abs=1e-12)
+    assert _digamma(0.5) == pytest.approx(
+        -gamma - 2.0 * math.log(2.0), abs=1e-12
+    )
+    # psi(n) = -gamma + sum_{k=1}^{n-1} 1/k
+    h = 0.0
+    for n in range(2, 30):
+        h += 1.0 / (n - 1)
+        assert _digamma(float(n)) == pytest.approx(-gamma + h, abs=1e-12)
+    for x in [0.2, 1.7, 5.999, 6.0, 42.5, 1e6]:
+        assert _digamma(x + 1.0) == pytest.approx(
+            _digamma(x) + 1.0 / x, rel=1e-12, abs=1e-12
+        )
+    # tiny counts (the EM floor range): the Laurent expansion
+    # psi(x) = -1/x - gamma + (pi^2/6) x + O(x^2), checked at the
+    # precision subtracting 1/x leaves in a double
+    for x in [1e-9, 1e-3]:
+        want = -1.0 / x - gamma + (math.pi**2 / 6.0) * x
+        # the next Laurent term is -zeta(3) x^2 (~1e-6 rel at 1e-3)
+        assert _digamma(x) == pytest.approx(want, rel=1e-8)
+    with pytest.raises(ValueError, match="x > 0"):
+        _digamma(0.0)
+
+
+def test_m_step_bayes_is_sentencepiece_update():
+    """The bayes variant is digamma(c) - digamma(total), strictly
+    below the ML score for every piece (digamma(x) < log(x)), with
+    the gap largest at tiny counts — exactly the prior-against-
+    rare-pieces behavior the sentencepiece trainer has."""
+    from utc_cuip_kafka_aws_connector_spark.operators.unigram import (
+        _digamma,
+        _m_step,
+    )
+
+    expected = {"a": 100.0, "b": 10.0, "c": 0.5}
+    total = 110.5
+    ml = _m_step(expected, "ml")
+    vb = _m_step(expected, "bayes")
+    for p, c in expected.items():
+        assert vb[p] == pytest.approx(
+            _digamma(c) - _digamma(total), abs=1e-12
+        )
+        assert vb[p] < ml[p]
+    # the shrinkage is monotone in 1/c: rarest piece penalized most
+    gaps = {p: ml[p] - vb[p] for p in expected}
+    assert gaps["c"] > gaps["b"] > gaps["a"]
+    with pytest.raises(ValueError, match="m_step must be"):
+        _m_step(expected, "map")
+
+
+def test_train_bayes_variant(corpus):
+    """unigram_train(m_step='bayes'): valid model out (coverage,
+    finite sub-normalized scores); the Bayesian shrinkage may settle
+    UNDER vocab_size by zeroing weak redundant seeds, but what it
+    keeps is a SUBSET of the ML trainer's pieces with the
+    high-frequency head intact — the r13 deviation note's 'rankings
+    coincide except near-ties at tiny counts' claim, now test-pinned
+    instead of prose."""
+    kw = dict(vocab_size=40, max_piece_len=6, seed_size=200, em_iters=2)
+    ml_vocab = unigram_train(corpus, **kw)
+    vb_vocab = unigram_train(corpus, m_step="bayes", **kw)
+    assert vb_vocab[0] == ("<unk>", 0.0)
+    assert len(ml_vocab) == 40
+    assert 20 <= len(vb_vocab) <= 40
+    ml_pieces = {p for p, _ in ml_vocab}
+    vb_pieces = {p for p, _ in vb_vocab}
+    assert vb_pieces <= ml_pieces
+    # vocab lists are sorted by expected count: the unambiguous
+    # frequent head (clear of count ties, where digamma's correction
+    # is negligible) must coincide exactly
+    assert [p for p, _ in vb_vocab[:4]] == [p for p, _ in ml_vocab[:4]]
+    # coverage invariant holds in both variants: every single char
+    singles_ml = {p for p in ml_pieces if len(p) == 1}
+    singles_vb = {p for p in vb_pieces if len(p) == 1}
+    assert singles_vb == singles_ml
+    scores = dict(vb_vocab[1:])
+    assert all(math.isfinite(s) for s in scores.values())
+    # digamma scores are sub-normalized: sum of probabilities < 1
+    assert sum(math.exp(s) for s in scores.values()) < 1.0
+    with pytest.raises(ValueError, match="m_step must be"):
+        unigram_train(corpus, vocab_size=10, m_step="map")

@@ -171,23 +171,25 @@ def segments_to_ids(
 # tokenizer.json (tokenio.to_unigram_tokenizer_json), so train ->
 # save -> load -> spec_encode closes the same loop the BPE stack has.
 #
-# Honest scope: E and M steps are the exact unigram-LM EM (lattice
-# forward-backward expected counts over every word, normalized
-# multinomial update — corpus likelihood provably non-decreasing,
-# pinned in tests/test_unigram_train.py). PRUNING is sentencepiece's
-# likelihood-delta rule (r13, closing the r12 documented
-# simplification): each multi-char piece is scored by the corpus
+# Honest scope: the E step is the exact unigram-LM lattice
+# forward-backward over every word. TWO M-step variants (r14,
+# closing the r13 documented deviation): ``m_step="ml"`` (default)
+# is the exact multinomial update — corpus likelihood provably
+# non-decreasing, pinned in tests/test_unigram_train.py;
+# ``m_step="bayes"`` is sentencepiece's digamma update (the
+# implicit-Dirichlet variational M-step its trainer runs — digamma
+# in pure Python, recurrence + asymptotic series, test-pinned
+# against closed forms). PRUNING is sentencepiece's likelihood-delta
+# rule (r13): each multi-char piece is scored by the corpus
 # log-likelihood LOST if its occurrences re-segment through their
 # best alternative (Viterbi over the piece's own string with the
-# full-span edge disallowed), computed under the plain-ML analog of
-# sentencepiece's formula — plain log where sentencepiece uses
-# digamma, the consistent choice because this EM is plain
-# maximum-likelihood rather than sentencepiece's Bayesian variant
-# (the one REMAINING documented deviation; piece RANKINGS coincide
-# except within near-ties at tiny counts, where digamma's
-# correction is largest). All single characters are always kept
-# (the coverage invariant sentencepiece enforces via required
-# pieces).
+# full-span edge disallowed), computed under the SAME count->log map
+# as the chosen M-step, so "bayes" reproduces sentencepiece's
+# formulation end-to-end. Piece RANKINGS of the two variants
+# coincide except within near-ties at tiny counts, where digamma's
+# correction is largest (test-pinned on the fixture corpus). All
+# single characters are always kept (the coverage invariant
+# sentencepiece enforces via required pieces).
 #
 # Scale shape: ONE corpus-sized shuffle builds the (word, freq)
 # histogram (map-side partial counts in the Arrow scan, the
@@ -375,30 +377,70 @@ def _best_alt_segmentation(
     return out
 
 
+def _digamma(x: float) -> float:
+    """psi(x) for x > 0, pure Python: the recurrence
+    psi(x) = psi(x+1) - 1/x pushes the argument to >= 10, then the
+    asymptotic series (Abramowitz & Stegun 6.3.18) converges to
+    double precision. Matches scipy.special.digamma to ~1e-12 over
+    the count range EM produces (test-pinned against psi(1) = -gamma,
+    psi(1/2) = -gamma - 2 ln 2, and the recurrence itself)."""
+    if x <= 0.0:
+        raise ValueError(f"digamma needs x > 0, got {x}")
+    r = 0.0
+    while x < 10.0:
+        r -= 1.0 / x
+        x += 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    series = inv2 * (
+        1.0 / 12
+        - inv2 * (
+            1.0 / 120
+            - inv2 * (1.0 / 252 - inv2 * (1.0 / 240 - inv2 / 132))
+        )
+    )
+    return r + math.log(x) - 0.5 * inv - series
+
+
+def _count_log(m_step: str):
+    """The count -> log-domain map the chosen M-step variant uses:
+    plain log for maximum-likelihood EM, digamma for sentencepiece's
+    Bayesianified EM (the implicit-Dirichlet variational update its
+    trainer applies; Kudo 2018 / unigram_model_trainer's RunMStep)."""
+    if m_step == "ml":
+        return math.log
+    if m_step == "bayes":
+        return _digamma
+    raise ValueError(f"m_step must be 'ml' or 'bayes', got {m_step!r}")
+
+
 def _prune_losses(
     logp: dict[str, float],
     expected: dict[str, float],
     max_len: int,
+    m_step: str = "ml",
 ) -> dict[str, float]:
     """Per-multi-char-piece corpus log-likelihood loss if the piece
     were removed and its occurrences re-segmented through their best
     alternative — the sentencepiece pruning objective
     (unigram_model_trainer's PruneSentencePieces, re-derived from
-    the published algorithm description; plain-ML logs in place of
-    its digamma, see the module comment).
+    the published algorithm description), under the SAME count->log
+    map as the chosen M-step: plain log for ``m_step="ml"``, digamma
+    for ``m_step="bayes"`` (sentencepiece's own formulation).
 
     With F = expected count of the piece, S = total expected count,
-    alt = its alternative pieces (k of them):
+    alt = its alternative pieces (k of them), lg = log or digamma:
 
         S' = S + F * (k - 1)              (each occurrence now emits
                                            k pieces instead of 1)
-        loss = F * ( [log F - log S]
-                   - sum_a [log(F_a + F) - log S'] )
+        loss = F * ( [lg F - lg S]
+                   - sum_a [lg(F_a + F) - lg S'] )
 
     Driver-side and vocab-sized (the M-step crossover discipline) —
     one Viterbi over each piece's OWN string, never the corpus."""
+    lg = _count_log(m_step)
     S = sum(max(c, 0.0) for c in expected.values())
-    logS = math.log(S)
+    logS = lg(S)
     losses: dict[str, float] = {}
     for p in logp:
         if len(p) <= 1:
@@ -413,17 +455,27 @@ def _prune_losses(
             continue
         S_alt = S + F_p * (len(alt) - 1)
         log_alt = sum(
-            math.log(expected.get(a, 0.0) + F_p) - math.log(S_alt)
+            lg(expected.get(a, 0.0) + F_p) - lg(S_alt)
             for a in alt
         )
-        losses[p] = F_p * ((math.log(F_p) - logS) - log_alt)
+        losses[p] = F_p * ((lg(F_p) - logS) - log_alt)
     return losses
 
 
-def _m_step(expected: dict[str, float]) -> dict[str, float]:
+def _m_step(
+    expected: dict[str, float], m_step: str = "ml"
+) -> dict[str, float]:
+    """``"ml"``: exact multinomial update, log(c) - log(total) — the
+    EM whose corpus likelihood is provably non-decreasing. ``"bayes"``:
+    sentencepiece's digamma update, digamma(c) - digamma(total) — the
+    implicit-Dirichlet variational M-step its trainer runs; scores
+    are slightly sub-normalized (sum of exp < 1), which sharpens the
+    prior against tiny-count pieces exactly where the two variants'
+    rankings can differ."""
+    lg = _count_log(m_step)
     total = sum(expected.values())
     return {
-        p: math.log(c) - math.log(total)
+        p: lg(c) - lg(total)
         for p, c in expected.items()
         if c > 0.0
     }
@@ -439,6 +491,7 @@ def unigram_train(
     prune_fraction: float = 0.25,
     replacement: str = "▁",
     prepend_scheme: str = "always",
+    m_step: str = "ml",
 ) -> list[tuple[str, float]]:
     """Train a unigram LM tokenizer: returns the serialized-model
     vocab list ``[(piece, score), ...]`` with ``<unk>`` at index 0 —
@@ -453,9 +506,21 @@ def unigram_train(
     own corpus). Then rounds of (EM x ``em_iters``, prune the
     multi-char pieces with the smallest likelihood loss — the
     sentencepiece delta rule, see ``_prune_losses``) until the piece
-    count fits ``vocab_size - 1``, and a final EM settle."""
+    count fits ``vocab_size - 1``, and a final EM settle.
+
+    ``m_step="ml"`` (default) runs exact maximum-likelihood EM;
+    ``m_step="bayes"`` runs sentencepiece's digamma (variational
+    Bayes) update in both the M-step and the prune objective — use it
+    when score-level parity with a sentencepiece-trained model
+    matters more than the ML monotonicity guarantee. The Bayesian
+    shrinkage can zero the posterior of weak redundant seeds
+    entirely, so "bayes" may settle UNDER ``vocab_size`` (its piece
+    set is a subset of what "ml" keeps on the same corpus —
+    test-pinned); sentencepiece's own kExpectedFrequencyThreshold
+    drop is the same behavior."""
     from pyspark.sql import functions as F
 
+    _count_log(m_step)  # validate the variant name before any work
     if vocab_size < 2:
         raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
     if not 0.0 < prune_fraction < 1.0:
@@ -513,7 +578,7 @@ def unigram_train(
         )
         expected = dict(singles)
         expected.update({r["piece"]: float(r["cnt"]) for r in top_multi})
-        logp = _m_step(expected)
+        logp = _m_step(expected, m_step)
 
         target_pieces = vocab_size - 1  # index 0 is <unk>
         while True:
@@ -526,7 +591,7 @@ def unigram_train(
                 for ch in singles:
                     if expected.get(ch, 0.0) < 1e-12:
                         expected[ch] = 1e-12
-                logp = _m_step(expected)
+                logp = _m_step(expected, m_step)
             multi = [p for p in logp if len(p) > 1]
             excess = len(logp) - target_pieces
             if excess <= 0:
@@ -536,7 +601,7 @@ def unigram_train(
             )
             # sentencepiece's likelihood-delta prune: drop the pieces
             # whose removal costs the corpus likelihood least
-            losses = _prune_losses(logp, expected, max_piece_len)
+            losses = _prune_losses(logp, expected, max_piece_len, m_step)
             victims = sorted(
                 multi, key=lambda p: (losses[p], p)
             )[:drop_n]
@@ -545,13 +610,14 @@ def unigram_train(
             # renormalize the survivors (dropping mass): exact M-step
             # over the surviving expected counts
             logp = _m_step(
-                {p: max(expected.get(p, 0.0), 1e-12) for p in logp}
+                {p: max(expected.get(p, 0.0), 1e-12) for p in logp},
+                m_step,
             )
         _, expected = unigram_e_step(hist, logp, max_piece_len)
         for ch in singles:
             if expected.get(ch, 0.0) < 1e-12:
                 expected[ch] = 1e-12
-        logp = _m_step(expected)
+        logp = _m_step(expected, m_step)
         vocab = [("<unk>", 0.0)] + [
             (p, logp[p])
             for p in sorted(
