@@ -605,6 +605,7 @@ def run_curate_full(
     gopher: bool = False,
     c4: bool = False,
     min_quality: float = 0.5,
+    langid_model: str | None = None,
     classifier_model: str | None = None,
     classifier_min_p: float = 0.5,
     ppl_lm: str | None = None,
@@ -656,6 +657,29 @@ def run_curate_full(
     df = spark.read.parquet(input_path)
     n_read = df.count()
     stages: list[tuple[str, int]] = [("read", n_read)]
+    if langid_model:
+        # model-based language ID (operators/langid.py, r14): the
+        # char-n-gram NB identifier OVERWRITES lang_col, so the
+        # mixture sample downstream stratifies on predicted language
+        # instead of trusting (possibly absent/mislabeled) metadata.
+        # Row-preserving: every doc gets a prediction.
+        from utc_cuip_kafka_aws_connector_spark.operators.langid import (
+            langid_load,
+            langid_predict,
+        )
+
+        lid = langid_load(spark, langid_model)
+        pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
+        df = (
+            df.drop(lang_col)
+            .join(
+                pred.select(
+                    id_col, F.col("predicted").alias(lang_col)
+                ),
+                id_col,
+            )
+        )
+        stages.append(("langid", df.count()))
     # frames that must stay cached through the funnel (stage counts
     # replay them) and are released right after the final write
     release_after_write: list[DataFrame] = []
@@ -1390,6 +1414,12 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--c4", action="store_true")
     curate_full.add_argument("--min-quality", type=float, default=0.5)
     curate_full.add_argument(
+        "--langid-model", default=None,
+        help="saved char-n-gram NB language identifier dir (`langid "
+        "--op train`): OVERWRITES lang-col with predicted languages "
+        "before the mixture sample",
+    )
+    curate_full.add_argument(
         "--classifier-model", default=None,
         help="saved lrquality PipelineModel dir (classify --method lr "
         "training, lr_save): adds the learned keep-vs-drop stage",
@@ -1544,6 +1574,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     classify.add_argument("--id-col", default="doc_id")
     classify.add_argument("--text-col", default="text")
+
+    langid = sub.add_parser(
+        "langid",
+        help="char-n-gram NB language identification: train on a "
+        "labeled corpus / predict per-document languages (feeds "
+        "curate-full --langid-model)",
+    )
+    langid.add_argument(
+        "--op", choices=("train", "predict"), required=True
+    )
+    langid.add_argument("--input", required=True, help="parquet path")
+    langid.add_argument(
+        "--model", required=True,
+        help="model dir: written by --op train, read by --op predict",
+    )
+    langid.add_argument(
+        "--output", default=None,
+        help="predict only: (id, predicted, score) parquet",
+    )
+    langid.add_argument("--label-col", default="lang")
+    langid.add_argument("--id-col", default="doc_id")
+    langid.add_argument("--text-col", default="text")
+    langid.add_argument("--char-n", type=int, default=3)
+    langid.add_argument("--n-features", type=int, default=1 << 18)
+    langid.add_argument("--alpha", type=float, default=1.0)
 
     hotkeys = sub.add_parser(
         "hotkeys",
@@ -1932,6 +1987,7 @@ def main(argv: list[str] | None = None) -> int:
             gopher=args.gopher,
             c4=args.c4,
             min_quality=args.min_quality,
+            langid_model=args.langid_model,
             classifier_model=args.classifier_model,
             classifier_min_p=args.classifier_min_p,
             ppl_lm=args.ppl_lm,
@@ -2053,6 +2109,42 @@ def main(argv: list[str] | None = None) -> int:
             f"classify: trained on {stats['train']} docs, wrote {mode} for "
             f"{stats['scored']} docs, output={args.output}"
         )
+    elif args.cmd == "langid":
+        from utc_cuip_kafka_aws_connector_spark.operators.langid import (
+            langid_load,
+            langid_predict,
+            langid_save,
+            langid_train,
+        )
+
+        if args.op == "train":
+            df = spark.read.parquet(args.input)
+            model = langid_train(
+                df,
+                text_col=args.text_col,
+                label_col=args.label_col,
+                n=args.char_n,
+                n_features=args.n_features,
+                alpha=args.alpha,
+            )
+            langid_save(model, args.model)
+            n_labels = model["priors"].count()
+            print(
+                f"langid: trained char-{args.char_n}-gram NB on "
+                f"{df.count()} docs / {n_labels} languages, "
+                f"model={args.model}"
+            )
+        else:
+            if not args.output:
+                raise SystemExit("langid --op predict needs --output")
+            model = langid_load(spark, args.model)
+            df = spark.read.parquet(args.input)
+            pred = langid_predict(
+                df, model, id_col=args.id_col, text_col=args.text_col
+            )
+            pred.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"langid: predicted {n} docs, output={args.output}")
     elif args.cmd == "hotkeys":
         stats = run_hotkeys(
             spark,

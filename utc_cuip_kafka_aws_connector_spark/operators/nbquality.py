@@ -64,6 +64,7 @@ def nb_train(
     label_col: str = "lang",
     n_features: int = 1 << 18,
     alpha: float = 1.0,
+    featurizer=None,
 ) -> dict:
     """One count-aggregation pass; returns the model as
     ``{"likelihood": DataFrame(label, feature, log_lik),
@@ -73,9 +74,10 @@ def nb_train(
     count=0 (the per-label fallback every unseen feature scores)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    featurizer = featurizer or _features
     feats = df.select(
         F.col(label_col).alias("label"),
-        F.explode(_features(text_col, n_features)).alias("feature"),
+        F.explode(featurizer(text_col, n_features)).alias("feature"),
     )
     counts = feats.groupBy("label", "feature").agg(
         F.count(F.lit(1)).alias("c")
@@ -104,6 +106,11 @@ def nb_train(
         "n_features": n_features,
         "alpha": float(alpha),
         "text_col": text_col,
+        # the one expression train and score must share (hashed-
+        # feature models are meaningless under a different map);
+        # alternative feature spaces (operators/langid.py's char
+        # n-grams) plug in here
+        "featurizer": featurizer,
     }
 
 
@@ -123,9 +130,10 @@ def nb_score(
     corpus row count (ADVICE r8: they used to silently drop empty
     docs)."""
     text_col = text_col or model["text_col"]
+    featurizer = model.get("featurizer") or _features
     toks = df.select(
         F.col(id_col),
-        F.explode(_features(text_col, model["n_features"])).alias("feature"),
+        F.explode(featurizer(text_col, model["n_features"])).alias("feature"),
     )
     pri = model["priors"]
     scored_tokens = (
@@ -214,9 +222,10 @@ def nb_token_logprob(
     logprob_per_token. Length-normalized, so long docs are not
     penalized; empty docs score null."""
     text_col = text_col or model["text_col"]
+    featurizer = model.get("featurizer") or _features
     toks = df.select(
         F.col(id_col),
-        F.explode(_features(text_col, model["n_features"])).alias("feature"),
+        F.explode(featurizer(text_col, model["n_features"])).alias("feature"),
     )
     pri = model["priors"].filter(F.col("label") == label)
     scored = (
