@@ -262,3 +262,23 @@ def test_cli_release_report(spark, tmp_path, capsys):
     assert "docs_added" in out and "docs_removed" in out
     assert "ppl_mean_delta" in out
     assert "drift:n_chars_psi" in out
+
+
+def test_core_block_is_single_scan(spark):
+    """VERDICT r13 #3: the base card block (length/quality/entropy/
+    dup-hash) runs as ONE pass — the aggregate's physical plan scans
+    the parquet input exactly once (count-distinct planned via
+    Expand, not a second scan)."""
+    from tests.plan_utils import formatted_plan
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        _core_aggregate,
+    )
+
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(_core_aggregate(docs, "text"))
+    # count scan NODES (each appears once in the tree and once in the
+    # detail section; the detail header is "(n) Scan parquet")
+    scans = re.findall(r"\n\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan

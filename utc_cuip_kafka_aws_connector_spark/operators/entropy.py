@@ -72,6 +72,38 @@ def zlib_ratio_one(text: str) -> float:
     return len(zlib.compress(raw, 6)) / len(raw)
 
 
+def _entropy_columns(texts) -> dict[str, list]:
+    """Per-text entropy/compressibility columns for one Arrow batch —
+    the shared kernel of entropy_stats and with_entropy_cols."""
+    ce, de, zr, ln = [], [], [], []
+    for text in texts:
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        n = len(codes)
+        ln.append(n)
+        if n == 0:
+            ce.append(0.0); de.append(0.0); zr.append(0.0)
+            continue
+        _, counts = np.unique(codes, return_counts=True)
+        p = counts / n
+        ce.append(float(-(p * np.log2(p)).sum()))
+        if n < 2:
+            de.append(0.0)
+        else:
+            # pair code = a * 2^21 + b (codepoints < 2^21)
+            pair = codes[:-1].astype(np.uint64) << np.uint64(21)
+            pair |= codes[1:].astype(np.uint64)
+            _, pc = np.unique(pair, return_counts=True)
+            q = pc / (n - 1)
+            de.append(float(-(q * np.log2(q)).sum()))
+        zr.append(zlib_ratio_one(text))
+    return {
+        "n_chars": ln,
+        "char_entropy": ce,
+        "digram_entropy": de,
+        "zlib_ratio": zr,
+    }
+
+
 def entropy_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -81,36 +113,8 @@ def entropy_stats(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ce, de, zr, ln = [], [], [], []
-            for text in pdf[text_col].fillna(""):
-                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-                n = len(codes)
-                ln.append(n)
-                if n == 0:
-                    ce.append(0.0); de.append(0.0); zr.append(0.0)
-                    continue
-                _, counts = np.unique(codes, return_counts=True)
-                p = counts / n
-                ce.append(float(-(p * np.log2(p)).sum()))
-                if n < 2:
-                    de.append(0.0)
-                else:
-                    # pair code = a * 2^21 + b (codepoints < 2^21)
-                    pair = codes[:-1].astype(np.uint64) << np.uint64(21)
-                    pair |= codes[1:].astype(np.uint64)
-                    _, pc = np.unique(pair, return_counts=True)
-                    q = pc / (n - 1)
-                    de.append(float(-(q * np.log2(q)).sum()))
-                zr.append(zlib_ratio_one(text))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_chars": ln,
-                    "char_entropy": ce,
-                    "digram_entropy": de,
-                    "zlib_ratio": zr,
-                }
-            )
+            cols = _entropy_columns(pdf[text_col].fillna(""))
+            yield pd.DataFrame({id_col: pdf[id_col], **cols})
 
     return df.select(id_col, text_col).mapInPandas(
         run,
@@ -119,3 +123,33 @@ def entropy_stats(
             "digram_entropy double, zlib_ratio double"
         ),
     )
+
+
+def with_entropy_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-PRESERVING variant of entropy_stats: appends
+    (char_entropy, digram_entropy, zlib_ratio) to whatever frame it
+    is given, same Arrow kernel, no join — so a multi-signal pass
+    (operators/report.py's single-scan data-card core) can stack the
+    entropy leg onto an already-projected frame instead of paying a
+    second corpus scan plus a shuffle to reunite the columns."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("char_entropy", DoubleType()),
+            StructField("digram_entropy", DoubleType()),
+            StructField("zlib_ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = _entropy_columns(pdf[text_col].fillna(""))
+            out = pdf.copy()
+            out["char_entropy"] = cols["char_entropy"]
+            out["digram_entropy"] = cols["digram_entropy"]
+            out["zlib_ratio"] = cols["zlib_ratio"]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
