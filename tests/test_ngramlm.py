@@ -1010,3 +1010,96 @@ def test_sb_match_profile_matches_pure_python(spark):
     assert got[1].n_unigram_hits > 0
     assert got[2].n_oov > 0
     kn_unpersist(model)
+
+
+def test_count_only_save_load_merge(spark, tmp_path):
+    """Count-only (sb_train) model lifecycle: save/load round-trips
+    the raw tables (sb_score identical), kn_merge of per-batch
+    count-only models == one whole-corpus sb_train (additivity IS the
+    model), mixing with a full KN model is refused, and kn_prune
+    refuses loudly."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_merge,
+        kn_prune,
+        kn_train,
+        kn_unpersist,
+        load_kn_lm,
+        sb_score,
+        sb_train,
+        save_kn_lm,
+    )
+
+    a = ["the cat sat on the mat", "the cat ate"]
+    b = ["a dog sat", "the mat sat"]
+    docs_a = spark.createDataFrame([(t,) for t in a], "text string")
+    docs_b = spark.createDataFrame([(t,) for t in b], "text string")
+    docs_all = spark.createDataFrame([(t,) for t in a + b], "text string")
+    score_me = spark.createDataFrame(
+        list(enumerate(a + b + ["zzz the cat"])), "doc_id long, text string"
+    )
+
+    m_all = sb_train(docs_all, order=3)
+    path = str(tmp_path / "sb_all")
+    save_kn_lm(m_all, path)
+    reloaded = load_kn_lm(spark, path)
+    assert "probs" not in reloaded and reloaded["order"] == 3
+    want = {r.doc_id: r.log10_score for r in sb_score(score_me, m_all).collect()}
+    got = {r.doc_id: r.log10_score for r in sb_score(score_me, reloaded).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+    # merge of per-batch count-only models == whole-corpus train
+    merged = kn_merge([sb_train(docs_a, order=3), sb_train(docs_b, order=3)])
+    got_m = {r.doc_id: r.log10_score for r in sb_score(score_me, merged).collect()}
+    for i in want:
+        assert got_m[i] == pytest.approx(want[i], abs=1e-12)
+
+    kn_model = kn_train(docs_all, order=3)
+    with pytest.raises(ValueError, match="cannot mix"):
+        kn_merge([sb_train(docs_a, order=3), kn_model])
+    with pytest.raises(ValueError, match="count-only"):
+        kn_prune(reloaded, min_top_count=2)
+    kn_unpersist(kn_model)
+    kn_unpersist(m_all)
+
+
+def test_cli_lm_count_only_lifecycle(spark, tmp_path, capsys):
+    """lm --op train --model-type count-only -> score --scorer
+    stupid-backoff works end-to-end; scoring it with the KN scorer
+    refuses loudly; merge of count-only saves prints count-only."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat ate", "a dog sat"] * 3
+        )],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    model = str(tmp_path / "sb_lm")
+    assert cli.main(
+        ["lm", "--op", "train", "--input", corpus, "--model", model,
+         "--order", "2", "--model-type", "count-only"]
+    ) == 0
+    assert "count-only order-2" in capsys.readouterr().out
+    out = str(tmp_path / "scored")
+    assert cli.main(
+        ["lm", "--op", "score", "--input", corpus, "--model", model,
+         "--output", out, "--scorer", "stupid-backoff"]
+    ) == 0
+    capsys.readouterr()
+    scored = spark.read.parquet(out)
+    assert scored.count() == 9
+    assert {"doc_id", "n_tokens", "log10_score", "sbs"} <= set(scored.columns)
+    with pytest.raises(ValueError, match="count-only"):
+        cli.main(
+            ["lm", "--op", "score", "--input", corpus, "--model", model,
+             "--output", str(tmp_path / "x"), "--scorer", "kn"]
+        )
+    merged = str(tmp_path / "sb_merged")
+    assert cli.main(
+        ["lm", "--op", "merge", "--input", f"{model},{model}",
+         "--model", merged]
+    ) == 0
+    assert "count-only" in capsys.readouterr().out

@@ -1762,6 +1762,13 @@ def main(argv: list[str] | None = None) -> int:
         "buckets (CCNet's head/middle/tail = 3; 0 = off)",
     )
     lm.add_argument(
+        "--model-type", choices=("kn", "count-only"), default="kn",
+        help="train: full Kneser-Ney model, or Brants count-only "
+        "tables (sb_train — no discounting/vocab pass; scoreable "
+        "with --scorer stupid-backoff only, mergeable, far cheaper "
+        "at web scale)",
+    )
+    lm.add_argument(
         "--scorer", choices=("kn", "stupid-backoff"), default="kn",
         help="score: interpolated Kneser-Ney perplexity (normalized, "
         "the CCNet signal) or Stupid Backoff (Brants 2007 — raw "
@@ -2428,25 +2435,45 @@ def main(argv: list[str] | None = None) -> int:
             parts = [p.strip() for p in args.input.split(",") if p.strip()]
             merged = kn_merge([load_kn_lm(spark, p) for p in parts])
             save_kn_lm(merged, args.model)
+            kind = (
+                f"vocab {merged['v_size']}"
+                if "v_size" in merged
+                else "count-only"
+            )
             print(
                 f"merged {len(parts)} LMs (order {merged['order']}, "
-                f"vocab {merged['v_size']}) into {args.model}"
+                f"{kind}) into {args.model}"
             )
             return 0
         df = spark.read.parquet(args.input)
         if args.op == "train":
-            model = kn_train(
-                df,
-                text_col=args.text_col,
-                order=args.order,
-                discount=args.discount,
-                min_count=args.min_count,
-            )
-            save_kn_lm(model, args.model)
-            print(
-                f"trained KN order-{args.order} LM: vocab {model['v_size']}, "
-                f"discount {args.discount}, model={args.model}"
-            )
+            if args.model_type == "count-only":
+                from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+                    sb_train,
+                )
+
+                model = sb_train(
+                    df, text_col=args.text_col, order=args.order
+                )
+                save_kn_lm(model, args.model)
+                n_grams = model["raw"][args.order].count()
+                print(
+                    f"trained count-only order-{args.order} tables: "
+                    f"{n_grams} top-order grams, model={args.model}"
+                )
+            else:
+                model = kn_train(
+                    df,
+                    text_col=args.text_col,
+                    order=args.order,
+                    discount=args.discount,
+                    min_count=args.min_count,
+                )
+                save_kn_lm(model, args.model)
+                print(
+                    f"trained KN order-{args.order} LM: vocab {model['v_size']}, "
+                    f"discount {args.discount}, model={args.model}"
+                )
         else:  # score
             if not args.output:
                 parser.error("lm --op score requires --output")

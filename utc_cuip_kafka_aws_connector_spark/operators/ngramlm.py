@@ -432,6 +432,40 @@ def kn_merge(models: list[dict]) -> dict:
     if not models:
         raise ValueError("kn_merge needs at least one model")
     order = models[0]["order"]
+    count_only = ["probs" not in m for m in models]
+    if any(count_only):
+        # count-only (sb_train) models: additivity is the WHOLE model
+        # — merge is just the raw-table union, no derived tables to
+        # rebuild. Mixing with full KN models is refused (the KN side
+        # would silently lose its discounted tables).
+        if not all(count_only):
+            raise ValueError(
+                "kn_merge cannot mix count-only (sb_train) models "
+                "with full KN models"
+            )
+        for m in models:
+            if m["order"] != order:
+                raise ValueError(
+                    "kn_merge needs identical order; got "
+                    f"{m['order']} vs {order}"
+                )
+            if "raw" not in m:
+                raise ValueError(
+                    "model carries no raw count tables (probs-only "
+                    "save)"
+                )
+        if len(models) == 1:
+            return models[0]
+        raw = {
+            k: reduce(
+                lambda a, b: a.unionByName(b), (m["raw"][k] for m in models)
+            )
+            .groupBy("gram")
+            .agg(F.sum("a").alias("a"))
+            .persist()
+            for k in range(2, order + 1)
+        }
+        return {"order": order, "raw": raw}
     discount = models[0]["discount"]
     for m in models:
         if m["order"] != order or m["discount"] != discount:
@@ -906,6 +940,15 @@ def save_kn_lm(model: dict, path: str) -> None:
     import os
 
     os.makedirs(path, exist_ok=True)
+    if "probs" not in model:
+        # count-only (sb_train) model: the raw tables ARE the model
+        for k, t in model["raw"].items():
+            t.write.mode("overwrite").parquet(
+                os.path.join(path, f"raw_{k}")
+            )
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump({"order": model["order"], "count_only": True}, fh)
+        return
     model["vocab"].write.mode("overwrite").parquet(
         os.path.join(path, "vocab")
     )
@@ -937,6 +980,14 @@ def load_kn_lm(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     order = int(meta["order"])
+    if meta.get("count_only"):
+        return {
+            "order": order,
+            "raw": {
+                k: spark.read.parquet(os.path.join(path, f"raw_{k}"))
+                for k in range(2, order + 1)
+            },
+        }
     disc = meta["discount"]
     model = {
         "order": order,
@@ -1046,6 +1097,12 @@ def kn_prune(model: dict, min_top_count: int) -> dict:
         raise ValueError(
             "model carries no raw count tables (loaded from a "
             "probs-only save) — retrain or reload a full save"
+        )
+    if "probs" not in model:
+        raise ValueError(
+            "count-only (sb_train) model: there are no discounted "
+            "tables to re-derive — filter its raw tables directly "
+            "(e.g. raw[k].where(a >= n))"
         )
     if min_top_count == 1:
         return model
