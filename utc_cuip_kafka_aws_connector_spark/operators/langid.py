@@ -55,8 +55,16 @@ def char_ngram_features(
     [0, n_features): lowercase, whitespace runs collapsed to one
     space, one leading/trailing space so word boundaries contribute
     boundary-grams (the Cavnar-Trenkle padding). Null text maps to
-    no features. One JVM transform over start offsets — the
-    ngramlm._grams shape at character granularity."""
+    no features.
+
+    Shape note (measured, r14): grams come from ``arrays_zip`` of n
+    shifted slices of the char array, NOT from a ``transform`` whose
+    lambda indexes back into the normalized string — higher-order
+    lambdas re-evaluate every captured subexpression PER ELEMENT
+    (no CSE), so the regex-normalize chain would run once per char
+    position (~10-20x slower at real document lengths). The zip
+    evaluates the char array n times per ROW and the lambda touches
+    only its own element."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -65,10 +73,12 @@ def char_ngram_features(
         F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")),
         F.lit(" "),
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    chars = F.split(norm, "")
+    width = F.greatest(F.size(chars) - F.lit(n - 1), F.lit(0))
+    shifted = F.arrays_zip(*[F.slice(chars, k, width) for k in range(1, n + 1)])
+    grams = F.transform(
+        shifted, lambda s: F.concat(*[s[str(k)] for k in range(n)])
     )
-    grams = F.transform(starts, lambda i: F.substring(norm, i, n))
     # empty text normalizes to "  " (two pad spaces): all-blank grams
     # carry no language signal and would otherwise dominate priors
     grams = F.filter(grams, lambda g: F.trim(g) != F.lit(""))

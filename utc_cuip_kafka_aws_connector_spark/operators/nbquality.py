@@ -119,6 +119,7 @@ def nb_score(
     model: dict,
     id_col: str = "doc_id",
     text_col: str | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document (id, label, score) log-joint table — every doc
     scored under every label (labels broadcast-small), unseen
@@ -131,6 +132,13 @@ def nb_score(
     docs)."""
     text_col = text_col or model["text_col"]
     featurizer = model.get("featurizer") or _features
+    # the likelihood table is (labels x occupied feature buckets) —
+    # MBs at the default 2^18 buckets — while the probe side is the
+    # exploded corpus; broadcasting it removes the corpus-sized
+    # exchange entirely (the sb_score/kn_score knob, r14: measured
+    # 6x on the lang-id shape). broadcast_model=False restores the
+    # shuffle join for models too large to replicate.
+    hint = F.broadcast if broadcast_model else (lambda d: d)
     toks = df.select(
         F.col(id_col),
         F.explode(featurizer(text_col, model["n_features"])).alias("feature"),
@@ -138,7 +146,7 @@ def nb_score(
     pri = model["priors"]
     scored_tokens = (
         toks.crossJoin(F.broadcast(pri.select("label", "log_unseen")))
-        .join(model["likelihood"], ["label", "feature"], "left")
+        .join(hint(model["likelihood"]), ["label", "feature"], "left")
         .select(
             id_col,
             "label",
@@ -165,13 +173,14 @@ def nb_predict(
     model: dict,
     id_col: str = "doc_id",
     text_col: str | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, predicted label, score): argmax over ``nb_score`` with a
     deterministic tie-break on label (max_by is order-unstable under
     exact float ties; sorting (score desc, label asc) is not)."""
     from pyspark.sql.window import Window as W
 
-    scores = nb_score(df, model, id_col, text_col)
+    scores = nb_score(df, model, id_col, text_col, broadcast_model)
     top = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
     return (
         scores.withColumn("_rn", F.row_number().over(top))
@@ -186,12 +195,13 @@ def nb_log_odds(
     keep_label: str,
     id_col: str = "doc_id",
     text_col: str | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Binary quality filtering (id, log_odds): log-joint of
     ``keep_label`` minus the best other label; threshold at 0.0 for
     argmax-keep, higher for precision. The GPT-3/CCNet-style corpus
     filter shape."""
-    scores = nb_score(df, model, id_col, text_col)
+    scores = nb_score(df, model, id_col, text_col, broadcast_model)
     keep = scores.filter(F.col("label") == keep_label).select(
         id_col, F.col("score").alias("_keep")
     )
@@ -211,6 +221,7 @@ def nb_token_logprob(
     label: str,
     id_col: str = "doc_id",
     text_col: str | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, logprob_per_token): each document's mean token
     log-likelihood under ONE label's unigram model — the
@@ -227,10 +238,11 @@ def nb_token_logprob(
         F.col(id_col),
         F.explode(featurizer(text_col, model["n_features"])).alias("feature"),
     )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
     pri = model["priors"].filter(F.col("label") == label)
     scored = (
         toks.crossJoin(F.broadcast(pri.select("label", "log_unseen")))
-        .join(model["likelihood"], ["label", "feature"], "left")
+        .join(hint(model["likelihood"]), ["label", "feature"], "left")
         .select(
             id_col,
             F.coalesce(F.col("log_lik"), F.col("log_unseen")).alias("ll"),

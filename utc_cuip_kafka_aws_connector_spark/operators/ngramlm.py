@@ -112,10 +112,17 @@ def _padded(tokens: Column, order: int) -> Column:
 
 def _grams(padded: Column, k: int) -> Column:
     """All k-grams of the padded sequence as space-joined strings —
-    one JVM transform over start offsets, no explode yet."""
-    starts = F.sequence(F.lit(1), F.size(padded) - F.lit(k - 1))
+    arrays_zip of k shifted slices, no explode yet. NOT a transform
+    whose lambda slices back into ``padded``: higher-order lambdas
+    re-evaluate captured subexpressions per element (no CSE), so the
+    whole tokenize/escape/pad chain would run once per gram POSITION
+    instead of k times per row (measured ~10x on real documents —
+    the langid r14 finding, applied here the same round)."""
+    width = F.greatest(F.size(padded) - F.lit(k - 1), F.lit(0))
+    shifted = F.arrays_zip(*[F.slice(padded, j, width) for j in range(1, k + 1)])
     return F.transform(
-        starts, lambda i: F.array_join(F.slice(padded, i, k), " ")
+        shifted,
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]),
     )
 
 
