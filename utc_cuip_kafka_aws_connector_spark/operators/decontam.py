@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    sliding_grams,
+)
+
 
 def word_ngrams(text_col: str, n: int) -> Column:
     """Distinct word n-grams of lower(text), split on single spaces
@@ -28,14 +32,10 @@ def word_ngrams(text_col: str, n: int) -> Column:
     mirror (string_split + list_filter). Scan-local Catalyst
     expressions only."""
     ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit(""))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), n)),
-    )
-    # sequence(0, negative) would count DOWN; guard short docs to [].
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # arrayops.sliding_grams: short docs yield [] natively, and the
+    # zip shape avoids re-splitting the text once per gram position
+    # (r14 re-evaluation note in operators/arrayops.py)
+    return F.array_distinct(sliding_grams(ws, n, " "))
 
 
 def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int, n_parts: int | None) -> DataFrame:

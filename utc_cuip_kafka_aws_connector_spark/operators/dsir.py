@@ -46,6 +46,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    sliding_grams,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.text import words
 
 
@@ -55,20 +58,11 @@ def _ngram_buckets(text_col: str, n_buckets: int, n_max: int) -> Column:
     toks = F.filter(words(text_col), lambda w: w != F.lit(""))
     grams = []
     for n in range(1, n_max + 1):
-        if n == 1:
-            g = toks
-        else:
-            # guard: sequence(1, x) DESCENDS when x < 1, so a doc
-            # shorter than n tokens must yield [] explicitly
-            # (slice(toks, 1, 0) is a typed empty array<string>)
-            g = F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                ),
-            ).otherwise(F.slice(toks, 1, 0))
-        grams.append(g)
+        # arrayops.sliding_grams: n == 1 is the identity, short docs
+        # yield [] — and the zip shape avoids re-running the
+        # tokenize chain once per gram position (r14 re-evaluation
+        # note in operators/arrayops.py)
+        grams.append(sliding_grams(toks, n, " "))
     allg = F.concat(*grams) if len(grams) > 1 else grams[0]
     return F.transform(
         allg, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))

@@ -42,6 +42,9 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    sliding_grams,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
     nb_predict,
     nb_train,
@@ -57,14 +60,12 @@ def char_ngram_features(
     boundary-grams (the Cavnar-Trenkle padding). Null text maps to
     no features.
 
-    Shape note (measured, r14): grams come from ``arrays_zip`` of n
-    shifted slices of the char array, NOT from a ``transform`` whose
-    lambda indexes back into the normalized string — higher-order
-    lambdas re-evaluate every captured subexpression PER ELEMENT
-    (no CSE), so the regex-normalize chain would run once per char
-    position (~10-20x slower at real document lengths). The zip
-    evaluates the char array n times per ROW and the lambda touches
-    only its own element."""
+    Shape note (measured, r14): grams come from
+    ``arrayops.sliding_grams`` — arrays_zip of n shifted slices —
+    NOT from a ``transform`` whose lambda indexes back into the
+    normalized string; see that module's re-evaluation note (this
+    call site is where the 74 s -> 7.5 s sf0.1 measurement was
+    taken)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -74,11 +75,7 @@ def char_ngram_features(
         F.lit(" "),
     )
     chars = F.split(norm, "")
-    width = F.greatest(F.size(chars) - F.lit(n - 1), F.lit(0))
-    shifted = F.arrays_zip(*[F.slice(chars, k, width) for k in range(1, n + 1)])
-    grams = F.transform(
-        shifted, lambda s: F.concat(*[s[str(k)] for k in range(n)])
-    )
+    grams = sliding_grams(chars, n, sep="")
     # empty text normalizes to "  " (two pad spaces): all-blank grams
     # carry no language signal and would otherwise dominate priors
     grams = F.filter(grams, lambda g: F.trim(g) != F.lit(""))

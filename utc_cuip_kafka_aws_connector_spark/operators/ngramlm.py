@@ -68,6 +68,9 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    sliding_grams,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.text import words
 
 BOS = "<s>"
@@ -112,18 +115,12 @@ def _padded(tokens: Column, order: int) -> Column:
 
 def _grams(padded: Column, k: int) -> Column:
     """All k-grams of the padded sequence as space-joined strings —
-    arrays_zip of k shifted slices, no explode yet. NOT a transform
-    whose lambda slices back into ``padded``: higher-order lambdas
-    re-evaluate captured subexpressions per element (no CSE), so the
-    whole tokenize/escape/pad chain would run once per gram POSITION
-    instead of k times per row (measured ~10x on real documents —
-    the langid r14 finding, applied here the same round)."""
-    width = F.greatest(F.size(padded) - F.lit(k - 1), F.lit(0))
-    shifted = F.arrays_zip(*[F.slice(padded, j, width) for j in range(1, k + 1)])
-    return F.transform(
-        shifted,
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]),
-    )
+    operators/arrayops.sliding_grams (the zip-of-shifted-slices shape
+    that avoids re-running the tokenize/escape/pad chain once per
+    gram position; see that module's re-evaluation note), no explode
+    yet. Padded sequences always have >= k elements ((k-1) BOS pads +
+    EOS), so the short-array [] convention is never hit."""
+    return sliding_grams(padded, k, " ")
 
 
 def _map_to_vocab(

@@ -53,6 +53,10 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    sliding_grams,
+)
+
 
 def tokenize_distinct(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -77,10 +81,13 @@ def shingle_sets(
     shingle), so thresholds are comparable across the near-dup
     family."""
     w = F.split(F.lower(F.col(text_col)), " ")
+    # short docs collapse to ONE truncated shingle (the whole doc),
+    # the dedup-family convention; sliding_grams alone would give [].
+    # The zip shape avoids re-splitting the text once per window
+    # position (operators/arrayops re-evaluation note, r14).
     sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        F.when(F.size(w) >= n, sliding_grams(w, n, " ")).otherwise(
+            F.array(F.array_join(w, " "))
         )
     )
     return df.select(F.col(id_col).alias("id"), sh.alias("toks"))
