@@ -4648,7 +4648,13 @@ _GATE_PRIORITY = [
     # (their dependents will be r14-attested and resting). The
     # dedup.py rolling-hash errstate wrap (VERDICT r13 What's-wrong
     # #4) is OWED at r15 — it was illegal at r14 because
-    # q40/q46/q47/q51/q80/q81/q99 rested on r13 rows.
+    # q40/q46/q47/q51/q80/q81/q99 rested on r13 rows. ALSO owed at
+    # r15 while chunking.py is editable: chunking.py:68's transform
+    # lambda slices the captured tokenize chain, re-running it once
+    # per chunk position — swap in arrayops-style shifted slices
+    # (the r14 re-evaluation fix, applied to
+    # ngramlm/langid/setjoin/dsir/decontam already; measured 10-20x
+    # on gram builders).
     #
     # --- the 49 expiring r12-resters ---
     "q01_pricing_summary",
