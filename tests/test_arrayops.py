@@ -60,3 +60,26 @@ def test_sliding_grams_matches_python_windows(spark):
                 " ".join(arr[j : j + n]) for j in range(len(arr) - n + 1)
             ]
             assert got[i] == want, (i, arr, n)
+
+
+def test_null_array_propagates_and_callers_coalesce(spark):
+    """sliding_grams propagates a NULL array (contract); the word
+    n-gram callers coalesce null text to their pre-r14 conventions
+    (review r14): decontam -> [], setjoin shingles -> [""]."""
+    from utc_cuip_kafka_aws_connector_spark.operators.decontam import (
+        word_ngrams,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.setjoin import (
+        shingle_sets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string"
+    )
+    dec = {r.doc_id: r.g for r in df.select(
+        "doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert dec[1] == []
+    assert dec[2] == ["a b c", "b c d"]
+    sh = {r.id: r.toks for r in shingle_sets(df, n=3).collect()}
+    assert sh[1] == [""]
+    assert sh[2] == ["a b c", "b c d"]

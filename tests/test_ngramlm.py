@@ -918,6 +918,17 @@ def test_sb_ctx1_collapses_multi_bos_padding(spark):
     # unreachable: a predicted event's second token is never BOS
     assert s2["<s> <s>"] == pytest.approx(1.0, abs=0)
     kn_unpersist(model)
+    # the generalized collapse (review r14: the fix must hold at
+    # EVERY level, not just bigrams): at order 4 the trigram context
+    # '<s> <s>' must also count once per document (raw[2] holds it
+    # twice per doc under 3-BOS padding)
+    model4 = kn_train(docs, order=4)
+    tables4, _n4 = stupid_backoff_tables(model4)
+    s3 = {r.gram: r.s for r in tables4[3].collect()}
+    # c('<s> <s> the') = 2, c('<s> <s>') = 3 docs (NOT 6)
+    assert s3["<s> <s> the"] == pytest.approx(2.0 / 3.0, abs=0)
+    assert s3["<s> <s> a"] == pytest.approx(1.0 / 3.0, abs=0)
+    kn_unpersist(model4)
 
 
 def test_sb_train_count_only_model(spark):

@@ -282,3 +282,17 @@ def test_core_block_is_single_scan(spark):
     # detail section; the detail header is "(n) Scan parquet")
     scans = re.findall(r"\n\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
+
+
+def test_null_text_counts_as_one_distinct_group(spark):
+    """Review r14: count_distinct skips NULL where the pre-refactor
+    distinct().count() counted the null-text group — the card metric
+    must not move. 10 rows: 3 null, 7 distinct -> 8 distinct groups
+    -> dup ratio 0.2."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(3)]
+        + [(10 + i, f"unique text number {i}") for i in range(7)],
+        "doc_id long, text string",
+    )
+    card = {r.metric: r.value for r in corpus_report(df).collect()}
+    assert card["exact_dup_ratio"] == pytest.approx(0.2)

@@ -386,11 +386,21 @@ def run_stream_curate(
         compacted skips straight to the (idempotent) deletes."""
         fs, _, jvm = _fs_and_path(spark, compact_root)
         snap = f"{compact_root}/upto={int(upto)}"
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snap}/_SUCCESS")):
+        marker = jvm.org.apache.hadoop.fs.Path(f"{snap}/_SUCCESS")
+        if not fs.exists(marker):
             prior = _prior_state(state_root, compact_root, int(upto))
             if prior is None:
                 return
             prior.distinct().write.mode("overwrite").parquet(snap)
+            if not fs.exists(marker):
+                # committers configured with marksuccessfuljobs=false
+                # (common on object stores) write no _SUCCESS; the
+                # deletes below are only safe once the marker exists,
+                # so write it ourselves — immediately after a
+                # complete overwrite in THIS invocation, never over a
+                # torn dir from an earlier crash (the overwrite above
+                # just rewrote it in full)
+                fs.create(marker, True).close()
         for k, p in _numbered_children(state_root, "batch_id="):
             if k < upto:
                 fs.delete(p, True)
@@ -498,13 +508,18 @@ def run_stream_curate(
                 id_col,
                 "left_semi",
             ).persist()
-            hashed.unpersist()
-            hashed = survivors
+            # the band write is survivors' first action: it fills the
+            # survivors cache THROUGH the still-cached pre-suppression
+            # frame; only then is that frame safe to drop (unpersist
+            # any earlier and this write recomputes the whole batch
+            # pipeline from the source)
             build_lsh_index(
-                hashed, id_col=id_col, text_col=text_col
+                survivors, id_col=id_col, text_col=text_col
             ).write.mode("overwrite").parquet(
                 f"{bands_dir}/batch_id={int(epoch_id)}"
             )
+            hashed.unpersist()
+            hashed = survivors
         # epoch-keyed overwrite everywhere below = idempotent replay
         hashed.select("content_hash").distinct().write.mode(
             "overwrite"
@@ -657,29 +672,6 @@ def run_curate_full(
     df = spark.read.parquet(input_path)
     n_read = df.count()
     stages: list[tuple[str, int]] = [("read", n_read)]
-    if langid_model:
-        # model-based language ID (operators/langid.py, r14): the
-        # char-n-gram NB identifier OVERWRITES lang_col, so the
-        # mixture sample downstream stratifies on predicted language
-        # instead of trusting (possibly absent/mislabeled) metadata.
-        # Row-preserving: every doc gets a prediction.
-        from utc_cuip_kafka_aws_connector_spark.operators.langid import (
-            langid_load,
-            langid_predict,
-        )
-
-        lid = langid_load(spark, langid_model)
-        pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
-        df = (
-            df.drop(lang_col)
-            .join(
-                pred.select(
-                    id_col, F.col("predicted").alias(lang_col)
-                ),
-                id_col,
-            )
-        )
-        stages.append(("langid", df.count()))
     # frames that must stay cached through the funnel (stage counts
     # replay them) and are released right after the final write
     release_after_write: list[DataFrame] = []
@@ -918,6 +910,34 @@ def run_curate_full(
                 vec_col=embedding_col,
             ),
         )
+    if langid_model:
+        # model-based language ID (operators/langid.py, r14): the
+        # char-n-gram NB identifier OVERWRITES lang_col, so the
+        # mixture sample stratifies on predicted language instead of
+        # trusting (possibly absent/mislabeled) metadata. Placed
+        # immediately before its only consumer — scoring the raw pool
+        # up front would NB-score docs the filters are about to drop
+        # (review r14) — and persisted: the relabel join is replayed
+        # by every later stage count and the final write.
+        from utc_cuip_kafka_aws_connector_spark.operators.langid import (
+            langid_load,
+            langid_predict,
+        )
+
+        lid = langid_load(spark, langid_model)
+        pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
+        df = (
+            df.drop(lang_col)
+            .join(
+                pred.select(
+                    id_col, F.col("predicted").alias(lang_col)
+                ),
+                id_col,
+            )
+            .persist()
+        )
+        release_after_write.append(df)
+        stages.append(("langid", df.count()))
     rates = {}
     for part in keep_rates.split(","):
         k, _, v = part.partition("=")

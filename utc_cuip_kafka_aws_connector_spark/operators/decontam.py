@@ -31,7 +31,14 @@ def word_ngrams(text_col: str, n: int) -> Column:
     with empties dropped -- the exact tokenization the DuckDB oracles
     mirror (string_split + list_filter). Scan-local Catalyst
     expressions only."""
-    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit(""))
+    # coalesce BEFORE split: the pre-r14 when/otherwise guard turned
+    # null text into [] as a side effect (null condition -> otherwise
+    # branch); sliding_grams propagates null, so make the null->empty
+    # contract explicit (review r14)
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != F.lit(""),
+    )
     # arrayops.sliding_grams: short docs yield [] natively, and the
     # zip shape avoids re-splitting the text once per gram position
     # (r14 re-evaluation note in operators/arrayops.py)

@@ -113,11 +113,20 @@ def langid_predict(
     model: dict,
     id_col: str = "doc_id",
     text_col: str | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, predicted, score): argmax language per document, the
     deterministic tie-break inherited from nb_predict. Every input
-    id appears (empty docs score prior-only)."""
-    return nb_predict(df, model, id_col=id_col, text_col=text_col)
+    id appears (empty docs score prior-only). ``broadcast_model``
+    passes through to the nb scorers: at a handful of languages the
+    likelihood table is MBs and broadcasting removes the
+    corpus-sized exchange, but a fastText-scale model (176 languages
+    x 2^18 buckets, ~40M rows) must set False or the forced
+    broadcast OOMs — the same crossover as kn_score's knob."""
+    return nb_predict(
+        df, model, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    )
 
 
 def langid_save(model: dict, path: str) -> None:

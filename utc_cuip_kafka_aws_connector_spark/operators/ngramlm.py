@@ -705,13 +705,13 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     like the KN pipeline derives its unigram level — with one BOS
     pad per order every non-BOS token occurrence has a predecessor,
     so ``c(w) = sum_x c(x w)`` including the EOS event; BOS is
-    context-only and excluded. Context counts come from raw[k-1]
-    (the gram IS its own context table one order down); the order-1
-    context for bigrams is PREFIX-derived from raw[2] with the
-    multi-BOS padding rows collapsed, so ``c(<s>)`` equals the
-    document count exactly as Brants' per-order padding would give
-    it (the r14 fix for the ADVICE r13 finding: document-initial
-    bigram backoff scores are now comparable across model orders).
+    context-only and excluded. Context counts at EVERY level are
+    PREFIX-derived from raw[k] with the multi-BOS padding runs
+    collapsed (suffix != BOS), so every all-BOS context counts once
+    per document exactly as Brants' per-order padding would give it
+    — document-initial backoff scores are comparable across model
+    orders at every level (the ADVICE r13 finding, generalized from
+    the bigram level to all levels at r14).
 
     Memoized on the model dict (``model["_sb"]``) so scoring many
     corpora against one model derives the tables once; the persisted
@@ -735,30 +735,32 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     tables: dict[int, DataFrame] = {
         1: uni.select("gram", (F.col("a") / F.lit(n_total)).alias("s"))
     }
-    # context counts: raw[k-1] for k >= 3. The order-1 context table
-    # is PREFIX-derived (c(x) = sum over bigrams starting with x):
-    # unlike the suffix-derived predicted-event table it contains BOS
-    # (as many context occurrences as documents) and omits EOS (never
-    # a context) — exactly the occurrences-followed-by-something
-    # count a context denominator means. The suffix != BOS filter
-    # collapses the multi-BOS padding rows ("<s> <s>" grams exist in
-    # raw[2] whenever order > 2): without it c(<s>) is inflated by a
-    # factor of (order-1), deflating document-initial bigram backoff
-    # scores vs Brants' per-order-padding formulation (the ADVICE r13
-    # finding, fixed r14). For every non-BOS context the filter is
-    # vacuous — BOS never follows a non-BOS token — and at order == 2
-    # no "<s> <s>" gram exists at all, so order-2 tables are
-    # unchanged.
-    ctx1 = (
-        model["raw"][2]
-        .where(F.substring_index(F.col("gram"), " ", -1) != BOS)
-        .select(F.substring_index(F.col("gram"), " ", 1).alias("gram"), "a")
-        .groupBy("gram")
-        .agg(F.sum("a").alias("a"))
-    )
-    ctx_counts = {2: ctx1}
-    for k in range(3, order + 1):
-        ctx_counts[k] = model["raw"][k - 1]
+    # Context counts for EVERY level are PREFIX-derived from raw[k]
+    # with the suffix != BOS rows dropped — exactly the
+    # occurrences-followed-by-something count a Brants per-order-
+    # padding denominator means. The filter collapses the multi-BOS
+    # padding runs: raw[k-1] would count the all-BOS context
+    # '<s>'*(k-1) once per pad position, i.e. (order-k+1) times per
+    # document instead of once (the ADVICE r13 finding, fixed at the
+    # bigram level r14 and generalized to every level the same round
+    # after review caught the order>=4 case). For every context
+    # containing a non-BOS token the filter is vacuous (BOS never
+    # follows a non-BOS token) and the prefix sum equals the raw[k-1]
+    # count (any (k-1)-gram not ending in EOS is always followed by
+    # something; EOS-final grams are never queried as contexts), so
+    # only the pure-padding rows change.
+    ctx_counts = {}
+    for k in range(2, order + 1):
+        ctx_counts[k] = (
+            model["raw"][k]
+            .where(F.substring_index(F.col("gram"), " ", -1) != BOS)
+            .select(
+                F.substring_index(F.col("gram"), " ", k - 1).alias("gram"),
+                "a",
+            )
+            .groupBy("gram")
+            .agg(F.sum("a").alias("a"))
+        )
     for k in range(2, order + 1):
         tables[k] = (
             model["raw"][k]

@@ -77,7 +77,14 @@ def _core_aggregate(df: DataFrame, text_col: str) -> DataFrame:
         F.avg("quality").alias("quality_mean"),
         F.avg("char_entropy").alias("char_entropy_mean"),
         F.avg("zlib_ratio").alias("zlib_ratio_mean"),
-        F.count_distinct(F.col("h")).alias("distinct_hashes"),
+        # count_distinct skips NULL; the pre-r14 distinct().count()
+        # counted the null-text group as one distinct value, so add
+        # it back explicitly — a refactor must not move a published
+        # card metric (review r14)
+        (
+            F.count_distinct(F.col("h"))
+            + F.max(F.col("h").isNull().cast("long"))
+        ).alias("distinct_hashes"),
     )
 
 

@@ -80,7 +80,9 @@ def shingle_sets(
     lowercase word windows; short docs collapse to one truncated
     shingle), so thresholds are comparable across the near-dup
     family."""
-    w = F.split(F.lower(F.col(text_col)), " ")
+    # coalesce keeps the pre-r14 null-text result ([""], one empty
+    # truncated shingle) now that the window builder propagates null
+    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
     # short docs collapse to ONE truncated shingle (the whole doc),
     # the dedup-family convention; sliding_grams alone would give [].
     # The zip shape avoids re-splitting the text once per window
