@@ -289,3 +289,66 @@ def test_cli_langid_lifecycle_and_curate_full(spark, tmp_path, capsys):
         r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
     }
     assert ids == set(range(20)), sorted(ids)
+
+
+def test_stream_curate_langid_relabel(spark, tmp_path, capsys):
+    """stream-curate --langid-model (r14): per-micro-batch relabel —
+    the written data and the hot-key monitor carry PREDICTED
+    languages even when every incoming row's metadata claims 'en';
+    replay writes nothing."""
+    import glob
+    import json
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rows = [
+        (i * 100 + j, t, lang)
+        for i, (lang, texts) in enumerate(sorted(SENTENCES.items()))
+        for j, t in enumerate(texts)
+    ]
+    labeled_path = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(labeled_path)
+    model_dir = str(tmp_path / "lid")
+    assert cli.main(
+        ["langid", "--op", "train", "--input", labeled_path,
+         "--model", model_dir, "--n-features", str(1 << 14)]
+    ) == 0
+    capsys.readouterr()
+
+    incoming = tmp_path / "inc"
+    incoming.mkdir()
+    # held-out sentences, ALL claiming lang=en; quality gate off
+    (incoming / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "lang": "en"})
+            for i, (lang, t) in enumerate(sorted(HELD_OUT.items()))
+        )
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    args = [
+        "stream-curate", "--input", str(incoming), "--output", out,
+        "--checkpoint", ck, "--min-quality", "0.0",
+        "--langid-model", model_dir, "--hot-key-col", "lang",
+    ]
+    assert cli.main(args) == 0
+    capsys.readouterr()
+    got = {
+        r.doc_id: r.lang
+        for r in spark.read.option("basePath", f"{out}/data")
+        .parquet(f"{out}/data/batch_id=*")
+        .collect()
+    }
+    want = {i: lang for i, (lang, _t) in enumerate(sorted(HELD_OUT.items()))}
+    assert got == want
+    hot = {
+        (r["lang"], r["n"])
+        for r in spark.read.parquet(f"{out}/_monitor/hotkeys/batch_id=*").collect()
+    }
+    assert hot == {("de", 1), ("en", 1), ("es", 1), ("fr", 1)}
+    # replay: nothing changes
+    n_dirs = len(glob.glob(f"{out}/data/batch_id=*"))
+    assert cli.main(args) == 0
+    capsys.readouterr()
+    assert len(glob.glob(f"{out}/data/batch_id=*")) == n_dirs

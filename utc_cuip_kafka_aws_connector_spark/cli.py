@@ -244,6 +244,8 @@ def run_stream_curate(
     classifier_min_p: float = 0.5,
     compact_every: int = 16,
     near_dup_threshold: float = 0.0,
+    langid_model: str | None = None,
+    lang_col: str = "lang",
 ) -> None:
     """The reference's consume->flush CRON shape applied to the LLM
     curation tier (r12 VERDICT stretch): ONE AvailableNow streaming
@@ -268,6 +270,12 @@ def run_stream_curate(
                                    suppressed doc flagged to its
                                    surviving original: (doc, dup_of,
                                    sim)
+
+    ``langid_model`` relabels ``lang_col`` with the char-n-gram NB
+    identifier's predictions per micro-batch (after the rule/quality/
+    classifier filters, before dedup) — batch/stream parity with
+    ``curate-full --langid-model``, so the hot-key monitor and any
+    downstream mixture see predicted languages.
 
     ``near_dup_threshold > 0`` adds cross-batch NEAR-duplicate
     suppression after the exact stage: each batch is LSH-banded
@@ -312,6 +320,18 @@ def run_stream_curate(
     bands_dir = f"{output_path}/_seen_bands"
     bands_compact_dir = f"{output_path}/_seen_bands_compact"
     ref = spark.read.parquet(drift_ref) if drift_ref else None
+    lid = None
+    if langid_model:
+        # batch/stream parity with curate-full --langid-model: the
+        # char-n-gram NB identifier, loaded ONCE on the driver,
+        # relabels lang_col per micro-batch so the hot-key monitor
+        # and any downstream mixture see predicted languages, not
+        # (possibly absent/mislabeled) producer metadata
+        from utc_cuip_kafka_aws_connector_spark.operators.langid import (
+            langid_load,
+        )
+
+        lid = langid_load(spark, langid_model)
     clf = None
     if classifier_model:
         # the learned keep-vs-drop filter (lrquality), loaded ONCE on
@@ -437,6 +457,18 @@ def run_stream_curate(
                 df, clf, min_p_keep=classifier_min_p,
                 id_col=id_col, text_col=text_col,
             )
+        if lid is not None:
+            from utc_cuip_kafka_aws_connector_spark.operators.langid import (
+                langid_predict,
+            )
+
+            pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
+            df = df.drop(lang_col).join(
+                pred.select(id_col, F.col("predicted").alias(lang_col)),
+                id_col,
+            )
+            if lang_col not in cols:
+                cols = cols + [lang_col]
         # within-batch exact dedup (first id wins)
         keep = exact_dedup(df, id_col=id_col, text_col=text_col)
         df = df.join(
@@ -1373,6 +1405,13 @@ def main(argv: list[str] | None = None) -> int:
         "every N epochs and drop the per-batch dirs (0 disables); "
         "bounds listing+scan cost at CRON-daemon timescales",
     )
+    scurate.add_argument(
+        "--langid-model", default=None,
+        help="saved char-n-gram NB language identifier dir (`langid "
+        "--op train`): relabels --lang-col with predicted languages "
+        "per micro-batch (batch/stream parity with curate-full)",
+    )
+    scurate.add_argument("--lang-col", default="lang")
     scurate.add_argument(
         "--near-dup-threshold", type=float, default=0.0,
         help="estimated-Jaccard threshold for cross-batch NEAR-dup "
@@ -2670,6 +2709,8 @@ def main(argv: list[str] | None = None) -> int:
             classifier_min_p=args.classifier_min_p,
             compact_every=args.compact_every,
             near_dup_threshold=args.near_dup_threshold,
+            langid_model=args.langid_model,
+            lang_col=args.lang_col,
         )
         print(f"stream-curated input={args.input} output={args.output}")
     else:
