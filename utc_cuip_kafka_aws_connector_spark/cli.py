@@ -459,13 +459,11 @@ def run_stream_curate(
             )
         if lid is not None:
             from utc_cuip_kafka_aws_connector_spark.operators.langid import (
-                langid_predict,
+                langid_relabel,
             )
 
-            pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
-            df = df.drop(lang_col).join(
-                pred.select(id_col, F.col("predicted").alias(lang_col)),
-                id_col,
+            df = langid_relabel(
+                df, lid, id_col=id_col, text_col=text_col, lang_col=lang_col
             )
             if lang_col not in cols:
                 cols = cols + [lang_col]
@@ -953,21 +951,13 @@ def run_curate_full(
         # by every later stage count and the final write.
         from utc_cuip_kafka_aws_connector_spark.operators.langid import (
             langid_load,
-            langid_predict,
+            langid_relabel,
         )
 
         lid = langid_load(spark, langid_model)
-        pred = langid_predict(df, lid, id_col=id_col, text_col=text_col)
-        df = (
-            df.drop(lang_col)
-            .join(
-                pred.select(
-                    id_col, F.col("predicted").alias(lang_col)
-                ),
-                id_col,
-            )
-            .persist()
-        )
+        df = langid_relabel(
+            df, lid, id_col=id_col, text_col=text_col, lang_col=lang_col
+        ).persist()
         release_after_write.append(df)
         stages.append(("langid", df.count()))
     rates = {}

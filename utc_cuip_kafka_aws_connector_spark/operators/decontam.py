@@ -58,9 +58,17 @@ def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int, n_parts: int |
 
     if n_parts is None:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # coalesce BEFORE split: NGram's Scala kernel NPEs on a null
+    # token array, and eval-side inputs are read raw (never
+    # quality-filtered), so one null-text benchmark row would kill
+    # the whole decontam stage (review r14 — the same null->[]
+    # contract as word_ngrams)
     ws = df.repartition(n_parts).select(
         F.col(id_col),
-        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")).alias("ws"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda w: w != F.lit(""),
+        ).alias("ws"),
     )
     out = NGram(n=n, inputCol="ws", outputCol="grams").transform(ws)
     return out.select(id_col, F.array_distinct("grams").alias("grams"))

@@ -129,6 +129,31 @@ def langid_predict(
     )
 
 
+def langid_relabel(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Overwrite (or create) ``lang_col`` with the model's predicted
+    language — THE shared relabel step behind both
+    ``curate-full --langid-model`` and
+    ``stream-curate --langid-model`` (one definition, so batch and
+    streaming relabel semantics can never drift apart).
+    Row-preserving: every input id gets a prediction (empty docs on
+    priors alone); one equi-join on the id, no other data motion."""
+    pred = langid_predict(
+        df, model, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    )
+    base = df.drop(lang_col) if lang_col in df.columns else df
+    return base.join(
+        pred.select(id_col, F.col("predicted").alias(lang_col)), id_col
+    )
+
+
 def langid_save(model: dict, path: str) -> None:
     """Persist as two parquet tables + a JSON sidecar, so one trained
     identifier serves every later curation run (the lrquality

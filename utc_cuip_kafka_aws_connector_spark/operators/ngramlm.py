@@ -705,13 +705,14 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     like the KN pipeline derives its unigram level — with one BOS
     pad per order every non-BOS token occurrence has a predecessor,
     so ``c(w) = sum_x c(x w)`` including the EOS event; BOS is
-    context-only and excluded. Context counts at EVERY level are
-    PREFIX-derived from raw[k] with the multi-BOS padding runs
-    collapsed (suffix != BOS), so every all-BOS context counts once
-    per document exactly as Brants' per-order padding would give it
-    — document-initial backoff scores are comparable across model
+    context-only and excluded. Context counts at EVERY level are the
+    cached raw[k-1] tables with the single all-BOS padding row
+    divided by its pad multiplicity (exact — see the ctx_counts
+    comment below), so every all-BOS context counts once per
+    document exactly as Brants' per-order padding would give it —
+    document-initial backoff scores are comparable across model
     orders at every level (the ADVICE r13 finding, generalized from
-    the bigram level to all levels at r14).
+    the bigram level to all levels at r14, shuffle-free).
 
     Memoized on the model dict (``model["_sb"]``) so scoring many
     corpora against one model derives the tables once; the persisted
@@ -735,32 +736,46 @@ def stupid_backoff_tables(model: dict) -> tuple[dict[int, DataFrame], float]:
     tables: dict[int, DataFrame] = {
         1: uni.select("gram", (F.col("a") / F.lit(n_total)).alias("s"))
     }
-    # Context counts for EVERY level are PREFIX-derived from raw[k]
-    # with the suffix != BOS rows dropped — exactly the
-    # occurrences-followed-by-something count a Brants per-order-
-    # padding denominator means. The filter collapses the multi-BOS
-    # padding runs: raw[k-1] would count the all-BOS context
-    # '<s>'*(k-1) once per pad position, i.e. (order-k+1) times per
-    # document instead of once (the ADVICE r13 finding, fixed at the
-    # bigram level r14 and generalized to every level the same round
-    # after review caught the order>=4 case). For every context
-    # containing a non-BOS token the filter is vacuous (BOS never
-    # follows a non-BOS token) and the prefix sum equals the raw[k-1]
-    # count (any (k-1)-gram not ending in EOS is always followed by
-    # something; EOS-final grams are never queried as contexts), so
-    # only the pure-padding rows change.
-    ctx_counts = {}
-    for k in range(2, order + 1):
-        ctx_counts[k] = (
-            model["raw"][k]
-            .where(F.substring_index(F.col("gram"), " ", -1) != BOS)
-            .select(
-                F.substring_index(F.col("gram"), " ", k - 1).alias("gram"),
+    # Context counts for EVERY level come from the CACHED raw[k-1]
+    # table with ONE scan-local correction: the all-BOS context
+    # '<s>'*(k-1) appears once per pad position — exactly
+    # (order-k+1) times per document (literal '<s>' in text is
+    # sentinel-escaped, so padding is the only source, and even an
+    # empty doc's pad contributes the full run) — where Brants'
+    # per-order padding counts it once. Dividing that single row by
+    # (order-k+1) is therefore EXACT integer arithmetic, and every
+    # other row already equals the occurrences-followed-by-something
+    # count a context denominator means (a (k-1)-gram not ending in
+    # EOS is always followed by something; EOS-final grams are never
+    # queried as contexts). This is the ADVICE r13 finding fixed at
+    # the bigram level r14, generalized to every level (review
+    # caught order >= 4), as a projection on the cached table
+    # instead of a per-level groupBy shuffle (second review pass).
+    # (k = 2 has no raw[1] table: the unigram context stays
+    # PREFIX-derived from raw[2] with the padding rows dropped — one
+    # gram-vocabulary-sized aggregation, the pre-r14 shape plus the
+    # suffix filter.)
+    ctx1 = (
+        model["raw"][2]
+        .where(F.substring_index(F.col("gram"), " ", -1) != BOS)
+        .select(F.substring_index(F.col("gram"), " ", 1).alias("gram"), "a")
+        .groupBy("gram")
+        .agg(F.sum("a").alias("a"))
+    )
+    ctx_counts = {2: ctx1}
+    for k in range(3, order + 1):
+        base = model["raw"][k - 1]
+        factor = order - k + 1
+        if factor > 1:
+            all_bos = " ".join([BOS] * (k - 1))
+            base = base.withColumn(
                 "a",
+                F.when(
+                    F.col("gram") == all_bos,
+                    F.expr(f"a div {factor}"),
+                ).otherwise(F.col("a")),
             )
-            .groupBy("gram")
-            .agg(F.sum("a").alias("a"))
-        )
+        ctx_counts[k] = base
     for k in range(2, order + 1):
         tables[k] = (
             model["raw"][k]
