@@ -126,7 +126,9 @@ def window_psi(
         F.col("window"),
         F.col("bucket"),
         F.col("n"),
-        p_map.getItem(F.col("bucket")).alias("p"),
+        # element_at, not getItem(Column): column-keyed getItem is
+        # deprecated (FutureWarning since Spark 3.0)
+        F.element_at(p_map, F.col("bucket")).alias("p"),
     )
     # constant: sum over every bin of the "q = eps" term against p
     all_eps = sum(
