@@ -1225,6 +1225,10 @@ def test_stream_curate_seen_hash_compaction(spark, tmp_path, capsys):
         f"{outs['c']}/_seen_compact/upto=4"
     ]
     assert os.path.exists(f"{outs['c']}/_seen_compact/upto=4/_SUCCESS")
+    # the Bloom sidecar rides the snapshot (r14: routes provably-novel
+    # rows around the snapshot anti-join; the kept-set identity with
+    # the uncompacted twin above IS its exactness proof)
+    assert os.path.exists(f"{outs['c']}/_seen_compact/upto=4/_bloom.json")
     raw = sorted(glob.glob(f"{outs['c']}/_seen_hashes/batch_id=*"))
     assert raw == [f"{outs['c']}/_seen_hashes/batch_id=4"]
     assert len(glob.glob(f"{outs['u']}/_seen_hashes/batch_id=*")) == 5
@@ -1242,6 +1246,14 @@ def test_stream_curate_seen_hash_compaction(spark, tmp_path, capsys):
     os.remove(f"{torn}/_SUCCESS")
     for f in glob.glob(f"{torn}/*.parquet"):
         os.remove(f)  # empty dir = would dedup NOTHING if trusted
+    # corrupt the live snapshot's Bloom sidecar too: it is a pure
+    # accelerator, so the reader must fall back to the plain
+    # anti-join and still suppress every dup below
+    with open(f"{outs['c']}/_seen_compact/upto=4/_bloom.json", "w") as fh:
+        fh.write("{not json")
+    crc = f"{outs['c']}/_seen_compact/upto=4/._bloom.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)  # direct overwrite left a stale Hadoop CRC
     (incoming / "b5.jsonl").write_text(
         json.dumps({"doc_id": 7, "text": good + "five", "lang": "en"})
         + "\n"

@@ -46,6 +46,7 @@ sinks.dual_destination_write.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from functools import reduce
 
@@ -311,6 +312,8 @@ def run_stream_curate(
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
     from utc_cuip_kafka_aws_connector_spark.operators.tableread import (
         _fs_and_path,
+        _fs_read_text,
+        _fs_write_text,
     )
     from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
 
@@ -371,39 +374,79 @@ def run_stream_curate(
                 best = k
         return best
 
-    def _prior_state(
+    def _prior_state_parts(
         state_root: str, compact_root: str, epoch: int
-    ) -> DataFrame | None:
-        """Every state row a batch < epoch wrote (None = no state):
-        the largest committed snapshot plus the raw per-batch dirs in
-        [snapshot, epoch). The derived SET is invariant under every
-        compaction crash point, which is what makes replay keep
-        exactly the same documents. Shared by the exact-dedup hash
-        state and the near-dup band state — same layout, same
-        crash-safety argument."""
+    ) -> tuple[DataFrame | None, dict | None, DataFrame | None]:
+        """(snapshot frame, snapshot bloom summary, raw-dirs frame)
+        for everything a batch < epoch wrote: the largest committed
+        snapshot plus the raw per-batch dirs in [snapshot, epoch).
+        The derived SET is invariant under every compaction crash
+        point, which is what makes replay keep exactly the same
+        documents. The bloom summary (written beside the snapshot at
+        compaction; optional — None when absent/corrupt) covers the
+        SNAPSHOT rows only, never the raw dirs. Shared by the
+        exact-dedup hash state and the near-dup band state — same
+        layout, same crash-safety argument."""
         upto = _committed_upto(compact_root, epoch)
-        frames = []
+        snap = bloom = None
         if upto:
-            frames.append(spark.read.parquet(f"{compact_root}/upto={upto}"))
-        raw = [
+            snap = spark.read.parquet(f"{compact_root}/upto={upto}")
+            try:
+                txt = _fs_read_text(
+                    spark, f"{compact_root}/upto={upto}/_bloom.json"
+                )
+            except Exception:
+                # checksum/IO failures included: the sidecar is a
+                # pure accelerator and must never be load-bearing
+                txt = None
+            if txt:
+                try:
+                    import base64
+
+                    meta = json.loads(txt)
+                    bloom = {
+                        "m": int(meta["m"]),
+                        "k": int(meta["k"]),
+                        "n_added": int(meta["n_added"]),
+                        "bits": base64.b64decode(meta["bits_b64"]),
+                    }
+                except (ValueError, KeyError):
+                    bloom = None  # optional accelerator, never load-bearing
+        raw_paths = [
             p.toString()
             for k, p in _numbered_children(state_root, "batch_id=")
             if upto <= k < epoch
         ]
-        if raw:
-            frames.append(spark.read.parquet(*sorted(raw)))
-        if not frames:
-            return None
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+        raw = spark.read.parquet(*sorted(raw_paths)) if raw_paths else None
+        return snap, bloom, raw
 
-    def _compact_state(state_root: str, compact_root: str, upto: int) -> None:
+    def _prior_state(
+        state_root: str, compact_root: str, epoch: int
+    ) -> DataFrame | None:
+        snap, _bloom, raw = _prior_state_parts(state_root, compact_root, epoch)
+        if snap is None and raw is None:
+            return None
+        if snap is None:
+            return raw
+        if raw is None:
+            return snap
+        return snap.unionByName(raw)
+
+    def _compact_state(
+        state_root: str,
+        compact_root: str,
+        upto: int,
+        bloom_col: str | None = None,
+    ) -> None:
         """Consolidate all batch_id < upto state into one write-once
         snapshot, then drop the now-redundant raw dirs and older
         snapshots. Write-once: a replayed epoch that already
-        compacted skips straight to the (idempotent) deletes."""
+        compacted skips straight to the (idempotent) deletes.
+        ``bloom_col`` additionally writes a Bloom summary of the
+        snapshot's column beside it (_bloom.json) — a pure
+        accelerator the reader uses to route provably-novel rows
+        around the snapshot anti-join; a crash before the sidecar
+        lands just means no pre-screen until the next compaction."""
         fs, _, jvm = _fs_and_path(spark, compact_root)
         snap = f"{compact_root}/upto={int(upto)}"
         marker = jvm.org.apache.hadoop.fs.Path(f"{snap}/_SUCCESS")
@@ -421,6 +464,33 @@ def run_stream_curate(
                 # torn dir from an earlier crash (the overwrite above
                 # just rewrote it in full)
                 fs.create(marker, True).close()
+        if bloom_col and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{snap}/_bloom.json")
+        ):
+            import base64
+
+            from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
+                bloom_build,
+            )
+
+            snap_df = spark.read.parquet(snap)
+            summary = bloom_build(
+                snap_df, bloom_col, max(snap_df.count(), 1), fpp=0.01
+            )
+            _fs_write_text(
+                spark,
+                f"{snap}/_bloom.json",
+                json.dumps(
+                    {
+                        "m": summary["m"],
+                        "k": summary["k"],
+                        "n_added": summary["n_added"],
+                        "bits_b64": base64.b64encode(
+                            summary["bits"]
+                        ).decode("ascii"),
+                    }
+                ),
+            )
         for k, p in _numbered_children(state_root, "batch_id="):
             if k < upto:
                 fs.delete(p, True)
@@ -478,19 +548,51 @@ def run_stream_curate(
         if compact_every and int(epoch_id) > 0 and (
             int(epoch_id) % compact_every == 0
         ):
-            _compact_state(seen_dir, compact_dir, int(epoch_id))
+            _compact_state(
+                seen_dir, compact_dir, int(epoch_id),
+                bloom_col="content_hash",
+            )
             if near_dup_threshold and near_dup_threshold > 0:
                 _compact_state(bands_dir, bands_compact_dir, int(epoch_id))
         # cross-batch dedup: anti-join the hashes every PRIOR batch
         # kept — the committed snapshot + the raw dirs in
         # [snapshot, epoch); the current (possibly half-replayed)
-        # epoch's own dir is excluded by the < epoch bound
-        prior = _prior_state(seen_dir, compact_dir, int(epoch_id))
+        # epoch's own dir is excluded by the < epoch bound. The
+        # snapshot's Bloom sidecar (when present) routes rows whose
+        # hash PROVABLY is not in the snapshot around that join
+        # scan-locally — no false negatives, so the kept-set is
+        # bit-identical with or without it; the raw dirs (at most
+        # compact_every small frames) are anti-joined for everyone.
+        snap, snap_bloom, raw_prior = _prior_state_parts(
+            seen_dir, compact_dir, int(epoch_id)
+        )
         hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
-        if prior is not None:
+        tagged = None
+        if raw_prior is not None:
             hashed = hashed.join(
-                prior.select("content_hash"), "content_hash", "left_anti"
+                raw_prior.select("content_hash"), "content_hash", "left_anti"
             )
+        if snap is not None:
+            if snap_bloom is not None:
+                from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
+                    bloom_might_contain,
+                )
+
+                # persist the tagged frame: both route branches hang
+                # off it, and without a shared materialization each
+                # branch would recompute the upstream batch pipeline
+                tagged = bloom_might_contain(
+                    hashed, "content_hash", snap_bloom, out_col="__mb"
+                ).persist()
+                novel = tagged.filter(~F.col("__mb")).drop("__mb")
+                maybe = tagged.filter(F.col("__mb")).drop("__mb").join(
+                    snap.select("content_hash"), "content_hash", "left_anti"
+                )
+                hashed = novel.unionByName(maybe)
+            else:
+                hashed = hashed.join(
+                    snap.select("content_hash"), "content_hash", "left_anti"
+                )
         # persist ONCE, post-anti-join: the one handle every write
         # below shares, released at the end (persisting the pre-join
         # frame too would leak one batch-sized cache entry per batch)
@@ -580,6 +682,8 @@ def run_stream_curate(
                     "overwrite"
                 ).parquet(f"{output_path}/_monitor/drift/batch_id={int(epoch_id)}")
         hashed.unpersist()
+        if tagged is not None:
+            tagged.unpersist()
         if verdict is not None:
             verdict.unpersist()
 
