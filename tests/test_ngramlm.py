@@ -1114,3 +1114,61 @@ def test_cli_lm_count_only_lifecycle(spark, tmp_path, capsys):
          "--model", merged]
     ) == 0
     assert "count-only" in capsys.readouterr().out
+
+
+def test_sb_match_profile_plan_is_jvm_only(spark):
+    """The profiler's plan parity with sb_score: no Python stages —
+    gram extraction, per-order joins, the when-chain level fold and
+    the count aggregation are all JVM expressions."""
+    from tests.plan_utils import formatted_plan
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_unpersist,
+        sb_match_profile,
+        sb_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "a dog ran")], "doc_id long, text string"
+    )
+    model = sb_train(docs, order=2)
+    plan = formatted_plan(sb_match_profile(docs, model))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    kn_unpersist(model)
+
+
+def test_cli_lm_profile_verb(spark, tmp_path, capsys):
+    """lm --op profile: the integer longest-match diagnostics (the
+    staged q125 surface) come out of the CLI against a saved model."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    train = str(tmp_path / "train")
+    spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat")], "doc_id long, text string"
+    ).write.parquet(train)
+    model = str(tmp_path / "m")
+    assert cli.main(
+        ["lm", "--op", "train", "--input", train, "--model", model,
+         "--order", "2", "--model-type", "count-only"]
+    ) == 0
+    capsys.readouterr()
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(10, "the cat sat"), (11, "cat the zebra")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "prof")
+    assert cli.main(
+        ["lm", "--op", "profile", "--input", corpus, "--model", model,
+         "--output", out]
+    ) == 0
+    assert "longest-match" in capsys.readouterr().out
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {10, 11}
+    r10 = got[10]  # verbatim training line: every event a bigram hit
+    assert r10.n_events == r10.n_hits_2 == 4
+    assert r10.n_oov == 0
+    r11 = got[11]  # 'zebra' is OOV; 'cat the' unseen -> backoffs
+    assert r11.n_oov >= 1 and r11.n_unigram_hits >= 1
+    assert r11.n_events == r11.n_hits_2 + r11.n_unigram_hits + r11.n_oov

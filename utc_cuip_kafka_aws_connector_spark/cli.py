@@ -1871,13 +1871,14 @@ def main(argv: list[str] | None = None) -> int:
 
     lm = sub.add_parser(
         "lm",
-        help="Kneser-Ney n-gram LM lifecycle: train on a reference "
-        "corpus, score documents by perplexity (the CCNet quality "
-        "signal), bucket head/middle/tail",
+        help="n-gram LM lifecycle: train (KN or count-only) on a "
+        "reference corpus, score documents by perplexity / Stupid "
+        "Backoff, bucket head/middle/tail, or profile per-doc "
+        "longest-match structure (integer SB diagnostics)",
     )
     lm.add_argument(
         "--op", required=True,
-        choices=["train", "score", "merge", "prune"]
+        choices=["train", "score", "merge", "prune", "profile"]
     )
     lm.add_argument("--model", required=True, help="LM directory (parquet tables + meta)")
     lm.add_argument(
@@ -2567,6 +2568,26 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.op != "prune" and not args.input:
             parser.error(f"lm --op {args.op} requires --input")
+        if args.op == "profile":
+            from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+                sb_match_profile,
+            )
+
+            if not args.output:
+                parser.error("lm --op profile requires --output")
+            model = load_kn_lm(spark, args.model)
+            prof = sb_match_profile(
+                spark.read.parquet(args.input), model,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            prof.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(
+                f"profiled {n} docs under {args.model} "
+                f"(order {model['order']}: per-doc longest-match "
+                f"level counts), output={args.output}"
+            )
+            return 0
         if args.op == "prune":
             from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
                 kn_prune,
