@@ -85,3 +85,46 @@ def test_partition_merge_is_lossless(spark):
     a = bloom_build(base.coalesce(1), "id", num_items=3000)
     b = bloom_build(base.repartition(13), "id", num_items=3000)
     assert a["bits"] == b["bits"] and a["m"] == b["m"]
+
+
+def test_bloom_dumps_loads_round_trip_and_validation(spark):
+    """The persisted wire format (stream-curate's snapshot sidecar):
+    exact round trip, and structural validation that lets a consumer
+    catch ONE ValueError instead of crashing later inside an executor
+    probe."""
+    import json
+
+    import pytest
+
+    from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
+        bloom_build,
+        bloom_dumps,
+        bloom_loads,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    model = bloom_build(df, "key", 50, fpp=0.01)
+    back = bloom_loads(bloom_dumps(model))
+    assert back == model
+    # the reloaded summary probes identically
+    probe = spark.createDataFrame(
+        [("k1",), ("nope",)], "key string"
+    )
+    got = {
+        r.key: r.mb
+        for r in bloom_might_contain(probe, "key", back, "mb").collect()
+    }
+    assert got["k1"] is True and got["nope"] is False
+    for bad in [
+        "{not json",
+        "null",
+        "123",
+        json.dumps({"m": 10}),
+        json.dumps({"m": 0, "k": 1, "n_added": 1, "bits_b64": ""}),
+        json.dumps({"m": 80, "k": 2, "n_added": 1, "bits_b64": "AAAA"}),
+        json.dumps({"m": 80, "k": 2, "n_added": 1, "bits_b64": "!!!"}),
+    ]:
+        with pytest.raises(ValueError):
+            bloom_loads(bad)

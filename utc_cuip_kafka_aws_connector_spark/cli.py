@@ -374,6 +374,12 @@ def run_stream_curate(
                 best = k
         return best
 
+    # the sidecar is immutable per snapshot dir: cache it (None too —
+    # a sidecar absent for a given upto never appears later in this
+    # process; only a NEW compaction writes a new one) so the driver
+    # is not re-reading + re-decoding a multi-MB object per batch
+    bloom_cache: dict[tuple[str, int], dict | None] = {}
+
     def _prior_state_parts(
         state_root: str, compact_root: str, epoch: int
     ) -> tuple[DataFrame | None, dict | None, DataFrame | None]:
@@ -391,27 +397,26 @@ def run_stream_curate(
         snap = bloom = None
         if upto:
             snap = spark.read.parquet(f"{compact_root}/upto={upto}")
-            try:
-                txt = _fs_read_text(
-                    spark, f"{compact_root}/upto={upto}/_bloom.json"
+            key = (compact_root, upto)
+            if key in bloom_cache:
+                bloom = bloom_cache[key]
+            else:
+                from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
+                    bloom_loads,
                 )
-            except Exception:
-                # checksum/IO failures included: the sidecar is a
-                # pure accelerator and must never be load-bearing
-                txt = None
-            if txt:
-                try:
-                    import base64
 
-                    meta = json.loads(txt)
-                    bloom = {
-                        "m": int(meta["m"]),
-                        "k": int(meta["k"]),
-                        "n_added": int(meta["n_added"]),
-                        "bits": base64.b64decode(meta["bits_b64"]),
-                    }
-                except (ValueError, KeyError):
-                    bloom = None  # optional accelerator, never load-bearing
+                try:
+                    txt = _fs_read_text(
+                        spark, f"{compact_root}/upto={upto}/_bloom.json"
+                    )
+                    bloom = bloom_loads(txt) if txt else None
+                except Exception:
+                    # checksum/IO/parse/validation failures included:
+                    # the sidecar is a pure accelerator and must never
+                    # be load-bearing (structural checks in
+                    # bloom_loads catch valid-JSON-wrong-shape too)
+                    bloom = None
+                bloom_cache[key] = bloom
         raw_paths = [
             p.toString()
             for k, p in _numbered_children(state_root, "batch_id=")
@@ -467,10 +472,9 @@ def run_stream_curate(
         if bloom_col and not fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{snap}/_bloom.json")
         ):
-            import base64
-
             from utc_cuip_kafka_aws_connector_spark.operators.bloom import (
                 bloom_build,
+                bloom_dumps,
             )
 
             snap_df = spark.read.parquet(snap)
@@ -478,18 +482,7 @@ def run_stream_curate(
                 snap_df, bloom_col, max(snap_df.count(), 1), fpp=0.01
             )
             _fs_write_text(
-                spark,
-                f"{snap}/_bloom.json",
-                json.dumps(
-                    {
-                        "m": summary["m"],
-                        "k": summary["k"],
-                        "n_added": summary["n_added"],
-                        "bits_b64": base64.b64encode(
-                            summary["bits"]
-                        ).decode("ascii"),
-                    }
-                ),
+                spark, f"{snap}/_bloom.json", bloom_dumps(summary)
             )
         for k, p in _numbered_children(state_root, "batch_id="):
             if k < upto:
@@ -1883,13 +1876,14 @@ def main(argv: list[str] | None = None) -> int:
     lm.add_argument("--model", required=True, help="LM directory (parquet tables + meta)")
     lm.add_argument(
         "--input", default=None,
-        help="corpus parquet (train/score) or comma-separated saved LM "
-        "dirs (merge: fold incremental batches == whole-corpus "
-        "retrain); unused by prune",
+        help="corpus parquet (train/score/profile) or comma-separated "
+        "saved LM dirs (merge: fold incremental batches == "
+        "whole-corpus retrain); unused by prune",
     )
     lm.add_argument(
         "--output", default=None,
-        help="score: output parquet; prune: pruned-model directory",
+        help="score/profile: output parquet; prune: pruned-model "
+        "directory",
     )
     lm.add_argument("--id-col", default="doc_id")
     lm.add_argument("--text-col", default="text")

@@ -131,3 +131,49 @@ def bloom_semi_filter(df: DataFrame, col: str, model: dict) -> DataFrame:
         .filter("__bf")
         .drop("__bf")
     )
+
+
+def bloom_dumps(model: dict) -> str:
+    """JSON wire format for a summary (bits base64-encoded) — the
+    one tested round-trip every persisted-bloom consumer shares
+    (stream-curate's snapshot sidecar; any saved index summary)."""
+    import base64
+    import json
+
+    return json.dumps(
+        {
+            "m": int(model["m"]),
+            "k": int(model["k"]),
+            "n_added": int(model["n_added"]),
+            "bits_b64": base64.b64encode(model["bits"]).decode("ascii"),
+        }
+    )
+
+
+def bloom_loads(text: str) -> dict:
+    """Inverse of bloom_dumps, with STRUCTURAL validation — persisted
+    summaries are pure accelerators, so a consumer must be able to
+    catch one ValueError and fall back rather than crash later inside
+    an executor probe (truncated bits -> IndexError, m=0 -> modulo
+    error). Raises ValueError on anything malformed."""
+    import base64
+    import json
+
+    try:
+        meta = json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"bloom summary is not JSON: {e}") from e
+    if not isinstance(meta, dict):
+        raise ValueError("bloom summary is not a JSON object")
+    try:
+        m, k, n = int(meta["m"]), int(meta["k"]), int(meta["n_added"])
+        bits = base64.b64decode(meta["bits_b64"], validate=True)
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(f"bloom summary fields malformed: {e}") from e
+    if m <= 0 or k <= 0:
+        raise ValueError(f"bloom summary has m={m}, k={k}")
+    if len(bits) != m // 8 + 1:
+        raise ValueError(
+            f"bloom bits length {len(bits)} != m//8+1 = {m // 8 + 1}"
+        )
+    return {"m": m, "k": k, "bits": bits, "n_added": n}

@@ -126,9 +126,13 @@ def window_psi(
         F.col("window"),
         F.col("bucket"),
         F.col("n"),
-        # element_at, not getItem(Column): column-keyed getItem is
-        # deprecated (FutureWarning since Spark 3.0)
-        F.element_at(p_map, F.col("bucket")).alias("p"),
+        # try_element_at, not getItem(Column) (deprecated
+        # FutureWarning) and not element_at (ANSI mode — Spark 4's
+        # default — throws MAP_KEY_DOES_NOT_EXIST on a missing key
+        # where getItem returned null; back-testing over rows written
+        # under a different profile must stay a null-psi verdict, not
+        # a job failure)
+        F.try_element_at(p_map, F.col("bucket")).alias("p"),
     )
     # constant: sum over every bin of the "q = eps" term against p
     all_eps = sum(
