@@ -46,8 +46,9 @@ def test_staged_q125_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q125_NAME)
 
 
-def test_staged_q125_not_yet_registered():
-    """The staging contract: pre-proven but NOT in the catalog (a
-    registered entry would need a ledger row this round's window has
-    no slot for). This test flips to its inverse at r15."""
-    assert STAGED_Q125_NAME not in queries()
+def test_q125_registered_at_r15():
+    """The r14 staging contract's inverse, flipped at registration:
+    q125 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option)."""
+    assert STAGED_Q125_NAME in queries()
+    assert STAGED_Q125_NAME in _GATE_PRIORITY

@@ -4414,8 +4414,8 @@ def staged_q124_bigram_counts(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r15 — NOT REGISTERED. The r15 rotation plan's named
-# promotion (see the _GATE_PRIORITY comment block): the Stupid
+# STAGED at r14, REGISTERED at r15 (the stamped rotation plan executed
+# on schedule; see the _GATE_PRIORITY comment block): the Stupid
 # Backoff SCORING tier (operators/ngramlm.py::sb_match_profile) on an
 # integer-exact surface. q124 pins the counting substrate; this pins
 # what the scorer DOES with it — padding, per-order gram extraction,
@@ -4427,9 +4427,9 @@ def staged_q124_bigram_counts(
 # is populated (self-scoring would degenerate to all-bigram-hits).
 # Integer-only columns, no float surface. Funded by retiring
 # q14_distinct_months from the expiring r13 cohort (the standing
-# contingency candidate). Until registration,
-# tests/test_curriculum_gate_stage.py runs this exact parity every
-# pytest run, so the promotion lands pre-proven.
+# contingency candidate since r13 — see GATE_RETIRED). Its parity ran
+# locally on every pytest run from staging to registration, so the
+# promotion landed pre-proven.
 
 STAGED_Q125_NAME = "q125_sb_match_profile"
 STAGED_Q125_ORACLE = """
@@ -4472,6 +4472,7 @@ STAGED_Q125_ORACLE = """
 """
 
 
+@query(STAGED_Q125_NAME, oracle=STAGED_Q125_ORACLE)
 def staged_q125_sb_match_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4593,6 +4594,49 @@ def staged_q125_sb_match_profile(
 #   retiree it keeps its oracle in the local parity suite on its
 #   frozen r12 evidence, and any fingerprint drift forces it back
 #   through the window.
+#
+# Retired at r15 — three retirements, all drawn from the EXPIRING r13
+#   cohort so each frees a same-round slot. One funds the named
+#   promotion; two fund a COHORT REBALANCE forced by a correction to
+#   the r14 freeze-map arithmetic (recorded so the policy stays
+#   honest, the r10 precedent): the r14 plan asserted chunking.py /
+#   dedup.py / ngramlm.py "unfreeze at r15", but the fingerprint dep
+#   scan (tools/gate_fingerprints.py's regex over builder sources)
+#   shows q110_semantic_dedup pins operators.dedup AND
+#   operators.similarity, q109/q111 pin operators.chunking, and
+#   q124_bigram_counts pins operators.ngramlm — all resting on r14
+#   rows at r15, so those modules were two-cohort-pinned and
+#   PERMANENTLY frozen under strict alternation. The fix is to move
+#   the minority dependent into this window (it simply re-attests a
+#   round early, resetting its clock to the odd cohort), making each
+#   module family single-cohort and editable on a predictable
+#   cadence. q110 and q124 therefore take r15 slots; their early
+#   re-attestation also shrinks the r16 must-attest set by two.
+#
+#   q14_distinct_months (funds q125_sb_match_profile — the stamped
+#   plan's named pair): a single-column DISTINCT over a date
+#   projection, the weakest distinct surface in the catalog: the
+#   date-function side is pinned by q27 (date functions) and q33
+#   (calendar month agg) every rotation, and the distinct-aggregation
+#   form by q10 (count distinct) and q58 (approx aggs).
+#
+#   q13_having (funds the q110 pull): a one-clause surface — filter
+#   after aggregate — whose Spark form (.agg().filter()) and SQL form
+#   (HAVING) are both pinned elsewhere every rotation: q124's gated
+#   oracle carries HAVING c >= 3 each even round, q03 carries the
+#   two-level aggregate-then-regroup shape each odd round, and the
+#   DECIMAL money-sum it wraps is q01/q73's surface.
+#
+#   q18_rank_ntile (funds the q124 pull): dense_rank is pinned by
+#   q15_topk_per_group (per-group ranking under a fresh row every
+#   even round) and q16/q17 pin the window-frame machinery; ntile is
+#   pinned by q123_curriculum_stages — the SAME odd cohort, where
+#   ntile's exact global-tile semantics are the query's entire point
+#   rather than one of two projected columns.
+#
+#   Like every retiree all three keep their oracles in the local
+#   parity suite on their frozen r13 evidence, and any fingerprint
+#   drift forces them back through the window.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
@@ -4602,112 +4646,125 @@ GATE_RETIRED: frozenset[str] = frozenset(
         "q103_near_dup_full_table",
         "q63_grouped_map",
         "q25_null_filter",
+        "q14_distinct_months",
+        "q13_having",
+        "q18_rank_ntile",
     }
 )
 
 _GATE_PRIORITY = [
-    # r14 ROTATION (the stamped r13 plan, executed on schedule at r14
-    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r13 was
-    # 50/50 green — then this window + `--round 14` in the same
-    # commit). Window: the 49 r12-attested queries whose rows expire
-    # at r14 close (the r12 window minus q25_null_filter, retired per
-    # the named plan — see GATE_RETIRED) + the freed slot spent on
-    # the pre-staged, pre-proven promotion q124_bigram_counts
-    # (operators/ngramlm.py::ngram_counts —
+    # r15 ROTATION (the stamped r14 plan, executed with one recorded
+    # CORRECTION, at r15 open: `--reconcile` first — 0 phantoms,
+    # CORRECTNESS_r14 was 50/50 green — then this window + `--round
+    # 15` in the same commit). Window: the r13-attested queries whose
+    # rows expire at r15 close, minus the three retirements (q14 per
+    # the stamped plan; q13/q18 funding the rebalance — see
+    # GATE_RETIRED), plus the pre-staged, pre-proven promotion
+    # q125_sb_match_profile (operators/ngramlm.py::sb_match_profile —
     # tests/test_curriculum_gate_stage.py has run its exact oracle
-    # differential on every pytest run since r13). Also landed in
-    # this same window, as the r13 plan required: q122's hygiene fix
-    # (component derivation now partitions on sha2(text, 256) /
-    # sha256(text), never raw text bytes — same rows, re-attested on
-    # its in-window slot).
+    # differential on every pytest run since r14), plus the two
+    # REBALANCE PULLS q110_semantic_dedup and q124_bigram_counts
+    # (re-attesting one round early to move dedup.py / similarity.py
+    # / ngramlm.py's full dependent sets into the odd cohort — the
+    # GATE_RETIRED r15 comment records why the r14 freeze-map claim
+    # "dedup/chunking unfreeze at r15, ngramlm re-freezes" was
+    # two-thirds wrong: those modules were two-cohort-pinned and
+    # would NEVER legally unfreeze). With the pulls in place, the
+    # dedup.py rolling-hash np.errstate wrap (owed since r13) and the
+    # ngramlm.py perplexity_buckets approx path land in THIS window;
+    # chunking.py:68's HOF fix CANNOT legally land at r15 (q109/q111
+    # rest on r14 rows) and is scheduled for r16 below.
     #
-    # r15 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the 50 r13-attested queries
-    # that rest through r14 (the whole r13 window: the 49 r11-cohort
-    # re-attestations + q123) — ZERO free slots, so any new entry
-    # requires retiring a member of that EXPIRING r13 cohort. Named
-    # retirement candidate: q14_distinct_months (the standing
-    # contingency since r13) — single-column DISTINCT over a date
-    # projection, a surface q27 (date functions) and q33 (calendar
-    # month agg) pin every rotation, plus q10/q58 for the distinct
-    # aggregation form itself. The named promotion is PRE-STAGED
-    # below (staged_q125_sb_match_profile + STAGED_Q125_ORACLE — the
-    # Stupid Backoff scoring tier on an integer-exact longest-match
-    # surface; tests/test_curriculum_gate_stage.py runs its parity
-    # locally every pytest run, so the promotion lands pre-proven).
-    # Module-freeze map for r15 (check BEFORE editing anything): the
-    # r14 window is the r12 cohort, so modules whose gate dependents
-    # all sit in THIS window re-attest at r14 and their r13-attested
-    # siblings rest — at r15 the roles flip: text.py, sampling.py,
-    # similarity.py, multimodal.py, stats.py (q85+q89 span BOTH
-    # cohorts — needs both in-window, i.e. never editable under
-    # alternation without riding both), diff.py, chunking.py,
-    # boilerplate.py, ordering.py, dedup.py, streaming/ops.py
-    # unfreeze at r15 (dependents all in the r15 window);
-    # layout.py/skipread.py/urlops.py/split.py/ngramlm.py re-freeze
-    # (their dependents will be r14-attested and resting). The
-    # dedup.py rolling-hash errstate wrap (VERDICT r13 What's-wrong
-    # #4) is OWED at r15 — it was illegal at r14 because
-    # q40/q46/q47/q51/q80/q81/q99 rested on r13 rows. ALSO owed at
-    # r15 while chunking.py is editable: chunking.py:68's transform
-    # lambda slices the captured tokenize chain, re-running it once
-    # per chunk position — swap in arrayops-style shifted slices
-    # (the r14 re-evaluation fix, applied to
-    # ngramlm/langid/setjoin/dsir/decontam already; measured 10-20x
-    # on gram builders).
+    # r16 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the r14-attested queries that
+    # rest through r15 = the r14 window MINUS the two pulls (q110 and
+    # q124 re-attest at r15 and next expire with the odd cohort at
+    # r17) = 48 queries — so r16 opens with TWO free slots before any
+    # retirement. Spend them on: (1) the pre-staged promotion
+    # q126 (classifier scoring tier — per-label argmax counts from
+    # hashed-NB log-odds replayed in exact arithmetic; stage it at
+    # r15 close so it lands pre-proven), and (2) a REBALANCE PULL of
+    # q106_document_chunking into the r16 window, which puts
+    # q106+q109+q111 — operators.chunking's full dependent set — in
+    # one window for the first time, making chunking.py:68's owed
+    # sliding_grams fix legal at r16 (and the module all-even-cohort
+    # thereafter). Named retirement candidate if a third slot is
+    # needed: q115_zorder_layout — layout.py holds TWO same-cohort
+    # slots for the same space-filling-curve surface; q116 pins the
+    # strictly harder Hilbert arithmetic every rotation and q117 (odd
+    # cohort) pins the read side that consumes the layout.
+    # Module-freeze map for r16, computed with the dep scan (for each
+    # module, every non-retired gate dependent must be in the r16
+    # window — RE-RUN the scan before editing anything; the r14 prose
+    # map was wrong): with the pulls above, EDITABLE at r16 =
+    # chunking.py (the point of the q106 pull), chunkdedup.py,
+    # asof.py, ranges.py, skew.py, urlops.py, split.py, packing.py,
+    # setjoin.py, retrieval.py, heavyhitters.py, bpetrain.py,
+    # bucketing.py, decontam.py, tokenizer.py, sources/sinks.py,
+    # sources/txlog.py. FROZEN at r16 = dedup.py, similarity.py,
+    # semdedup.py, clusterguard.py, ngramlm.py (all-odd after the r15
+    # pulls — editable at r17), layout.py and skipread.py (q117 is
+    # odd-cohort: layout spans both cohorts until a q117 pull at an
+    # even round or a q115/q116 pull at an odd one), text.py (q107
+    # even + ten odd dependents — pull q107 at an odd round to unify),
+    # sampling.py, multimodal.py, diff.py, boilerplate.py,
+    # ordering.py, streaming/ops.py; stats.py stays frozen as always
+    # (q85+q89 span BOTH cohorts).
     #
-    # --- the 49 expiring r12-resters ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
+    # --- the expiring r13-resters (49 minus q13/q18, retired) ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q57_sql_cte_top_orders",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q64_udtf_word_split",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q82_sampling",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q106_document_chunking",
+    "q108_mixture_weights",
+    # --- rebalance pull: re-attests a round early; odd cohort hereafter ---
     "q110_semantic_dedup",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q115_zorder_layout",
-    "q116_hilbert_layout",
-    "q118_bpe_train",
-    "q119_heavy_hitters",
-    "q121_per_domain_cap",
-    "q122_leakage_safe_split",
-    # --- new this round (never attested; the q25-retirement slot) ---
+    "q117_clustered_skipping_read",
+    "q120_boilerplate_strip",
+    "q123_curriculum_stages",
+    # --- rebalance pull: re-attests a round early; odd cohort hereafter ---
     "q124_bigram_counts",
+    # --- new this round (never attested; the q14-retirement slot) ---
+    "q125_sb_match_profile",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
