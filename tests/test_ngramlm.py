@@ -248,6 +248,59 @@ def test_perplexity_buckets_head_middle_tail(trained, score_df):
     assert bucketed["d1"] < bucketed["d3"]
 
 
+def test_perplexity_buckets_approx_matches_exact(spark):
+    """method='approx' (the corpus-scale path, r15 — wired the same
+    way as curriculum_order): no unpartitioned window sort in the
+    plan, bucket populations within the quantile tolerance, and
+    assignments agree with the exact ntile form away from the cut
+    boundaries."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tests.plan_utils import formatted_plan, window_arguments
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.xxhash64("id") % 100000) / 100.0).alias("ppl"),
+    )
+    exact = perplexity_buckets(df, n_buckets=3)
+    approx = perplexity_buckets(df, n_buckets=3, method="approx")
+
+    plan = formatted_plan(approx)
+    unpartitioned, _ = window_arguments(plan)
+    assert not unpartitioned, "approx path must not globally sort"
+
+    e = {r.doc_id: r.bucket for r in exact.collect()}
+    a = {r.doc_id: r.bucket for r in approx.collect()}
+    assert set(a.values()) == {1, 2, 3}
+    pops = Counter(a.values())
+    for b in (1, 2, 3):
+        assert abs(pops[b] - 2000 // 3) <= 67, pops
+    agree = sum(e[k] == a[k] for k in e) / len(e)
+    assert agree > 0.95, agree
+
+
+def test_perplexity_buckets_approx_null_and_validation(spark):
+    """Nulls take bucket 1 on both paths (ascending null-first), an
+    empty frame buckets gracefully, and bad method raises."""
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 900.0), (3, 2.0)],
+        "doc_id long, ppl double",
+    )
+    for method in ("exact", "approx"):
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(df, n_buckets=2, method=method).collect()
+        }
+        assert got[1] == 1, (method, got)   # null ppl lands in the head
+        assert got[2] == 2, (method, got)   # junk lands in the tail
+    empty = spark.createDataFrame([], "doc_id long, ppl double")
+    assert perplexity_buckets(empty, n_buckets=3, method="approx").count() == 0
+    with pytest.raises(ValueError, match="method"):
+        perplexity_buckets(df, n_buckets=2, method="nope")
+
+
 def test_save_load_round_trip(tmp_path, corpus, score_df, spark):
     model = kn_train(corpus, order=3)
     want = {

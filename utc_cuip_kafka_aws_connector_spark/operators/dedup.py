@@ -47,12 +47,17 @@ def _word_hash(word: str) -> int:
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer: a bijection on uint64, vectorized."""
-    x = x ^ (x >> np.uint64(30))
-    x = x * np.uint64(0xBF58476D1CE4E5B9)
-    x = x ^ (x >> np.uint64(27))
-    x = x * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    """SplitMix64 finalizer: a bijection on uint64, vectorized.
+
+    Multiplication wraps mod 2**64 BY DESIGN (ring arithmetic);
+    errstate only silences numpy's overflow RuntimeWarning, the
+    values are bit-identical with or without it."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
 def _combine_shingles(wh: np.ndarray, n: int) -> np.ndarray:
@@ -60,15 +65,16 @@ def _combine_shingles(wh: np.ndarray, n: int) -> np.ndarray:
     ``sketch_documents``: distinct polynomial combines of n
     consecutive word hashes (whole doc if < n words). Kept as the
     readable single-doc spec; tests assert the batched pass agrees."""
-    if len(wh) < n:
-        acc = np.uint64(0)
-        for h in wh:
-            acc = acc * _C + h
-        return np.array([acc], dtype=np.uint64)
-    g = np.zeros(len(wh) - n + 1, dtype=np.uint64)
-    for j in range(n):
-        g = g * _C + wh[j : len(wh) - n + 1 + j]
-    return np.unique(g)
+    with np.errstate(over="ignore"):  # mod-2**64 polynomial, wraps by design
+        if len(wh) < n:
+            acc = np.uint64(0)
+            for h in wh:
+                acc = acc * _C + h
+            return np.array([acc], dtype=np.uint64)
+        g = np.zeros(len(wh) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            g = g * _C + wh[j : len(wh) - n + 1 + j]
+        return np.unique(g)
 
 
 def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
@@ -127,24 +133,25 @@ def sketch_documents(
             # document boundary. Short docs (< n tokens) fall back to
             # a whole-doc combine, matching _combine_shingles.
             n = shingle_n
-            if total >= n:
-                g = np.zeros(total - n + 1, dtype=np.uint64)
-                for j in range(n):
-                    g = g * _C + wh_flat[j : total - n + 1 + j]
-                inside = doc_of[: total - n + 1] == doc_of[n - 1 :]
-                win_doc = doc_of[: total - n + 1][inside]
-                win_g = g[inside]
-            else:
-                win_doc = np.empty(0, dtype=np.int64)
-                win_g = np.empty(0, dtype=np.uint64)
-            short = np.flatnonzero(lens < n)
-            if len(short):
-                acc = np.zeros(len(short), dtype=np.uint64)
-                for j in range(int(lens[short].max())):
-                    live = lens[short] > j
-                    acc[live] = acc[live] * _C + wh_flat[offs_w[short[live]] + j]
-                win_doc = np.concatenate([win_doc, short])
-                win_g = np.concatenate([win_g, acc])
+            with np.errstate(over="ignore"):  # mod-2**64, wraps by design
+                if total >= n:
+                    g = np.zeros(total - n + 1, dtype=np.uint64)
+                    for j in range(n):
+                        g = g * _C + wh_flat[j : total - n + 1 + j]
+                    inside = doc_of[: total - n + 1] == doc_of[n - 1 :]
+                    win_doc = doc_of[: total - n + 1][inside]
+                    win_g = g[inside]
+                else:
+                    win_doc = np.empty(0, dtype=np.int64)
+                    win_g = np.empty(0, dtype=np.uint64)
+                short = np.flatnonzero(lens < n)
+                if len(short):
+                    acc = np.zeros(len(short), dtype=np.uint64)
+                    for j in range(int(lens[short].max())):
+                        live = lens[short] > j
+                        acc[live] = acc[live] * _C + wh_flat[offs_w[short[live]] + j]
+                    win_doc = np.concatenate([win_doc, short])
+                    win_g = np.concatenate([win_g, acc])
             # per-doc sorted-unique without a loop: lexsort by (doc,
             # shingle), keep first occurrence of each pair.
             order = np.lexsort((win_g, win_doc))
@@ -175,8 +182,11 @@ def sketch_documents(
                 offs_s = np.zeros(ndocs, dtype=np.int64)
                 offs_s[1:] = bounds[:-1]
                 sig_mat = np.empty((num_hashes, ndocs), dtype=np.uint64)
-                for h in range(num_hashes):
-                    sig_mat[h] = np.minimum.reduceat(_mix64((g_u ^ b[h]) * a[h]), offs_s)
+                with np.errstate(over="ignore"):  # mod-2**64, wraps by design
+                    for h in range(num_hashes):
+                        sig_mat[h] = np.minimum.reduceat(
+                            _mix64((g_u ^ b[h]) * a[h]), offs_s
+                        )
                 sig_rows = list(np.ascontiguousarray(sig_mat.T).view(np.int64))
             else:  # caller only needs sh/simhash -- skip signatures
                 sig_rows = [np.empty(0, dtype=np.int64)] * ndocs

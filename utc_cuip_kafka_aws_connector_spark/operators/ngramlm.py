@@ -931,19 +931,48 @@ def perplexity_buckets(
     n_buckets: int = 3,
     ppl_col: str = "ppl",
     id_col: str = "doc_id",
+    method: str = "exact",
+    rel_err: float = 0.001,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by perplexity
     ascending and cut into equal-population buckets (bucket 1 =
-    lowest perplexity = most in-domain). One global window sort —
-    the same single-exchange shape as q19's global top-k; for a
-    corpus-sized frame prefer persisting the scored table and
-    filtering on approxQuantile cuts instead (documented trade-off,
-    not chosen here because exact equal population is the CCNet
-    contract)."""
+    lowest perplexity = most in-domain).
+
+    ``method="exact"``: one global window sort (the same
+    single-exchange shape as q19's global top-k) — exact equal
+    population, the CCNet contract, and the deterministic form.
+
+    ``method="approx"`` (the corpus-scale path, r15 — the trade-off
+    this docstring always promised, wired the same way as
+    operators/ordering.py::curriculum_order): bucket thresholds from
+    ``approxQuantile(rel_err)`` (Greenwald-Khanna, one aggregation
+    pass, NO global sort) and a codegen'd threshold-count projection.
+    Buckets are equal-population only to ``rel_err``, and perplexity
+    TIES land in one bucket together instead of splitting to balance
+    counts. Same honesty caveat as curriculum_order: GK summaries
+    merge per partition, so documents within ``rel_err`` of a cut can
+    move across partition LAYOUTS — pin the layout (or use exact)
+    when byte-identical resume matters. Null perplexities take
+    bucket 1 on both paths (ascending null-first, Spark's asc()
+    default in the exact window)."""
     from pyspark.sql import Window
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    if method == "approx":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.stat.approxQuantile(ppl_col, qs, rel_err)
+        # no cuts => empty frame or all-null column: every row takes
+        # the null-policy bucket, matching the exact path's output
+        expr = F.lit(1)
+        for t in cuts:
+            expr = expr + (F.col(ppl_col) > F.lit(t)).cast("int")
+        return scored.withColumn(
+            "bucket",
+            F.when(F.col(ppl_col).isNull(), F.lit(1)).otherwise(expr),
+        )
     # tie-break on the id so equal-perplexity documents (exact dups
     # pre-dedup) bucket identically on every run and layout
     order_cols = [F.col(ppl_col).asc()]

@@ -4634,21 +4634,45 @@ def staged_q125_sb_match_profile(
 #   ntile's exact global-tile semantics are the query's entire point
 #   rather than one of two projected columns.
 #
-#   Like every retiree all three keep their oracles in the local
+#   q82_sampling (funds the q103 drift re-attestation below): its
+#   stratified md5-threshold draw runs INSIDE q99_curation_pipeline's
+#   gated composition every rotation (same odd cohort), and its plain
+#   draw is the identical predicate with a single rate; q108 pins
+#   sampling.py's other public surface (temperature_weights) each
+#   rotation too. Three same-cohort slots for one small module is the
+#   wrong spend at the 50-slot ceiling.
+#
+#   Like every retiree all four keep their oracles in the local
 #   parity suite on their frozen r13 evidence, and any fingerprint
 #   drift forces them back through the window.
+#
+# UN-retired at r15: q103_near_dup_full_table (retired r10 on its r8
+#   row). Its builder imports operators.dedup, so this round's
+#   in-window errstate edit drifted its fingerprint — and per the
+#   written policy (and the retired-rest test) a drifted retiree
+#   cannot keep resting; since a retired name may not hold a window
+#   slot either (the assertion below), the consistent mechanic is to
+#   RETURN IT TO ACTIVE ROTATION: it takes q82's freed slot, re-
+#   attests at r15 on the new module code, and rejoins the odd
+#   cohort. A future odd round may re-retire it from its expiring
+#   cohort with the original r10 justification (q46/q80 pin the same
+#   MinHash->LSH->CC path) if its slot is needed. NOTE FOR FUTURE
+#   ROUNDS: every dedup.py edit round must budget for q103 the same
+#   way while it stays retired — the drift-guard applies to retirees
+#   precisely so module edits can never silently invalidate their
+#   resting evidence.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
         "q78_near_dup_pairs_exact",
         "q24_conditional_tiers",
         "q52_pivot_unpivot",
-        "q103_near_dup_full_table",
         "q63_grouped_map",
         "q25_null_filter",
         "q14_distinct_months",
         "q13_having",
         "q18_rank_ntile",
+        "q82_sampling",
     }
 )
 
@@ -4657,9 +4681,12 @@ _GATE_PRIORITY = [
     # CORRECTION, at r15 open: `--reconcile` first — 0 phantoms,
     # CORRECTNESS_r14 was 50/50 green — then this window + `--round
     # 15` in the same commit). Window: the r13-attested queries whose
-    # rows expire at r15 close, minus the three retirements (q14 per
-    # the stamped plan; q13/q18 funding the rebalance — see
-    # GATE_RETIRED), plus the pre-staged, pre-proven promotion
+    # rows expire at r15 close, minus the four retirements (q14 per
+    # the stamped plan; q13/q18 funding the rebalance; q82 funding
+    # the q103 un-retirement — see GATE_RETIRED), plus the
+    # un-retired q103_near_dup_full_table (its dedup.py dependency
+    # drifted with this round's in-window errstate edit, so it
+    # rejoins the rotation), plus the pre-staged, pre-proven promotion
     # q125_sb_match_profile (operators/ngramlm.py::sb_match_profile —
     # tests/test_curriculum_gate_stage.py has run its exact oracle
     # differential on every pytest run since r14), plus the two
@@ -4741,7 +4768,6 @@ _GATE_PRIORITY = [
     "q79_ivf_ann_topk",
     "q80_near_dup_clusters",
     "q81_embedding_dedup",
-    "q82_sampling",
     "q84_tfidf_top_terms",
     "q85_histogram",
     "q86_snapshot_diff",
@@ -4752,6 +4778,8 @@ _GATE_PRIORITY = [
     "q99_curation_pipeline",
     "q101_stream_static_join",
     "q102_image_decode",
+    # --- un-retired at r15: dedup.py drift, rejoins the odd cohort ---
+    "q103_near_dup_full_table",
     "q104_audio_decode",
     "q105_video_frame_sample",
     "q106_document_chunking",
