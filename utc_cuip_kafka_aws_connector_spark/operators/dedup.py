@@ -357,6 +357,32 @@ def connected_components(
                 "checkpoint_dir= or call sparkContext.setCheckpointDir first"
             )
 
+    def _free_blocks(blocks: list) -> None:
+        """Unpersist checkpoint blocks without the JVM's
+        'locally checkpointed ... cannot be recomputed after
+        unpersisting' WARN: the blocks being freed are exactly the
+        rounds the loop has already superseded, so the caution is
+        benign here but reads like a fault in a driver log. The
+        block's concrete RDD-class logger (the WARN's source) is
+        dropped to ERROR for the duration of the synchronous
+        unpersist call and restored to its prior effective level."""
+        if not blocks:
+            return
+        jvm = sc._jvm
+        log_mgr = jvm.org.apache.logging.log4j.LogManager
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        error_lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        names = {b.rdd().getClass().getName() for b in blocks}
+        prev = {n: log_mgr.getLogger(n).getLevel() for n in names}
+        for n in names:
+            configurator.setLevel(n, error_lvl)
+        try:
+            for b in blocks:
+                b.unpersist()
+        finally:
+            for n, lvl in prev.items():
+                configurator.setLevel(n, lvl)
+
     def _cut(df: DataFrame) -> tuple[DataFrame, list]:
         """Eagerly checkpoint ``df`` and return the cut DataFrame plus
         the storage blocks the cut created (java RDD handles), so the
@@ -424,8 +450,7 @@ def connected_components(
         # this round is materialized -- free them so a many-round run
         # over a big graph holds TWO rounds of label storage at peak,
         # not max_iter rounds' worth.
-        for blk in labels_blocks:
-            blk.unpersist()
+        _free_blocks(labels_blocks)
         labels, labels_blocks = jumped.drop("old_comp"), jumped_blocks
         if changed == 0:
             break
@@ -437,16 +462,14 @@ def connected_components(
             "on_nonconvergence='warn' to accept partial labels."
         )
         if on_nonconvergence == "raise":
-            for blk in e_blocks + labels_blocks:
-                blk.unpersist()
+            _free_blocks(e_blocks + labels_blocks)
             raise RuntimeError(msg)
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # The final labels are checkpointed (independent of the edge
     # materialization), so the edge blocks can be freed too.
-    for blk in e_blocks:
-        blk.unpersist()
+    _free_blocks(e_blocks)
     out = labels.select("node", F.col("comp").alias("component"))
     if nodes is not None:
         out = (

@@ -1731,8 +1731,11 @@ def q61_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from pyspark.sql.types import DoubleType, StringType
 
+    # no type hints on the row-at-a-time UDF: with them, Spark 4 tries
+    # (and fails) to infer a pandas eval type and warns on every run;
+    # the returnType argument already fixes the type explicitly
     @F.udf(StringType())
-    def reverse_words(s: str) -> str:
+    def reverse_words(s):
         return " ".join(reversed(s.split(" ")))
 
     @F.pandas_udf(DoubleType())
