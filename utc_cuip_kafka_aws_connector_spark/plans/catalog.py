@@ -4509,6 +4509,147 @@ def staged_q125_sb_match_profile(
     )
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r16 — NOT REGISTERED. The r16 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the hashed-NB
+# classifier SCORING tier (operators/nbquality.py::nb_train +
+# nb_predict — the machinery under both the quality classifier and
+# operators/langid.py) on an integer-count surface. The largest body
+# of r14-new pytest-only evidence is NB prediction; this puts the
+# full path — hashing-trick featurization, the one-aggregation
+# training pass (log_lik/log_prior/log_unseen tables), the
+# crossJoin-broadcast scoring join, the per-doc log-joint sum, and
+# the argmax with its deterministic (score desc, label asc)
+# tie-break — under a driver-grade differential: train on the
+# doc_id % 4 == 0 quarter with the corpus's own ``lang`` labels,
+# predict ALL documents, and emit the integer CONFUSION MATRIX
+# (true lang x predicted, count). The oracle replays the entire
+# pipeline in SQL: same tokens (\\s+ split, null text = no tokens),
+# same feature ids, same add-alpha log-likelihoods, same score
+# grid (empty docs score prior-only, every doc appears), same
+# argmax. Two deliberate portability choices, both part of the
+# public API surface rather than test shims: the featurizer is the
+# pluggable ``featurizer=`` hook (production default is xxhash64;
+# here a 60-bit md5 fold, because DuckDB has no xxhash64 and the NB
+# machinery is what's being pinned, not the hash), and the output
+# is integer counts so the float log-joint sums only reach the hash
+# through the argmax — safe because the fixture's min top-2 margin
+# is verified >> the cross-engine libm/summation-order noise floor
+# by the staging test alongside the parity itself.
+STAGED_Q126_NAME = "q126_nb_confusion"
+STAGED_Q126_N_FEATURES = 65536
+STAGED_Q126_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 65536 AS feature
+      FROM docs, UNNEST(toks) AS t(tok)
+    ),
+    train AS (SELECT * FROM feats WHERE doc_id % 4 = 0),
+    counts AS (
+      SELECT lang AS label, feature, count(*) AS c FROM train GROUP BY 1, 2
+    ),
+    totals AS (SELECT label, sum(c) AS total FROM counts GROUP BY 1),
+    lik AS (
+      SELECT label, feature, ln(c + 1.0) - ln(total + 65536.0) AS log_lik
+      FROM counts JOIN totals USING (label)
+    ),
+    tdocs AS (SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 0),
+    prior AS (
+      SELECT d.lang AS label,
+             ln(count(*)) - ln((SELECT count(*) FROM tdocs)) AS log_prior,
+             ln(1.0) - ln(t.total + 65536.0) AS log_unseen
+      FROM tdocs d JOIN totals t ON t.label = d.lang
+      GROUP BY d.lang, t.total
+    ),
+    sums AS (
+      SELECT f.doc_id, p.label,
+             sum(coalesce(l.log_lik, p.log_unseen)) AS ll_sum
+      FROM feats f
+      CROSS JOIN prior p
+      LEFT JOIN lik l ON l.label = p.label AND l.feature = f.feature
+      GROUP BY f.doc_id, p.label
+    ),
+    scores AS (
+      SELECT d.doc_id, d.lang AS true_lang, p.label,
+             coalesce(s.ll_sum, 0.0) + p.log_prior AS score
+      FROM (SELECT doc_id, lang FROM documents) d
+      CROSS JOIN prior p
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = p.label
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, label AS predicted,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, label
+             ) AS rn
+      FROM scores
+    )
+    SELECT true_lang, predicted, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+"""
+
+
+def staged_q126_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-NB scoring-tier confusion matrix (operators/nbquality.py
+    ::nb_train + nb_predict — §2.D classifier scope). A multinomial
+    NB language model is trained on the deterministic doc_id % 4
+    quarter of the corpus (labels = the fixture's lang column,
+    alpha = 1, 2^16 hashed features via the portable md5-fold
+    featurizer); every document is then predicted and the integer
+    (true_lang, predicted, n_docs) confusion matrix returned. Scale
+    shape: training is ONE map-side-combined count aggregation;
+    scoring is one explode + broadcast likelihood join + one groupBy;
+    the argmax is a per-doc-partitioned window (never global)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.nbquality import (
+        nb_predict,
+        nb_train,
+    )
+
+    def featurizer(text_col, n_features):
+        # engine-portable hashing trick (defined INSIDE the builder so
+        # the gate fingerprint covers it): \s+ tokens, null text =
+        # none, each token hashed by folding the first 15 hex digits
+        # of md5 (60 bits, sign-safe in a BIGINT on both engines) onto
+        # [0, n_features). Production models default to xxhash64 —
+        # the featurizer= hook exists so the map is a model parameter.
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        toks = F.filter(
+            F.split(F.coalesce(c, F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+        return F.transform(
+            toks,
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+                F.lit(n_features),
+            ),
+        )
+
+    docs = T(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    model = nb_train(
+        train,
+        text_col="text",
+        label_col="lang",
+        n_features=STAGED_Q126_N_FEATURES,
+        alpha=1.0,
+        featurizer=featurizer,
+    )
+    pred = nb_predict(docs, model, id_col="doc_id", text_col="text")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
