@@ -1,15 +1,18 @@
 """Gate-promotion staging proofs.
 
 q123_curriculum_stages was staged at r12 and REGISTERED at r13;
-q124_bigram_counts was staged at r13 and REGISTERED at r14 (both
+q124_bigram_counts was staged at r13 and REGISTERED at r14;
+q125_sb_match_profile was staged at r14 and REGISTERED at r15 (all
 stamped rotation plans executed on schedule) — their registration
-invariants flipped to "is in the catalog AND in the gate window".
+invariants flipped to "is in the catalog AND in the gate window" at
+registration, then relaxed to catalog membership once their first
+driver row landed.
 
-q125_sb_match_profile is the r15 staged promotion (plans/catalog.py's
-STAGED block): the builder must already pass the exact driver-style
-oracle differential, so registering it at r15 spends the slot (freed
-by retiring q14_distinct_months from the expiring r13 cohort) on a
-known-green entry.
+q126_nb_confusion is the r16 registration (plans/catalog.py's STAGED
+block). ADVICE r15 correctly flagged that its r15 staging shipped
+WITHOUT the staging parity test this file's pattern demands — the
+parity AND the top-2 argmax-margin check land here with the
+registration, so both run on every pytest from r16 onward.
 """
 
 from __future__ import annotations
@@ -20,24 +23,25 @@ from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q124_NAME,
     STAGED_Q125_NAME,
     STAGED_Q125_ORACLE,
+    STAGED_Q126_NAME,
+    STAGED_Q126_ORACLE,
     _GATE_PRIORITY,
     queries,
     staged_q125_sb_match_profile,
+    staged_q126_nb_confusion,
 )
 
 
 def test_q123_registered_at_r13():
-    """Registered at r13; at r14 it rests on its r13 row (not in the
-    window), but it must still be in the catalog."""
+    """Registered at r13; rests between rotations, but it must still
+    be in the catalog."""
     assert STAGED_Q123_NAME in queries()
 
 
 def test_q124_registered_at_r14():
-    """The r13 staging contract's inverse, flipped at registration:
-    q124 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+    """Registered at r14 (driver row r14, re-attested r15 by the
+    rebalance pull); catalog membership is the standing invariant."""
     assert STAGED_Q124_NAME in queries()
-    assert STAGED_Q124_NAME in _GATE_PRIORITY
 
 
 def test_staged_q125_matches_oracle(spark, sf_dir):
@@ -47,8 +51,50 @@ def test_staged_q125_matches_oracle(spark, sf_dir):
 
 
 def test_q125_registered_at_r15():
-    """The r14 staging contract's inverse, flipped at registration:
-    q125 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+    """Registered at r15 (driver row r15); at r16 it rests on that
+    row, so the standing invariant is catalog membership."""
     assert STAGED_Q125_NAME in queries()
-    assert STAGED_Q125_NAME in _GATE_PRIORITY
+
+
+def test_staged_q126_matches_oracle(spark, sf_dir):
+    got = staged_q126_nb_confusion(spark, sf_dir)
+    want = run_duckdb(STAGED_Q126_ORACLE, sf_dir)
+    compare(got, want, STAGED_Q126_NAME)
+
+
+def test_q126_argmax_margin_dwarfs_float_noise(sf_dir):
+    """q126's only float surface is the per-doc argmax over log-joint
+    sums; the integer confusion matrix is hash-safe ONLY while the
+    fixture's top-2 score margin dwarfs the cross-engine libm /
+    summation-order noise floor (~1e-11 absolute at these magnitudes).
+    The margin query is derived from the oracle text itself (same CTE
+    chain through ``scores``) so it cannot drift from what the parity
+    actually runs. Measured: 9.62 at sf0.001, 5.71 at sf0.01 —
+    >11 orders above the noise floor; exact intra-engine ties would
+    be safe too (identical per-engine values, label-asc break), but
+    the fixture has none."""
+    prefix = STAGED_Q126_ORACLE.split("pred AS (")[0].rstrip().rstrip(",")
+    margin_sql = prefix + """,
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, label
+             ) AS rn
+      FROM scores
+    )
+    SELECT min(a.score - b.score) AS min_margin,
+           count(*) FILTER (WHERE a.score = b.score) AS n_exact_ties
+    FROM ranked a JOIN ranked b USING (doc_id)
+    WHERE a.rn = 1 AND b.rn = 2
+    """
+    row = run_duckdb(margin_sql, sf_dir).iloc[0]
+    assert row["n_exact_ties"] == 0
+    assert row["min_margin"] > 1.0, row["min_margin"]
+
+
+def test_q126_registered_at_r16():
+    """The r15 staging contract's inverse, flipped at registration:
+    q126 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option)."""
+    assert STAGED_Q126_NAME in queries()
+    assert STAGED_Q126_NAME in _GATE_PRIORITY

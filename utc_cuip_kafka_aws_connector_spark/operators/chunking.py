@@ -62,13 +62,29 @@ def chunk_documents(
     # escape so both sides agree on the SAME separator.
     toks = F.split(F.col(text_col), re.escape(sep))
     n = F.size(toks)
-    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
-        (F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + 1).cast("int")
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(sep, F.slice(toks, i * stride + 1, chunk_size)),
-    )
+
+    # The chunk builder runs inside a single-element-array transform
+    # (operators/arrayops.py's "other safe idiom") so the lambda's
+    # ELEMENT is the token array: Catalyst does no CSE inside
+    # higher-order-function lambdas, so the previous shape -- slicing
+    # the CAPTURED ``toks`` per chunk position -- re-ran the split
+    # once per chunk, O(len^2 / stride) per document (measured 73 s
+    # -> 3 s on 512 x 20k-token docs at stride 16; BENCH_NOTES r16).
+    # Reading ``tk`` below is a lambda-variable load, not a recompute.
+    def _chunks(tk):
+        n_tk = F.size(tk)
+        n_chunks = F.when(n_tk <= chunk_size, F.lit(1)).otherwise(
+            (F.ceil((n_tk - F.lit(chunk_size)) / F.lit(float(stride))) + 1).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(sep, F.slice(tk, i * stride + 1, chunk_size)),
+        )
+
+    # NULL text: toks is NULL, the wrapper is [NULL], _chunks(NULL)
+    # folds to NULL, and [NULL][0] is NULL -- posexplode over NULL
+    # still yields zero rows, byte-identical to the previous shape.
+    chunks = F.transform(F.array(toks), _chunks)[0]
     return df.select(
         F.col(id_col),
         n.alias("_n"),

@@ -4510,8 +4510,8 @@ def staged_q125_sb_match_profile(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r16 — NOT REGISTERED. The r16 rotation plan's named
-# promotion (see the _GATE_PRIORITY comment block): the hashed-NB
+# STAGED at r15, REGISTERED at r16 (the stamped rotation plan executed
+# on schedule; see the _GATE_PRIORITY comment block): the hashed-NB
 # classifier SCORING tier (operators/nbquality.py::nb_train +
 # nb_predict — the machinery under both the quality classifier and
 # operators/langid.py) on an integer-count surface. The largest body
@@ -4535,7 +4535,10 @@ def staged_q125_sb_match_profile(
 # is integer counts so the float log-joint sums only reach the hash
 # through the argmax — safe because the fixture's min top-2 margin
 # is verified >> the cross-engine libm/summation-order noise floor
-# by the staging test alongside the parity itself.
+# by tests/test_curriculum_gate_stage.py (the parity differential +
+# the explicit margin check; ADVICE r15 correctly flagged that the
+# r15 staging landed WITHOUT that test — it landed with the r16
+# registration, so the parity has run on every pytest since).
 STAGED_Q126_NAME = "q126_nb_confusion"
 STAGED_Q126_N_FEATURES = 65536
 STAGED_Q126_ORACLE = """
@@ -4595,6 +4598,7 @@ STAGED_Q126_ORACLE = """
 """
 
 
+@query(STAGED_Q126_NAME, oracle=STAGED_Q126_ORACLE)
 def staged_q126_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-NB scoring-tier confusion matrix (operators/nbquality.py
     ::nb_train + nb_predict — §2.D classifier scope). A multinomial
@@ -4821,122 +4825,118 @@ GATE_RETIRED: frozenset[str] = frozenset(
 )
 
 _GATE_PRIORITY = [
-    # r15 ROTATION (the stamped r14 plan, executed with one recorded
-    # CORRECTION, at r15 open: `--reconcile` first — 0 phantoms,
-    # CORRECTNESS_r14 was 50/50 green — then this window + `--round
-    # 15` in the same commit). Window: the r13-attested queries whose
-    # rows expire at r15 close, minus the four retirements (q14 per
-    # the stamped plan; q13/q18 funding the rebalance; q82 funding
-    # the q103 un-retirement — see GATE_RETIRED), plus the
-    # un-retired q103_near_dup_full_table (its dedup.py dependency
-    # drifted with this round's in-window errstate edit, so it
-    # rejoins the rotation), plus the pre-staged, pre-proven promotion
-    # q125_sb_match_profile (operators/ngramlm.py::sb_match_profile —
-    # tests/test_curriculum_gate_stage.py has run its exact oracle
-    # differential on every pytest run since r14), plus the two
-    # REBALANCE PULLS q110_semantic_dedup and q124_bigram_counts
-    # (re-attesting one round early to move dedup.py / similarity.py
-    # / ngramlm.py's full dependent sets into the odd cohort — the
-    # GATE_RETIRED r15 comment records why the r14 freeze-map claim
-    # "dedup/chunking unfreeze at r15, ngramlm re-freezes" was
-    # two-thirds wrong: those modules were two-cohort-pinned and
-    # would NEVER legally unfreeze). With the pulls in place, the
-    # dedup.py rolling-hash np.errstate wrap (owed since r13) and the
-    # ngramlm.py perplexity_buckets approx path land in THIS window;
-    # chunking.py:68's HOF fix CANNOT legally land at r15 (q109/q111
-    # rest on r14 rows) and is scheduled for r16 below.
+    # r16 ROTATION (the stamped r15 plan, executed on schedule; at r16
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r15 was
+    # 50/50 green — then this window + `--round 16` in the same
+    # commit). Window: the r14-attested queries whose rows expire at
+    # r16 close = the 50-member r14 cohort MINUS the two r15 rebalance
+    # pulls (q110/q124 re-attested early and now rest on r15 rows) =
+    # 48 must-attest, leaving TWO free slots, spent exactly as the
+    # stamped plan directed: (1) registering the pre-staged, pre-
+    # proven promotion q126_nb_confusion (operators/nbquality.py's
+    # full train->predict->argmax path on an integer confusion-matrix
+    # surface; its staging parity + top-2-margin test land WITH this
+    # registration — ADVICE r15 flagged that the r15 staging shipped
+    # without them), and (2) a REBALANCE PULL of
+    # q106_document_chunking (r15-attested; re-attests a round early),
+    # which puts q106+q109+q111 — operators.chunking's complete
+    # dependent set per the fingerprint dep scan — in ONE window for
+    # the first time, making the owed-since-r14 chunking.py:68
+    # sliding-window fix legal THIS round (it lands in this window;
+    # chunking.py is all-even-cohort hereafter). No retirement needed:
+    # promotions == free slots (the named third-slot candidate
+    # q115_zorder_layout stays active). CORRECTION carried from ADVICE
+    # r15: the replaced r15 block's expiring-cohort header read "49
+    # minus q13/q18" — the true arithmetic was the 50-member r13
+    # cohort minus FOUR retirements (q14/q13/q18/q82) = 46 listed
+    # names (+ the q103 un-retirement + q110/q124 pulls + q125 = 50).
     #
-    # r16 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the r14-attested queries that
-    # rest through r15 = the r14 window MINUS the two pulls (q110 and
-    # q124 re-attest at r15 and next expire with the odd cohort at
-    # r17) = 48 queries — so r16 opens with TWO free slots before any
-    # retirement. Spend them on: (1) the pre-staged promotion
-    # q126 (classifier scoring tier — per-label argmax counts from
-    # hashed-NB log-odds replayed in exact arithmetic; stage it at
-    # r15 close so it lands pre-proven), and (2) a REBALANCE PULL of
-    # q106_document_chunking into the r16 window, which puts
-    # q106+q109+q111 — operators.chunking's full dependent set — in
-    # one window for the first time, making chunking.py:68's owed
-    # sliding_grams fix legal at r16 (and the module all-even-cohort
-    # thereafter). Named retirement candidate if a third slot is
-    # needed: q115_zorder_layout — layout.py holds TWO same-cohort
-    # slots for the same space-filling-curve surface; q116 pins the
-    # strictly harder Hilbert arithmetic every rotation and q117 (odd
-    # cohort) pins the read side that consumes the layout.
-    # Module-freeze map for r16, computed with the dep scan (for each
-    # module, every non-retired gate dependent must be in the r16
-    # window — RE-RUN the scan before editing anything; the r14 prose
-    # map was wrong): with the pulls above, EDITABLE at r16 =
-    # chunking.py (the point of the q106 pull), chunkdedup.py,
-    # asof.py, ranges.py, skew.py, urlops.py, split.py, packing.py,
-    # setjoin.py, retrieval.py, heavyhitters.py, bpetrain.py,
-    # bucketing.py, decontam.py, tokenizer.py, sources/sinks.py,
-    # sources/txlog.py. FROZEN at r16 = dedup.py, similarity.py,
-    # semdedup.py, clusterguard.py, ngramlm.py (all-odd after the r15
-    # pulls — editable at r17), layout.py and skipread.py (q117 is
-    # odd-cohort: layout spans both cohorts until a q117 pull at an
-    # even round or a q115/q116 pull at an odd one), text.py (q107
-    # even + ten odd dependents — pull q107 at an odd round to unify),
+    # r17 ROTATION PLAN (write once, so the next round doesn't have to
+    # re-derive it): must-attest = the r15-attested queries that rest
+    # through r16 = the 50-member r15 window MINUS the q106 pull = 49
+    # — so r17 opens with ONE free slot before any retirement. Spend
+    # it on the pre-staged promotion q127 (the tokenizer-encode tier —
+    # per-doc token counts + id checksums from a committed merge
+    # table; staged at r16 close so it lands pre-proven, the
+    # q124/q125/q126 recipe). Module-freeze map for r17, computed with
+    # the dep scan (RE-RUN `tools/gate_fingerprints.py`'s regex scan
+    # before editing anything): EDITABLE at r17 = dedup.py,
+    # similarity.py, semdedup.py, clusterguard.py, ngramlm.py (all-odd
+    # since the r15 pulls — this is where the two deferred ADVICE r15
+    # fixes land: dedup.py::_free_blocks's log4j dance wrapped in
+    # try/except falling back to plain unpersist, and
+    # perplexity_buckets' rel_err (0,1) validation + ties-skip-labels
+    # docstring note — both illegal at r16 because q40/q46/q47/q51/
+    # q80/q81/q103/q110 and q124/q125 rest on r15 rows), plus text.py,
     # sampling.py, multimodal.py, diff.py, boilerplate.py,
-    # ordering.py, streaming/ops.py; stats.py stays frozen as always
-    # (q85+q89 span BOTH cohorts).
+    # ordering.py, streaming/ops.py and the rest of the odd-cohort
+    # dependents. FROZEN at r17 = chunking.py, chunkdedup.py (all-even
+    # after this round's pull), layout.py and skipread.py (q117 odd +
+    # q115/q116/q118 even — still two-cohort; unify via a q117 pull at
+    # an even round if an edit is ever needed), stats.py as always
+    # (q85 odd + q89 even). Also owed at r17: the q110 timing
+    # decomposition (3.81->4.01->4.84 s drift across r13-r15 — assign
+    # to assignment / candidate-join / CC phases while dedup.py is
+    # legally instrumentable). Named retirement candidate if a second
+    # r17 slot is needed: q57_sql_cte_top_orders (its CTE-over-top-k
+    # surface is pinned by q19's global top-k and q74's top-supplier
+    # join every rotation; draw it from the EXPIRING r15 cohort so the
+    # slot frees same-round).
     #
-    # --- the expiring r13-resters (49 minus q13/q18, retired) ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q40_exact_dedup",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q50_multimodal_features",
-    "q51_ngram_jaccard_pairs",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q60_streaming_tumbling",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
-    "q66_salted_aggregation",
-    "q67_null_safe_join",
-    "q73_nation_trade_volume",
-    "q79_ivf_ann_topk",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    "q95_stream_stream_join",
-    "q97_budget_selection",
-    "q99_curation_pipeline",
-    "q101_stream_static_join",
-    "q102_image_decode",
-    # --- un-retired at r15: dedup.py drift, rejoins the odd cohort ---
-    "q103_near_dup_full_table",
-    "q104_audio_decode",
-    "q105_video_frame_sample",
+    # --- the expiring r14-resters (50 minus the q110/q124 pulls) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q08_interval_join",
+    "q09_asof_join",
+    "q10_count_distinct",
+    "q11_multidim_agg",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q17_lag_lead",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q30_json_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q65_sessionize",
+    "q71_time_windows",
+    "q74_top_supplier",
+    "q75_promo_share",
+    "q77_explode_dimension_stats",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q92_txlog_skipping",
+    "q93_change_feed",
+    "q94_decontamination",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q100_bucketed_join",
+    "q107_token_rarity",
+    "q109_content_defined_chunks",
+    "q111_chunk_dedup",
+    "q112_bpe_token_count",
+    "q113_prefix_jaccard_join",
+    "q114_bm25_retrieval",
+    "q115_zorder_layout",
+    "q116_hilbert_layout",
+    "q118_bpe_train",
+    "q119_heavy_hitters",
+    "q121_per_domain_cap",
+    "q122_leakage_safe_split",
+    # --- rebalance pull: re-attests a round early; even cohort
+    # --- hereafter (unifies operators.chunking: q106+q109+q111) ---
     "q106_document_chunking",
-    "q108_mixture_weights",
-    # --- rebalance pull: re-attests a round early; odd cohort hereafter ---
-    "q110_semantic_dedup",
-    "q117_clustered_skipping_read",
-    "q120_boilerplate_strip",
-    "q123_curriculum_stages",
-    # --- rebalance pull: re-attests a round early; odd cohort hereafter ---
-    "q124_bigram_counts",
-    # --- new this round (never attested; the q14-retirement slot) ---
-    "q125_sb_match_profile",
+    # --- new this round (never attested; the stamped promotion) ---
+    "q126_nb_confusion",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
