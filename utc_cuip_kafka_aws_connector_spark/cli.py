@@ -1269,6 +1269,7 @@ def run_report(
     select_buckets: int = 10_000,
     eval_embeddings: str | None = None,
     decontam_cosine: float = 0.95,
+    ppl_buckets_method: str = "exact",
 ) -> list:
     """Corpus data-card (operators/report.py) over a parquet corpus;
     returns the (metric, value) rows for display. The optional
@@ -1281,7 +1282,7 @@ def run_report(
     df = spark.read.parquet(input_path)
     kwargs, lm = _report_signal_kwargs(
         spark, df, input_path, ppl_lm, dsir_target, select_buckets,
-        eval_embeddings, decontam_cosine,
+        eval_embeddings, decontam_cosine, ppl_buckets_method,
     )
     rows = corpus_report(df, **kwargs).collect()
     if lm is not None:
@@ -1295,7 +1296,7 @@ def run_report(
 
 def _report_signal_kwargs(
     spark, df, input_path, ppl_lm, dsir_target, select_buckets,
-    eval_embeddings, decontam_cosine,
+    eval_embeddings, decontam_cosine, ppl_buckets_method="exact",
 ):
     """Assemble corpus_report's model-signal kwargs from CLI paths —
     shared by `report` and `release-report`. The DSIR model is fit
@@ -1311,6 +1312,7 @@ def _report_signal_kwargs(
 
         lm = load_kn_lm(spark, ppl_lm)
         kwargs["ppl_lm"] = lm
+        kwargs["ppl_buckets_method"] = ppl_buckets_method
     if dsir_target:
         from utc_cuip_kafka_aws_connector_spark.operators.dsir import dsir_fit
 
@@ -1341,6 +1343,7 @@ def run_release_report(
     eval_embeddings: str | None = None,
     decontam_cosine: float = 0.95,
     drift_cols: str = "n_chars",
+    ppl_buckets_method: str = "exact",
 ) -> list:
     """Release notes between two corpus versions (operators/
     report.py::release_report): membership changes, every scalar
@@ -1363,7 +1366,7 @@ def run_release_report(
         )
     kwargs, lm = _report_signal_kwargs(
         spark, new, new_path, ppl_lm, dsir_target, select_buckets,
-        eval_embeddings, decontam_cosine,
+        eval_embeddings, decontam_cosine, ppl_buckets_method,
     )
     cols = tuple(c.strip() for c in drift_cols.split(",") if c.strip())
     missing = [
@@ -1658,6 +1661,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     report.add_argument("--select-buckets", type=int, default=10_000)
     report.add_argument(
+        "--ppl-buckets-method", choices=("exact", "approx"),
+        default="exact",
+        help="ppl bucket-cut rows: 'exact' (deterministic; the form "
+        "published card numbers should rest on) or 'approx' "
+        "(approxQuantile, no global sort — the corpus-scale choice)",
+    )
+    report.add_argument(
         "--eval-embeddings", default=None,
         help="eval embeddings parquet (vec_id, embedding): adds the "
         "semantic-contamination rows",
@@ -1675,6 +1685,10 @@ def main(argv: list[str] | None = None) -> int:
     relrep.add_argument("--ppl-lm", default=None)
     relrep.add_argument("--dsir-target", default=None)
     relrep.add_argument("--select-buckets", type=int, default=10_000)
+    relrep.add_argument(
+        "--ppl-buckets-method", choices=("exact", "approx"),
+        default="exact",
+    )
     relrep.add_argument("--eval-embeddings", default=None)
     relrep.add_argument("--decontam-cosine", type=float, default=0.95)
     relrep.add_argument(
@@ -1908,6 +1922,14 @@ def main(argv: list[str] | None = None) -> int:
         "--buckets", type=int, default=0,
         help="score: also assign this many equal-population perplexity "
         "buckets (CCNet's head/middle/tail = 3; 0 = off)",
+    )
+    lm.add_argument(
+        "--buckets-method", choices=("exact", "approx"), default="exact",
+        help="score --buckets: 'exact' = deterministic global-window "
+        "cut (default; bit-stable across runs); 'approx' = "
+        "approxQuantile thresholds + a codegen projection, NO global "
+        "sort — the corpus-scale choice (populations equal to the "
+        "operator's rel_err only)",
     )
     lm.add_argument(
         "--model-type", choices=("kn", "count-only"), default="kn",
@@ -2209,6 +2231,7 @@ def main(argv: list[str] | None = None) -> int:
             select_buckets=args.select_buckets,
             eval_embeddings=args.eval_embeddings,
             decontam_cosine=args.decontam_cosine,
+            ppl_buckets_method=args.ppl_buckets_method,
         )
         for r in rows:
             print(f"{r.metric:<28s} {r.value:.4f}")
@@ -2223,6 +2246,7 @@ def main(argv: list[str] | None = None) -> int:
             eval_embeddings=args.eval_embeddings,
             decontam_cosine=args.decontam_cosine,
             drift_cols=args.drift_cols,
+            ppl_buckets_method=args.ppl_buckets_method,
         )
         for r in rows:
             print(f"{r.metric:<36s} {r.value:.4f}")
@@ -2658,6 +2682,7 @@ def main(argv: list[str] | None = None) -> int:
                     scored = perplexity_buckets(
                         scored, n_buckets=args.buckets,
                         ppl_col="sbs", id_col=args.id_col,
+                        method=args.buckets_method,
                     )
             else:
                 scored = kn_score(
@@ -2665,7 +2690,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if args.buckets:
                     scored = perplexity_buckets(
-                        scored, n_buckets=args.buckets, id_col=args.id_col
+                        scored, n_buckets=args.buckets, id_col=args.id_col,
+                        method=args.buckets_method,
                     )
             scored.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

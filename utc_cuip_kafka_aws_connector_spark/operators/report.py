@@ -96,6 +96,7 @@ def corpus_report(
     top_n: int = 5,
     ppl_lm: dict | None = None,
     ppl_buckets: int = 3,
+    ppl_buckets_method: str = "exact",
     dsir_model: DataFrame | None = None,
     dsir_buckets: int = 10_000,
     dsir_n_max: int = 2,
@@ -111,7 +112,14 @@ def corpus_report(
     ``dsir_model`` (a dsir_fit frame — buckets/n_max MUST match the
     fit, the dsir feature-space contract) and ``eval_embeddings``
     each switch on their model-based block; all remain
-    aggregation-only compositions of the underlying operators."""
+    aggregation-only compositions of the underlying operators.
+
+    ``ppl_buckets_method`` forwards to ngramlm.perplexity_buckets:
+    "exact" (default — deterministic global-window cut, the form the
+    published card numbers should rest on) or "approx" (the
+    corpus-scale choice: approxQuantile thresholds, no global sort;
+    bucket populations equal only to the operator's rel_err, so
+    cut rows become approximate quantiles)."""
     spark = df.sparkSession
     core = _core_aggregate(df, text_col)
     row = core.first()
@@ -142,7 +150,10 @@ def corpus_report(
         ).persist()  # one scoring pass feeds mean + bucket cuts
         out.append(("ppl_mean", float(scored.agg(F.avg("ppl")).first()[0])))
         cuts = (
-            perplexity_buckets(scored, n_buckets=ppl_buckets, id_col=id_col)
+            perplexity_buckets(
+                scored, n_buckets=ppl_buckets, id_col=id_col,
+                method=ppl_buckets_method,
+            )
             .groupBy("bucket")
             .agg(F.max("ppl").alias("cut"))
             .collect()
