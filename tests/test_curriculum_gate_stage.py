@@ -25,10 +25,14 @@ from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q125_ORACLE,
     STAGED_Q126_NAME,
     STAGED_Q126_ORACLE,
+    STAGED_Q127_MERGES,
+    STAGED_Q127_NAME,
+    STAGED_Q127_ORACLE,
     _GATE_PRIORITY,
     queries,
     staged_q125_sb_match_profile,
     staged_q126_nb_confusion,
+    staged_q127_bytelevel_encode,
 )
 
 
@@ -98,3 +102,35 @@ def test_q126_registered_at_r16():
     received a driver row, so resting is not an option)."""
     assert STAGED_Q126_NAME in queries()
     assert STAGED_Q126_NAME in _GATE_PRIORITY
+
+
+def test_staged_q127_matches_oracle(spark, sf_dir):
+    """The r17 promotion lands pre-proven: the byte-level encode
+    differential (spec_encode's ranked heap encoder vs the oracle's
+    framed sequential-REPLACE replay) runs on every pytest from the
+    r16 staging onward — the q124/q125 recipe, and the test ADVICE
+    r15 flagged q126's staging for shipping without."""
+    got = staged_q127_bytelevel_encode(spark, sf_dir)
+    want = run_duckdb(STAGED_Q127_ORACLE, sf_dir)
+    compare(got, want, STAGED_Q127_NAME)
+
+
+def test_q127_merge_table_is_well_formed():
+    """Sequential-REPLACE replay == the ranked heap encoder ONLY on
+    well-formed tables (each merge side is a base symbol or an
+    EARLIER merge's result) — the equivalence the oracle rests on,
+    so the committed table must stay well-formed by construction."""
+    known = {chr(c) for c in range(0x21, 0x7F)} | {"Ġ"}
+    for a, b in STAGED_Q127_MERGES:
+        assert a in known, f"merge side {a!r} is not derivable yet"
+        assert b in known, f"merge side {b!r} is not derivable yet"
+        known.add(a + b)
+
+
+def test_q127_staged_not_registered():
+    """The pre-registration contract (flips to its inverse at r17):
+    staged means NOT in the catalog and NOT holding a window slot —
+    registration must be a deliberate rotation event, never a
+    side-effect of importing the staged builder."""
+    assert STAGED_Q127_NAME not in queries()
+    assert STAGED_Q127_NAME not in _GATE_PRIORITY

@@ -4654,6 +4654,137 @@ def staged_q126_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r17 — NOT REGISTERED. The r17 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the tokenizer
+# ENCODE tier on the byte-level alphabet (operators/bytelevel.py::
+# spec_encode + ranked_bpe_encode + the tokenio.TokenizerSpec model
+# shape — the distributed encoder every loaded tokenizer.json runs
+# through). q112 pins the char-level sequential merge-list kernel;
+# this pins what production encoding actually uses: the ByteLevel
+# alphabet (space -> Ġ), the lowest-rank-first heap encoder, the
+# vocab id lookup, and per-doc id ORDER (a position-weighted integer
+# checksum, so transposed ids hash-mismatch). The oracle replays the
+# merges as framed REPLACEs in rank order — q112's recipe extended
+# to the byte-level alphabet — which equals the ranked encoder on
+# WELL-FORMED merge tables (each side a base symbol or an earlier
+# merge's result; the committed 12-merge table is well-formed by
+# construction, and the repo pins sequential==ranked equivalence in
+# tests/test_bytelevel.py). Three portability choices, each part of
+# the public API surface rather than a test shim: (1) the corpus is
+# projected to printable ASCII ('[^ -~]' stripped identically by
+# both engines' code-point regex) so the byte<->unicode alphabet is
+# the identity + the signature Ġ space mapping — the full multi-byte
+# path stays pinned by the committed GPT-2 fixtures in
+# tests/test_bytelevel.py; (2) use_regex=False (an HF ByteLevel
+# option: whole text as one BPE sequence) because the GPT-2 split
+# regex needs lookahead that RE2/DuckDB lacks — the regex split is
+# differentially pinned on the fixtures; (3) vocab ids are the q126
+# md5-fold (60-bit hex fold mod 1000003) computed identically in
+# both engines, so the id lookup is exercised without a 100-row
+# VALUES table. All output columns exact integers: hash-safe.
+STAGED_Q127_NAME = "q127_bytelevel_encode"
+STAGED_Q127_MERGES = [
+    ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"), ("e", "r"),
+    ("Ġt", "he"), ("o", "n"), ("Ġa", "n"), ("s", "t"), ("Ġ", "s"),
+    ("Ġs", "t"), ("e", "d"),
+]
+STAGED_Q127_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS a
+      FROM documents),
+    sym AS (
+      SELECT doc_id,
+             chr(31) || array_to_string(
+               string_split_regex(replace(a, ' ', 'Ġ'), ''),
+               chr(31)||chr(31)) || chr(31) AS s
+      FROM t WHERE a <> ''),
+    m1 AS (SELECT doc_id, replace(s, chr(31)||'Ġ'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'Ġt'||chr(31)) AS s FROM sym),
+    m2 AS (SELECT doc_id, replace(s, chr(31)||'Ġ'||chr(31)||chr(31)||'a'||chr(31), chr(31)||'Ġa'||chr(31)) AS s FROM m1),
+    m3 AS (SELECT doc_id, replace(s, chr(31)||'h'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'he'||chr(31)) AS s FROM m2),
+    m4 AS (SELECT doc_id, replace(s, chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'in'||chr(31)) AS s FROM m3),
+    m5 AS (SELECT doc_id, replace(s, chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)) AS s FROM m4),
+    m6 AS (SELECT doc_id, replace(s, chr(31)||'Ġt'||chr(31)||chr(31)||'he'||chr(31), chr(31)||'Ġthe'||chr(31)) AS s FROM m5),
+    m7 AS (SELECT doc_id, replace(s, chr(31)||'o'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'on'||chr(31)) AS s FROM m6),
+    m8 AS (SELECT doc_id, replace(s, chr(31)||'Ġa'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'Ġan'||chr(31)) AS s FROM m7),
+    m9 AS (SELECT doc_id, replace(s, chr(31)||'s'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'st'||chr(31)) AS s FROM m8),
+    m10 AS (SELECT doc_id, replace(s, chr(31)||'Ġ'||chr(31)||chr(31)||'s'||chr(31), chr(31)||'Ġs'||chr(31)) AS s FROM m9),
+    m11 AS (SELECT doc_id, replace(s, chr(31)||'Ġs'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'Ġst'||chr(31)) AS s FROM m10),
+    m12 AS (SELECT doc_id, replace(s, chr(31)||'e'||chr(31)||chr(31)||'d'||chr(31), chr(31)||'ed'||chr(31)) AS s FROM m11),
+    tok AS (
+      SELECT doc_id,
+             string_split(trim(s, chr(31)), chr(31)||chr(31)) AS tk
+      FROM m12),
+    ev AS (
+      SELECT doc_id, u.i AS i, tk[u.i] AS tok, len(tk) AS n
+      FROM tok, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+    enc AS (
+      SELECT doc_id, max(n) AS n_tokens,
+             sum(i * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003))
+               AS id_checksum
+      FROM ev GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.id_checksum, 0) AS BIGINT) AS id_checksum
+    FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+
+def staged_q127_bytelevel_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level BPE encode tier (operators/bytelevel.py::
+    spec_encode -> ranked_bpe_encode under a tokenio.TokenizerSpec —
+    §2.D tokenizer scope). Every document, projected to printable
+    ASCII, is encoded under a committed well-formed 12-merge
+    byte-level table (space -> Ġ alphabet, whole-text sequence,
+    md5-fold vocab ids); the gate pins per-doc token COUNT and a
+    position-weighted id CHECKSUM, so merge order, id mapping, and
+    id SEQUENCE all reach the hash. Scale shape: one Arrow-batched
+    mapInPandas scan (no shuffle, no collect; the heap encoder is
+    O(len log len) per doc regardless of merge-table size) + one
+    map-side-combined groupBy."""
+    import hashlib
+
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_encode,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        TokenizerSpec,
+    )
+
+    def fold(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1000003
+
+    singles = [chr(c) for c in range(0x21, 0x7F)] + ["Ġ"]
+    tokens = singles + [a + b for a, b in STAGED_Q127_MERGES]
+    spec = TokenizerSpec(
+        merges=list(STAGED_Q127_MERGES),
+        vocab={t: fold(t) for t in tokens},
+        unk_token=None,
+        byte_level=True,
+        use_regex=False,
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "[^ -~]", ""
+        ).alias("t"),
+    )
+    enc = spec_encode(docs, spec, id_col="doc_id", text_col="t")
+    ex = enc.select(
+        "doc_id", F.posexplode_outer("token_ids").alias("pos", "tid")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("tid").alias("n_tokens"),
+        F.coalesce(
+            F.sum((F.col("pos") + 1) * F.col("tid").cast("long")),
+            F.lit(0),
+        ).cast("long").alias("id_checksum"),
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
