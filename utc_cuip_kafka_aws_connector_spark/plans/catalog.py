@@ -5005,10 +5005,12 @@ _GATE_PRIORITY = [
     # after this round's pull), layout.py and skipread.py (q117 odd +
     # q115/q116/q118 even — still two-cohort; unify via a q117 pull at
     # an even round if an edit is ever needed), stats.py as always
-    # (q85 odd + q89 even). Also owed at r17: the q110 timing
-    # decomposition (3.81->4.01->4.84 s drift across r13-r15 — assign
-    # to assignment / candidate-join / CC phases while dedup.py is
-    # legally instrumentable). Named retirement candidate if a second
+    # (q85 odd + q89 even). Also owed at r17: the q110 fix the r16
+    # read-only phase decomposition identified (BENCH_NOTES r16: the
+    # 3.81->4.84 s drift is host noise — CC checkpoint latency + a
+    # DOUBLED ivf_assign pass dominate; persist the narrow `assigned`
+    # frame in semantic_dedup before its self-join to halve the
+    # embedding-table passes). Named retirement candidate if a second
     # r17 slot is needed: q57_sql_cte_top_orders (its CTE-over-top-k
     # surface is pinned by q19's global top-k and q74's top-supplier
     # join every rotation; draw it from the EXPIRING r15 cohort so the
