@@ -296,3 +296,57 @@ def test_null_text_counts_as_one_distinct_group(spark):
     )
     card = {r.metric: r.value for r in corpus_report(df).collect()}
     assert card["exact_dup_ratio"] == pytest.approx(0.2)
+
+
+def test_approx_buckets_card_rows_survive_heavy_ties(spark, docs):
+    """Review r16: under ppl_buckets_method='approx' the bucket
+    assignment can leave the TOP bucket empty when >= 1/n_buckets of
+    documents tie at the maximum perplexity (approxQuantile returns
+    the max as a cut and the strictly-greater comparison strands
+    bucket n) — deriving card rows from per-bucket maxima then
+    silently dropped ppl_max, and release_report fabricated a delta
+    (absent metric reads as 0). The card now takes approx cuts from
+    the quantile summary and ppl_max from a plain max, so every ppl
+    row must be present, tie flood or not, and ppl_max must equal
+    the true corpus max."""
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        kn_score,
+        kn_train,
+        kn_unpersist,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        corpus_report,
+    )
+
+    base = docs.select("doc_id", "text").limit(30)
+    # plant the tie flood: > 1/3 of the corpus is ONE repeated
+    # OOV-heavy document, so its (identical, unk-floored) ppl value
+    # owns the MAXIMUM of the distribution — the precondition that
+    # strands the top approx bucket, asserted below rather than hoped
+    flood = spark.range(20).select(
+        (F.col("id") + 500).alias("doc_id"),
+        F.lit("zzqx wvvk qqjj xxoz kkvv zzqx wvvk qqjj").alias("text"),
+    )
+    corpus = base.unionByName(flood)
+    lm = kn_train(docs.select("text").limit(60), order=2, min_count=2)
+    try:
+        scored = kn_score(corpus, lm).persist()
+        true_max = scored.agg(F.max("ppl")).first()[0]
+        flood_ppl = scored.where("doc_id = 500").first()["ppl"]
+        assert flood_ppl == true_max, (
+            "precondition lost: the planted flood must hold the "
+            "corpus-max perplexity for the top bucket to strand"
+        )
+        card = {
+            r.metric: r.value
+            for r in corpus_report(
+                corpus, ppl_lm=lm, ppl_buckets=3,
+                ppl_buckets_method="approx",
+            ).collect()
+        }
+        scored.unpersist()
+    finally:
+        kn_unpersist(lm)
+    for row in ("ppl_mean", "ppl_bucket_cut:1", "ppl_bucket_cut:2", "ppl_max"):
+        assert row in card, f"{row} missing under approx + ties"
+    assert card["ppl_max"] == pytest.approx(true_max)

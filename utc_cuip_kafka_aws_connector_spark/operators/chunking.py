@@ -69,7 +69,9 @@ def chunk_documents(
     # higher-order-function lambdas, so the previous shape -- slicing
     # the CAPTURED ``toks`` per chunk position -- re-ran the split
     # once per chunk, O(len^2 / stride) per document (measured 73 s
-    # -> 3 s on 512 x 20k-token docs at stride 16; BENCH_NOTES r16).
+    # -> 39 s on 512 x 20k-token docs at stride 16, where the
+    # remaining cost is the inherent 16x output materialization, not
+    # re-evaluation; BENCH_NOTES r16).
     # Reading ``tk`` below is a lambda-variable load, not a recompute.
     def _chunks(tk):
         n_tk = F.size(tk)

@@ -149,25 +149,45 @@ def corpus_report(
             text_col=text_col, id_col=id_col,
         ).persist()  # one scoring pass feeds mean + bucket cuts
         out.append(("ppl_mean", float(scored.agg(F.avg("ppl")).first()[0])))
-        cuts = (
-            perplexity_buckets(
-                scored, n_buckets=ppl_buckets, id_col=id_col,
-                method=ppl_buckets_method,
+        if ppl_buckets_method == "approx":
+            # The approx bucket assignment can leave a bucket EMPTY
+            # under heavy ties (a documented perplexity_buckets
+            # property), so deriving cut rows from per-bucket maxima
+            # would silently drop card rows — and release_report
+            # treats an absent metric as 0, fabricating a delta
+            # (review r16). The card's cuts come straight from the
+            # quantile summary instead (same Greenwald-Khanna pass
+            # perplexity_buckets(method="approx") runs; rel_err
+            # matches its default), and ppl_max from a plain max —
+            # every row is always present on both paths.
+            qs = [k / ppl_buckets for k in range(1, ppl_buckets)]
+            for k, c in enumerate(
+                scored.stat.approxQuantile("ppl", qs, 0.001), 1
+            ):
+                out.append((f"ppl_bucket_cut:{k}", float(c)))
+            out.append(
+                ("ppl_max", float(scored.agg(F.max("ppl")).first()[0]))
             )
-            .groupBy("bucket")
-            .agg(F.max("ppl").alias("cut"))
-            .collect()
-        )
-        for r in sorted(cuts, key=lambda r: r.bucket):
-            # bucket k's max ppl is the k/n_buckets quantile cut; the
-            # last bucket's is just the corpus max — publish it too
-            # (the card's worst-document headline)
-            name = (
-                f"ppl_bucket_cut:{r.bucket}"
-                if r.bucket < ppl_buckets
-                else "ppl_max"
+        else:
+            cuts = (
+                perplexity_buckets(
+                    scored, n_buckets=ppl_buckets, id_col=id_col,
+                    method=ppl_buckets_method,
+                )
+                .groupBy("bucket")
+                .agg(F.max("ppl").alias("cut"))
+                .collect()
             )
-            out.append((name, float(r.cut)))
+            for r in sorted(cuts, key=lambda r: r.bucket):
+                # bucket k's max ppl is the k/n_buckets quantile cut;
+                # the last bucket's is just the corpus max — publish
+                # it too (the card's worst-document headline)
+                name = (
+                    f"ppl_bucket_cut:{r.bucket}"
+                    if r.bucket < ppl_buckets
+                    else "ppl_max"
+                )
+                out.append((name, float(r.cut)))
         scored.unpersist()
 
     if dsir_model is not None:
