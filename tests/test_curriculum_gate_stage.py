@@ -17,6 +17,8 @@ registration, so both run on every pytest from r16 onward.
 
 from __future__ import annotations
 
+import pytest
+
 from tests.oracle_utils import compare, run_duckdb
 from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q123_NAME,
@@ -66,6 +68,11 @@ def test_staged_q126_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q126_NAME)
 
 
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
 def test_q126_argmax_margin_dwarfs_float_noise(sf_dir):
     """q126's only float surface is the per-doc argmax over log-joint
     sums; the integer confusion matrix is hash-safe ONLY while the
@@ -73,10 +80,13 @@ def test_q126_argmax_margin_dwarfs_float_noise(sf_dir):
     summation-order noise floor (~1e-11 absolute at these magnitudes).
     The margin query is derived from the oracle text itself (same CTE
     chain through ``scores``) so it cannot drift from what the parity
-    actually runs. Measured: 9.62 at sf0.001, 5.71 at sf0.01 —
-    >11 orders above the noise floor; exact intra-engine ties would
-    be safe too (identical per-engine values, label-asc break), but
-    the fixture has none."""
+    actually runs. Parametrized over BOTH the smoke SF and the
+    DRIVER'S sf0.01 (review r16: the gate hashes at sf0.01, so the
+    safety argument must be asserted there, not only quoted).
+    Measured: 9.62 at sf0.001, 5.71 at sf0.01 — >11 orders above the
+    noise floor; exact intra-engine ties would be safe too (identical
+    per-engine values, label-asc break), but the fixtures have
+    none."""
     prefix = STAGED_Q126_ORACLE.split("pred AS (")[0].rstrip().rstrip(",")
     margin_sql = prefix + """,
     ranked AS (

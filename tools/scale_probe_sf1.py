@@ -10,7 +10,10 @@ exact-copies and per-replica gram sets differ at the margin). ~50k
 docs / ~15M chars — langid's char-trigram explode produces ~15M gram
 rows, the crossover regime the r13/r14 guidance tables stop short of.
 
-Probes (each timed to a materialized count, best-of-2 warm):
+Probes (each timed to a materialized count; predict/score are
+best-of-2 warm, the two TRAIN probes are deliberately single-run
+COLD — training runs once in real pipelines, and a second run would
+hit the freshly-cached model tables and measure nothing):
   langid train        one count aggregation over the exploded grams
   langid predict      broadcast_model=True vs False at ~15M rows
   sb_train (order 2)  count-only tables on the doc_id%4 quarter

@@ -148,7 +148,6 @@ def corpus_report(
             df.select(id_col, text_col), ppl_lm,
             text_col=text_col, id_col=id_col,
         ).persist()  # one scoring pass feeds mean + bucket cuts
-        out.append(("ppl_mean", float(scored.agg(F.avg("ppl")).first()[0])))
         if ppl_buckets_method == "approx":
             # The approx bucket assignment can leave a bucket EMPTY
             # under heavy ties (a documented perplexity_buckets
@@ -156,19 +155,33 @@ def corpus_report(
             # would silently drop card rows — and release_report
             # treats an absent metric as 0, fabricating a delta
             # (review r16). The card's cuts come straight from the
-            # quantile summary instead (same Greenwald-Khanna pass
-            # perplexity_buckets(method="approx") runs; rel_err
-            # matches its default), and ppl_max from a plain max —
-            # every row is always present on both paths.
+            # quantile summary instead (the same Greenwald-Khanna
+            # pass perplexity_buckets(method="approx") runs, at the
+            # OPERATOR'S OWN rel_err default — read off its
+            # signature, so the two call sites cannot drift apart),
+            # and ppl_max rides the mean's aggregation (one corpus
+            # pass, not two — this path exists for scales where
+            # extra passes over `scored` hurt). Every ppl row is
+            # always present on both paths.
+            import inspect
+
+            rel_err = inspect.signature(
+                perplexity_buckets
+            ).parameters["rel_err"].default
+            stats = scored.agg(
+                F.avg("ppl").alias("mean"), F.max("ppl").alias("max")
+            ).first()
+            out.append(("ppl_mean", float(stats["mean"])))
             qs = [k / ppl_buckets for k in range(1, ppl_buckets)]
             for k, c in enumerate(
-                scored.stat.approxQuantile("ppl", qs, 0.001), 1
+                scored.stat.approxQuantile("ppl", qs, rel_err), 1
             ):
                 out.append((f"ppl_bucket_cut:{k}", float(c)))
-            out.append(
-                ("ppl_max", float(scored.agg(F.max("ppl")).first()[0]))
-            )
+            out.append(("ppl_max", float(stats["max"])))
         else:
+            out.append(
+                ("ppl_mean", float(scored.agg(F.avg("ppl")).first()[0]))
+            )
             cuts = (
                 perplexity_buckets(
                     scored, n_buckets=ppl_buckets, id_col=id_col,
