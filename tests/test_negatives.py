@@ -1,0 +1,208 @@
+"""operators/negatives.py: hard-negative mining.
+
+Evidence: exact numpy differential for the brute baseline, planted
+cluster geometry for label exclusion, ivf(nprobe=all) == brute
+equality (pins the whole bucketed composition against the exact
+path), partial-probe recall on clustered data, deterministic
+tie-breaks on duplicate vectors, and a physical-plan check that the
+IVF path joins on the cell id instead of building a cartesian
+product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+    hard_negatives,
+)
+
+
+def _cluster_corpus(spark):
+    """Three well-separated direction clusters, 5 vectors each,
+    labeled A/B/C; within a cluster vectors differ slightly so
+    rankings are strict."""
+    rng = np.random.default_rng(7)
+    base = {
+        "A": np.array([10.0, 0.0, 0.0, 0.0]),
+        "B": np.array([0.0, 10.0, 0.0, 0.0]),
+        "C": np.array([0.0, 0.0, 10.0, 0.0]),
+    }
+    rows, vecs = [], {}
+    i = 0
+    for lab, b in base.items():
+        for _ in range(5):
+            v = b + rng.normal(0, 0.3, 4)
+            rows.append((i, [float(x) for x in v], lab))
+            vecs[i] = v
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    )
+    return df, vecs, {r[0]: r[2] for r in rows}
+
+
+def _np_hard_negs(vecs, labels, anchor, k, use_labels=True):
+    a = vecs[anchor]
+    sims = []
+    for j, v in vecs.items():
+        if j == anchor:
+            continue
+        if use_labels and labels[j] == labels[anchor]:
+            continue
+        s = float(
+            a @ v / (np.linalg.norm(a) * np.linalg.norm(v))
+        )
+        sims.append((j, s))
+    sims.sort(key=lambda t: (-t[1], t[0]))
+    return sims[:k]
+
+
+def test_brute_matches_numpy_reference(spark):
+    df, vecs, labels = _cluster_corpus(spark)
+    got = hard_negatives(
+        df, k=3, label_col="lang", method="brute"
+    ).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == set(vecs)
+    for a, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rank)
+        want = _np_hard_negs(vecs, labels, a, 3)
+        assert [r.neg_id for r in rows] == [j for j, _ in want]
+        for r, (_, s) in zip(rows, want):
+            assert r.cos_sim == pytest.approx(s, abs=1e-12)
+        assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_label_and_self_exclusion(spark):
+    df, vecs, labels = _cluster_corpus(spark)
+    got = hard_negatives(df, k=14, label_col="lang", method="brute")
+    rows = got.collect()
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert labels[r.neg_id] != labels[r.anchor_id]
+    # 15 vectors, 5 per label: each anchor has exactly 10 eligible
+    # candidates -- k=14 must yield 10 rows, never padded
+    counts = {r.anchor_id: 0 for r in rows}
+    for r in rows:
+        counts[r.anchor_id] += 1
+    assert set(counts.values()) == {10}
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """nprobe >= n_centroids probes every cell, so the bucketed path
+    must reproduce the exact baseline row-for-row — this pins the
+    assignment, multi-probe, join, dedup, and rank tail at once."""
+    df, _, _ = _cluster_corpus(spark)
+    brute = hard_negatives(df, k=4, label_col="lang", method="brute")
+    full = hard_negatives(
+        df, k=4, label_col="lang", method="ivf",
+        n_centroids=4, nprobe=4,
+    )
+    b = sorted(map(tuple, brute.collect()))
+    f = sorted(map(tuple, full.collect()))
+    assert b == f
+
+
+def _angled_corpus(spark):
+    """Three clusters at controlled ANGLES (A at 0deg, B at 45deg to
+    A, C at 45deg to B but 90deg to A), 5 vectors each: every
+    anchor's nearest non-positive cluster is unambiguous (A->B,
+    B->A, C->B) with ~0.7-vs-0.0 cosine margins that 0.3-sigma noise
+    on 10-scale directions cannot flip."""
+    rng = np.random.default_rng(11)
+    base = {
+        "A": np.array([10.0, 0.0, 0.0, 0.0]),
+        "B": np.array([7.0, 7.0, 0.0, 0.0]),
+        "C": np.array([0.0, 7.0, 7.0, 0.0]),
+    }
+    rows, vecs = [], {}
+    i = 0
+    for lab, b in base.items():
+        for _ in range(5):
+            v = b + rng.normal(0, 0.3, 4)
+            rows.append((i, [float(x) for x in v], lab))
+            vecs[i] = v
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    )
+    return df, vecs, {r[0]: r[2] for r in rows}, base
+
+
+def test_ivf_partial_probe_recall_on_clusters(spark):
+    """Partial probing finds the true hard negatives when the probe
+    order reaches the adjacent cluster: with explicit centroids at
+    the three planted cluster directions and nprobe=2 (own cell +
+    the angularly-nearest other cell), every anchor's EXACT top-1
+    non-positive is recovered — deterministic by construction, no
+    recall bound needed."""
+    df, vecs, labels, base = _angled_corpus(spark)
+    centroids = np.array([base["A"], base["B"], base["C"]])
+    got = hard_negatives(
+        df, k=1, label_col="lang", method="ivf",
+        nprobe=2, centroids=centroids,
+    ).collect()
+    assert len(got) == 15
+    for r in got:
+        want = _np_hard_negs(vecs, labels, r.anchor_id, 1)[0]
+        assert r.neg_id == want[0], (r.anchor_id, r.neg_id, want)
+        assert r.cos_sim == pytest.approx(want[1], abs=1e-12)
+
+
+def test_duplicate_vectors_tie_break_deterministically(spark):
+    """Exact duplicate candidates tie at cos 1.0; rank order must be
+    pinned by neg_id ascending on every run and layout."""
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "x"),
+        (3, [0.9, 0.1], "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    )
+    got = (
+        hard_negatives(df, k=3, label_col="lang", method="brute")
+        .filter("anchor_id = 0")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neg_id for r in got] == [1, 2, 3]
+    assert got[0].cos_sim == pytest.approx(1.0)
+
+
+def test_anchor_subset(spark):
+    df, vecs, labels = _cluster_corpus(spark)
+    anchors = df.filter(F.col("vec_id") < 2)
+    got = hard_negatives(
+        df, k=2, label_col="lang", anchors=anchors, method="brute"
+    )
+    assert {r.anchor_id for r in got.collect()} == {0, 1}
+
+
+def test_ivf_plan_joins_on_cell_never_cartesian(spark):
+    """The scale contract: the IVF candidate generator is a cell
+    equi-join — the physical plan must contain no cartesian/nested-
+    loop product (the brute path is documented as eval-scale only)."""
+    df, _, _ = _cluster_corpus(spark)
+    plan = (
+        hard_negatives(df, k=2, method="ivf", n_centroids=4, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_validation(spark):
+    df, _, _ = _cluster_corpus(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        hard_negatives(df, k=0)
+    with pytest.raises(ValueError, match="method must be"):
+        hard_negatives(df, method="annoy")
+    with pytest.raises(ValueError, match="centroid_source"):
+        hard_negatives(df, method="ivf", centroid_source="grid")

@@ -1,0 +1,183 @@
+"""Hard-negative mining over an embedding column — the
+contrastive-training data op (dense retrievers / embedding models
+train on (anchor, positive, hard-negative) triples; the standard
+recipe mines the negatives as each anchor's nearest NON-positive
+neighbors, e.g. DPR, Karpukhin et al. 2020, and the ANCE family).
+
+Composes the existing ANN stack (operators/similarity.py's
+kmeans_centroids coarse quantizer + an ivf_assign-mirroring
+multi-probe kernel, functions.cosine)
+without editing it: the corpus is cell-bucketed once, each anchor
+probes its ``nprobe`` nearest cells, candidates meet the corpus in a
+cell EQUI-join (cost ~ |corpus|/n_centroids * nprobe per anchor,
+never |anchors| x |corpus|), positives are excluded by label, and a
+per-anchor window keeps the top-k by cosine. ``method="brute"`` is
+the verification-grade exact baseline (all candidate pairs through
+the same scoring/exclusion/rank tail — the q48 cosine-top-k pattern),
+and ``nprobe >= n_centroids`` makes the IVF path exactly equal to it,
+which is how the tests pin the composition.
+
+Scale shape: one BLAS assignment pass over the corpus and one over
+the anchors (Arrow-batched mapInPandas-style pandas_udfs, centroids
+ship in the task closure — KBs), one bucket equi-join, one
+per-anchor-partitioned window. No global sort, no driver-side
+corpus data, no all-pairs join on the IVF path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from utc_cuip_kafka_aws_connector_spark.functions import cosine
+from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
+    kmeans_centroids,
+)
+
+
+def _probe_cells(vec_col, centroids: np.ndarray, nprobe: int):
+    """array<int> of each vector's ``nprobe`` nearest centroid ids,
+    nearest first — the anchor-side multi-probe twin of
+    similarity.ivf_assign's single-cell assignment (same normalized
+    BLAS matmul per Arrow batch, same task-closure centroid
+    shipping); defined here because similarity.py's single-probe
+    contract is pinned by its gate queries."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+    n = min(int(nprobe), c.shape[0])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        sims = mat @ c_norm.T
+        # argsort ascending on (-sim, cell_id): nearest first with a
+        # deterministic cell-id tie-break, layout-independent
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(c_norm.shape[0]), sims.shape), -sims),
+            axis=1,
+        )[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes(vec_col)
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    anchors: DataFrame | None = None,
+    method: str = "ivf",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    centroid_source: str = "hash_spread",
+) -> DataFrame:
+    """(anchor_id, neg_id, cos_sim, rank): for every anchor, its
+    ``k`` most-cosine-similar corpus vectors that are NOT positives —
+    self is always excluded, and when ``label_col`` is given, any
+    vector sharing the anchor's label is too (label == positive set,
+    the in-batch-negatives convention). ``rank`` is 1-based by
+    (cos_sim desc, neg_id asc) — fully deterministic, duplicate
+    vectors included. Anchors with fewer than ``k`` eligible
+    candidates yield fewer rows (never padded).
+
+    ``anchors`` defaults to the corpus itself (mine negatives for
+    every vector); pass a subset frame with the same id/vec(/label)
+    columns to mine for a query set only.
+
+    ``method="ivf"``: candidates come from each anchor's ``nprobe``
+    nearest of ``n_centroids`` cells (centroid sources as in
+    similarity.ivf_topk: "hash_spread" deterministic draw or
+    "kmeans" k-means|| — or pass ``centroids``). Approximate: a true
+    neighbor outside the probed cells is missed; raise ``nprobe``
+    for recall (``nprobe >= n_centroids`` is exhaustive and equals
+    brute exactly). ``method="brute"``: every (anchor, candidate)
+    pair — the exact baseline; |anchors| x |corpus| comparisons, for
+    eval-scale query sets and tests, never the 100 TB path.
+
+    Vectors must be non-null (the ANN-stack contract; nulls would
+    poison the BLAS batch)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if method not in ("ivf", "brute"):
+        raise ValueError(f"method must be ivf|brute, got {method!r}")
+    if anchors is None:
+        anchors = df
+
+    a_cols = [F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec")]
+    c_cols = [F.col(id_col).alias("neg_id"), F.col(vec_col).alias("n_vec")]
+    if label_col is not None:
+        a_cols.append(F.col(label_col).alias("a_label"))
+        c_cols.append(F.col(label_col).alias("n_label"))
+
+    if method == "brute":
+        cand = anchors.select(*a_cols).crossJoin(df.select(*c_cols))
+    else:
+        if centroids is None:
+            if centroid_source == "kmeans":
+                centroids = kmeans_centroids(df, n_centroids, vec_col=vec_col)
+            elif centroid_source == "hash_spread":
+                sample = (
+                    df.select(F.col(id_col), F.col(vec_col))
+                    .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                    .limit(n_centroids)
+                    .collect()
+                )
+                centroids = np.array([r[1] for r in sample], dtype=np.float64)
+            else:
+                raise ValueError(
+                    "centroid_source must be 'hash_spread' or 'kmeans', "
+                    f"got {centroid_source!r}"
+                )
+        # corpus side: single-probe assignment through the same
+        # kernel (nprobe=1 == similarity.ivf_assign's argmax, same
+        # lowest-cell-id tie-break) — ivf_assign itself projects away
+        # every non-vector column, and the label must ride along
+        corpus_cells = df.select(
+            *c_cols,
+            F.explode(
+                _probe_cells(F.col(vec_col), centroids, 1)
+            ).alias("centroid_id"),
+        )
+        anchor_cells = anchors.select(
+            *a_cols,
+            F.explode(
+                _probe_cells(F.col(vec_col), centroids, nprobe)
+            ).alias("centroid_id"),
+        )
+        cand = anchor_cells.join(corpus_cells, "centroid_id")
+
+    cand = cand.filter(F.col("neg_id") != F.col("anchor_id"))
+    if label_col is not None:
+        # null-safe: a null-labeled candidate is nobody's positive
+        cand = cand.filter(
+            ~F.col("a_label").eqNullSafe(F.col("n_label"))
+        ).drop("a_label", "n_label")
+
+    scored = cand.select(
+        "anchor_id",
+        "neg_id",
+        cosine(F.col("a_vec"), F.col("n_vec")).alias("cos_sim"),
+    )
+    if method == "ivf" and nprobe > 1:
+        # a candidate sharing >1 probed cell with its anchor appears
+        # once per shared cell — same (anchor, neg, sim) row, so a
+        # plain distinct (cheap: post-top-k-ish cardinality) dedups
+        scored = scored.distinct()
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
