@@ -5014,7 +5014,14 @@ _GATE_PRIORITY = [
     # r17 slot is needed: q57_sql_cte_top_orders (its CTE-over-top-k
     # surface is pinned by q19's global top-k and q74's top-supplier
     # join every rotation; draw it from the EXPIRING r15 cohort so the
-    # slot frees same-round).
+    # slot frees same-round). Looking one further ahead: r18 opens
+    # with ZERO free slots (the whole 50-member r16 cohort expires),
+    # so an r18 promotion needs the long-named q115_zorder_layout
+    # retirement; the natural candidate to stage at r17 for it is a
+    # hard-negatives gate (operators/negatives.py, added r16
+    # pytest-grade — its brute baseline is SQL-expressible in q48's
+    # planted style, and full-probe IVF == brute gives the bucketed
+    # path an exact oracle).
     #
     # --- the expiring r14-resters (50 minus the q110/q124 pulls) ---
     "q01_pricing_summary",
