@@ -1,0 +1,193 @@
+"""operators/bitext.py: margin-based bitext mining.
+
+Evidence: exact numpy differential of the full ratio-margin
+pipeline (both directions' top-k, k-NN means, candidate union,
+margin, strategy, threshold) for the brute baseline; planted
+parallel-pair recovery under the forward strategy; mutual ==
+bidirectional-argmax subset; ivf(nprobe=all) == brute row-for-row
+(pins the bucketed composition against the exact path); a
+physical-plan check that the IVF path joins on the cell id instead
+of a cartesian product; threshold monotonicity; validation errors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.bitext import mine_bitext
+
+N_PAR = 8  # parallel pairs planted as (i, i)
+N_DISTRACT = 6
+
+
+def _corpora(spark):
+    """8 planted parallel pairs (tgt_i ~= src_i) in one 6-dim
+    'aligned space', plus 6 random distractor targets. Returns the
+    two DataFrames and the raw vectors keyed by id."""
+    rng = np.random.default_rng(11)
+    src_vecs, tgt_vecs = {}, {}
+    for i in range(N_PAR):
+        v = rng.normal(0, 1, 6)
+        src_vecs[i] = v
+        tgt_vecs[i] = v + rng.normal(0, 0.05, 6)
+    for j in range(N_PAR, N_PAR + N_DISTRACT):
+        tgt_vecs[j] = rng.normal(0, 1, 6)
+    schema = "vec_id long, embedding array<double>"
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in src_vecs.items()], schema
+    )
+    tgt = spark.createDataFrame(
+        [(j, [float(x) for x in v]) for j, v in tgt_vecs.items()], schema
+    )
+    return src, tgt, src_vecs, tgt_vecs
+
+
+def _cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def _np_mine(src_vecs, tgt_vecs, k, threshold, strategy):
+    """Reference mirror of mine_bitext's brute path."""
+    fwd = {
+        i: sorted(
+            ((j, _cos(v, w)) for j, w in tgt_vecs.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for i, v in src_vecs.items()
+    }
+    bwd = {
+        j: sorted(
+            ((i, _cos(w, v)) for i, v in src_vecs.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for j, w in tgt_vecs.items()
+    }
+    src_knn = {i: float(np.mean([c for _, c in nn])) for i, nn in fwd.items()}
+    tgt_knn = {j: float(np.mean([c for _, c in nn])) for j, nn in bwd.items()}
+    cand = {(i, j) for i, nn in fwd.items() for j, _ in nn} | {
+        (i, j) for j, nn in bwd.items() for i, _ in nn
+    }
+    rows = {}
+    for i, j in cand:
+        c = _cos(src_vecs[i], tgt_vecs[j])
+        rows[(i, j)] = (c, c / (src_knn[i] / 2 + tgt_knn[j] / 2))
+    if strategy == "forward":
+        best = {}
+        for (i, j), (_, m) in rows.items():
+            cur = best.get(i)
+            if cur is None or (-m, j) < (-cur[1], cur[0]):
+                best[i] = (j, m)
+        rows = {(i, j): rows[(i, j)] for i, (j, _) in best.items()}
+    elif strategy == "mutual":
+        sbest, tbest = {}, {}
+        for (i, j), (_, m) in rows.items():
+            if i not in sbest or (-m, j) < (-sbest[i][1], sbest[i][0]):
+                sbest[i] = (j, m)
+            if j not in tbest or (-m, i) < (-tbest[j][1], tbest[j][0]):
+                tbest[j] = (i, m)
+        rows = {
+            (i, j): v
+            for (i, j), v in rows.items()
+            if sbest[i][0] == j and tbest[j][0] == i
+        }
+    return {
+        (i, j): v for (i, j), v in rows.items() if v[1] > threshold
+    }
+
+
+def _collect(df):
+    return {
+        (r.src_id, r.tgt_id): (r.cos_sim, r.margin)
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("strategy", ["all", "forward", "mutual"])
+def test_brute_matches_numpy(spark, strategy):
+    src, tgt, sv, tv = _corpora(spark)
+    got = _collect(
+        mine_bitext(src, tgt, k=3, threshold=-10.0, strategy=strategy)
+    )
+    want = _np_mine(sv, tv, k=3, threshold=-10.0, strategy=strategy)
+    assert set(got) == set(want)
+    for pair, (c, m) in want.items():
+        assert got[pair][0] == pytest.approx(c, rel=1e-9)
+        assert got[pair][1] == pytest.approx(m, rel=1e-9)
+
+
+def test_forward_recovers_planted_pairs(spark):
+    """Every planted (i, i) pair is each source's mined best and
+    clears the paper's 1.05 working threshold; no distractor tgt
+    is mined."""
+    src, tgt, _, _ = _corpora(spark)
+    rows = mine_bitext(src, tgt, k=3, threshold=1.05, strategy="forward").collect()
+    assert {(r.src_id, r.tgt_id) for r in rows} == {
+        (i, i) for i in range(N_PAR)
+    }
+    assert all(r.margin > 1.05 for r in rows)
+
+
+def test_mutual_is_subset_of_forward(spark):
+    src, tgt, _, _ = _corpora(spark)
+    fwd = set(
+        _collect(mine_bitext(src, tgt, k=3, threshold=-10.0, strategy="forward"))
+    )
+    mut = set(
+        _collect(mine_bitext(src, tgt, k=3, threshold=-10.0, strategy="mutual"))
+    )
+    assert mut <= fwd
+    assert mut  # planted geometry guarantees mutual bests exist
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    src, tgt, _, _ = _corpora(spark)
+    brute = _collect(
+        mine_bitext(src, tgt, k=3, threshold=-10.0, strategy="all")
+    )
+    ivf = _collect(
+        mine_bitext(
+            src, tgt, k=3, threshold=-10.0, strategy="all",
+            method="ivf", n_centroids=4, nprobe=4,
+        )
+    )
+    assert set(ivf) == set(brute)
+    for pair, (c, m) in brute.items():
+        assert ivf[pair][0] == pytest.approx(c, rel=1e-9)
+        assert ivf[pair][1] == pytest.approx(m, rel=1e-9)
+
+
+def test_ivf_plan_is_cell_join_not_cartesian(spark):
+    src, tgt, _, _ = _corpora(spark)
+    plan = (
+        mine_bitext(
+            src, tgt, k=2, threshold=0.0, method="ivf",
+            n_centroids=4, nprobe=2,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_monotonic(spark):
+    src, tgt, _, _ = _corpora(spark)
+    lo = set(_collect(mine_bitext(src, tgt, k=3, threshold=0.9, strategy="all")))
+    hi = set(_collect(mine_bitext(src, tgt, k=3, threshold=1.1, strategy="all")))
+    assert hi <= lo
+    assert len(hi) < len(lo)  # distractor pairs sit below 1.1
+
+
+def test_validation(spark):
+    src, tgt, _, _ = _corpora(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        mine_bitext(src, tgt, k=0)
+    with pytest.raises(ValueError, match="method"):
+        mine_bitext(src, tgt, method="faiss")
+    with pytest.raises(ValueError, match="strategy"):
+        mine_bitext(src, tgt, strategy="best")
+    with pytest.raises(ValueError, match="centroid_source"):
+        mine_bitext(src, tgt, method="ivf", centroid_source="grid")
