@@ -1560,3 +1560,104 @@ def test_cli_explain_verb(spark, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["explain", "--query", "q01_pricing_summar"])
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_cli_mine_negatives_lifecycle(spark, tmp_path, capsys):
+    """End-to-end CLI: mine hard negatives from a labeled embedding
+    parquet — output parquet matches the operator called directly,
+    and label exclusion holds (no mined pair shares a label)."""
+    import numpy as np
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (
+            i,
+            [float(v) for v in rng.randn(6) + (i % 3) * 8.0],
+            "ABC"[i % 3],
+        )
+        for i in range(60)
+    ]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    ).write.parquet(src)
+    dest = str(tmp_path / "negs")
+    assert (
+        cli.main(
+            [
+                "mine", "--op", "negatives", "--input", src,
+                "--output", dest, "--label-col", "lang", "--k", "3",
+                "--method", "ivf", "--cells", "3", "--nprobe", "3",
+            ]
+        )
+        or 0
+    ) == 0
+    out = capsys.readouterr().out
+    assert "hard negatives" in out and dest in out
+    mined = spark.read.parquet(dest)
+    labels = {r[0]: r[2] for r in rows}
+    got = mined.collect()
+    assert got and all(labels[r.anchor_id] != labels[r.neg_id] for r in got)
+    assert mined.groupBy("anchor_id").count().agg({"count": "max"}).first()[0] <= 3
+
+
+def test_cli_mine_bitext_lifecycle(spark, tmp_path, capsys):
+    """End-to-end CLI: mine bitext pairs from two embedding parquets
+    with planted parallel rows — every planted (i, i) pair is
+    recovered at the 1.05 threshold under the forward strategy."""
+    import numpy as np
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rng = np.random.RandomState(9)
+    src_vecs = {i: rng.randn(6) for i in range(10)}
+    s = str(tmp_path / "src")
+    t = str(tmp_path / "tgt")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in src_vecs.items()], schema
+    ).write.parquet(s)
+    spark.createDataFrame(
+        [
+            (i, [float(x) for x in v + rng.randn(6) * 0.03])
+            for i, v in src_vecs.items()
+        ]
+        + [(j, [float(x) for x in rng.randn(6)]) for j in range(10, 16)],
+        schema,
+    ).write.parquet(t)
+    dest = str(tmp_path / "pairs")
+    assert (
+        cli.main(
+            [
+                "mine", "--op", "bitext", "--input", s, "--target", t,
+                "--output", dest, "--k", "3", "--threshold", "1.05",
+                "--strategy", "forward", "--method", "brute",
+            ]
+        )
+        or 0
+    ) == 0
+    out = capsys.readouterr().out
+    assert "bitext pairs" in out and dest in out
+    mined = spark.read.parquet(dest)
+    assert {(r.src_id, r.tgt_id) for r in mined.collect()} == {
+        (i, i) for i in range(10)
+    }
+
+
+def test_cli_mine_bitext_requires_target(spark, tmp_path, capsys):
+    import pytest as _pytest
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "emb2")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    with _pytest.raises(SystemExit):
+        cli.main(
+            ["mine", "--op", "bitext", "--input", src,
+             "--output", str(tmp_path / "o")]
+        )
+    assert "requires --target" in capsys.readouterr().err

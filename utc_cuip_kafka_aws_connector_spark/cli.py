@@ -1838,6 +1838,44 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--k", type=int, default=10)
     ann.add_argument("--nprobe", type=int, default=4)
 
+    mine = sub.add_parser(
+        "mine",
+        help="training-pair mining over embedding tables: hard "
+        "negatives for contrastive training (DPR/ANCE recipe), "
+        "margin-based bitext pairs (WikiMatrix/CCMatrix recipe)",
+    )
+    mine.add_argument("--op", required=True, choices=["negatives", "bitext"])
+    mine.add_argument(
+        "--input", required=True,
+        help="corpus parquet (negatives) / source-side parquet (bitext)",
+    )
+    mine.add_argument("--target", default=None, help="bitext: target-side parquet")
+    mine.add_argument(
+        "--anchors", default=None,
+        help="negatives: anchor-subset parquet (default: the whole corpus)",
+    )
+    mine.add_argument("--output", required=True, help="mined-pairs parquet path")
+    mine.add_argument("--id-col", default="vec_id")
+    mine.add_argument("--vec-col", default="embedding")
+    mine.add_argument(
+        "--label-col", default=None,
+        help="negatives: candidates sharing the anchor's label are "
+        "positives and excluded",
+    )
+    mine.add_argument("--k", type=int, default=5, help="negatives per anchor / kNN depth for the margin")
+    mine.add_argument("--threshold", type=float, default=1.0, help="bitext: ratio-margin cut")
+    mine.add_argument(
+        "--strategy", default="forward", choices=["all", "forward", "mutual"],
+        help="bitext: all candidates, per-source best, or bidirectional best",
+    )
+    mine.add_argument("--method", default="ivf", choices=["ivf", "brute"])
+    mine.add_argument("--cells", type=int, default=16, help="ivf: coarse cells")
+    mine.add_argument("--nprobe", type=int, default=2, help="ivf: probed cells per anchor")
+    mine.add_argument(
+        "--centroid-source", default="hash_spread",
+        choices=["hash_spread", "kmeans"],
+    )
+
     tok = sub.add_parser(
         "tokenizer",
         help="BPE tokenizer lifecycle: train a merge table to "
@@ -2467,6 +2505,63 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r[index['id_col']]:>12d}  dist={r['dist']:.6f}")
+    elif args.cmd == "mine":
+        if args.op == "negatives":
+            from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+                hard_negatives,
+            )
+
+            corpus = spark.read.parquet(args.input)
+            anchors = (
+                spark.read.parquet(args.anchors) if args.anchors else None
+            )
+            pairs = hard_negatives(
+                corpus,
+                k=args.k,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                label_col=args.label_col,
+                anchors=anchors,
+                method=args.method,
+                n_centroids=args.cells,
+                nprobe=args.nprobe,
+                centroid_source=args.centroid_source,
+            )
+            pairs.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_pairs = out.count()
+            n_anchors = out.select("anchor_id").distinct().count()
+            print(
+                f"mined {n_pairs} hard negatives for {n_anchors} anchors "
+                f"(k={args.k}, method={args.method}) -> {args.output}"
+            )
+        else:  # bitext
+            from utc_cuip_kafka_aws_connector_spark.operators.bitext import (
+                mine_bitext,
+            )
+
+            if not args.target:
+                parser.error("mine --op bitext requires --target")
+            pairs = mine_bitext(
+                spark.read.parquet(args.input),
+                spark.read.parquet(args.target),
+                k=args.k,
+                threshold=args.threshold,
+                strategy=args.strategy,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                method=args.method,
+                n_centroids=args.cells,
+                nprobe=args.nprobe,
+                centroid_source=args.centroid_source,
+            )
+            pairs.write.mode("overwrite").parquet(args.output)
+            n_pairs = spark.read.parquet(args.output).count()
+            print(
+                f"mined {n_pairs} bitext pairs (k={args.k}, "
+                f"threshold={args.threshold}, strategy={args.strategy}, "
+                f"method={args.method}) -> {args.output}"
+            )
     elif args.cmd == "tokenizer":
         from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
             load_tokenizer_spec,
