@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from utc_cuip_kafka_aws_connector_spark.cli import run_ingest
 
 VISION = [
@@ -1661,3 +1663,128 @@ def test_cli_mine_bitext_requires_target(spark, tmp_path, capsys):
              "--output", str(tmp_path / "o")]
         )
     assert "requires --target" in capsys.readouterr().err
+
+
+def test_cli_pairs_end_to_end(spark, tmp_path, capsys):
+    """`pairs` builds preference pairs and the optional per-prompt
+    stats table through the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rows = [
+        ("p1", 1, 3.0, "best"), ("p1", 2, 1.0, "worst"), ("p1", 3, 2.0, "mid"),
+        ("p2", 4, 5.0, "a"), ("p2", 5, 5.0, "b"),  # tie: no pair
+    ]
+    src = str(tmp_path / "resp")
+    spark.createDataFrame(
+        rows, "prompt_id string, response_id long, score double, text string"
+    ).write.parquet(src)
+
+    dest, stats = str(tmp_path / "pairs"), str(tmp_path / "stats")
+    assert (
+        cli.main(
+            ["pairs", "--input", src, "--output", dest, "--text-col", "text",
+             "--strategy", "best_rest", "--stats-output", stats]
+        )
+        == 0
+    )
+    got = sorted(
+        (r.prompt, r.chosen_id, r.rejected_id, r.margin, r.chosen_text)
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert got == [
+        ("p1", 1, 2, 2.0, "best"),
+        ("p1", 1, 3, 1.0, "best"),
+    ]
+    st = {r.prompt: r for r in spark.read.parquet(stats).collect()}
+    assert st["p2"].top_is_tied and not st["p1"].top_is_tied
+    out = capsys.readouterr().out
+    assert "built 2 preference pairs over 1 prompts" in out
+    assert "per-prompt stats" in out
+
+
+def test_cli_chat_lifecycle(spark, tmp_path, capsys):
+    """`chat` validate/render/stats/dedup/truncate over one corpus:
+    every op through the full CLI path, plus the truncate guard."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    good = [("user", "hello there friend"), ("assistant", "hi")]
+    rows = [
+        (1, good),
+        (2, good),  # duplicate of 1
+        (3, [("user", "dangling question words")]),  # invalid tail
+    ]
+    src = str(tmp_path / "convs")
+    spark.createDataFrame(
+        rows, "conv_id long, turns array<struct<role:string,content:string>>"
+    ).write.parquet(src)
+
+    val = str(tmp_path / "val")
+    assert (
+        cli.main(
+            ["chat", "--op", "validate", "--input", src, "--output", val,
+             "--valid-only"]
+        )
+        == 0
+    )
+    assert {r.conv_id for r in spark.read.parquet(val).collect()} == {1, 2}
+
+    ren = str(tmp_path / "ren")
+    assert (
+        cli.main(
+            ["chat", "--op", "render", "--input", src, "--output", ren,
+             "--template", "plain"]
+        )
+        == 0
+    )
+    texts = {r.conv_id: r.text for r in spark.read.parquet(ren).collect()}
+    assert texts[1] == "user: hello there friend\n\nassistant: hi"
+
+    st = str(tmp_path / "stats")
+    assert cli.main(["chat", "--op", "stats", "--input", src, "--output", st]) == 0
+    assert {r.conv_id: r.ws_tokens for r in spark.read.parquet(st).collect()} == {
+        1: 4, 2: 4, 3: 3,
+    }
+
+    dd = str(tmp_path / "dd")
+    assert cli.main(["chat", "--op", "dedup", "--input", src, "--output", dd]) == 0
+    assert {r.conv_id for r in spark.read.parquet(dd).collect()} == {1, 3}
+
+    tr = str(tmp_path / "tr")
+    assert (
+        cli.main(
+            ["chat", "--op", "truncate", "--input", src, "--output", tr,
+             "--max-tokens", "3"]
+        )
+        == 0
+    )
+    kept = {r.conv_id: len(r.turns) for r in spark.read.parquet(tr).collect()}
+    # 3-token first turns fit budget 3 exactly; the reply busts it
+    assert kept == {1: 1, 2: 1, 3: 1}
+    assert "chat truncate: 3 conversations" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit):
+        cli.main(["chat", "--op", "truncate", "--input", src, "--output", tr])
+    assert "requires --max-tokens" in capsys.readouterr().err
+
+
+def test_cli_sample_end_to_end(spark, tmp_path, capsys):
+    """`sample` draws exactly n per stratum deterministically through
+    the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rows = [(i, 1.0 + (i % 5), f"s{i % 2}") for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, w double, s string").write.parquet(src)
+
+    dest = str(tmp_path / "draw")
+    argv = ["sample", "--input", src, "--output", dest, "--n", "4",
+            "--weight-col", "w", "--strata-col", "s", "--seed", "9",
+            "--key-col", "es_key"]
+    assert cli.main(argv) == 0
+    first = {(r.doc_id, r.es_key < 0) for r in spark.read.parquet(dest).collect()}
+    assert len(first) == 8 and all(neg for _, neg in first)
+    assert "drew 8 rows without replacement" in capsys.readouterr().out
+    # re-run: same seed, same rows (the determinism contract)
+    assert cli.main(argv) == 0
+    again = {(r.doc_id, r.es_key < 0) for r in spark.read.parquet(dest).collect()}
+    assert again == first

@@ -1876,6 +1876,77 @@ def main(argv: list[str] | None = None) -> int:
         choices=["hash_spread", "kmeans"],
     )
 
+    pairs = sub.add_parser(
+        "pairs",
+        help="preference-pair construction for RLHF/DPO training: "
+        "(prompt, chosen, rejected, margin) pairs from scored "
+        "candidate responses",
+    )
+    pairs.add_argument("--input", required=True, help="scored-responses parquet")
+    pairs.add_argument("--output", required=True, help="pairs parquet path")
+    pairs.add_argument("--prompt-col", default="prompt_id")
+    pairs.add_argument("--id-col", default="response_id")
+    pairs.add_argument("--score-col", default="score")
+    pairs.add_argument(
+        "--text-col", default=None,
+        help="carry both texts and drop identical-text pairs",
+    )
+    pairs.add_argument(
+        "--strategy", default="best_worst",
+        choices=["best_worst", "best_rest", "all_pairs"],
+    )
+    pairs.add_argument("--min-margin", type=float, default=0.0)
+    pairs.add_argument("--max-per-prompt", type=int, default=None)
+    pairs.add_argument(
+        "--stats-output", default=None,
+        help="also write per-prompt diagnostics (top-tie flag, spread)",
+    )
+
+    chat = sub.add_parser(
+        "chat",
+        help="conversation (SFT) dataset ops over "
+        "array<struct<role,content>> turn columns: validate / render "
+        "/ stats / dedup / truncate",
+    )
+    chat.add_argument(
+        "--op", required=True,
+        choices=["validate", "render", "stats", "dedup", "truncate"],
+    )
+    chat.add_argument("--input", required=True, help="conversations parquet")
+    chat.add_argument("--output", required=True, help="output parquet path")
+    chat.add_argument("--turns-col", default="turns")
+    chat.add_argument("--id-col", default="conv_id", help="dedup: winner key")
+    chat.add_argument(
+        "--template", default="chatml", choices=["chatml", "plain"],
+        help="render: flat-text template",
+    )
+    chat.add_argument(
+        "--max-tokens", type=int, default=None,
+        help="truncate: whitespace-token budget (whole-turn prefix)",
+    )
+    chat.add_argument(
+        "--valid-only", action="store_true",
+        help="validate: write only cv_valid rows (flags still attached)",
+    )
+
+    sample = sub.add_parser(
+        "sample",
+        help="weighted sampling WITHOUT replacement (Efraimidis-"
+        "Spirakis, deterministic content-hash keys): exactly n rows "
+        "by weight, globally or per stratum",
+    )
+    sample.add_argument("--input", required=True, help="input parquet")
+    sample.add_argument("--output", required=True, help="sample parquet path")
+    sample.add_argument("--n", type=int, required=True, help="rows per draw (per stratum if --strata-col)")
+    sample.add_argument("--id-col", default="doc_id")
+    sample.add_argument("--weight-col", required=True)
+    sample.add_argument("--strata-col", default=None)
+    sample.add_argument("--seed", type=int, default=0)
+    sample.add_argument(
+        "--key-col", default=None,
+        help="expose the ln(u)/w ordering key under this column",
+    )
+
     tok = sub.add_parser(
         "tokenizer",
         help="BPE tokenizer lifecycle: train a merge table to "
@@ -2562,6 +2633,90 @@ def main(argv: list[str] | None = None) -> int:
                 f"threshold={args.threshold}, strategy={args.strategy}, "
                 f"method={args.method}) -> {args.output}"
             )
+    elif args.cmd == "pairs":
+        from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+            preference_pairs,
+            prompt_response_stats,
+        )
+
+        responses = spark.read.parquet(args.input)
+        built = preference_pairs(
+            responses,
+            prompt_col=args.prompt_col,
+            id_col=args.id_col,
+            score_col=args.score_col,
+            text_col=args.text_col,
+            strategy=args.strategy,
+            min_margin=args.min_margin,
+            max_pairs_per_prompt=args.max_per_prompt,
+        )
+        built.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n_pairs = out.count()
+        n_prompts = out.select("prompt").distinct().count()
+        print(
+            f"built {n_pairs} preference pairs over {n_prompts} prompts "
+            f"(strategy={args.strategy}, min_margin={args.min_margin}) "
+            f"-> {args.output}"
+        )
+        if args.stats_output:
+            prompt_response_stats(
+                responses,
+                prompt_col=args.prompt_col,
+                id_col=args.id_col,
+                score_col=args.score_col,
+            ).write.mode("overwrite").parquet(args.stats_output)
+            print(f"wrote per-prompt stats -> {args.stats_output}")
+    elif args.cmd == "chat":
+        from utc_cuip_kafka_aws_connector_spark.operators import (
+            conversations as conv_ops,
+        )
+
+        convs = spark.read.parquet(args.input)
+        if args.op == "validate":
+            res = conv_ops.conversation_flags(convs, args.turns_col)
+            if args.valid_only:
+                res = res.filter("cv_valid")
+        elif args.op == "render":
+            res = conv_ops.render_chat(
+                convs, args.turns_col, template=args.template
+            )
+        elif args.op == "stats":
+            res = conv_ops.conversation_stats(convs, args.turns_col)
+        elif args.op == "dedup":
+            res = conv_ops.dedup_conversations(
+                convs, args.id_col, args.turns_col
+            )
+        else:  # truncate
+            if args.max_tokens is None:
+                parser.error("chat --op truncate requires --max-tokens")
+            res = conv_ops.truncate_to_budget(
+                convs, args.max_tokens, turns_col=args.turns_col
+            )
+        res.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(f"chat {args.op}: {n_out} conversations -> {args.output}")
+    elif args.cmd == "sample":
+        from utc_cuip_kafka_aws_connector_spark.operators.reservoir import (
+            weighted_sample_n,
+        )
+
+        drawn = weighted_sample_n(
+            spark.read.parquet(args.input),
+            args.n,
+            id_col=args.id_col,
+            weight_col=args.weight_col,
+            strata_col=args.strata_col,
+            seed=args.seed,
+            key_col=args.key_col,
+        )
+        drawn.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        scope = f"per {args.strata_col!r} stratum" if args.strata_col else "global"
+        print(
+            f"drew {n_out} rows without replacement (n={args.n} {scope}, "
+            f"seed={args.seed}) -> {args.output}"
+        )
     elif args.cmd == "tokenizer":
         from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
             load_tokenizer_spec,
