@@ -1,0 +1,151 @@
+"""operators/kll.py: mergeable KLL quantile sketch.
+
+Evidence: measured rank error vs exact numpy ranks under the
+documented O(1/k) bound on uniform and heavy-tailed data (grouped,
+through the full Spark path), shard-merge == bound-preserving (the
+incremental-store property), exact surfaces exact (n_rows, vmin,
+vmax, q=0/1), core determinism (same sequence -> bit-identical
+sketch), quantile monotonicity, null/NaN skipping, and validation
+(k floor, mixed-k merge refusal, qs domain).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.kll import (
+    _KLL,
+    kll_merge,
+    kll_quantiles,
+    kll_sketch,
+)
+
+QS = [0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0]
+BOUND = 0.015  # measured ~0.006 at k=256; 2.5x headroom vs flake
+
+
+def _grouped_data(seed=17, n=30_000):
+    rng = np.random.default_rng(seed)
+    groups = {
+        "uni": rng.uniform(0, 100, n),
+        "heavy": rng.lognormal(0, 2, n),
+    }
+    rows = [
+        (g, float(v)) for g, vals in groups.items() for v in vals
+    ]
+    return rows, groups
+
+
+def _rank_of(sorted_vals, est):
+    return np.searchsorted(sorted_vals, est, side="right") / len(sorted_vals)
+
+
+def test_grouped_sketch_rank_error_and_exact_surfaces(spark):
+    rows, groups = _grouped_data()
+    df = spark.createDataFrame(rows, "src string, x double")
+    sk = kll_sketch(df, ["src"], "x", k=256)
+    got_sk = {r.src: r for r in sk.collect()}
+    est = {}
+    for r in kll_quantiles(sk, QS, keys=["src"]).collect():
+        est.setdefault(r.src, {})[r.q] = r.value
+    for g, vals in groups.items():
+        srt = np.sort(vals)
+        assert got_sk[g].n_rows == len(vals)
+        assert got_sk[g].vmin == srt[0] and got_sk[g].vmax == srt[-1]
+        assert est[g][0.0] == srt[0] and est[g][1.0] == srt[-1]
+        for q in QS[1:-1]:
+            err = abs(_rank_of(srt, est[g][q]) - q)
+            assert err < BOUND, f"{g} q={q}: rank err {err}"
+        # monotone in q
+        ordered = [est[g][q] for q in QS]
+        assert ordered == sorted(ordered)
+
+
+def test_shard_merge_is_incremental(spark):
+    """Sketch two shards separately, merge the sketch ROWS — the
+    stored-artifact path — and compare against exact ranks of the
+    union: n exact, estimates within the bound."""
+    rng = np.random.default_rng(3)
+    a = rng.normal(50, 10, 20_000)
+    b = rng.normal(80, 5, 10_000)  # shifted: merge must blend ranks
+    df_a = spark.createDataFrame([(float(v),) for v in a], "x double")
+    df_b = spark.createDataFrame([(float(v),) for v in b], "x double")
+    rows_a = kll_sketch(df_a, [], "x", k=256)
+    rows_b = kll_sketch(df_b, [], "x", k=256)
+    merged = kll_merge(rows_a.unionByName(rows_b))
+    [m] = merged.collect()
+    union = np.sort(np.concatenate([a, b]))
+    assert m.n_rows == len(union)
+    assert m.vmin == union[0] and m.vmax == union[-1]
+    for r in kll_quantiles(merged, [0.1, 0.5, 0.9]).collect():
+        err = abs(_rank_of(union, r.value) - r.q)
+        assert err < BOUND, f"q={r.q}: {err}"
+
+
+def test_core_determinism_and_merge_any_order():
+    rng = np.random.default_rng(9)
+    data = rng.uniform(0, 1, 50_000)
+    def build():
+        s = _KLL(128)
+        for chunk in np.array_split(data, 13):
+            s.update(chunk)
+        return s
+    s1, s2 = build(), build()
+    assert s1.n == s2.n
+    assert all(np.array_equal(a, b) for a, b in zip(s1.levels, s2.levels))
+    # merge order changes the sketch but not the guarantee
+    parts = []
+    for chunk in np.array_split(data, 8):
+        p = _KLL(128)
+        p.update(chunk)
+        parts.append(p)
+    fwd, rev = _KLL(128), _KLL(128)
+    for p in parts:
+        fwd.merge(p)
+    for p in reversed(parts):
+        rev.merge(p)
+    srt = np.sort(data)
+    for s in (fwd, rev):
+        assert s.n == len(data)
+        for q in (0.1, 0.5, 0.9):
+            assert abs(_rank_of(srt, s.quantile(q)) - q) < 0.03  # k=128
+
+
+def test_nulls_nans_skipped_and_empty_group_absent(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", float("nan")), ("a", 3.0),
+         ("empty", None)],
+        "src string, x double",
+    )
+    sk = kll_sketch(df, ["src"], "x", k=16)
+    got = {r.src: r for r in sk.collect()}
+    assert set(got) == {"a"}
+    assert got["a"].n_rows == 2
+    assert (got["a"].vmin, got["a"].vmax) == (1.0, 3.0)
+
+
+def test_small_group_is_exact(spark):
+    vals = [5.0, 1.0, 9.0, 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sk = kll_sketch(df, [], "x", k=16)
+    est = {r.q: r.value for r in kll_quantiles(sk, [0.0, 0.5, 1.0]).collect()}
+    assert est[0.0] == 1.0 and est[1.0] == 9.0
+    assert est[0.5] in (3.0, 5.0)  # n < k: no compaction, true median rank
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="k must be"):
+        kll_sketch(df, [], "x", k=8)
+    sk16 = kll_sketch(df, [], "x", k=16)
+    sk32 = kll_sketch(df, [], "x", k=32)
+    with pytest.raises(Exception, match="mixed sketch formats"):
+        kll_merge(sk16.unionByName(sk32)).collect()
+    with pytest.raises(ValueError, match="qs must be"):
+        kll_quantiles(sk16, [])
+    with pytest.raises(ValueError, match="qs must be"):
+        kll_quantiles(sk16, [1.5])
+    with pytest.raises(ValueError, match="cannot merge"):
+        _KLL(16).merge(_KLL(32))
