@@ -1788,3 +1788,55 @@ def test_cli_sample_end_to_end(spark, tmp_path, capsys):
     assert cli.main(argv) == 0
     again = {(r.doc_id, r.es_key < 0) for r in spark.read.parquet(dest).collect()}
     assert again == first
+
+
+def test_cli_mix_and_curve(spark, tmp_path, capsys):
+    """`mix` (both ops) and `curve` through the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rows = [("en", 100.0, 0.9), ("en", 100.0, 0.4), ("yo", 10.0, 0.7)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "lang string, n_tokens double, score double"
+    ).write.parquet(src)
+
+    uni = str(tmp_path / "uni")
+    assert (
+        cli.main(
+            ["mix", "--op", "unimax", "--input", src, "--output", uni,
+             "--budget", "100", "--max-epochs", "2.0"]
+        )
+        == 0
+    )
+    got = {r.lang: r for r in spark.read.parquet(uni).collect()}
+    # yo capped at 20 (2 epochs x 10); en takes the remaining 80
+    assert got["yo"].alloc == 20.0 and got["en"].alloc == 80.0
+
+    temp = str(tmp_path / "temp")
+    assert (
+        cli.main(
+            ["mix", "--op", "temperature", "--input", src, "--output", temp,
+             "--tau", "0.5"]
+        )
+        == 0
+    )
+    assert spark.read.parquet(temp).count() == 2
+    with pytest.raises(SystemExit):
+        cli.main(["mix", "--op", "unimax", "--input", src, "--output", uni])
+    assert "requires --budget" in capsys.readouterr().err
+
+    cur = str(tmp_path / "cur")
+    assert (
+        cli.main(
+            ["curve", "--input", src, "--output", cur, "--score-col", "score",
+             "--lo", "0", "--hi", "1", "--points", "4",
+             "--weight-col", "n_tokens", "--group-col", "lang"]
+        )
+        == 0
+    )
+    out = spark.read.parquet(cur)
+    assert out.count() == 10  # 2 langs x 5 thresholds
+    en = {round(r.threshold, 9): r for r in out.filter("lang='en'").collect()}
+    assert en[0.0].docs_kept == 2 and en[0.75].docs_kept == 1
+    assert en[0.5].weight_kept == 100.0
+    assert "retention curve: 10 grid rows" in capsys.readouterr().out

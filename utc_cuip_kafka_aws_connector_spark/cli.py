@@ -1947,6 +1947,44 @@ def main(argv: list[str] | None = None) -> int:
         help="expose the ln(u)/w ordering key under this column",
     )
 
+    mix = sub.add_parser(
+        "mix",
+        help="training-mixture planning: UniMax epoch-capped budget "
+        "allocation or temperature-based mixture weights over group "
+        "sizes",
+    )
+    mix.add_argument("--op", required=True, choices=["unimax", "temperature"])
+    mix.add_argument("--input", required=True, help="corpus parquet")
+    mix.add_argument("--output", required=True, help="weights parquet path")
+    mix.add_argument("--group-col", default="lang")
+    mix.add_argument("--size-col", default="n_tokens")
+    mix.add_argument("--budget", type=float, default=None,
+                     help="unimax: required total budget; temperature: "
+                     "optional target counts")
+    mix.add_argument("--max-epochs", type=float, default=1.0,
+                     help="unimax: per-group epoch cap")
+    mix.add_argument("--tau", type=float, default=0.5,
+                     help="temperature: w = n^tau / sum n^tau")
+    mix.add_argument(
+        "--pre-aggregated", action="store_true",
+        help="input is already one (group, size) row per group",
+    )
+
+    curve = sub.add_parser(
+        "curve",
+        help="retention curve: docs/weight surviving each threshold "
+        "on an equally spaced grid — for choosing filter cuts",
+    )
+    curve.add_argument("--input", required=True, help="scored parquet")
+    curve.add_argument("--output", required=True, help="curve parquet path")
+    curve.add_argument("--score-col", required=True)
+    curve.add_argument("--lo", type=float, required=True)
+    curve.add_argument("--hi", type=float, required=True)
+    curve.add_argument("--points", type=int, default=50)
+    curve.add_argument("--weight-col", default=None,
+                       help="also track surviving weight (token mass)")
+    curve.add_argument("--group-col", default=None)
+
     tok = sub.add_parser(
         "tokenizer",
         help="BPE tokenizer lifecycle: train a merge table to "
@@ -2716,6 +2754,70 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"drew {n_out} rows without replacement (n={args.n} {scope}, "
             f"seed={args.seed}) -> {args.output}"
+        )
+    elif args.cmd == "mix":
+        if args.op == "unimax":
+            from utc_cuip_kafka_aws_connector_spark.operators.unimax import (
+                unimax_allocation,
+            )
+
+            if args.budget is None:
+                parser.error("mix --op unimax requires --budget")
+            weights = unimax_allocation(
+                spark.read.parquet(args.input),
+                args.budget,
+                group_col=args.group_col,
+                size_col=args.size_col,
+                max_epochs=args.max_epochs,
+                pre_aggregated=args.pre_aggregated,
+            )
+        else:  # temperature
+            from pyspark.sql import functions as _Fm
+
+            from utc_cuip_kafka_aws_connector_spark.operators.sampling import (
+                temperature_weights,
+            )
+
+            sizes = spark.read.parquet(args.input)
+            if not args.pre_aggregated:
+                # temperature_weights' contract is one row per group;
+                # the corpus aggregation is the caller's job (its
+                # docstring) — here the CLI is that caller
+                sizes = sizes.groupBy(args.group_col).agg(
+                    _Fm.sum(args.size_col).alias(args.size_col)
+                )
+            weights = temperature_weights(
+                sizes,
+                group_col=args.group_col,
+                size_col=args.size_col,
+                tau=args.tau,
+                budget=int(args.budget) if args.budget else None,
+            )
+        weights.write.mode("overwrite").parquet(args.output)
+        n_groups = spark.read.parquet(args.output).count()
+        print(
+            f"mix {args.op}: weights for {n_groups} groups -> {args.output}"
+        )
+    elif args.cmd == "curve":
+        from utc_cuip_kafka_aws_connector_spark.operators.retention import (
+            retention_curve,
+        )
+
+        out_curve = retention_curve(
+            spark.read.parquet(args.input),
+            args.score_col,
+            args.lo,
+            args.hi,
+            n_points=args.points,
+            weight_col=args.weight_col,
+            group_col=args.group_col,
+        )
+        out_curve.write.mode("overwrite").parquet(args.output)
+        n_rows = spark.read.parquet(args.output).count()
+        print(
+            f"retention curve: {n_rows} grid rows "
+            f"({args.points + 1} thresholds in [{args.lo}, {args.hi}]) "
+            f"-> {args.output}"
         )
     elif args.cmd == "tokenizer":
         from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
