@@ -149,3 +149,15 @@ def test_validation(spark):
         kll_quantiles(sk16, [1.5])
     with pytest.raises(ValueError, match="cannot merge"):
         _KLL(16).merge(_KLL(32))
+
+
+def test_null_group_keys_dropped(spark):
+    """NULL group keys drop (the cms_sketch convention) instead of
+    fabricating a NaN group."""
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0)],
+        "src string, x double",
+    )
+    got = {r.src: r for r in kll_sketch(df, ["src"], "x", k=16).collect()}
+    assert set(got) == {"a"}
+    assert got["a"].n_rows == 2

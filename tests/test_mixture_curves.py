@@ -194,3 +194,20 @@ def test_retention_result_is_local_single_pass(spark):
     assert len(got) == 3
     assert all(r.docs_kept == 0 and r.docs_frac == 0.0 for r in got)
     assert all(r.weight_frac == 0.0 for r in got)
+
+def test_retention_all_null_weights_bucket(spark):
+    """A bucket whose weights are all NULL sums to NULL — the curve
+    must treat it as zero mass, not crash."""
+    df = spark.createDataFrame(
+        [(1, 0.6, None), (2, 0.2, 4.0)],
+        "id long, score double, toks double",
+    )
+    got = {
+        round(r.threshold, 9): r
+        for r in retention_curve(
+            df, "score", 0.0, 1.0, n_points=2, weight_col="toks"
+        ).collect()
+    }
+    assert got[0.5].docs_kept == 1
+    assert got[0.5].weight_kept == 0.0
+    assert got[0.0].weight_kept == 4.0

@@ -186,8 +186,11 @@ def kll_sketch(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # default dropna: NULL group keys are dropped, matching
+            # cms_sketch (and avoiding pandas' NaN-for-null coercion
+            # breaking the Arrow cast for non-string key types)
             for gkey, sub in (
-                pdf.groupby(list(keys), dropna=False) if keys else [((), pdf)]
+                pdf.groupby(list(keys)) if keys else [((), pdf)]
             ):
                 gkey = gkey if isinstance(gkey, tuple) else (gkey,)
                 vals = sub[value_col].astype("float64").dropna().to_numpy()

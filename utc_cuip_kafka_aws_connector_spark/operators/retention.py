@@ -103,7 +103,10 @@ def retention_curve(
         g = r[group_col] if group_col else None
         by_group.setdefault(g, {})[r["__b"]] = (
             r["__docs"],
-            float(r["__w"]) if weight_col else 0.0,
+            # an all-null-weight bucket sums to NULL, not 0
+            float(r["__w"])
+            if weight_col and r["__w"] is not None
+            else 0.0,
         )
 
     out_rows = []
