@@ -1840,3 +1840,35 @@ def test_cli_mix_and_curve(spark, tmp_path, capsys):
     assert en[0.0].docs_kept == 2 and en[0.75].docs_kept == 1
     assert en[0.5].weight_kept == 100.0
     assert "retention curve: 10 grid rows" in capsys.readouterr().out
+
+
+def test_cli_tokenizer_utilization(spark, tmp_path, capsys):
+    """`tokenizer --op utilization` prints per-slice vocab coverage
+    through the full CLI path (train a tiny model first)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "the quick brown fox " * 3, "en") for i in range(5)]
+        + [(9, "zzz unseen", "de")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    model = str(tmp_path / "tok.json")
+    assert (
+        cli.main(
+            ["tokenizer", "--op", "train", "--model", model, "--input", src,
+             "--merges", "10"]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert (
+        cli.main(
+            ["tokenizer", "--op", "utilization", "--model", model,
+             "--input", src]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "coverage=" in out and "singletons=" in out
+    assert "en" in out and "de" in out

@@ -1993,7 +1993,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     tok.add_argument(
         "--op", required=True,
-        choices=["train", "encode", "decode", "report"],
+        choices=["train", "encode", "decode", "report", "utilization"],
     )
     tok.add_argument("--model", required=True, help="tokenizer.json path")
     tok.add_argument("--input", required=True, help="corpus parquet")
@@ -2910,6 +2910,29 @@ def main(argv: list[str] | None = None) -> int:
                 f"encoded {n} docs with {args.model} ({shape}), "
                 f"output={args.output}"
             )
+        elif args.op == "utilization":
+            from utc_cuip_kafka_aws_connector_spark.operators.tokeval import (
+                vocab_utilization,
+            )
+
+            spec = load_tokenizer_spec(spark, args.model)
+            group = args.lang_col if args.lang_col in df.columns else None
+            rows = vocab_utilization(
+                df,
+                spec,
+                group_col=group,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            ).collect()
+            for r in rows:
+                slice_name = getattr(r, group, "(all)") if group else "(all)"
+                print(
+                    f"{slice_name:>8}  ids={r.distinct_ids:<7} "
+                    f"coverage={r.vocab_coverage:.4f}  "
+                    f"head10%={r.top_decile_mass:.4f}  "
+                    f"singletons={r.singleton_ids:<7} "
+                    f"bytes/token={r.bytes_per_token:.2f}"
+                )
         else:  # report
             spec = load_tokenizer_spec(spark, args.model)
             rows = tokenizer_report_spec(
