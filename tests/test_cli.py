@@ -1872,3 +1872,27 @@ def test_cli_tokenizer_utilization(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "coverage=" in out and "singletons=" in out
     assert "en" in out and "de" in out
+
+
+def test_cli_mine_positives(spark, tmp_path, capsys):
+    """`mine --op positives` crops deterministic (query, positive)
+    pairs through the full CLI path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "pairs")
+    argv = ["mine", "--op", "positives", "--input", src, "--output", dest,
+            "--id-col", "doc_id", "--pair-op", "ict",
+            "--min-tokens", "2", "--max-tokens", "5", "--seed", "3"]
+    assert cli.main(argv) == 0
+    got = {r.doc_id: (r.query, r.positive) for r in spark.read.parquet(dest).collect()}
+    assert len(got) == 8
+    for i, (q, p) in got.items():
+        assert sorted(q.split() + p.split()) == sorted(f"w{i}_{j}" for j in range(10))
+    assert "mined 8 positive pairs (ict" in capsys.readouterr().out
+    assert cli.main(argv) == 0  # deterministic re-run
+    assert {r.doc_id: (r.query, r.positive) for r in spark.read.parquet(dest).collect()} == got

@@ -1844,7 +1844,9 @@ def main(argv: list[str] | None = None) -> int:
         "negatives for contrastive training (DPR/ANCE recipe), "
         "margin-based bitext pairs (WikiMatrix/CCMatrix recipe)",
     )
-    mine.add_argument("--op", required=True, choices=["negatives", "bitext"])
+    mine.add_argument(
+        "--op", required=True, choices=["negatives", "bitext", "positives"]
+    )
     mine.add_argument(
         "--input", required=True,
         help="corpus parquet (negatives) / source-side parquet (bitext)",
@@ -1875,6 +1877,15 @@ def main(argv: list[str] | None = None) -> int:
         "--centroid-source", default="hash_spread",
         choices=["hash_spread", "kmeans"],
     )
+    mine.add_argument(
+        "--pair-op", default="crop", choices=["crop", "ict"],
+        help="positives: independent cropping (Contriever) or "
+        "inverse cloze (span vs remainder)",
+    )
+    mine.add_argument("--text-col", default="text", help="positives: text column")
+    mine.add_argument("--min-tokens", type=int, default=4)
+    mine.add_argument("--max-tokens", type=int, default=64)
+    mine.add_argument("--seed", type=int, default=0)
 
     pairs = sub.add_parser(
         "pairs",
@@ -2643,6 +2654,27 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"mined {n_pairs} hard negatives for {n_anchors} anchors "
                 f"(k={args.k}, method={args.method}) -> {args.output}"
+            )
+        elif args.op == "positives":
+            from utc_cuip_kafka_aws_connector_spark.operators.crops import (
+                positive_pairs,
+            )
+
+            pairs = positive_pairs(
+                spark.read.parquet(args.input),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                strategy=args.pair_op,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                seed=args.seed,
+            )
+            pairs.write.mode("overwrite").parquet(args.output)
+            n_pairs = spark.read.parquet(args.output).count()
+            print(
+                f"mined {n_pairs} positive pairs ({args.pair_op}, "
+                f"tokens {args.min_tokens}-{args.max_tokens}, "
+                f"seed={args.seed}) -> {args.output}"
             )
         else:  # bitext
             from utc_cuip_kafka_aws_connector_spark.operators.bitext import (
