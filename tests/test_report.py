@@ -350,3 +350,26 @@ def test_approx_buckets_card_rows_survive_heavy_ties(spark, docs):
     for row in ("ppl_mean", "ppl_bucket_cut:1", "ppl_bucket_cut:2", "ppl_max"):
         assert row in card, f"{row} missing under approx + ties"
     assert card["ppl_max"] == pytest.approx(true_max)
+
+
+def test_corpus_report_diversity_block(spark, capsys):
+    from utc_cuip_kafka_aws_connector_spark.operators.report import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the same line again and again", 0.5) for i in range(20)]
+        + [(100 + i, f"unique words number {i} here now", 0.5) for i in range(20)],
+        "doc_id long, text string, quality double",
+    )
+    rows = {
+        r.metric: r.value
+        for r in corpus_report(df, diversity_ns=(1, 2)).collect()
+    }
+    assert "distinct_ratio:n=1" in rows and "distinct_ratio:n=2" in rows
+    assert 0 < rows["distinct_ratio:n=2"] < 1
+    # off by default: no diversity rows, no extra pass
+    base = {
+        r.metric for r in corpus_report(df).collect()
+    }
+    assert not any(m.startswith("distinct_ratio") for m in base)

@@ -1270,6 +1270,7 @@ def run_report(
     eval_embeddings: str | None = None,
     decontam_cosine: float = 0.95,
     ppl_buckets_method: str = "exact",
+    diversity_ns: tuple[int, ...] | None = None,
 ) -> list:
     """Corpus data-card (operators/report.py) over a parquet corpus;
     returns the (metric, value) rows for display. The optional
@@ -1284,7 +1285,7 @@ def run_report(
         spark, df, input_path, ppl_lm, dsir_target, select_buckets,
         eval_embeddings, decontam_cosine, ppl_buckets_method,
     )
-    rows = corpus_report(df, **kwargs).collect()
+    rows = corpus_report(df, diversity_ns=diversity_ns, **kwargs).collect()
     if lm is not None:
         from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
             kn_unpersist,
@@ -1673,6 +1674,11 @@ def main(argv: list[str] | None = None) -> int:
         "semantic-contamination rows",
     )
     report.add_argument("--decontam-cosine", type=float, default=0.95)
+    report.add_argument(
+        "--diversity-ns", default=None,
+        help="comma-separated n values (e.g. 1,2,3): adds distinct-n "
+        "diversity rows (approx HLL counting; its own corpus pass)",
+    )
 
     relrep = sub.add_parser(
         "release-report",
@@ -2390,6 +2396,9 @@ def main(argv: list[str] | None = None) -> int:
             eval_embeddings=args.eval_embeddings,
             decontam_cosine=args.decontam_cosine,
             ppl_buckets_method=args.ppl_buckets_method,
+            diversity_ns=tuple(
+                int(x) for x in args.diversity_ns.split(",")
+            ) if args.diversity_ns else None,
         )
         for r in rows:
             print(f"{r.metric:<28s} {r.value:.4f}")

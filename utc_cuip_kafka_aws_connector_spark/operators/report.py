@@ -105,6 +105,7 @@ def corpus_report(
     eval_id_col: str = "vec_id",
     eval_vec_col: str = "embedding",
     decontam_cosine: float = 0.95,
+    diversity_ns: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """(metric string, value double) summary rows. ``slice_cols``
     that are absent from the frame are skipped silently (the report
@@ -242,6 +243,22 @@ def corpus_report(
              float(agg[1]) if agg[1] is not None else 0.0),
             ("semdecontam_contaminated_ratio", float(agg[2] or 0) / n),
         ]
+
+    if diversity_ns:
+        from utc_cuip_kafka_aws_connector_spark.operators.diversity import (
+            ngram_diversity,
+        )
+
+        # the mode-collapse block (distinct-n, approx HLL counting —
+        # its own explode pass, which is why it is opt-in rather
+        # than part of the one-pass core)
+        for r in sorted(
+            ngram_diversity(
+                df.select(text_col), ns=diversity_ns, text_col=text_col
+            ).collect(),
+            key=lambda r: r.n,
+        ):
+            out.append((f"distinct_ratio:n={r.n}", float(r.distinct_ratio)))
 
     for col in slice_cols:
         if col not in df.columns:
