@@ -1896,3 +1896,26 @@ def test_cli_mine_positives(spark, tmp_path, capsys):
     assert "mined 8 positive pairs (ict" in capsys.readouterr().out
     assert cli.main(argv) == 0  # deterministic re-run
     assert {r.doc_id: (r.query, r.positive) for r in spark.read.parquet(dest).collect()} == got
+
+
+def test_cli_mine_corrupt(spark, tmp_path, capsys):
+    """`mine --op corrupt` builds T5 denoising pairs through the full
+    CLI path, deterministically."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "pairs")
+    argv = ["mine", "--op", "corrupt", "--input", src, "--output", dest,
+            "--id-col", "doc_id", "--rate", "0.15", "--mean-span", "3"]
+    assert cli.main(argv) == 0
+    got = {r.doc_id: (r.inputs, r.targets) for r in spark.read.parquet(dest).collect()}
+    assert len(got) == 6
+    assert all("<extra_id_0>" in i and t.split()[-1].startswith("<extra_id_")
+               for i, t in got.values())
+    assert "built 6 span-corruption examples" in capsys.readouterr().out
+    assert cli.main(argv) == 0
+    assert {r.doc_id: (r.inputs, r.targets) for r in spark.read.parquet(dest).collect()} == got

@@ -1851,7 +1851,8 @@ def main(argv: list[str] | None = None) -> int:
         "margin-based bitext pairs (WikiMatrix/CCMatrix recipe)",
     )
     mine.add_argument(
-        "--op", required=True, choices=["negatives", "bitext", "positives"]
+        "--op", required=True,
+        choices=["negatives", "bitext", "positives", "corrupt"],
     )
     mine.add_argument(
         "--input", required=True,
@@ -1892,6 +1893,14 @@ def main(argv: list[str] | None = None) -> int:
     mine.add_argument("--min-tokens", type=int, default=4)
     mine.add_argument("--max-tokens", type=int, default=64)
     mine.add_argument("--seed", type=int, default=0)
+    mine.add_argument(
+        "--rate", type=float, default=0.15,
+        help="corrupt: target corruption rate",
+    )
+    mine.add_argument(
+        "--mean-span", type=int, default=3,
+        help="corrupt: mean masked-span length",
+    )
 
     pairs = sub.add_parser(
         "pairs",
@@ -2663,6 +2672,26 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"mined {n_pairs} hard negatives for {n_anchors} anchors "
                 f"(k={args.k}, method={args.method}) -> {args.output}"
+            )
+        elif args.op == "corrupt":
+            from utc_cuip_kafka_aws_connector_spark.operators.corruption import (
+                span_corruption,
+            )
+
+            pairs = span_corruption(
+                spark.read.parquet(args.input),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                corruption_rate=args.rate,
+                mean_span=args.mean_span,
+                seed=args.seed,
+            )
+            pairs.write.mode("overwrite").parquet(args.output)
+            n_pairs = spark.read.parquet(args.output).count()
+            print(
+                f"built {n_pairs} span-corruption examples "
+                f"(rate={args.rate}, mean_span={args.mean_span}, "
+                f"seed={args.seed}) -> {args.output}"
             )
         elif args.op == "positives":
             from utc_cuip_kafka_aws_connector_spark.operators.crops import (
