@@ -1919,3 +1919,39 @@ def test_cli_mine_corrupt(spark, tmp_path, capsys):
     assert "built 6 span-corruption examples" in capsys.readouterr().out
     assert cli.main(argv) == 0
     assert {r.doc_id: (r.inputs, r.targets) for r in spark.read.parquet(dest).collect()} == got
+
+
+def test_cli_sample_targets_assembly(spark, tmp_path, capsys):
+    """mix --op unimax -> sample --targets: the mixture-assembly loop
+    end-to-end through the CLI."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1.0 + i % 3, f"s{i % 2}") for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, w double, lang string").write.parquet(src)
+    # sizes -> unimax targets
+    uni = str(tmp_path / "uni")
+    assert cli.main(
+        ["mix", "--op", "unimax", "--input", src, "--output", uni,
+         "--group-col", "lang", "--size-col", "w", "--budget", "12"]
+    ) == 0
+    targets = str(tmp_path / "targets")
+    spark.read.parquet(uni).select(
+        "lang", F.floor("alloc").cast("long").alias("target")
+    ).write.parquet(targets)
+    dest = str(tmp_path / "drawn")
+    assert cli.main(
+        ["sample", "--input", src, "--output", dest, "--targets", targets,
+         "--weight-col", "w", "--strata-col", "lang", "--seed", "2"]
+    ) == 0
+    per = {
+        r.lang: r["count"]
+        for r in spark.read.parquet(dest).groupBy("lang").count().collect()
+    }
+    assert sum(per.values()) <= 12 and set(per) == {"s0", "s1"}
+    assert "targets table per 'lang'" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        cli.main(["sample", "--input", src, "--output", dest,
+                  "--weight-col", "w"])
+    assert "exactly one of" in capsys.readouterr().err

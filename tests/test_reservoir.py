@@ -164,3 +164,59 @@ def test_key_col_exposed_and_plan_is_topk(spark):
     plan = formatted_plan(out)
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_targets_table_draw_matches_per_group_reference(spark):
+    """weighted_sample_targets == an independent fixed-n draw per
+    stratum at that stratum's target (same keys, same winners), and
+    the end-to-end unimax -> sample loop closes."""
+    from utc_cuip_kafka_aws_connector_spark.operators.reservoir import (
+        weighted_sample_targets,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.unimax import (
+        unimax_allocation,
+    )
+
+    rows = _fixture(seed=21, n=120)
+    df = spark.createDataFrame(rows, "id long, w double, s string")
+    targets = spark.createDataFrame(
+        [("s0", 7), ("s1", 3), ("s2", 0), ("missing", 5)],
+        "s string, target long",
+    )
+    got = weighted_sample_targets(df, targets, "id", "w", "s", seed=4)
+    by_s = {}
+    for r in got.collect():
+        by_s.setdefault(r.s, set()).add(r.id)
+    assert set(by_s) == {"s0", "s1"}  # target 0 and absent strata drop
+    for s, n in (("s0", 7), ("s1", 3)):
+        want = {
+            r.id
+            for r in weighted_sample_n(
+                df.filter(F.col("s") == s), n, "id", "w", seed=4
+            ).collect()
+        }
+        assert by_s[s] == want and len(by_s[s]) == n
+    # the assembly loop: unimax targets (alias alloc->target) feed the draw
+    sizes = df.groupBy("s").agg(F.count("*").cast("double").alias("n_docs"))
+    alloc = unimax_allocation(
+        sizes, 30.0, group_col="s", size_col="n_docs",
+        max_epochs=1.0, pre_aggregated=True,
+    ).select("s", F.col("alloc").alias("target"))
+    drawn = weighted_sample_targets(df, alloc, "id", "w", "s", seed=9)
+    per = {r.s: r["count"] for r in drawn.groupBy("s").count().collect()}
+    assert sum(per.values()) <= 30 and all(v > 0 for v in per.values())
+
+
+def test_targets_draw_is_broadcast_join(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.reservoir import (
+        weighted_sample_targets,
+    )
+
+    rows = _fixture(seed=2)
+    df = spark.createDataFrame(rows, "id long, w double, s string")
+    targets = spark.createDataFrame([("s0", 5)], "s string, target long")
+    plan = formatted_plan(
+        weighted_sample_targets(df, targets, "id", "w", "s")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1963,7 +1963,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     sample.add_argument("--input", required=True, help="input parquet")
     sample.add_argument("--output", required=True, help="sample parquet path")
-    sample.add_argument("--n", type=int, required=True, help="rows per draw (per stratum if --strata-col)")
+    sample.add_argument("--n", type=int, default=None,
+                        help="rows per draw (per stratum if --strata-col)")
+    sample.add_argument(
+        "--targets", default=None,
+        help="per-stratum targets parquet (group + target columns — "
+        "the mix verb's output with alloc aliased); alternative to --n",
+    )
+    sample.add_argument("--target-col", default="target")
     sample.add_argument("--id-col", default="doc_id")
     sample.add_argument("--weight-col", required=True)
     sample.add_argument("--strata-col", default=None)
@@ -2807,22 +2814,44 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sample":
         from utc_cuip_kafka_aws_connector_spark.operators.reservoir import (
             weighted_sample_n,
+            weighted_sample_targets,
         )
 
-        drawn = weighted_sample_n(
-            spark.read.parquet(args.input),
-            args.n,
-            id_col=args.id_col,
-            weight_col=args.weight_col,
-            strata_col=args.strata_col,
-            seed=args.seed,
-            key_col=args.key_col,
-        )
+        if (args.n is None) == (args.targets is None):
+            parser.error("sample requires exactly one of --n / --targets")
+        if args.targets:
+            if not args.strata_col:
+                parser.error("sample --targets requires --strata-col")
+            drawn = weighted_sample_targets(
+                spark.read.parquet(args.input),
+                spark.read.parquet(args.targets),
+                id_col=args.id_col,
+                weight_col=args.weight_col,
+                strata_col=args.strata_col,
+                target_col=args.target_col,
+                seed=args.seed,
+                key_col=args.key_col,
+            )
+            scope = f"targets table per {args.strata_col!r}"
+        else:
+            drawn = weighted_sample_n(
+                spark.read.parquet(args.input),
+                args.n,
+                id_col=args.id_col,
+                weight_col=args.weight_col,
+                strata_col=args.strata_col,
+                seed=args.seed,
+                key_col=args.key_col,
+            )
+            scope = (
+                f"n={args.n} per {args.strata_col!r} stratum"
+                if args.strata_col
+                else f"n={args.n} global"
+            )
         drawn.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
-        scope = f"per {args.strata_col!r} stratum" if args.strata_col else "global"
         print(
-            f"drew {n_out} rows without replacement (n={args.n} {scope}, "
+            f"drew {n_out} rows without replacement ({scope}, "
             f"seed={args.seed}) -> {args.output}"
         )
     elif args.cmd == "mix":

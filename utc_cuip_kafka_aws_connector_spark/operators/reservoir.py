@@ -110,3 +110,57 @@ def weighted_sample_n(
     if key_col is not None:
         return out.withColumnRenamed("__es_key", key_col)
     return out.drop("__es_key")
+
+
+def weighted_sample_targets(
+    df: DataFrame,
+    targets: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_col: str,
+    target_col: str = "target",
+    seed: int = 0,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum draw sizes from a TARGETS table — the mixture-
+    assembly form: ``unimax_allocation`` (or ``temperature_weights``
+    with a budget) emits per-group counts; this draws exactly that
+    many rows per group, weighted, without replacement. Strata absent
+    from ``targets`` (or with NULL/non-positive targets) contribute
+    nothing; strata smaller than their target return all eligible
+    rows.
+
+    Plan shape: the targets table is mixture-sized, so it BROADCASTS
+    onto the corpus (one scan-local join — no shuffle added by the
+    join itself), then the same single window as the fixed-n draw.
+    Same key arithmetic, so a draw at one target nests inside a draw
+    at a larger one."""
+    t = targets.select(
+        F.col(strata_col).alias("__stratum"),
+        F.floor(F.col(target_col).cast("double")).cast("long").alias("__n"),
+    ).filter(F.col("__stratum").isNotNull() & (F.col("__n") > 0))
+    eligible = (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+            & F.col(strata_col).isNotNull()
+        )
+        .join(
+            F.broadcast(t),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
+        .drop("__stratum")
+        .withColumn("__es_key", es_key(id_col, weight_col, seed))
+    )
+    w = W.partitionBy(strata_col).orderBy(
+        F.col("__es_key").desc(), F.col(id_col).asc()
+    )
+    out = (
+        eligible.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__n"))
+        .drop("__rk", "__n")
+    )
+    if key_col is not None:
+        return out.withColumnRenamed("__es_key", key_col)
+    return out.drop("__es_key")
