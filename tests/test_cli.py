@@ -1955,3 +1955,25 @@ def test_cli_sample_targets_assembly(spark, tmp_path, capsys):
         cli.main(["sample", "--input", src, "--output", dest,
                   "--weight-col", "w"])
     assert "exactly one of" in capsys.readouterr().err
+
+
+def test_cli_mine_fim(spark, tmp_path, capsys):
+    """`mine --op fim` reorders documents for infilling through the
+    full CLI path, deterministically."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"def f{i}(): return {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "fim")
+    argv = ["mine", "--op", "fim", "--input", src, "--output", dest,
+            "--id-col", "doc_id", "--rate-fim", "1.0", "--seed", "6"]
+    assert cli.main(argv) == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    assert len(got) == 20
+    assert all("<fim_middle>" in t for t in got.values())
+    assert "FIM-transformed 20/20 docs" in capsys.readouterr().out
+    assert cli.main(argv) == 0
+    assert {r.doc_id: r.text for r in spark.read.parquet(dest).collect()} == got

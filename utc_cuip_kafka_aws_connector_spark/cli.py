@@ -1852,7 +1852,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     mine.add_argument(
         "--op", required=True,
-        choices=["negatives", "bitext", "positives", "corrupt"],
+        choices=["negatives", "bitext", "positives", "corrupt", "fim"],
     )
     mine.add_argument(
         "--input", required=True,
@@ -1900,6 +1900,14 @@ def main(argv: list[str] | None = None) -> int:
     mine.add_argument(
         "--mean-span", type=int, default=3,
         help="corrupt: mean masked-span length",
+    )
+    mine.add_argument(
+        "--rate-fim", type=float, default=0.5,
+        help="fim: fraction of documents FIM-reordered",
+    )
+    mine.add_argument(
+        "--spm-rate", type=float, default=0.5,
+        help="fim: SPM share among transformed documents",
     )
 
     pairs = sub.add_parser(
@@ -2679,6 +2687,28 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"mined {n_pairs} hard negatives for {n_anchors} anchors "
                 f"(k={args.k}, method={args.method}) -> {args.output}"
+            )
+        elif args.op == "fim":
+            from utc_cuip_kafka_aws_connector_spark.operators.fim import (
+                fim_transform,
+            )
+
+            out_df = fim_transform(
+                spark.read.parquet(args.input),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                rate=args.rate_fim,
+                spm_rate=args.spm_rate,
+                seed=args.seed,
+            )
+            out_df.write.mode("overwrite").parquet(args.output)
+            back = spark.read.parquet(args.output)
+            n_all = back.count()
+            n_fim = back.filter("fim_applied").count()
+            print(
+                f"FIM-transformed {n_fim}/{n_all} docs "
+                f"(rate={args.rate_fim}, spm_rate={args.spm_rate}, "
+                f"seed={args.seed}) -> {args.output}"
             )
         elif args.op == "corrupt":
             from utc_cuip_kafka_aws_connector_spark.operators.corruption import (
