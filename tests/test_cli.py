@@ -1977,3 +1977,27 @@ def test_cli_mine_fim(spark, tmp_path, capsys):
     assert "FIM-transformed 20/20 docs" in capsys.readouterr().out
     assert cli.main(argv) == 0
     assert {r.doc_id: r.text for r in spark.read.parquet(dest).collect()} == got
+
+
+def test_cli_clean_para_dedup_stage(spark, tmp_path, capsys):
+    """`clean --para-dedup` removes within-document repeated
+    paragraphs ahead of the other stages."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "nav menu here\n\nreal content %d\n\nnav menu here" % i)
+         for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "clean")
+    assert (
+        cli.main(
+            ["clean", "--input", src, "--output", dest, "--para-dedup",
+             "--boiler-min-docs", "100", "--substr-window", "0"]
+        )
+        == 0
+    )
+    got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    for i, t in got.items():
+        assert t == f"nav menu here\n\nreal content {i}"

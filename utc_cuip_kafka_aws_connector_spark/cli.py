@@ -1796,6 +1796,11 @@ def main(argv: list[str] | None = None) -> int:
         help="strip lines occurring in at least this many distinct docs",
     )
     clean.add_argument(
+        "--para-dedup", action="store_true",
+        help="drop repeated paragraphs within each document "
+        "(normalized first-occurrence-wins) before the other stages",
+    )
+    clean.add_argument(
         "--substr-window", type=int, default=50,
         help="remove repeated token spans of at least this length (0 = skip)",
     )
@@ -2544,6 +2549,14 @@ def main(argv: list[str] | None = None) -> int:
         n_in = df.count()
         if args.html:
             df = html_to_text(df, text_col=args.text_col)
+        if args.para_dedup:
+            from utc_cuip_kafka_aws_connector_spark.operators.intradedup import (
+                dedup_paragraphs,
+            )
+
+            df = dedup_paragraphs(df, text_col=args.text_col).drop(
+                "paras_removed"
+            )
         df = strip_boilerplate(
             df,
             id_col=args.id_col,
