@@ -5023,6 +5023,27 @@ _GATE_PRIORITY = [
     # planted style, and full-probe IVF == brute gives the bucketed
     # path an exact oracle).
     #
+    # r19+ PROMOTION CANDIDATES (named now so future rounds pick from
+    # a bench, not a blank page; both landed r16 pytest-grade with
+    # their DuckDB dry runs ALREADY WRITTEN in their test files):
+    # (1) a preference-pairs gate — prefpairs.preference_pairs
+    #     (best_worst) over a scored-responses frame derived from
+    #     orders (o_custkey as prompt, o_totalprice as score); its
+    #     window+self-join DuckDB oracle is rehearsed verbatim in
+    #     tests/test_prefpairs.py::test_best_worst_matches_duckdb_
+    #     window_oracle, and projecting (prompt, chosen_id,
+    #     rejected_id) only keeps the gate surface integer-exact
+    #     (margin is DECIMAL-derived there, also safe).
+    # (2) a retention-curve gate — retention.retention_curve over a
+    #     documents length score; its grid-join oracle is rehearsed
+    #     in tests/test_mixture_curves.py::test_retention_matches_
+    #     python_and_duckdb, docs_kept being integer-exact by
+    #     construction.
+    # Funding: both need retirements from whatever cohort is expiring
+    # at registration time (the catalog sits at the 50-slot ceiling);
+    # q57_sql_cte_top_orders remains the first named retiree after
+    # the r18 plan consumes q115.
+    #
     # --- the expiring r14-resters (50 minus the q110/q124 pulls) ---
     "q01_pricing_summary",
     "q02_revenue_by_region",
