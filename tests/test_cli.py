@@ -2001,3 +2001,33 @@ def test_cli_clean_para_dedup_stage(spark, tmp_path, capsys):
     got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
     for i, t in got.items():
         assert t == f"nav menu here\n\nreal content {i}"
+
+
+def test_cli_tokenizer_prune(spark, tmp_path, capsys):
+    """train -> prune -> the pruned model re-encodes the corpus and
+    survives a reload through the public tokenizer.json format."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma " * 4) for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    model, pruned = str(tmp_path / "tok.json"), str(tmp_path / "pruned.json")
+    assert cli.main(
+        ["tokenizer", "--op", "train", "--model", model, "--input", src,
+         "--merges", "30"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["tokenizer", "--op", "prune", "--model", model, "--input", src,
+         "--output", pruned]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "pruned vocab" in out
+    ids = str(tmp_path / "ids")
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", pruned, "--input", src,
+         "--output", ids]
+    ) == 0
+    assert spark.read.parquet(ids).count() == 6

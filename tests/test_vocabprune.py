@@ -1,0 +1,141 @@
+"""operators/vocabprune.py: tokenizer vocabulary pruning.
+
+Evidence: corpus re-encode identity (documents whose encodings used
+only kept tokens produce the IDENTICAL piece sequence under the
+pruned spec, ids remapped), encodability floor (out-of-corpus text
+still encodes — falls back to smaller pieces, byte-level and
+char-level+unk both), merge-decomposition closure (every surviving
+merge's parts are in the vocab; chained merges resolve), contiguous
+remapping in original-id order, vocab shrinkage, added/special-token
+survival, and Unigram refusal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+    byte_level_vocab,
+    spec_encode,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+    TokenizerSpec,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.vocabprune import (
+    prune_spec,
+    prune_to_corpus,
+    used_token_ids,
+)
+
+
+def _char_spec():
+    # chained merges: (a,b)->ab, (ab,c)->abc; plus an unused (x,y)
+    merges = [("a", "b"), ("ab", "c"), ("x", "y")]
+    vocab = {}
+    for t in ["a", "b", "c", "x", "y", "z", "<unk>"]:
+        vocab[t] = len(vocab)
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    return TokenizerSpec(
+        merges=merges, vocab=vocab, unk_token="<unk>", byte_level=False
+    )
+
+
+def test_prune_to_corpus_reencode_identity_and_shrink(spark):
+    spec = _char_spec()
+    df = spark.createDataFrame(
+        [(0, "abc ab"), (1, "abc z")], "doc_id long, text string"
+    )
+    before = {
+        r.doc_id: r.token_ids for r in spec_encode(df, spec).collect()
+    }
+    pruned, remap = prune_to_corpus(df, spec)
+    after = {
+        r.doc_id: r.token_ids for r in spec_encode(df, pruned).collect()
+    }
+    for i in before:
+        assert after[i] == [remap[t] for t in before[i]]
+    # unused merge (x,y) and tokens absent from corpus closure pruned
+    assert "xy" not in pruned.vocab
+    assert ("x", "y") not in pruned.merges
+    assert len(pruned.vocab) < len(spec.vocab)
+    # contiguous ids in original order
+    assert sorted(pruned.vocab.values()) == list(range(len(pruned.vocab)))
+    old_order = sorted(remap, key=lambda o: o)
+    assert [remap[o] for o in old_order] == sorted(remap.values())
+
+
+def test_closure_keeps_merge_parts_and_alphabet(spark):
+    spec = _char_spec()
+    # only "abc" (the chained product) is used: closure must pull in
+    # ab -> a, b; alphabet keeps c,x,y,z anyway
+    abc_id = spec.vocab["abc"]
+    pruned, _ = prune_spec(spec, [abc_id])
+    assert {"a", "b", "ab", "abc"} <= set(pruned.vocab)
+    assert {"x", "y", "z", "c"} <= set(pruned.vocab)  # alphabet floor
+    assert "xy" not in pruned.vocab
+    for a, b in pruned.merges:
+        assert a in pruned.vocab and b in pruned.vocab
+        assert a + b in pruned.vocab
+
+
+def test_out_of_corpus_text_still_encodes(spark):
+    spec = _char_spec()
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    pruned, _ = prune_to_corpus(df, spec)
+    assert "abc" not in pruned.vocab  # never produced by the corpus
+    unseen = spark.createDataFrame([(9, "abc zq")], "doc_id long, text string")
+    [r] = spec_encode(unseen, pruned).collect()
+    # abc falls back to [ab][c]; q (not even in original vocab) -> unk
+    toks = {i: t for t, i in pruned.vocab.items()}
+    assert [toks[t] for t in r.token_ids] == ["ab", "c", "z", "<unk>"]
+
+
+def test_byte_level_alphabet_floor(spark):
+    merges = [("Ġ", "t"), ("Ġt", "h")]
+    spec = TokenizerSpec(
+        merges=merges,
+        vocab=byte_level_vocab(merges),
+        unk_token=None,
+        byte_level=True,
+    )
+    df = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    pruned, _ = prune_to_corpus(df, spec)
+    assert len([t for t in pruned.vocab if len(t) == 1]) == 256
+    assert "Ġth" not in pruned.vocab  # merge product unused
+    # any text still encodes (total byte coverage survives)
+    unseen = spark.createDataFrame([(1, "the quick")], "doc_id long, text string")
+    [r] = spec_encode(unseen, pruned).collect()
+    assert len(r.token_ids) > 0
+
+
+def test_specials_survive_and_unigram_refused(spark):
+    base = _char_spec()
+    spec = TokenizerSpec(
+        merges=base.merges,
+        vocab={**base.vocab, "<pad>": 99},
+        unk_token=base.unk_token,
+        byte_level=False,
+        added_tokens={"<pad>": 99},
+    )
+    pruned, remap = prune_spec(spec, [spec.vocab["z"]])
+    assert "<unk>" in pruned.vocab and "<pad>" in pruned.vocab
+    assert pruned.added_tokens == {"<pad>": remap[99]}
+    uni = TokenizerSpec(
+        merges=[], vocab={"a": 0}, unk_token=None, model_type="Unigram"
+    )
+    with pytest.raises(ValueError, match="BPE specs only"):
+        prune_spec(uni, [0])
+    with pytest.raises(ValueError, match="not in the spec vocab"):
+        prune_spec(spec, [12345])
+
+
+def test_used_ids_is_distinct_and_sorted(spark):
+    spec = _char_spec()
+    df = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, None)], "doc_id long, text string"
+    )
+    ids = used_token_ids(df, spec)
+    assert ids == sorted(set(ids))
+    assert spec.vocab["ab"] in ids

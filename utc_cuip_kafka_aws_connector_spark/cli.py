@@ -2039,7 +2039,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     tok.add_argument(
         "--op", required=True,
-        choices=["train", "encode", "decode", "report", "utilization"],
+        choices=["train", "encode", "decode", "report", "utilization",
+                 "prune"],
     )
     tok.add_argument("--model", required=True, help="tokenizer.json path")
     tok.add_argument("--input", required=True, help="corpus parquet")
@@ -3051,6 +3052,31 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"encoded {n} docs with {args.model} ({shape}), "
                 f"output={args.output}"
+            )
+        elif args.op == "prune":
+            from utc_cuip_kafka_aws_connector_spark.operators.vocabprune import (
+                prune_to_corpus,
+            )
+
+            if not args.output:
+                parser.error("tokenizer --op prune requires --output "
+                             "(the pruned tokenizer.json path)")
+            spec = load_tokenizer_spec(spark, args.model)
+            pruned, remap = prune_to_corpus(
+                df, spec, id_col=args.id_col, text_col=args.text_col
+            )
+            save_tokenizer(
+                spark,
+                args.output,
+                pruned.merges,
+                pruned.vocab,
+                byte_level=pruned.byte_level,
+                add_prefix_space=pruned.add_prefix_space,
+            )
+            print(
+                f"pruned vocab {len(spec.vocab)} -> {len(pruned.vocab)} "
+                f"({len(spec.merges)} -> {len(pruned.merges)} merges) "
+                f"to this corpus; model={args.output}"
             )
         elif args.op == "utilization":
             from utc_cuip_kafka_aws_connector_spark.operators.tokeval import (
