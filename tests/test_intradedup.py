@@ -91,3 +91,9 @@ def test_plan_is_scan_local(spark):
     for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython",
                 "Generate", "Window"):
         assert bad not in plan, f"{bad} in intradedup plan"
+
+
+def test_regex_special_separator_is_literal(spark):
+    df = spark.createDataFrame([(0, "a|b|a|c")], "doc_id long, text string")
+    [r] = dedup_paragraphs(df, sep="|").collect()
+    assert (r.text, r.paras_removed) == ("a|b|c", 1)

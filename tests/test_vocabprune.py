@@ -139,3 +139,18 @@ def test_used_ids_is_distinct_and_sorted(spark):
     ids = used_token_ids(df, spec)
     assert ids == sorted(set(ids))
     assert spec.vocab["ab"] in ids
+
+
+def test_template_specials_survive_unused(spark):
+    """BOS/EOS ids referenced by TemplateProcessing survive pruning
+    even when the measured corpus never emitted them."""
+    base = _char_spec()
+    vocab = {**base.vocab, "<s>": 50, "</s>": 51}
+    spec = TokenizerSpec(
+        merges=base.merges, vocab=vocab, unk_token="<unk>",
+        byte_level=False, special_prefix=[50], special_suffix=[51],
+    )
+    pruned, remap = prune_spec(spec, [spec.vocab["z"]])
+    assert "<s>" in pruned.vocab and "</s>" in pruned.vocab
+    assert pruned.special_prefix == [remap[50]]
+    assert pruned.special_suffix == [remap[51]]

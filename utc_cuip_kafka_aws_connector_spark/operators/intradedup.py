@@ -55,8 +55,13 @@ def dedup_paragraphs(
     norm = lambda c: F.regexp_replace(  # noqa: E731
         F.lower(F.trim(c)), r"\s+", " "
     )
+    import re as _re
+
+    # sep is a LITERAL separator (it re-joins verbatim), so the split
+    # pattern must be regex-escaped — an unescaped "." or "|" would
+    # split on everything
     paras = F.transform(
-        F.split(F.col(text_col), F.lit(sep), -1),
+        F.split(F.col(text_col), _re.escape(sep), -1),
         lambda p: F.struct(p.alias("raw"), norm(p).alias("nrm")),
     )
 

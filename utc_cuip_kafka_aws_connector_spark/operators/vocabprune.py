@@ -99,6 +99,15 @@ def prune_spec(
     if spec.unk_token is not None:
         kept.add(spec.unk_token)
     kept |= set(getattr(spec, "added_tokens", {}) or {})
+    # TemplateProcessing specials (BOS/EOS ids) must survive even
+    # when the measured corpus never produced them — dropping one
+    # would silently truncate the template
+    for i in (
+        *getattr(spec, "special_prefix", ()),
+        *getattr(spec, "special_suffix", ()),
+    ):
+        if i in by_id:
+            kept.add(by_id[i])
 
     # closure under merge decomposition, reverse merge order so a
     # chain (a,b)->ab, (ab,c)->abc resolves: keeping abc first pulls
