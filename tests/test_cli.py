@@ -2031,3 +2031,28 @@ def test_cli_tokenizer_prune(spark, tmp_path, capsys):
          "--output", ids]
     ) == 0
     assert spark.read.parquet(ids).count() == 6
+
+
+def test_cli_order_in_context(spark, tmp_path, capsys):
+    """`order` produces a packing order over an embeddings parquet
+    through the full CLI path."""
+    import numpy as np
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for c, base in enumerate(([30.0, 0], [0, 30.0])):
+        for i in range(8):
+            v = np.array(base) + rng.normal(0, 0.4, 2)
+            rows.append((c * 8 + i, [float(x) for x in v]))
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(src)
+    dest = str(tmp_path / "order")
+    assert cli.main(
+        ["order", "--input", src, "--output", dest, "--n-clusters", "2"]
+    ) == 0
+    got = spark.read.parquet(dest)
+    assert got.count() == 16
+    assert set(got.columns) == {"vec_id", "cluster_id", "pack_order"}
+    assert "ordered 16 docs across 2 clusters" in capsys.readouterr().out

@@ -1646,6 +1646,20 @@ def main(argv: list[str] | None = None) -> int:
     layout.add_argument("--bits", type=int, default=8)
     layout.add_argument("--curve", choices=["z", "hilbert"], default="z")
 
+    order = sub.add_parser(
+        "order",
+        help="in-context pretraining order: cluster by embedding and "
+        "chain each cluster by greedy nearest neighbor — sort by "
+        "(cluster_id, pack_order) before packing",
+    )
+    order.add_argument("--input", required=True, help="embeddings parquet")
+    order.add_argument("--output", required=True, help="(id, cluster_id, pack_order) parquet")
+    order.add_argument("--id-col", default="vec_id")
+    order.add_argument("--vec-col", default="embedding")
+    order.add_argument("--n-clusters", type=int, default=16)
+    order.add_argument("--max-cluster-size", type=int, default=100_000)
+    order.add_argument("--seed", type=int, default=0)
+
     report = sub.add_parser(
         "report", help="print the corpus data-card (rows, lengths, quality, "
         "entropy, dup ratio, slice distributions; optional LM-perplexity, "
@@ -2415,6 +2429,27 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"laid out {stats['rows']} rows on the {args.curve} curve over "
             f"({args.x_col}, {args.y_col}), output={args.output}"
+        )
+    elif args.cmd == "order":
+        from utc_cuip_kafka_aws_connector_spark.operators.icp import (
+            incontext_order,
+        )
+
+        ordered = incontext_order(
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            n_clusters=args.n_clusters,
+            max_cluster_size=args.max_cluster_size,
+            seed=args.seed,
+        )
+        ordered.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        n_rows = back.count()
+        n_clusters = back.select("cluster_id").distinct().count()
+        print(
+            f"ordered {n_rows} docs across {n_clusters} clusters "
+            f"(greedy NN chains) -> {args.output}"
         )
     elif args.cmd == "report":
         rows = run_report(
