@@ -2056,3 +2056,24 @@ def test_cli_order_in_context(spark, tmp_path, capsys):
     assert got.count() == 16
     assert set(got.columns) == {"vec_id", "cluster_id", "pack_order"}
     assert "ordered 16 docs across 2 clusters" in capsys.readouterr().out
+
+
+def test_cli_clean_strip_code_fences(spark, tmp_path):
+    """`clean --strip-code-fences` feeds only the prose stream into
+    the rest of the chain."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"real prose {i}\n```python\nsecret = {i}\n```\nmore prose")
+         for i in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "clean")
+    assert cli.main(
+        ["clean", "--input", src, "--output", dest, "--strip-code-fences",
+         "--boiler-min-docs", "100", "--substr-window", "0"]
+    ) == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    for i, t in got.items():
+        assert "secret" not in t and f"real prose {i}" in t

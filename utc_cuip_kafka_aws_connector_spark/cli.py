@@ -1810,6 +1810,13 @@ def main(argv: list[str] | None = None) -> int:
         help="strip lines occurring in at least this many distinct docs",
     )
     clean.add_argument(
+        "--strip-code-fences", action="store_true",
+        help="replace text with its prose stream (fenced code blocks "
+        "removed) before the other stages — code wrecks lang-id/"
+        "quality/ppl signals; route blocks separately via "
+        "operators.mdsplit",
+    )
+    clean.add_argument(
         "--para-dedup", action="store_true",
         help="drop repeated paragraphs within each document "
         "(normalized first-occurrence-wins) before the other stages",
@@ -2585,6 +2592,16 @@ def main(argv: list[str] | None = None) -> int:
         n_in = df.count()
         if args.html:
             df = html_to_text(df, text_col=args.text_col)
+        if args.strip_code_fences:
+            from utc_cuip_kafka_aws_connector_spark.operators.mdsplit import (
+                split_code_fences,
+            )
+
+            df = (
+                split_code_fences(df, text_col=args.text_col)
+                .drop(args.text_col, "code_blocks", "code_ratio")
+                .withColumnRenamed("prose", args.text_col)
+            )
         if args.para_dedup:
             from utc_cuip_kafka_aws_connector_spark.operators.intradedup import (
                 dedup_paragraphs,
