@@ -2077,3 +2077,76 @@ def test_cli_clean_strip_code_fences(spark, tmp_path):
     got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
     for i, t in got.items():
         assert "secret" not in t and f"real prose {i}" in t
+
+
+def test_cli_prune_refuses_unserializable_spec(spark, tmp_path, capsys):
+    """tokenizer --op prune refuses specs whose sections
+    save_tokenizer's format would silently drop (review r16)."""
+    import json as _json
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    # a Llama-shaped tokenizer.json: normalizers + no pre_tokenizer
+    doc = {
+        "version": "1.0",
+        "normalizer": {
+            "type": "Sequence",
+            "normalizers": [
+                {"type": "Prepend", "prepend": "▁"},
+                {"type": "Replace", "pattern": {"String": " "},
+                 "content": "▁"},
+            ],
+        },
+        "model": {
+            "type": "BPE",
+            "unk_token": None,
+            "vocab": {"a": 0, "▁": 1},
+            "merges": [],
+        },
+    }
+    model = str(tmp_path / "llama.json")
+    with open(model, "w") as fh:
+        fh.write(_json.dumps(doc))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(0, "a")], "doc_id long, text string").write.parquet(src)
+    with pytest.raises(SystemExit):
+        cli.main(["tokenizer", "--op", "prune", "--model", model,
+                  "--input", src, "--output", str(tmp_path / "out.json")])
+    assert "cannot serialize this spec faithfully" in capsys.readouterr().err
+
+
+def test_cli_prune_remap_output(spark, tmp_path, capsys):
+    """--remap-output writes the (old_id, new_id) table."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "aa bb aa") for i in range(3)], "doc_id long, text string"
+    ).write.parquet(src)
+    model = str(tmp_path / "tok.json")
+    assert cli.main(["tokenizer", "--op", "train", "--model", model,
+                     "--input", src, "--merges", "5"]) == 0
+    pruned, remap = str(tmp_path / "p.json"), str(tmp_path / "remap")
+    assert cli.main(["tokenizer", "--op", "prune", "--model", model,
+                     "--input", src, "--output", pruned,
+                     "--remap-output", remap]) == 0
+    m = spark.read.parquet(remap)
+    assert set(m.columns) == {"old_id", "new_id"}
+    assert m.count() > 0
+    assert "id remap ->" in capsys.readouterr().out
+
+
+def test_cli_mine_text_ops_default_doc_id(spark, tmp_path):
+    """mine's text ops default to doc_id (the corpus convention)
+    without an explicit --id-col (review r16)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20))) for i in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "out")
+    assert cli.main(["mine", "--op", "fim", "--input", src,
+                     "--output", dest, "--rate-fim", "1.0"]) == 0
+    assert spark.read.parquet(dest).count() == 4

@@ -21,7 +21,7 @@ from utc_cuip_kafka_aws_connector_spark.operators.mdsplit import (
 )
 
 _PY_FENCE = re.compile(
-    r"(?sm)^```([^\n`]*)\n(.*?)\n?```[ \t]*$"
+    r"(?sm)^```([^\n`]*)\n(.*?)\n```[ \t]*$"
 )
 
 
@@ -97,3 +97,15 @@ def test_split_plan_is_scan_local(spark):
     for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython",
                 "Generate", "Window"):
         assert bad not in plan, f"{bad} in mdsplit plan"
+
+
+def test_mid_line_backticks_do_not_close_early(spark):
+    """A code line ENDING in ``` must not close the fence (review
+    r16): the closing fence has to sit on its own line."""
+    text = "intro\n```py\ns = 'end```\nmore_code()\n```\noutro"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [r] = split_code_fences(df).collect()
+    assert [(b.lang, b.code) for b in r.code_blocks] == [
+        ("py", "s = 'end```\nmore_code()")
+    ]
+    assert r.prose == "intro\n\noutro"

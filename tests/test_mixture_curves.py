@@ -211,3 +211,26 @@ def test_retention_all_null_weights_bucket(spark):
     assert got[0.5].docs_kept == 1
     assert got[0.5].weight_kept == 0.0
     assert got[0.0].weight_kept == 4.0
+
+
+def test_nan_inputs_excluded(spark):
+    """NaN sizes would poison the waterfill and NaN scores would
+    land in low buckets (review r16) — both excluded like nulls."""
+    sizes = spark.createDataFrame(
+        [("a", 10.0), ("b", float("nan"))], "lang string, n_tokens double"
+    )
+    got = unimax_allocation(sizes, 5.0, pre_aggregated=True).collect()
+    assert [r.lang for r in got] == ["a"]
+    assert got[0].alloc == 5.0
+
+    scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.5), (3, 2.0)], "id long, score double"
+    )
+    curve = {
+        round(r.threshold, 9): r
+        for r in retention_curve(scores, "score", 0.0, 1.0, n_points=4).collect()
+    }
+    # only the two real scores count anywhere
+    assert curve[0.0].docs_kept == 2
+    assert curve[0.25].docs_kept == 2  # NaN must NOT appear here
+    assert curve[0.5].docs_kept == 2 and curve[1.0].docs_kept == 1

@@ -212,3 +212,14 @@ def test_validation_errors(spark):
         preference_pairs(df, min_margin=-1)
     with pytest.raises(ValueError, match="max_pairs_per_prompt"):
         preference_pairs(df, max_pairs_per_prompt=0)
+
+
+def test_nan_scores_excluded(spark):
+    """A NaN score sorts above every number in Spark and would become
+    'chosen' in every pair (review r16) — dropped like nulls."""
+    df = spark.createDataFrame(
+        [("p", 1, 1.0), ("p", 2, 2.0), ("p", 3, float("nan"))],
+        "prompt_id string, response_id long, score double",
+    )
+    [r] = preference_pairs(df, strategy="best_worst").collect()
+    assert (r.chosen_id, r.rejected_id, r.margin) == (2, 1, 1.0)

@@ -220,3 +220,15 @@ def test_targets_draw_is_broadcast_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nan_weights_excluded(spark):
+    """NaN weights pass `> 0` in Spark ordering and would hijack the
+    whole draw (review r16) — they must be excluded like nulls."""
+    df = spark.createDataFrame(
+        [(1, 1.0, "s"), (2, 5.0, "s"), (3, float("nan"), "s"),
+         (4, float("nan"), "s")],
+        "id long, w double, s string",
+    )
+    got = {r.id for r in weighted_sample_n(df, 2, "id", "w").collect()}
+    assert got == {1, 2}

@@ -1890,7 +1890,12 @@ def main(argv: list[str] | None = None) -> int:
         help="negatives: anchor-subset parquet (default: the whole corpus)",
     )
     mine.add_argument("--output", required=True, help="mined-pairs parquet path")
-    mine.add_argument("--id-col", default="vec_id")
+    mine.add_argument(
+        "--id-col", default=None,
+        help="defaults per op: vec_id for the embedding ops "
+        "(negatives/bitext), doc_id for the text ops "
+        "(positives/corrupt/fim)",
+    )
     mine.add_argument("--vec-col", default="embedding")
     mine.add_argument(
         "--label-col", default=None,
@@ -2090,6 +2095,11 @@ def main(argv: list[str] | None = None) -> int:
         "temperature — each piece occurrence samples its segmentation",
     )
     tok.add_argument("--sample-seed", type=int, default=0)
+    tok.add_argument(
+        "--remap-output", default=None,
+        help="prune: also write the (old_id, new_id) mapping parquet "
+        "for re-encoding already-encoded corpora",
+    )
 
     lm = sub.add_parser(
         "lm",
@@ -2725,6 +2735,12 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print(f"{r[index['id_col']]:>12d}  dist={r['dist']:.6f}")
     elif args.cmd == "mine":
+        if args.id_col is None:
+            args.id_col = (
+                "doc_id"
+                if args.op in ("positives", "corrupt", "fim")
+                else "vec_id"
+            )
         if args.op == "negatives":
             from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
                 hard_negatives,
@@ -3114,21 +3130,60 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("tokenizer --op prune requires --output "
                              "(the pruned tokenizer.json path)")
             spec = load_tokenizer_spec(spark, args.model)
+            # save_tokenizer writes merges/vocab/byte_level/
+            # add_prefix_space/unk ONLY — refuse specs whose other
+            # sections it would silently drop (a written file that
+            # encodes differently from the in-memory pruned spec is
+            # worse than no file)
+            unsupported = []
+            if getattr(spec, "normalizers", ()):
+                unsupported.append("normalizers")
+            if getattr(spec, "split_mode", "whitespace") != "whitespace":
+                unsupported.append(f"split_mode={spec.split_mode!r}")
+            if getattr(spec, "byte_fallback", False):
+                unsupported.append("byte_fallback")
+            if getattr(spec, "added_tokens", {}):
+                unsupported.append("added_tokens")
+            if getattr(spec, "special_prefix", []) or getattr(
+                spec, "special_suffix", []
+            ):
+                unsupported.append("TemplateProcessing specials")
+            if unsupported:
+                parser.error(
+                    "tokenizer --op prune cannot serialize this spec "
+                    f"faithfully ({', '.join(unsupported)} are outside "
+                    "save_tokenizer's format); prune programmatically "
+                    "via operators.vocabprune.prune_to_corpus instead"
+                )
             pruned, remap = prune_to_corpus(
                 df, spec, id_col=args.id_col, text_col=args.text_col
             )
-            save_tokenizer(
+            from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                to_tokenizer_json as _to_json,
+                _fs_write_text as _fsw,
+            )
+
+            _fsw(
                 spark,
                 args.output,
-                pruned.merges,
-                pruned.vocab,
-                byte_level=pruned.byte_level,
-                add_prefix_space=pruned.add_prefix_space,
+                _to_json(
+                    pruned.merges,
+                    pruned.vocab,
+                    byte_level=pruned.byte_level,
+                    add_prefix_space=pruned.add_prefix_space,
+                    unk_token=pruned.unk_token,
+                ),
             )
+            if args.remap_output:
+                spark.createDataFrame(
+                    sorted(remap.items()), "old_id int, new_id int"
+                ).write.mode("overwrite").parquet(args.remap_output)
             print(
                 f"pruned vocab {len(spec.vocab)} -> {len(pruned.vocab)} "
                 f"({len(spec.merges)} -> {len(pruned.merges)} merges) "
                 f"to this corpus; model={args.output}"
+                + (f"; id remap -> {args.remap_output}"
+                   if args.remap_output else "")
             )
         elif args.op == "utilization":
             from utc_cuip_kafka_aws_connector_spark.operators.tokeval import (
@@ -3144,14 +3199,18 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 text_col=args.text_col,
             ).collect()
+            def _fmt(v, spec_s):
+                # zero-token groups report NULL ratios by contract
+                return "n/a" if v is None else format(v, spec_s)
+
             for r in rows:
                 slice_name = getattr(r, group, "(all)") if group else "(all)"
                 print(
                     f"{slice_name:>8}  ids={r.distinct_ids:<7} "
                     f"coverage={r.vocab_coverage:.4f}  "
-                    f"head10%={r.top_decile_mass:.4f}  "
+                    f"head10%={_fmt(r.top_decile_mass, '.4f')}  "
                     f"singletons={r.singleton_ids:<7} "
-                    f"bytes/token={r.bytes_per_token:.2f}"
+                    f"bytes/token={_fmt(r.bytes_per_token, '.2f')}"
                 )
         else:  # report
             spec = load_tokenizer_spec(spark, args.model)

@@ -36,27 +36,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEX_CHARS = 13
-_SPACE = float(16**_HEX_CHARS)
+from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
+    md5_uniform_key,
+)
 
 
 def _draw(id_col: Column, block: Column, seed: int, leg: str) -> Column:
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    id_col.cast("string"),
-                    F.lit(f":{int(seed)}:{leg}:"),
-                    block.cast("string"),
-                )
-            ),
-            1,
-            _HEX_CHARS,
-        ),
-        16,
-        10,
-    ).cast("double")
-    return h / F.lit(_SPACE)
+    # the block index is a COLUMN, so the raw-key hashdraw form
+    return md5_uniform_key(
+        F.concat(
+            id_col.cast("string"),
+            F.lit(f":{int(seed)}:{leg}:"),
+            block.cast("string"),
+        )
+    )
 
 
 def span_corruption(

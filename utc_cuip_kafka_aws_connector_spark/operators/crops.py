@@ -25,27 +25,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEX_CHARS = 13
-_SPACE = float(16**_HEX_CHARS)
+from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
+    md5_uniform,
+)
+
 _STRATEGIES = ("crop", "ict")
 
 
 def _draw(id_col: Column, seed: int, leg: str) -> Column:
-    """Deterministic uniform in [0, 1) from the content hash."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    id_col.cast("string"), F.lit(f":{int(seed)}:{leg}")
-                )
-            ),
-            1,
-            _HEX_CHARS,
-        ),
-        16,
-        10,
-    ).cast("double")
-    return h / F.lit(_SPACE)
+    """Deterministic uniform in [0, 1) (hashdraw kernel)."""
+    return md5_uniform(id_col, f"{int(seed)}:{leg}")
 
 
 def _span(

@@ -95,10 +95,11 @@ def incontext_order(
         centroids = kmeans_centroids(
             base, n_clusters, vec_col="embedding", seed=seed
         )
-    assigned = (
-        ivf_assign(base, centroids)
-        .select("vec_id", "centroid_id")
-        .join(base, "vec_id")
+    # ivf_assign returns (vec_id, embedding, centroid_id): keep its
+    # embedding instead of re-joining the corpus against itself — the
+    # join was a second full shuffle of the wide vector column
+    assigned = ivf_assign(base, centroids).select(
+        "vec_id", "embedding", "centroid_id"
     )
 
     cap = int(max_cluster_size)

@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: (?s): dot spans newlines; group 1 = info string, group 2 = body.
-#: The fence must sit at line start (avoids inline ``` spans).
-_FENCE = r"(?s)(?m)^```([^\n`]*)\n(.*?)\n?```[ \t]*$"
+#: Both fences must sit at line start: the opening via ^, the closing
+#: via the MANDATORY \n before ``` — an optional \n would let a code
+#: line ENDING in ``` close the block early, leaking the rest of the
+#: code into the prose stream (review r16).
+_FENCE = r"(?s)(?m)^```([^\n`]*)\n(.*?)\n```[ \t]*$"
 
 
 def split_code_fences(

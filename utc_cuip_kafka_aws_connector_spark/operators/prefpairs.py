@@ -39,9 +39,10 @@ def _validated(
     text_col: str | None,
 ) -> DataFrame:
     """Normalized candidate frame (prompt, rid, score[, text]); rows
-    with a null prompt, id, or score are dropped — an unscored or
-    unkeyed response can neither rank nor pair, and silently grouping
-    nulls would fabricate a phantom prompt."""
+    with a null prompt, id, or score — or a NaN score — are dropped:
+    an unscored or unkeyed response can neither rank nor pair,
+    silently grouping nulls would fabricate a phantom prompt, and a
+    NaN score would win every Spark ordering."""
     cols = [
         F.col(prompt_col).alias("prompt"),
         F.col(id_col).alias("rid"),
@@ -49,10 +50,13 @@ def _validated(
     ]
     if text_col is not None:
         cols.append(F.col(text_col).alias("text"))
+    # NaN scores would WIN every ordering (Spark sorts NaN above all
+    # numbers) and emit NaN-margin pairs — dropped with the nulls
     return df.select(*cols).filter(
         F.col("prompt").isNotNull()
         & F.col("rid").isNotNull()
         & F.col("score").isNotNull()
+        & ~F.isnan(F.col("score"))
     )
 
 

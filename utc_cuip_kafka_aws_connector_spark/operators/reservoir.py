@@ -27,7 +27,7 @@ the top-5 draw is a strict subset of the top-10 draw at the same
 seed — mixture ablations share documents, exactly like the nested
 Bernoulli thresholds in sampling.py.
 
-Rows with NULL or non-positive weight are dropped (a zero-weight row
+Rows with NULL, NaN, or non-positive weight are dropped (a zero-weight row
 can never be drawn; passing one is a spec error, not a sample
 member), and NULL ids are dropped with them (no content to hash).
 """
@@ -38,28 +38,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-_HEX_CHARS = 13  # 16^13 = 4.5e15 < 2^53: exact in a double
-_SPACE = float(16**_HEX_CHARS)
+from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
+    md5_uniform,
+)
 
 
 def es_key(id_col: str | Column, weight_col: str | Column, seed: int = 0) -> Column:
     """The Efraimidis-Spirakis ordering key ``ln(u)/w`` (LARGER is
     more likely selected) with the deterministic content-hash
-    uniform ``u = (md5_int + 1) / (16^13 + 1)`` in (0,1) — the +1
-    keeps ``u`` off 0 so ``ln`` is finite, and off 1 so the key
-    stays strictly negative."""
+    uniform (hashdraw.md5_uniform, open interval: ``ln`` needs
+    u strictly inside (0,1) so the key stays finite and strictly
+    negative)."""
     i = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(i.cast("string"), F.lit(f":{int(seed)}"))),
-            1,
-            _HEX_CHARS,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(_SPACE + 1.0)
+    u = md5_uniform(i, str(int(seed)), open_interval=True)
     return F.log(u) / w.cast("double")
 
 
@@ -88,10 +80,15 @@ def weighted_sample_n(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     key = es_key(id_col, weight_col, seed)
+    # NaN weights would PASS `> 0` (Spark orders NaN above every
+    # number) and their NaN keys would sort first, hijacking the
+    # sample — excluded explicitly alongside nulls/non-positives
+    wd = F.col(weight_col).cast("double")
     eligible = df.filter(
         F.col(id_col).isNotNull()
         & F.col(weight_col).isNotNull()
-        & (F.col(weight_col).cast("double") > 0)
+        & ~F.isnan(wd)
+        & (wd > 0)
     ).withColumn("__es_key", key)
 
     if strata_col is None:
@@ -139,11 +136,13 @@ def weighted_sample_targets(
         F.col(strata_col).alias("__stratum"),
         F.floor(F.col(target_col).cast("double")).cast("long").alias("__n"),
     ).filter(F.col("__stratum").isNotNull() & (F.col("__n") > 0))
+    wd = F.col(weight_col).cast("double")
     eligible = (
         df.filter(
             F.col(id_col).isNotNull()
             & F.col(weight_col).isNotNull()
-            & (F.col(weight_col).cast("double") > 0)
+            & ~F.isnan(wd)
+            & (wd > 0)
             & F.col(strata_col).isNotNull()
         )
         .join(

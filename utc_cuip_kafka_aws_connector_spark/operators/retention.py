@@ -89,7 +89,10 @@ def retention_curve(
         F.lit(-1).cast("long"),
     )
 
-    base = df.filter(s.isNotNull())
+    # NaN: floor(NaN) = 0 would bucket NaN rows as "surviving the
+    # low thresholds only" — neither >= nor < any threshold is true
+    # of NaN, so such rows are excluded like NULLs
+    base = df.filter(s.isNotNull() & ~F.isnan(s))
     if group_col:
         base = base.filter(F.col(group_col).isNotNull())
     aggs = [F.count(F.lit(1)).alias("__docs")]

@@ -57,10 +57,13 @@ def unimax_allocation(
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
 
+    # NaN sizes pass `> 0` in Spark and would poison the driver-side
+    # waterfill (min(NaN, fair) = NaN cascades into every later
+    # group's alloc) — excluded with the nulls/non-positives
     sizes = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("group"),
         F.col(size_col).cast("double").alias("n"),
-    ).filter(F.col("n") > 0)
+    ).filter(~F.isnan(F.col("n")) & (F.col("n") > 0))
     if not pre_aggregated:
         sizes = sizes.groupBy("group").agg(F.sum("n").alias("n"))
 
