@@ -2150,3 +2150,31 @@ def test_cli_mine_text_ops_default_doc_id(spark, tmp_path):
     assert cli.main(["mine", "--op", "fim", "--input", src,
                      "--output", dest, "--rate-fim", "1.0"]) == 0
     assert spark.read.parquet(dest).count() == 4
+
+
+def test_cli_curve_normalized(spark, tmp_path, capsys):
+    """curve --normalize aligns per-source scales before curving:
+    two sources with 100x different raw scales land the same
+    normalized retention profile."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    rows = [(i, float(i % 10), "a") for i in range(20)] + [
+        (100 + i, float((i % 10) * 100), "b") for i in range(20)
+    ]
+    src = str(tmp_path / "scored")
+    spark.createDataFrame(rows, "id long, score double, lang string").write.parquet(src)
+    dest = str(tmp_path / "curve")
+    assert cli.main(
+        ["curve", "--input", src, "--output", dest, "--score-col", "score",
+         "--lo", "0", "--hi", "1", "--points", "4", "--group-col", "lang",
+         "--normalize", "minmax"]
+    ) == 0
+    got = {}
+    for r in spark.read.parquet(dest).collect():
+        got.setdefault(r.lang, {})[round(r.threshold, 9)] = r.docs_kept
+    assert got["a"] == got["b"]  # identical profiles after norm
+    with pytest.raises(SystemExit):
+        cli.main(["curve", "--input", src, "--output", dest,
+                  "--score-col", "score", "--lo", "0", "--hi", "1",
+                  "--normalize", "zscore"])
+    assert "requires --group-col" in capsys.readouterr().err

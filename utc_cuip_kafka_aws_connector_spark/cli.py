@@ -2056,6 +2056,12 @@ def main(argv: list[str] | None = None) -> int:
     curve.add_argument("--weight-col", default=None,
                        help="also track surviving weight (token mass)")
     curve.add_argument("--group-col", default=None)
+    curve.add_argument(
+        "--normalize", default=None, choices=["zscore", "minmax", "rank"],
+        help="normalize the score WITHIN each --group-col group first "
+        "(cross-source scale alignment) and curve the normalized "
+        "score instead; requires --group-col",
+    )
 
     tok = sub.add_parser(
         "tokenizer",
@@ -3014,9 +3020,23 @@ def main(argv: list[str] | None = None) -> int:
             retention_curve,
         )
 
+        curve_df = spark.read.parquet(args.input)
+        curve_score = args.score_col
+        if args.normalize:
+            if not args.group_col:
+                parser.error("curve --normalize requires --group-col")
+            from utc_cuip_kafka_aws_connector_spark.operators.scorenorm import (
+                normalize_scores,
+            )
+
+            curve_df = normalize_scores(
+                curve_df, args.score_col, args.group_col,
+                method=args.normalize, out_col="__score_norm",
+            )
+            curve_score = "__score_norm"
         out_curve = retention_curve(
-            spark.read.parquet(args.input),
-            args.score_col,
+            curve_df,
+            curve_score,
             args.lo,
             args.hi,
             n_points=args.points,
