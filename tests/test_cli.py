@@ -2178,3 +2178,24 @@ def test_cli_curve_normalized(spark, tmp_path, capsys):
                   "--score-col", "score", "--lo", "0", "--hi", "1",
                   "--normalize", "zscore"])
     assert "requires --group-col" in capsys.readouterr().err
+
+
+def test_cli_perturb(spark, tmp_path, capsys):
+    """`perturb` writes deterministic typo noise through the full CLI
+    path."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join(f"token{j}word" for j in range(20))) for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "noisy")
+    argv = ["perturb", "--input", src, "--output", dest,
+            "--rate", "0.5", "--seed", "4"]
+    assert cli.main(argv) == 0
+    got = {r.doc_id: (r.text, r.n_edits) for r in spark.read.parquet(dest).collect()}
+    assert sum(e for _, e in got.values()) > 10
+    assert "word edits" in capsys.readouterr().out
+    assert cli.main(argv) == 0  # deterministic re-run
+    assert {r.doc_id: (r.text, r.n_edits) for r in spark.read.parquet(dest).collect()} == got

@@ -1646,6 +1646,19 @@ def main(argv: list[str] | None = None) -> int:
     layout.add_argument("--bits", type=int, default=8)
     layout.add_argument("--curve", choices=["z", "hilbert"], default="z")
 
+    perturb = sub.add_parser(
+        "perturb",
+        help="deterministic typo noise (swap/drop/double per word): "
+        "robustness augmentation and planted near-dup eval sets",
+    )
+    perturb.add_argument("--input", required=True, help="documents parquet")
+    perturb.add_argument("--output", required=True)
+    perturb.add_argument("--id-col", default="doc_id")
+    perturb.add_argument("--text-col", default="text")
+    perturb.add_argument("--rate", type=float, default=0.1,
+                         help="expected fraction of words edited")
+    perturb.add_argument("--seed", type=int, default=0)
+
     order = sub.add_parser(
         "order",
         help="in-context pretraining order: cluster by embedding and "
@@ -2452,6 +2465,26 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"laid out {stats['rows']} rows on the {args.curve} curve over "
             f"({args.x_col}, {args.y_col}), output={args.output}"
+        )
+    elif args.cmd == "perturb":
+        from utc_cuip_kafka_aws_connector_spark.operators.perturb import (
+            perturb_text,
+        )
+
+        noised = perturb_text(
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            rate=args.rate,
+            seed=args.seed,
+        )
+        noised.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        n_rows = back.count()
+        n_edits = back.agg({"n_edits": "sum"}).first()[0] or 0
+        print(
+            f"perturbed {n_rows} docs ({n_edits} word edits, "
+            f"rate={args.rate}, seed={args.seed}) -> {args.output}"
         )
     elif args.cmd == "order":
         from utc_cuip_kafka_aws_connector_spark.operators.icp import (
