@@ -2199,3 +2199,32 @@ def test_cli_perturb(spark, tmp_path, capsys):
     assert "word edits" in capsys.readouterr().out
     assert cli.main(argv) == 0  # deterministic re-run
     assert {r.doc_id: (r.text, r.n_edits) for r in spark.read.parquet(dest).collect()} == got
+
+
+def test_cli_curate_full_new_clean_stages(spark, tmp_path, capsys):
+    """curate-full --strip-code-fences --para-dedup run as funnel
+    stages ahead of the existing chain."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    docs = [
+        (i, "en",
+         f"real prose {i} here\n\nreal prose {i} here\n\n"
+         f"```py\nsecret = 1\n```\ndistinct tail w{i}a w{i}b w{i}c "
+         f"w{i}d w{i}e w{i}f w{i}g w{i}h keeping documents far apart")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(src)
+    dest = str(tmp_path / "corpus")
+    assert cli.main(
+        ["curate-full", "--input", src, "--output", dest,
+         "--strip-code-fences", "--para-dedup",
+         "--boiler-min-docs", "100", "--min-quality", "0.0",
+         "--near-dup-threshold", "0.99", "--keep-rates", "en=1.0"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "strip_code_fences" in out and "para_dedup" in out
+    got = spark.read.parquet(dest)
+    [r] = got.filter("doc_id = 3").collect()
+    assert "secret" not in r.text
+    assert r.text.count("real prose 3 here") == 1

@@ -742,6 +742,8 @@ def run_curate_full(
     select_buckets: int = 10_000,
     select_method: str = "dsir",
     html: bool = False,
+    strip_code_fences: bool = False,
+    para_dedup: bool = False,
     boiler_min_docs: int = 10,
     substr_window: int = 0,
     gopher: bool = False,
@@ -877,6 +879,26 @@ def run_curate_full(
         )
 
         df = mark("html_extract", html_to_text(df, text_col=text_col))
+    if strip_code_fences:
+        from utc_cuip_kafka_aws_connector_spark.operators.mdsplit import (
+            split_code_fences,
+        )
+
+        df = mark(
+            "strip_code_fences",
+            split_code_fences(df, text_col=text_col)
+            .drop(text_col, "code_blocks", "code_ratio")
+            .withColumnRenamed("prose", text_col),
+        )
+    if para_dedup:
+        from utc_cuip_kafka_aws_connector_spark.operators.intradedup import (
+            dedup_paragraphs,
+        )
+
+        df = mark(
+            "para_dedup",
+            dedup_paragraphs(df, text_col=text_col).drop("paras_removed"),
+        )
     from utc_cuip_kafka_aws_connector_spark.operators.boilerplate import (
         strip_boilerplate,
     )
@@ -1541,6 +1563,14 @@ def main(argv: list[str] | None = None) -> int:
     curate_full.add_argument("--lang-col", default="lang")
     curate_full.add_argument("--url-col", default=None)
     curate_full.add_argument("--html", action="store_true")
+    curate_full.add_argument(
+        "--strip-code-fences", action="store_true",
+        help="feed only the prose stream forward (see clean)",
+    )
+    curate_full.add_argument(
+        "--para-dedup", action="store_true",
+        help="drop within-document repeated paragraphs (see clean)",
+    )
     curate_full.add_argument(
         "--select-target", default=None,
         help="target-domain sample parquet: adds a pre-selection "
@@ -2403,6 +2433,8 @@ def main(argv: list[str] | None = None) -> int:
             select_buckets=args.select_buckets,
             select_method=args.select_method,
             html=args.html,
+            strip_code_fences=args.strip_code_fences,
+            para_dedup=args.para_dedup,
             boiler_min_docs=args.boiler_min_docs,
             substr_window=args.substr_window,
             gopher=args.gopher,
