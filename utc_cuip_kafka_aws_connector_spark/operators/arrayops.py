@@ -48,3 +48,16 @@ def sliding_grams(arr: Column, n: int, sep: str = " ") -> Column:
         shifted,
         lambda s: F.concat_ws(sep, *[s[str(k)] for k in range(n)]),
     )
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization as the repo's ONE convention:
+    ``\\s+``-split of the null-coalesced string with empty elements
+    filtered, so empty/NULL text yields ``[]`` (a bare split would
+    yield ``[""]``). Shared by the r16 example-manufacturing tier
+    (crops/corruption/perturb), diversity, tokeval, and the
+    conversation stats — one place to change what "a word" means."""
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), r"\s+"),
+        lambda w: w != "",
+    )

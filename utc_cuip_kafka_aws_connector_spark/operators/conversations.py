@@ -204,11 +204,12 @@ def conversation_stats(
 
 def _ws_tokens(content: Column) -> Column:
     """Whitespace token count of one content string; 0 for NULL or
-    whitespace-only (split('') would report 1)."""
-    trimmed = F.trim(F.coalesce(content, F.lit("")))
-    return F.when(trimmed == "", F.lit(0).cast("long")).otherwise(
-        F.size(F.split(trimmed, r"\s+")).cast("long")
+    whitespace-only (the shared arrayops.ws_tokens convention)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+        ws_tokens,
     )
+
+    return F.size(ws_tokens(content)).cast("long")
 
 
 def _norm(content: Column) -> Column:

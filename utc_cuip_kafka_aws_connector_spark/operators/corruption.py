@@ -36,6 +36,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    ws_tokens,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
     md5_uniform_key,
 )
@@ -80,10 +83,7 @@ def span_corruption(
 
     block_size = max(int(round(mean_span / corruption_rate)), mean_span + 1)
     i = F.col("id")
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = ws_tokens(F.col(text_col))
     base = df.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("id"), toks.alias("__t"))

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    ws_tokens,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
     md5_uniform,
 )
@@ -105,10 +108,7 @@ def positive_pairs(
         )
 
     i = F.col(id_col)
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = ws_tokens(F.col(text_col))
     base = (
         df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(i.alias("id"), toks.alias("__t"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
     sliding_grams,
+    ws_tokens,
 )
 
 _METHODS = ("approx", "exact")
@@ -66,10 +67,7 @@ def ngram_diversity(
     base = df
     if group_col:
         base = base.filter(F.col(group_col).isNotNull())
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
 
     def surface(n: int):
         return F.transform(

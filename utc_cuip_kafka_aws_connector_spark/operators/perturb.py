@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from utc_cuip_kafka_aws_connector_spark.operators.arrayops import (
+    ws_tokens,
+)
 from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
     md5_uniform_key,
 )
@@ -94,10 +97,7 @@ def perturb_text(
         )
         return F.when(eligible, edited).otherwise(w)
 
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = ws_tokens(F.col(text_col))
     noised = F.transform(words, lambda w, k: edit(w, k))
     n_edits = F.size(
         F.filter(
