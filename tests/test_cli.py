@@ -2228,3 +2228,45 @@ def test_cli_curate_full_new_clean_stages(spark, tmp_path, capsys):
     [r] = got.filter("doc_id = 3").collect()
     assert "secret" not in r.text
     assert r.text.count("real prose 3 here") == 1
+
+
+def test_cli_clean_refuses_helper_column_collisions(spark, tmp_path):
+    """ADVICE r16: --strip-code-fences / --para-dedup generate fixed
+    helper column names (prose, code_blocks, code_ratio,
+    paras_removed) and drop/rename them into the text column; an
+    input that already carries one must be refused loudly, not
+    silently clobbered."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "some text", 0.5)],
+        "doc_id long, text string, code_ratio double",
+    ).write.parquet(src)
+    with pytest.raises(SystemExit, match="code_ratio"):
+        cli.main(
+            ["clean", "--input", src, "--output", str(tmp_path / "o1"),
+             "--strip-code-fences", "--boiler-min-docs", "100",
+             "--substr-window", "0"]
+        )
+
+    src2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(0, "para\n\npara", "x")],
+        "doc_id long, text string, paras_removed string",
+    ).write.parquet(src2)
+    with pytest.raises(SystemExit, match="paras_removed"):
+        cli.main(
+            ["clean", "--input", src2, "--output", str(tmp_path / "o2"),
+             "--para-dedup", "--boiler-min-docs", "100",
+             "--substr-window", "0"]
+        )
+
+    # curate-full wiring shares the guard
+    from utc_cuip_kafka_aws_connector_spark.cli import run_curate_full
+
+    with pytest.raises(SystemExit, match="strip-code-fences"):
+        run_curate_full(
+            spark, src, str(tmp_path / "o3"),
+            strip_code_fences=True, boiler_min_docs=100,
+        )

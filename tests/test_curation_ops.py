@@ -641,3 +641,55 @@ def test_distributed_prefix_sum_fuzz(spark):
             for r in distributed_prefix_sum(df, "oid", "val", **kwargs).collect()
         }
         assert got == expected, (trial, kwargs, n)
+
+
+def test_free_checkpoint_blocks_falls_back_without_log4j():
+    """ADVICE r15: the log4j quieting in the checkpoint-block free is
+    cosmetic, so a driver classpath without reachable log4j2 classes
+    (shaded/relocated, different logging backend) must fall back to
+    plain unpersist -- never fail the free. Unit-tested with fakes;
+    the happy path runs on real Spark in the connected_components
+    tests above."""
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+        _free_checkpoint_blocks,
+    )
+
+    class _Block:
+        def __init__(self):
+            self.freed = 0
+
+        def unpersist(self):
+            self.freed += 1
+
+        def rdd(self):  # reached only when the jvm lookup succeeded
+            raise AssertionError("rdd() must not be called on fallback")
+
+    class _NoJvm:
+        @property
+        def _jvm(self):
+            raise RuntimeError("JVM gateway unavailable")
+
+    blocks = [_Block(), _Block()]
+    _free_checkpoint_blocks(_NoJvm(), blocks)
+    assert [b.freed for b in blocks] == [1, 1]
+
+    import types
+
+    class _Log4jMissing:
+        def __getattr__(self, name):  # LogManager/Configurator/Level
+            raise RuntimeError(f"class not found: {name} (shaded away)")
+
+    class _BrokenLog4j:  # gateway up, log4j2 classes unreachable
+        _jvm = types.SimpleNamespace(
+            org=types.SimpleNamespace(
+                apache=types.SimpleNamespace(
+                    logging=types.SimpleNamespace(log4j=_Log4jMissing())
+                )
+            )
+        )
+
+    blocks2 = [_Block()]
+    _free_checkpoint_blocks(_BrokenLog4j(), blocks2)
+    assert blocks2[0].freed == 1
+
+    _free_checkpoint_blocks(_NoJvm(), [])  # empty list: no-op

@@ -106,12 +106,19 @@ def test_q126_argmax_margin_dwarfs_float_noise(sf_dir):
     assert row["min_margin"] > 1.0, row["min_margin"]
 
 
-def test_q126_registered_at_r16():
-    """The r15 staging contract's inverse, flipped at registration:
-    q126 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+def test_q126_registered_and_resting():
+    """Registered at r16 (it held a window slot there and got its
+    green CORRECTNESS_r16 row); from r17 it RESTS on that row inside
+    the 2-round contract like any other cohort member — in the
+    catalog, window membership governed by the rotation, never
+    silently dropped."""
     assert STAGED_Q126_NAME in queries()
-    assert STAGED_Q126_NAME in _GATE_PRIORITY
+    import json
+    import os
+
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r16.json")
+    row = json.load(open(corr))[STAGED_Q126_NAME]
+    assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
 
 def test_staged_q127_matches_oracle(spark, sf_dir):
@@ -137,10 +144,9 @@ def test_q127_merge_table_is_well_formed():
         known.add(a + b)
 
 
-def test_q127_staged_not_registered():
-    """The pre-registration contract (flips to its inverse at r17):
-    staged means NOT in the catalog and NOT holding a window slot —
-    registration must be a deliberate rotation event, never a
-    side-effect of importing the staged builder."""
-    assert STAGED_Q127_NAME not in queries()
-    assert STAGED_Q127_NAME not in _GATE_PRIORITY
+def test_q127_registered_at_r17():
+    """The r16 staging contract's inverse, flipped at registration:
+    q127 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option)."""
+    assert STAGED_Q127_NAME in queries()
+    assert STAGED_Q127_NAME in _GATE_PRIORITY

@@ -665,3 +665,63 @@ def test_png_vector_distributed_error_isolation_without_pil(spark):
 def test_committed_png_vector_decodes_with_pil():
     meta = decode_image(TINY_PNG)
     assert (meta["width"], meta["height"], meta["mode"]) == (1, 1, "RGB")
+
+
+def test_semantic_dedup_assignment_runs_once(spark, monkeypatch):
+    """The r16 phase decomposition found the BLAS assignment pass ran
+    TWICE (the guard aggregate plus each candidate self-join branch
+    re-evaluated the un-persisted ``assigned`` frame -- two identical
+    assignment subtrees in q110's plan). The fix pins the narrow
+    (id, centroid_id) frame eagerly; this counts actual rows THROUGH
+    the assignment operator with an accumulator tap and requires
+    exactly one pass over the corpus, results unchanged."""
+    import utc_cuip_kafka_aws_connector_spark.operators.semdedup as sd
+
+    real_assign = sd.ivf_assign
+    acc = spark.sparkContext.accumulator(0)
+
+    def tapped(df, centroids, id_col, vec_col):
+        out = real_assign(df, centroids, id_col, vec_col)
+        schema = out.schema
+
+        def tap(batches):
+            for b in batches:
+                acc.add(len(b))
+                yield b
+
+        return out.mapInPandas(tap, schema)
+
+    monkeypatch.setattr(sd, "ivf_assign", tapped)
+
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") < 60
+    ).select("vec_id", "embedding")
+    n_rows = emb.count()
+    dup = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    out = sd.semantic_dedup(dup, n_clusters=4, cos_threshold=0.9)
+    rows = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    # correctness unchanged: every planted copy collapses to its twin
+    for r in emb.collect():
+        vid = r["vec_id"]
+        assert rows[vid] == (vid, True)
+        assert rows[vid + 1000] == (vid, False)
+    # ONE assignment pass over the 2*n corpus -- not two (guard agg +
+    # self-join branches all read the persisted frame)
+    assert acc.value == 2 * n_rows, (
+        f"assignment operator processed {acc.value} rows for a "
+        f"{2 * n_rows}-row corpus: the assigned frame was re-evaluated"
+    )
+    # ...and the pin is RELEASED before return (the unpersist must
+    # target the frame that was PERSISTED, not the guard output --
+    # rebinding the variable leaked one cache entry per call at
+    # daemon timescales). A leak is visible right here: the second
+    # call's persist would silently REUSE the stale first-call entry
+    # ('already cached'), so its tap never re-executes and the
+    # accumulator stays at 2n instead of advancing to exactly 4n.
+    sd.semantic_dedup(dup, n_clusters=4, cos_threshold=0.9).count()
+    assert acc.value == 4 * n_rows, (
+        f"second call advanced the tap to {acc.value}, want {4 * n_rows}: "
+        "a leaked cache entry was reused (2n) or assignment re-evaluated (>4n)"
+    )

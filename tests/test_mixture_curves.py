@@ -234,3 +234,44 @@ def test_nan_inputs_excluded(spark):
     assert curve[0.0].docs_kept == 2
     assert curve[0.25].docs_kept == 2  # NaN must NOT appear here
     assert curve[0.5].docs_kept == 2 and curve[1.0].docs_kept == 1
+
+
+def test_retention_max_groups_refuses_high_cardinality(spark):
+    """ADVICE r16: the per-(group, bucket) histogram is collected to
+    the driver, so a doc-id-grade group key must refuse loudly (the
+    kll max_groups_per_partition contract), never OOM silently."""
+    df = spark.createDataFrame(
+        [(i, float(i % 10) / 10.0) for i in range(200)],
+        "doc_id long, score double",
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        retention_curve(
+            df, "score", 0.0, 1.0, n_points=4,
+            group_col="doc_id", max_groups=8,
+        )
+    # same call above the true cardinality: fine (and the cap does
+    # not perturb results -- 200 groups < 250)
+    out = retention_curve(
+        df, "score", 0.0, 1.0, n_points=4,
+        group_col="doc_id", max_groups=250,
+    )
+    assert out.count() == 200 * 5
+    with pytest.raises(ValueError, match="max_groups"):
+        retention_curve(df, "score", 0.0, 1.0, max_groups=0)
+
+
+def test_unimax_max_groups_refuses_high_cardinality(spark):
+    from utc_cuip_kafka_aws_connector_spark.operators.unimax import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), 100.0) for i in range(50)],
+        "lang string, n_tokens double",
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        unimax_allocation(df, budget=1000.0, max_groups=10)
+    out = unimax_allocation(df, budget=1000.0, max_groups=50)
+    assert out.count() == 50
+    with pytest.raises(ValueError, match="max_groups"):
+        unimax_allocation(df, budget=1000.0, max_groups=0)

@@ -299,6 +299,26 @@ def test_perplexity_buckets_approx_null_and_validation(spark):
     assert perplexity_buckets(empty, n_buckets=3, method="approx").count() == 0
     with pytest.raises(ValueError, match="method"):
         perplexity_buckets(df, n_buckets=2, method="nope")
+    # ADVICE r15: rel_err must be in (0,1) -- 0 degrades approxQuantile
+    # to an unbounded exact summary, >= 1 makes the cuts meaningless
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="rel_err"):
+            perplexity_buckets(df, n_buckets=2, method="approx", rel_err=bad)
+    # garbage rel_err is rejected on the exact path too (latent-bug
+    # guard: a caller flipping method later should fail NOW)
+    with pytest.raises(ValueError, match="rel_err"):
+        perplexity_buckets(df, n_buckets=2, method="exact", rel_err=0.0)
+
+
+def test_perplexity_buckets_ties_skip_labels(spark):
+    """The documented ties-skip-labels semantics on the approx path: a
+    constant-perplexity corpus clears every cut at once, every row
+    lands in bucket 1 and no intermediate label is emitted."""
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(12)], "doc_id long, ppl double"
+    )
+    got = perplexity_buckets(df, n_buckets=3, method="approx")
+    assert {r.bucket for r in got.collect()} == {1}
 
 
 def test_save_load_round_trip(tmp_path, corpus, score_df, spark):

@@ -223,3 +223,30 @@ def test_nan_scores_excluded(spark):
     )
     [r] = preference_pairs(df, strategy="best_worst").collect()
     assert (r.chosen_id, r.rejected_id, r.margin) == (2, 1, 1.0)
+
+
+def test_prompt_response_stats_nan_hygiene(spark):
+    """ADVICE r16: a NaN score must count in n_responses ONLY, like
+    null (Spark orders NaN equal-and-greatest, so un-nulled NaN
+    became score_max, poisoned score_spread, and made top_is_tied
+    reflect the NaN rows -- against the module's eligibility rules,
+    which preference_pairs already enforces)."""
+    df = spark.createDataFrame(
+        [
+            ("p", 1, 2.0),
+            ("p", 2, float("nan")),
+            ("p", 3, 5.0),
+            ("n", 4, float("nan")),
+            ("n", 5, float("nan")),
+        ],
+        "prompt_id string, response_id long, score double",
+    )
+    got = {r.prompt: r for r in prompt_response_stats(df).collect()}
+    p = got["p"]
+    assert (p.n_responses, p.n_scored) == (3, 2)
+    assert (p.score_min, p.score_max, p.score_spread) == (2.0, 5.0, 3.0)
+    assert p.top_is_tied is False
+    n = got["n"]  # all-NaN prompt == all-null prompt: unscored
+    assert (n.n_responses, n.n_scored) == (2, 0)
+    assert n.score_min is None and n.score_max is None
+    assert n.top_is_tied is False

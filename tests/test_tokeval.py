@@ -108,3 +108,49 @@ def test_complements_fitness_report_not_duplicates(spark):
     util_cols = set(vocab_utilization(df, SPEC, group_col="lang").columns)
     overlap = (fit_cols & util_cols) - {"lang", "n_docs", "n_tokens"}
     assert not overlap, f"duplicated metric surfaces: {overlap}"
+
+
+def test_vocab_coverage_excludes_added_tokens(spark):
+    """ADVICE r16: tokenio folds added_tokens into spec.vocab on load,
+    so len(spec.vocab) silently counted added/control tokens against
+    coverage's documented MODEL-vocab denominator. The denominator
+    must exclude added tokens by KEY -- including one whose content
+    duplicates a learned vocab entry (folding there did not grow the
+    dict, so a len-subtraction would over-subtract)."""
+    df = spark.createDataFrame(
+        [(0, "ab ab c", "en"), (1, "ca d", "en")],
+        "doc_id long, text string, lang string",
+    )
+    base = TokenizerSpec(
+        merges=[("a", "b")],
+        vocab={"a": 0, "b": 1, "c": 2, "d": 3, "ab": 4, "<unk>": 5},
+        unk_token="<unk>",
+        byte_level=False,
+    )
+    [plain] = vocab_utilization(df, base).collect()
+    assert plain.vocab_coverage == pytest.approx(4 / 6)
+
+    # two control tokens folded into the vocab (the tokenio load
+    # shape) -> same exercised ids, same denominator as without them
+    folded = TokenizerSpec(
+        merges=[("a", "b")],
+        vocab={"a": 0, "b": 1, "c": 2, "d": 3, "ab": 4, "<unk>": 5,
+               "<s>": 6, "</s>": 7},
+        unk_token="<unk>",
+        byte_level=False,
+        added_tokens={"<s>": 6, "</s>": 7},
+    )
+    [got] = vocab_utilization(df, folded).collect()
+    assert got.vocab_coverage == pytest.approx(4 / 6)
+
+    # added token whose content is ALSO a learned entry (same id --
+    # the only overlap tokenio accepts): excluded once, not twice
+    overlap = TokenizerSpec(
+        merges=[("a", "b")],
+        vocab={"a": 0, "b": 1, "c": 2, "d": 3, "ab": 4, "<unk>": 5},
+        unk_token="<unk>",
+        byte_level=False,
+        added_tokens={"<unk>": 5},
+    )
+    [ov] = vocab_utilization(df, overlap).collect()
+    assert ov.vocab_coverage == pytest.approx(4 / 5)

@@ -77,6 +77,21 @@ def _family(topic: str) -> str:
     return "dead_letter"
 
 
+def _require_cols_absent(df: DataFrame, names: tuple[str, ...], stage: str) -> None:
+    """The fence-split / para-dedup stages emit FIXED helper column
+    names and the CLI wiring drops/renames them into the text column;
+    an input corpus that already carries one of those names would be
+    silently clobbered (or leave an ambiguous duplicate). Refuse
+    loudly instead — the caller should rename their column first."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise SystemExit(
+            f"{stage}: input already has column(s) {clash} which this "
+            f"stage generates and consumes internally — rename them in "
+            f"the input (or drop them) before running {stage}"
+        )
+
+
 def _write(df: DataFrame, output: str, entity: str, fmt: str, backup: str | None) -> None:
     if backup:
         dual_destination_write(df, output, backup, entity_col=entity, fmt=fmt)
@@ -884,6 +899,9 @@ def run_curate_full(
             split_code_fences,
         )
 
+        _require_cols_absent(
+            df, ("prose", "code_blocks", "code_ratio"), "--strip-code-fences"
+        )
         df = mark(
             "strip_code_fences",
             split_code_fences(df, text_col=text_col)
@@ -895,6 +913,7 @@ def run_curate_full(
             dedup_paragraphs,
         )
 
+        _require_cols_absent(df, ("paras_removed",), "--para-dedup")
         df = mark(
             "para_dedup",
             dedup_paragraphs(df, text_col=text_col).drop("paras_removed"),
@@ -2678,6 +2697,11 @@ def main(argv: list[str] | None = None) -> int:
                 split_code_fences,
             )
 
+            _require_cols_absent(
+                df,
+                ("prose", "code_blocks", "code_ratio"),
+                "--strip-code-fences",
+            )
             df = (
                 split_code_fences(df, text_col=args.text_col)
                 .drop(args.text_col, "code_blocks", "code_ratio")
@@ -2688,6 +2712,7 @@ def main(argv: list[str] | None = None) -> int:
                 dedup_paragraphs,
             )
 
+            _require_cols_absent(df, ("paras_removed",), "--para-dedup")
             df = dedup_paragraphs(df, text_col=args.text_col).drop(
                 "paras_removed"
             )

@@ -288,6 +288,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     )
 
 
+def _free_checkpoint_blocks(sc, blocks: list) -> None:
+    """Unpersist checkpoint blocks without the JVM's 'locally
+    checkpointed ... cannot be recomputed after unpersisting' WARN:
+    the blocks being freed are exactly the rounds the loop has
+    already superseded, so the caution is benign here but reads like
+    a fault in a driver log. The block's concrete RDD-class logger
+    (the WARN's source) is dropped to ERROR for the duration of the
+    synchronous unpersist call and restored to its prior effective
+    level. The quieting is COSMETIC, so any failure reaching into
+    the log4j2 API (relocated/shaded classes, a different logging
+    backend on the driver classpath — ADVICE r15) must never fail
+    the free: fall back to plain unpersist and accept the WARN.
+    Module-level (not a closure) so the fallback is unit-testable
+    with a fake SparkContext."""
+    if not blocks:
+        return
+    try:
+        jvm = sc._jvm
+        log_mgr = jvm.org.apache.logging.log4j.LogManager
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        error_lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        names = {b.rdd().getClass().getName() for b in blocks}
+        prev = {n: log_mgr.getLogger(n).getLevel() for n in names}
+        for n in names:
+            configurator.setLevel(n, error_lvl)
+    except Exception:
+        for b in blocks:
+            b.unpersist()
+        return
+    try:
+        for b in blocks:
+            b.unpersist()
+    finally:
+        for n, lvl in prev.items():
+            configurator.setLevel(n, lvl)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -358,30 +395,7 @@ def connected_components(
             )
 
     def _free_blocks(blocks: list) -> None:
-        """Unpersist checkpoint blocks without the JVM's
-        'locally checkpointed ... cannot be recomputed after
-        unpersisting' WARN: the blocks being freed are exactly the
-        rounds the loop has already superseded, so the caution is
-        benign here but reads like a fault in a driver log. The
-        block's concrete RDD-class logger (the WARN's source) is
-        dropped to ERROR for the duration of the synchronous
-        unpersist call and restored to its prior effective level."""
-        if not blocks:
-            return
-        jvm = sc._jvm
-        log_mgr = jvm.org.apache.logging.log4j.LogManager
-        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
-        error_lvl = jvm.org.apache.logging.log4j.Level.ERROR
-        names = {b.rdd().getClass().getName() for b in blocks}
-        prev = {n: log_mgr.getLogger(n).getLevel() for n in names}
-        for n in names:
-            configurator.setLevel(n, error_lvl)
-        try:
-            for b in blocks:
-                b.unpersist()
-        finally:
-            for n, lvl in prev.items():
-                configurator.setLevel(n, lvl)
+        _free_checkpoint_blocks(sc, blocks)
 
     def _cut(df: DataFrame) -> tuple[DataFrame, list]:
         """Eagerly checkpoint ``df`` and return the cut DataFrame plus

@@ -120,9 +120,17 @@ def langid_predict(
     id appears (empty docs score prior-only). ``broadcast_model``
     passes through to the nb scorers: at a handful of languages the
     likelihood table is MBs and broadcasting removes the
-    corpus-sized exchange, but a fastText-scale model (176 languages
-    x 2^18 buckets, ~40M rows) must set False or the forced
-    broadcast OOMs — the same crossover as kn_score's knob."""
+    corpus-sized exchange. Crossover, MEASURED (r16 sf1 probe,
+    BENCH_NOTES: 5 labels x 2^18 buckets = ~1.3M likelihood rows,
+    15M exploded feature rows, local[32] -- 8.89 s broadcast vs
+    5.73 s shuffle): switch to False once the likelihood table
+    reaches ~1M rows, an order of magnitude EARLIER than the old
+    "fastText scale, ~40M rows" guidance; a fastText-scale model
+    (176 languages x 2^18 buckets) is far past it and would OOM the
+    forced broadcast outright. Caveat: measured on a single JVM,
+    which if anything flatters broadcast -- re-measure before
+    pinning multi-executor cluster guidance. Same knob family as
+    kn_score's crossover table (r13)."""
     return nb_predict(
         df, model, id_col=id_col, text_col=text_col,
         broadcast_model=broadcast_model,

@@ -949,7 +949,11 @@ def perplexity_buckets(
     pass, NO global sort) and a codegen'd threshold-count projection.
     Buckets are equal-population only to ``rel_err``, and perplexity
     TIES land in one bucket together instead of splitting to balance
-    counts. Same honesty caveat as curriculum_order: GK summaries
+    counts -- which also means a value that ties SEVERAL cuts clears
+    all of them at once and the intermediate bucket labels are
+    SKIPPED entirely (a constant-perplexity corpus puts every row in
+    bucket 1 and emits no bucket 2..n): consumers must not assume
+    all n labels occur. Same honesty caveat as curriculum_order: GK summaries
     merge per partition, so documents within ``rel_err`` of a cut can
     move across partition LAYOUTS — pin the layout (or use exact)
     when byte-identical resume matters. Null perplexities take
@@ -961,6 +965,11 @@ def perplexity_buckets(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if method not in ("exact", "approx"):
         raise ValueError(f"method must be exact|approx, got {method!r}")
+    if not (0.0 < rel_err < 1.0):
+        # approxQuantile accepts rel_err == 0 but degrades to an exact
+        # all-values summary (unbounded memory at corpus scale), and
+        # >= 1 makes the cuts meaningless -- reject both loudly.
+        raise ValueError(f"rel_err must be in (0, 1), got {rel_err!r}")
     if method == "approx":
         qs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = scored.stat.approxQuantile(ppl_col, qs, rel_err)

@@ -206,13 +206,21 @@ def prompt_response_stats(
     pairing strategy and margin — ``top_is_tied`` flags prompts whose
     maximum score is shared by >1 response (the winner there is an
     id-order artifact; a data card should count them). One map-side-
-    combined aggregate; null scores count in ``n_responses`` only."""
+    combined aggregate; null AND NaN scores count in ``n_responses``
+    only — NaN is nulled out up front (Spark orders NaN as
+    equal-and-greatest, so a raw NaN would become score_max, poison
+    score_spread, and make top_is_tied report the NaN rows), keeping
+    these diagnostics on exactly the rows ``preference_pairs``
+    considers eligible."""
     base = df.filter(
         F.col(prompt_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(
         F.col(prompt_col).alias("prompt"),
         F.col(id_col).alias("rid"),
-        F.col(score_col).cast("double").alias("s"),
+        F.when(
+            ~F.isnan(F.col(score_col).cast("double")),
+            F.col(score_col).cast("double"),
+        ).alias("s"),
     )
     # window + groupBy share the prompt hash partitioning — one
     # exchange, reused (null comparison -> null -> count_if skips it,

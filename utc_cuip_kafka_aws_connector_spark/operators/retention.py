@@ -43,6 +43,7 @@ def retention_curve(
     n_points: int = 50,
     weight_col: str | None = None,
     group_col: str | None = None,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """(group?, threshold, docs_kept, docs_frac[, weight_kept,
     weight_frac]): for each of the ``n_points + 1`` equally spaced
@@ -59,11 +60,24 @@ def retention_curve(
     threshold; rows with score >= hi survive every threshold. NULL
     scores are excluded entirely (no rank), as are NULL groups.
     Weight sums fold in bucket order (deterministic per partitioning;
-    the docs surface is integer-exact always)."""
+    the docs surface is integer-exact always).
+
+    ``group_col`` is meant for mixture-sized keys (language, source,
+    domain bucket); the per-(group, bucket) histogram is collected to
+    the driver, so a high-cardinality key passed by mistake (a URL, a
+    doc id) would otherwise OOM it silently. ``max_groups`` bounds
+    that collect — same refuse-loudly contract as
+    ``kll.kll_sketch``'s ``max_groups_per_partition`` — by capping
+    the rows fetched at ``max_groups * (n_points + 2)`` (each group
+    occupies at most n_points + 2 buckets, so exceeding the cap
+    proves the group count exceeded ``max_groups``; driver memory is
+    bounded by the cap either way)."""
     if not (hi > lo):
         raise ValueError(f"hi must be > lo, got lo={lo}, hi={hi}")
     if n_points < 1:
         raise ValueError(f"n_points must be >= 1, got {n_points}")
+    if max_groups < 1:
+        raise ValueError(f"max_groups must be >= 1, got {max_groups}")
 
     step = (hi - lo) / n_points
     keys = [group_col] if group_col else []
@@ -100,9 +114,20 @@ def retention_curve(
         aggs.append(F.sum(F.col(weight_col).cast("double")).alias("__w"))
     hist = base.withColumn("__b", bucket).groupBy(*keys, "__b").agg(*aggs)
 
-    # the single corpus pass ends here; the histogram is grid-sized
+    # the single corpus pass ends here; the histogram is grid-sized.
+    # limit() bounds what ever reaches the driver: one row past the
+    # cap proves > max_groups groups (see docstring arithmetic).
+    _cap = max_groups * (n_points + 2)
+    rows = hist.limit(_cap + 1).collect()
+    if len(rows) > _cap:
+        raise ValueError(
+            f"retention_curve collected more than max_groups="
+            f"{max_groups} groups worth of histogram rows (> {_cap}); "
+            f"group_col={group_col!r} looks high-cardinality (a URL or "
+            f"doc id?) — pass a mixture-sized key or raise max_groups"
+        )
     by_group: dict = {}
-    for r in hist.collect():
+    for r in rows:
         g = r[group_col] if group_col else None
         by_group.setdefault(g, {})[r["__b"]] = (
             r["__docs"],

@@ -90,13 +90,29 @@ def semantic_dedup(
                 f"centroid_source must be 'hash_spread' or 'kmeans', got {centroid_source!r}"
             )
 
-    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
+    # Persist the narrow (id, centroid_id) frame EAGERLY before anything
+    # consumes it: downstream it feeds the guard's size aggregate plus
+    # BOTH sides of the candidate self-join, and without the pin each
+    # branch re-runs ivf_assign's BLAS pass -- i.e. a second full scan
+    # of the wide embedding table (the r16 phase decomposition measured
+    # two identical assignment subtrees in q110's plan). The cached
+    # frame is two fixed-width columns (~16 B/row), so at 100 TB of
+    # embeddings the pin is GBs while the scan it saves is the corpus.
+    # Eager count() because a lazy persist would still let the two
+    # self-join branches race to compute it inside one job.
+    pinned = (
+        ivf_assign(df, centroids, id_col, vec_col)
+        .select(id_col, "centroid_id")
+        .persist()
     )
-    stitches = None
+    pinned.count()
+    assigned, stitches = pinned, None
     if cluster_cap is not None:
+        # the guard may return a REBUILT frame (sub-bucketed ids), so
+        # keep ``pinned`` separate: the final unpersist must target
+        # the frame that was actually persisted, not the guard output
         assigned, stitches = recluster_oversized(
-            df, assigned, cap=cluster_cap, id_col=id_col, vec_col=vec_col
+            df, pinned, cap=cluster_cap, id_col=id_col, vec_col=vec_col
         )
     left = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
     right = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
@@ -119,4 +135,11 @@ def semantic_dedup(
         .filter(cosine(F.col("v_a"), F.col("v_b")) >= cos_threshold)
         .select("id_a", "id_b")
     )
-    return dedup_clusters(df, pairs, id_col=id_col, src="id_a", dst="id_b")
+    result = dedup_clusters(df, pairs, id_col=id_col, src="id_a", dst="id_b")
+    # dedup_clusters -> connected_components eagerly checkpoints the
+    # edge list at entry (dedup.py::_cut), so ``pairs`` -- and with it
+    # the assignment frame -- is fully materialized by now and the
+    # returned lineage no longer references it: safe to release here
+    # rather than leaking a pinned frame per call at daemon timescales.
+    pinned.unpersist()
+    return result

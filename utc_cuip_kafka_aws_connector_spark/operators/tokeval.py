@@ -113,7 +113,14 @@ def vocab_utilization(
     )
 
     out = sizes.join(util, keys, "left") if keys else sizes.crossJoin(util)
-    vocab_size = len(spec.vocab)
+    # MODEL vocab only, per the documented definition: tokenio folds
+    # added_tokens into spec.vocab on load, so len(spec.vocab) would
+    # silently include added/control tokens and understate coverage.
+    # Exclude by KEY (not by count) -- an added token whose content was
+    # already a learned vocab entry folds without growing the dict, so
+    # a plain len-subtraction would over-subtract there.
+    added = getattr(spec, "added_tokens", None) or {}
+    vocab_size = sum(1 for t in spec.vocab if t not in added)
     zero = F.coalesce(F.col("n_tokens"), F.lit(0)) == 0
     return out.select(
         *keys,

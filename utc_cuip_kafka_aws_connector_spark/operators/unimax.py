@@ -35,6 +35,7 @@ def unimax_allocation(
     size_col: str = "n_tokens",
     max_epochs: float = 1.0,
     pre_aggregated: bool = False,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """(group, n_units, cap, alloc, epochs, weight): per-group
     training-budget allocation in the units of ``size_col``.
@@ -51,11 +52,16 @@ def unimax_allocation(
     dropped; NULL/non-positive sizes are dropped (an empty group can
     absorb no budget). ``pre_aggregated=True`` skips the corpus
     aggregation and treats ``df`` as the (group, size) table
-    directly."""
+    directly. The waterfill runs on the collected group table —
+    mixture-sized by design (languages/sources) — so ``max_groups``
+    refuses loudly (the kll/retention_curve contract) when a
+    high-cardinality key would otherwise OOM the driver."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if max_groups < 1:
+        raise ValueError(f"max_groups must be >= 1, got {max_groups}")
 
     # NaN sizes pass `> 0` in Spark and would poison the driver-side
     # waterfill (min(NaN, fair) = NaN cascades into every later
@@ -67,9 +73,18 @@ def unimax_allocation(
     if not pre_aggregated:
         sizes = sizes.groupBy("group").agg(F.sum("n").alias("n"))
 
-    # mixture-sized table (languages/sources): collect is the design
+    # mixture-sized table (languages/sources): collect is the design;
+    # limit() bounds what ever reaches the driver before the check
+    collected = sizes.limit(max_groups + 1).collect()
+    if len(collected) > max_groups:
+        raise ValueError(
+            f"unimax_allocation collected more than max_groups="
+            f"{max_groups} groups; group_col={group_col!r} looks "
+            f"high-cardinality (a URL or doc id?) — pass a "
+            f"mixture-sized key or raise max_groups"
+        )
     rows = sorted(
-        ((float(r.n), r.group) for r in sizes.collect()),
+        ((float(r.n), r.group) for r in collected),
         key=lambda t: (t[0] * max_epochs, str(t[1])),
     )
     remaining = float(budget)

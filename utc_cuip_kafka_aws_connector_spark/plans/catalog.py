@@ -4655,8 +4655,8 @@ def staged_q126_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r17 — NOT REGISTERED. The r17 rotation plan's named
-# promotion (see the _GATE_PRIORITY comment block): the tokenizer
+# STAGED at r16, REGISTERED at r17 (the stamped rotation plan executed
+# on schedule; see the _GATE_PRIORITY comment block): the tokenizer
 # ENCODE tier on the byte-level alphabet (operators/bytelevel.py::
 # spec_encode + ranked_bpe_encode + the tokenio.TokenizerSpec model
 # shape — the distributed encoder every loaded tokenizer.json runs
@@ -4731,6 +4731,7 @@ STAGED_Q127_ORACLE = """
 """
 
 
+@query(STAGED_Q127_NAME, oracle=STAGED_Q127_ORACLE)
 def staged_q127_bytelevel_encode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4956,76 +4957,63 @@ GATE_RETIRED: frozenset[str] = frozenset(
 )
 
 _GATE_PRIORITY = [
-    # r16 ROTATION (the stamped r15 plan, executed on schedule; at r16
-    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r15 was
-    # 50/50 green — then this window + `--round 16` in the same
-    # commit). Window: the r14-attested queries whose rows expire at
-    # r16 close = the 50-member r14 cohort MINUS the two r15 rebalance
-    # pulls (q110/q124 re-attested early and now rest on r15 rows) =
-    # 48 must-attest, leaving TWO free slots, spent exactly as the
-    # stamped plan directed: (1) registering the pre-staged, pre-
-    # proven promotion q126_nb_confusion (operators/nbquality.py's
-    # full train->predict->argmax path on an integer confusion-matrix
-    # surface; its staging parity + top-2-margin test land WITH this
-    # registration — ADVICE r15 flagged that the r15 staging shipped
-    # without them), and (2) a REBALANCE PULL of
-    # q106_document_chunking (r15-attested; re-attests a round early),
-    # which puts q106+q109+q111 — operators.chunking's complete
-    # dependent set per the fingerprint dep scan — in ONE window for
-    # the first time, making the owed-since-r14 chunking.py:68
-    # sliding-window fix legal THIS round (it lands in this window;
-    # chunking.py is all-even-cohort hereafter). No retirement needed:
-    # promotions == free slots (the named third-slot candidate
-    # q115_zorder_layout stays active). CORRECTION carried from ADVICE
-    # r15: the replaced r15 block's expiring-cohort header read "49
-    # minus q13/q18" — the true arithmetic was the 50-member r13
-    # cohort minus FOUR retirements (q14/q13/q18/q82) = 46 listed
-    # names (+ the q103 un-retirement + q110/q124 pulls + q125 = 50).
+    # r17 ROTATION (the stamped r16 plan, executed on schedule; at r17
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r16 was
+    # 50/50 green — then this window + `--round 17` in the same
+    # commit). Window: must-attest = the r15-attested queries whose
+    # rows expire at r17 close = the 50-member r15 cohort MINUS the
+    # q106 rebalance pull (re-attested early at r16, now resting on
+    # its r16 row) = 49 names, leaving ONE free slot, spent exactly
+    # as the stamped plan directed: registering the pre-staged, pre-
+    # proven promotion q127_bytelevel_encode (the byte-level tokenizer
+    # ENCODE tier — operators/bytelevel.py::spec_encode under a
+    # committed well-formed 12-merge table; its framed-REPLACE oracle
+    # was fully written at r16 staging and its staging parity test
+    # has run on every pytest since, the q124/q125/q126 recipe). No
+    # retirement needed: promotions == free slots. This round also
+    # used the window legality it opens: dedup.py/semdedup.py/
+    # similarity.py/ngramlm.py unfroze (their whole dependent set —
+    # q40/q46/q47/q51/q80/q81/q103/q110 and q124/q125 — is IN this
+    # window), which is where the r16-stamped q110 fix landed
+    # (semdedup.py: persist the narrow assigned frame before the
+    # candidate self-join — the BLAS assignment pass now runs ONCE;
+    # regression-pinned by tests/test_llm_ops.py::
+    # test_semantic_dedup_assignment_runs_once) plus the two deferred
+    # ADVICE r15 hardening items (dedup.py::_free_checkpoint_blocks
+    # log4j fallback, ngramlm.py::perplexity_buckets rel_err
+    # validation), both regression-tested.
     #
-    # r17 ROTATION PLAN (write once, so the next round doesn't have to
-    # re-derive it): must-attest = the r15-attested queries that rest
-    # through r16 = the 50-member r15 window MINUS the q106 pull = 49
-    # — so r17 opens with ONE free slot before any retirement. Spend
-    # it on the pre-staged promotion q127 (the tokenizer-encode tier —
-    # per-doc token counts + id checksums from a committed merge
-    # table; staged at r16 close so it lands pre-proven, the
-    # q124/q125/q126 recipe). Module-freeze map for r17, computed with
-    # the dep scan (RE-RUN `tools/gate_fingerprints.py`'s regex scan
-    # before editing anything): EDITABLE at r17 = dedup.py,
-    # similarity.py, semdedup.py, clusterguard.py, ngramlm.py (all-odd
-    # since the r15 pulls — this is where the two deferred ADVICE r15
-    # fixes land: dedup.py::_free_blocks's log4j dance wrapped in
-    # try/except falling back to plain unpersist, and
-    # perplexity_buckets' rel_err (0,1) validation + ties-skip-labels
-    # docstring note — both illegal at r16 because q40/q46/q47/q51/
-    # q80/q81/q103/q110 and q124/q125 rest on r15 rows), plus text.py,
-    # sampling.py, multimodal.py, diff.py, boilerplate.py,
-    # ordering.py, streaming/ops.py and the rest of the odd-cohort
-    # dependents. FROZEN at r17 = chunking.py, chunkdedup.py (all-even
-    # after this round's pull), layout.py and skipread.py (q117 odd +
-    # q115/q116/q118 even — still two-cohort; unify via a q117 pull at
-    # an even round if an edit is ever needed), stats.py as always
-    # (q85 odd + q89 even). Also owed at r17: the q110 fix the r16
-    # read-only phase decomposition identified (BENCH_NOTES r16: the
-    # 3.81->4.84 s drift is host noise — CC checkpoint latency + a
-    # DOUBLED ivf_assign pass dominate; persist the narrow `assigned`
-    # frame in semantic_dedup before its self-join to halve the
-    # embedding-table passes). Named retirement candidate if a second
-    # r17 slot is needed: q57_sql_cte_top_orders (its CTE-over-top-k
-    # surface is pinned by q19's global top-k and q74's top-supplier
-    # join every rotation; draw it from the EXPIRING r15 cohort so the
-    # slot frees same-round). Looking one further ahead: r18 opens
-    # with ZERO free slots (the whole 50-member r16 cohort expires),
-    # so an r18 promotion needs the long-named q115_zorder_layout
-    # retirement; the natural candidate to stage at r17 for it is a
-    # hard-negatives gate (operators/negatives.py, added r16
-    # pytest-grade — its brute baseline is SQL-expressible in q48's
-    # planted style, and full-probe IVF == brute gives the bucketed
-    # path an exact oracle).
+    # r18 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the ENTIRE 50-member r16 cohort
+    # (no pulls happened at r17), so r18 opens with ZERO free slots.
+    # The stamped promotion is the hard-negatives gate staged this
+    # round (q128_hard_negatives, catalog.py STAGED block — brute
+    # cosine top-k negatives in q48's planted style, with full-probe
+    # IVF == brute pinned by tests/test_negatives.py giving the
+    # bucketed path an exact oracle); fund it by retiring
+    # q115_zorder_layout from the EXPIRING r16 cohort (its
+    # layout-ordering surface stays pinned by q116_hilbert_layout +
+    # q118's skipping reads every rotation; layout.py remains
+    # two-cohort until a q117 pull, so retire q115 WITHOUT editing
+    # layout.py). Module-freeze map for r18, sketched (RE-RUN
+    # tools/gate_fingerprints.py's scan before editing anything):
+    # EDITABLE at r18 = chunking.py, chunkdedup.py, bucketing.py,
+    # nbquality.py and the rest of the even-cohort dependents; FROZEN
+    # at r18 = the dedup family (dedup/semdedup/similarity/
+    # clusterguard — all-odd after this round), ngramlm.py, text.py,
+    # multimodal.py, stats.py as always (q85 odd + q89 even),
+    # layout.py/skipread.py (two-cohort). Looking one further ahead:
+    # r19 must-attest = this r17 window (49 + q127 = 50, expiring),
+    # so r19 opens with ZERO free slots too; the stamped r19
+    # promotion candidate is the preference-pairs gate (below),
+    # funded by the long-named q57_sql_cte_top_orders retirement —
+    # q57 is IN the expiring r17 cohort at r19, so the slot frees
+    # same-round (its CTE-over-top-k surface is pinned by q19's
+    # global top-k and q74's top-supplier join every rotation).
     #
-    # r19+ PROMOTION CANDIDATES (named now so future rounds pick from
-    # a bench, not a blank page; both landed r16 pytest-grade with
-    # their DuckDB dry runs ALREADY WRITTEN in their test files):
+    # r19+ PROMOTION CANDIDATES (named at r16, still current; both
+    # pytest-grade with their DuckDB dry runs ALREADY WRITTEN in
+    # their test files):
     # (1) a preference-pairs gate — prefpairs.preference_pairs
     #     (best_worst) over a scored-responses frame derived from
     #     orders (o_custkey as prompt, o_totalprice as score); its
@@ -5039,65 +5027,64 @@ _GATE_PRIORITY = [
     #     in tests/test_mixture_curves.py::test_retention_matches_
     #     python_and_duckdb, docs_kept being integer-exact by
     #     construction.
-    # Funding: both need retirements from whatever cohort is expiring
-    # at registration time (the catalog sits at the 50-slot ceiling);
-    # q57_sql_cte_top_orders remains the first named retiree after
-    # the r18 plan consumes q115.
+    # Funding: q57 funds (1) at r19; (2) needs a retiree from the
+    # cohort expiring at its registration round (the catalog sits at
+    # the 50-slot ceiling) — the next named candidate after q57 is
+    # q64_udtf_word_split (its UDTF surface is an API demo beside
+    # q61's vectorized twin, same odd cohort).
     #
-    # --- the expiring r14-resters (50 minus the q110/q124 pulls) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q115_zorder_layout",
-    "q116_hilbert_layout",
-    "q118_bpe_train",
-    "q119_heavy_hitters",
-    "q121_per_domain_cap",
-    "q122_leakage_safe_split",
-    # --- rebalance pull: re-attests a round early; even cohort
-    # --- hereafter (unifies operators.chunking: q106+q109+q111) ---
-    "q106_document_chunking",
+    # --- the expiring r15-resters (50 minus the q106 pull) ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q57_sql_cte_top_orders",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q64_udtf_word_split",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q103_near_dup_full_table",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q108_mixture_weights",
+    "q110_semantic_dedup",
+    "q117_clustered_skipping_read",
+    "q120_boilerplate_strip",
+    "q123_curriculum_stages",
+    "q124_bigram_counts",
+    "q125_sb_match_profile",
     # --- new this round (never attested; the stamped promotion) ---
-    "q126_nb_confusion",
+    "q127_bytelevel_encode",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
