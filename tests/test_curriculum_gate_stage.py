@@ -30,11 +30,14 @@ from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q127_MERGES,
     STAGED_Q127_NAME,
     STAGED_Q127_ORACLE,
+    STAGED_Q128_NAME,
+    STAGED_Q128_ORACLE,
     _GATE_PRIORITY,
     queries,
     staged_q125_sb_match_profile,
     staged_q126_nb_confusion,
     staged_q127_bytelevel_encode,
+    staged_q128_hard_negatives,
 )
 
 
@@ -150,3 +153,26 @@ def test_q127_registered_at_r17():
     received a driver row, so resting is not an option)."""
     assert STAGED_Q127_NAME in queries()
     assert STAGED_Q127_NAME in _GATE_PRIORITY
+
+
+def test_staged_q128_matches_oracle(spark, sf_dir):
+    """The r18 promotion lands pre-proven: the hard-negatives
+    differential (the IVF scale path at the exhaustive
+    nprobe == n_centroids setting vs the brute all-pairs SQL replay)
+    runs on every pytest from the r17 staging onward — the
+    q124/q125/q126/q127 recipe. Exactness premise: both engines fold
+    the cosine dot product in index order (bit-identical raw sims),
+    so the rank window is integer-exact; full-probe IVF == brute is
+    pinned independently by tests/test_negatives.py."""
+    got = staged_q128_hard_negatives(spark, sf_dir)
+    want = run_duckdb(STAGED_Q128_ORACLE, sf_dir)
+    compare(got, want, STAGED_Q128_NAME)
+
+
+def test_q128_staged_not_registered():
+    """The pre-registration contract (flips to its inverse at r18):
+    staged means NOT in the catalog and NOT holding a window slot —
+    registration must be a deliberate rotation event, never a
+    side-effect of importing the staged builder."""
+    assert STAGED_Q128_NAME not in queries()
+    assert STAGED_Q128_NAME not in _GATE_PRIORITY

@@ -4786,6 +4786,92 @@ def staged_q127_bytelevel_encode(
     )
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r18 — NOT REGISTERED. The r18 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the hard-negative
+# mining tier (operators/negatives.py::hard_negatives — §2.D
+# contrastive-training scope, added r16 pytest-grade as the largest
+# un-gated ANN-composition surface). The builder runs the REAL scale
+# path — the multi-probe cell kernel, the cell equi-join, the
+# multi-cell distinct, and the per-anchor rank window — at
+# nprobe == n_centroids, the exhaustive setting where IVF equals the
+# brute baseline ROW FOR ROW (tests/test_negatives.py pins that
+# equivalence independently), so the brute all-pairs SQL is an EXACT
+# oracle for the bucketed plan, q48's planted-recipe extended from
+# one query vector to every anchor. Float determinism: both engines
+# compute the cosine as an index-ordered double fold
+# (functions.dot's zip_with/aggregate == DuckDB list_dot_product),
+# so raw sims are bit-identical, ranks (raw desc, neg_id asc) are
+# integer-exact, and the emitted cos_sim is rounded to 4 decimals
+# per the catalog's irrational-float convention. Label exclusion is
+# null-safe on both sides (~eqNullSafe == IS DISTINCT FROM). At
+# production scale nprobe << n_centroids (the approximate trade the
+# module documents); the gate pins the machinery, the recall knob
+# stays covered by test_negatives.py's sweep.
+STAGED_Q128_NAME = "q128_hard_negatives"
+STAGED_Q128_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS raw
+      FROM e a JOIN e b
+        ON b.vec_id <> a.vec_id
+       AND b.label IS DISTINCT FROM a.label
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, raw,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY raw DESC, neg_id
+             ) AS rank
+      FROM pairs
+    )
+    SELECT anchor_id, neg_id, round(raw, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def staged_q128_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining gate (operators/negatives.py::
+    hard_negatives — §2.D contrastive-training scope): for every
+    embedding, its 5 most-cosine-similar corpus vectors that are not
+    positives (self excluded; label == positive set, null-safe).
+    Runs the IVF scale path at the exhaustive nprobe == n_centroids
+    setting, where the bucketed plan provably equals the brute
+    baseline — giving the cell kernel, equi-join, distinct, and rank
+    window an exact all-pairs SQL oracle. Scale shape (at production
+    nprobe << n_centroids): one BLAS probe pass per side, one cell
+    equi-join (~|corpus|/n_centroids * nprobe candidates per
+    anchor), one per-anchor window — never |anchors| x |corpus|."""
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb,
+        k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        method="ivf",
+        n_centroids=8,
+        nprobe=8,
+    )
+    return out.select(
+        "anchor_id",
+        "neg_id",
+        F.round(F.col("cos_sim"), 4).alias("cos_sim"),
+        "rank",
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
