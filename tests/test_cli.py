@@ -2270,3 +2270,83 @@ def test_cli_clean_refuses_helper_column_collisions(spark, tmp_path):
             spark, src, str(tmp_path / "o3"),
             strip_code_fences=True, boiler_min_docs=100,
         )
+
+
+def test_cli_bestof_end_to_end(spark, tmp_path, capsys):
+    """`bestof` writes each prompt's thresholded top-n and reports
+    prompt/row counts."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "resp")
+    spark.createDataFrame(
+        [("p", 1, 1.0), ("p", 2, 3.0), ("p", 3, 2.0),
+         ("q", 4, 0.1), ("q", 5, 0.2)],
+        "prompt_id string, response_id long, score double",
+    ).write.parquet(src)
+    dest = str(tmp_path / "best")
+    assert cli.main(
+        ["bestof", "--input", src, "--output", dest,
+         "--n", "2", "--min-score", "0.5"]
+    ) == 0
+    got = {
+        (r.prompt, r.response_id): r.rank
+        for r in spark.read.parquet(dest).collect()
+    }
+    # q is rejected wholesale (no response >= 0.5)
+    assert got == {("p", 2): 1, ("p", 3): 2}
+    out = capsys.readouterr().out
+    assert "kept 2 responses over 1 prompts" in out
+
+
+def test_cli_mix_doremi(spark, tmp_path, capsys):
+    """`mix --op doremi` aggregates per-example losses and writes the
+    EG-averaged mixture; harder domains weigh more."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "losses")
+    rows = []
+    for step in range(3):
+        for i in range(5):
+            rows.append((step, "hard", 3.0 + i * 0.1, 2.0))
+            rows.append((step, "easy", 2.0, 2.0))
+    spark.createDataFrame(
+        rows, "step long, domain string, proxy_loss double, ref_loss double"
+    ).write.parquet(src)
+    dest = str(tmp_path / "weights")
+    assert cli.main(
+        ["mix", "--op", "doremi", "--input", src, "--output", dest,
+         "--group-col", "domain", "--step-col", "step", "--lr", "1.0"]
+    ) == 0
+    got = {r.domain: r.weight for r in spark.read.parquet(dest).collect()}
+    assert got["hard"] > got["easy"]
+    assert sum(got.values()) == pytest.approx(1.0)
+    assert "weights for 2 groups" in capsys.readouterr().out
+
+
+def test_cli_batchplan_end_to_end(spark, tmp_path, capsys):
+    """`batchplan` writes batch assignments and prints exact padding
+    economics; the per-bucket report rides --report-output."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, [4, 5, 6, 7][i % 4]) for i in range(40)],
+        "doc_id long, n_tokens long",
+    ).write.parquet(src)
+    dest = str(tmp_path / "batches")
+    rep = str(tmp_path / "rep")
+    assert cli.main(
+        ["batchplan", "--input", src, "--output", dest,
+         "--batch-size", "8", "--shard-hex", "0",
+         "--boundaries", "8,64", "--report-output", rep]
+    ) == 0
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(dest)
+    assert got.count() == 40
+    assert got.filter(~F.col("is_remainder")).groupBy(
+        "bucket", "shard", "batch_idx"
+    ).count().filter(F.col("count") != 8).count() == 0
+    out = capsys.readouterr().out
+    assert "batchplan: 40 rows in 5 batches" in out
+    assert spark.read.parquet(rep).count() == 1  # all lengths <= 8: one bucket

@@ -250,3 +250,97 @@ def test_prompt_response_stats_nan_hygiene(spark):
     assert (n.n_responses, n.n_scored) == (2, 0)
     assert n.score_min is None and n.score_max is None
     assert n.top_is_tied is False
+
+
+def test_best_of_n_matches_duckdb_window_oracle(spark):
+    """best_of_n's exact DuckDB differential (window + filter —
+    SQL-expressible, the gate-staging dry run): same eligibility as
+    the pairing functions, threshold-before-rank, deterministic
+    (score desc, id asc) ranks."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for p in range(20):
+        for r in range(rng.randint(1, 6)):
+            rows.append((f"p{p}", p * 100 + r, round(rng.uniform(0, 10), 3)))
+    rows += [
+        (None, 9999, 5.0),            # null prompt: dropped
+        ("p0", None, 5.0),            # null id: dropped
+        ("p1", 9998, None),           # null score: dropped
+        ("p2", 9997, float("nan")),   # NaN score: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, response_id long, score double"
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+        best_of_n,
+    )
+
+    got = (
+        best_of_n(df, n=2, min_score=2.0)
+        .orderBy("prompt", "rank")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("resp", df.toPandas())
+    want = con.execute(
+        """
+        SELECT prompt_id AS prompt, response_id, score, rank FROM (
+          SELECT prompt_id, response_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score DESC, response_id) AS rank
+          FROM resp
+          WHERE prompt_id IS NOT NULL AND response_id IS NOT NULL
+            AND score IS NOT NULL AND NOT isnan(score)
+            AND score >= 2.0)
+        WHERE rank <= 2
+        ORDER BY prompt, rank
+        """
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["prompt"], g["response_id"], g["rank"]) == (w[0], w[1], w[3])
+        assert g["score"] == pytest.approx(w[2], abs=0)
+
+
+def test_best_of_n_rejects_whole_prompt_below_threshold(spark):
+    """A prompt with no response above min_score emits NOTHING — the
+    rejection in rejection sampling — and ties rank by id asc."""
+    from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+        best_of_n,
+    )
+
+    df = spark.createDataFrame(
+        [("p", 1, 0.5), ("p", 2, 0.4), ("q", 3, 3.0), ("q", 4, 3.0)],
+        "prompt_id string, response_id long, score double",
+    )
+    got = best_of_n(df, n=1, min_score=1.0).collect()
+    assert len(got) == 1
+    assert (got[0]["prompt"], got[0]["response_id"]) == ("q", 3)
+    with pytest.raises(ValueError, match="n must be"):
+        best_of_n(df, n=0)
+    # text column rides through when given
+    dft = df.withColumn("text", F.concat(F.lit("t"), F.col("response_id")))
+    row = best_of_n(
+        dft, n=1, text_col="text"
+    ).filter(F.col("prompt") == "q").head()
+    assert row["text"] == "t3"
+
+
+def test_best_of_n_plan_is_codegen_single_exchange(spark):
+    """The hot path stays UDF-free and shuffles on the prompt key
+    exactly once (window only — no join, no second exchange)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+        best_of_n,
+    )
+
+    df = spark.createDataFrame(
+        [("p", 1, 1.0)], "prompt_id string, response_id long, score double"
+    )
+    plan = formatted_plan(best_of_n(df, n=3, min_score=0.5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) == 1, plan

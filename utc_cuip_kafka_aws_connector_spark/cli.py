@@ -2029,6 +2029,25 @@ def main(argv: list[str] | None = None) -> int:
         help="also write per-prompt diagnostics (top-tie flag, spread)",
     )
 
+    bestof = sub.add_parser(
+        "bestof",
+        help="rejection sampling / best-of-n selection: keep each "
+        "prompt's top-n responses by score, optionally thresholded "
+        "(the SFT-side complement of `pairs`)",
+    )
+    bestof.add_argument("--input", required=True, help="scored-responses parquet")
+    bestof.add_argument("--output", required=True, help="winners parquet path")
+    bestof.add_argument("--prompt-col", default="prompt_id")
+    bestof.add_argument("--id-col", default="response_id")
+    bestof.add_argument("--score-col", default="score")
+    bestof.add_argument("--text-col", default=None, help="carry the text")
+    bestof.add_argument("--n", type=int, default=1)
+    bestof.add_argument(
+        "--min-score", type=float, default=None,
+        help="acceptance threshold: prompts with no response above it "
+        "emit nothing",
+    )
+
     chat = sub.add_parser(
         "chat",
         help="conversation (SFT) dataset ops over "
@@ -2087,7 +2106,9 @@ def main(argv: list[str] | None = None) -> int:
         "allocation or temperature-based mixture weights over group "
         "sizes",
     )
-    mix.add_argument("--op", required=True, choices=["unimax", "temperature"])
+    mix.add_argument(
+        "--op", required=True, choices=["unimax", "temperature", "doremi"]
+    )
     mix.add_argument("--input", required=True, help="corpus parquet")
     mix.add_argument("--output", required=True, help="weights parquet path")
     mix.add_argument("--group-col", default="lang")
@@ -2101,8 +2122,22 @@ def main(argv: list[str] | None = None) -> int:
                      help="temperature: w = n^tau / sum n^tau")
     mix.add_argument(
         "--pre-aggregated", action="store_true",
-        help="input is already one (group, size) row per group",
+        help="input is already one (group, size) row per group; "
+        "doremi: input is already one (step?, group, excess_loss) row",
     )
+    mix.add_argument("--proxy-loss-col", default="proxy_loss",
+                     help="doremi: per-example proxy-model loss")
+    mix.add_argument("--ref-loss-col", default="ref_loss",
+                     help="doremi: per-example reference-model loss")
+    mix.add_argument("--step-col", default=None,
+                     help="doremi: replay EG updates in this step order "
+                     "(omit to iterate one aggregate lambda vector)")
+    mix.add_argument("--lr", type=float, default=1.0,
+                     help="doremi: exponentiated-gradient step size")
+    mix.add_argument("--smoothing", type=float, default=1e-3,
+                     help="doremi: uniform-mix floor c")
+    mix.add_argument("--iters", type=int, default=1,
+                     help="doremi without --step-col: EG repetitions")
 
     curve = sub.add_parser(
         "curve",
@@ -2300,6 +2335,36 @@ def main(argv: list[str] | None = None) -> int:
     pack.add_argument(
         "--shard-hex-chars", type=int, default=1,
         help="parallelism = 16^n packing groups (0 = one global group)",
+    )
+
+    batchplan = sub.add_parser(
+        "batchplan",
+        help="length-bucketed PADDED batch assembly (the fixed-shape "
+        "complement of `pack`): assign (bucket, shard, batch_idx, "
+        "pad_to) per row and print the exact padding-waste report",
+    )
+    batchplan.add_argument("--input", required=True, help="measured parquet")
+    batchplan.add_argument("--output", required=True, help="batches parquet path")
+    batchplan.add_argument("--id-col", default="doc_id")
+    batchplan.add_argument("--len-col", default="n_tokens")
+    batchplan.add_argument("--batch-size", type=int, default=32)
+    batchplan.add_argument(
+        "--boundaries", default=None,
+        help="comma-separated ascending bucket upper bounds "
+        "(default: floor-log2 buckets)",
+    )
+    batchplan.add_argument(
+        "--shard-hex", type=int, default=1,
+        help="parallelism = 16^n shards per bucket (0 = exact global "
+        "batching per bucket)",
+    )
+    batchplan.add_argument(
+        "--order", default="length", choices=["length", "hash"],
+        help="hash = the random-batch baseline, for pricing the sort",
+    )
+    batchplan.add_argument(
+        "--report-output", default=None,
+        help="also write the per-bucket padding report",
     )
 
     explain = sub.add_parser(
@@ -2990,6 +3055,64 @@ def main(argv: list[str] | None = None) -> int:
                 score_col=args.score_col,
             ).write.mode("overwrite").parquet(args.stats_output)
             print(f"wrote per-prompt stats -> {args.stats_output}")
+    elif args.cmd == "bestof":
+        from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+            best_of_n,
+        )
+
+        winners = best_of_n(
+            spark.read.parquet(args.input),
+            prompt_col=args.prompt_col,
+            id_col=args.id_col,
+            score_col=args.score_col,
+            text_col=args.text_col,
+            n=args.n,
+            min_score=args.min_score,
+        )
+        winners.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n_rows = out.count()
+        n_prompts = out.select("prompt").distinct().count()
+        thr = f", min_score={args.min_score}" if args.min_score is not None else ""
+        print(
+            f"best-of-n kept {n_rows} responses over {n_prompts} prompts "
+            f"(n={args.n}{thr}) -> {args.output}"
+        )
+    elif args.cmd == "batchplan":
+        from utc_cuip_kafka_aws_connector_spark.operators.lenbatch import (
+            bucketed_batches,
+            padding_report,
+        )
+
+        bounds = (
+            [int(b) for b in args.boundaries.split(",")]
+            if args.boundaries
+            else None
+        )
+        planned = bucketed_batches(
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
+            len_col=args.len_col,
+            batch_size=args.batch_size,
+            boundaries=bounds,
+            shard_hex=args.shard_hex,
+            order=args.order,
+        )
+        planned.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        rep = padding_report(written, len_col=args.len_col).head()
+        print(
+            f"batchplan: {rep['n_rows']} rows in {rep['n_batches']} "
+            f"batches ({rep['n_remainder_batches']} remainders), "
+            f"waste_frac={rep['waste_frac']:.4f} "
+            f"(pad {rep['pad_tokens']} / real {rep['real_tokens']}) "
+            f"-> {args.output}"
+        )
+        if args.report_output:
+            padding_report(
+                written, len_col=args.len_col, by_bucket=True
+            ).write.mode("overwrite").parquet(args.report_output)
+            print(f"wrote per-bucket report -> {args.report_output}")
     elif args.cmd == "chat":
         from utc_cuip_kafka_aws_connector_spark.operators import (
             conversations as conv_ops,
@@ -3077,6 +3200,29 @@ def main(argv: list[str] | None = None) -> int:
                 size_col=args.size_col,
                 max_epochs=args.max_epochs,
                 pre_aggregated=args.pre_aggregated,
+            )
+        elif args.op == "doremi":
+            from utc_cuip_kafka_aws_connector_spark.operators.doremi import (
+                domain_excess_loss,
+                doremi_weights,
+            )
+
+            losses = spark.read.parquet(args.input)
+            if not args.pre_aggregated:
+                losses = domain_excess_loss(
+                    losses,
+                    domain_col=args.group_col,
+                    proxy_loss_col=args.proxy_loss_col,
+                    ref_loss_col=args.ref_loss_col,
+                    step_col=args.step_col,
+                )
+            weights = doremi_weights(
+                losses,
+                domain_col=args.group_col,
+                step_col=args.step_col,
+                lr=args.lr,
+                smoothing=args.smoothing,
+                n_iter=args.iters,
             )
         else:  # temperature
             from pyspark.sql import functions as _Fm

@@ -195,6 +195,59 @@ def preference_pairs(
     return out
 
 
+def best_of_n(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    id_col: str = "response_id",
+    score_col: str = "score",
+    text_col: str | None = None,
+    n: int = 1,
+    min_score: float | None = None,
+) -> DataFrame:
+    """(prompt, response_id, score, rank[, text]): rejection sampling
+    / best-of-n selection — keep each prompt's top ``n`` responses by
+    (score desc, id asc), the SFT-side complement of
+    ``preference_pairs`` (best-of-n distillation trains directly on
+    the winners; e.g. the rejection-sampling fine-tuning stage in
+    Llama 2, Touvron et al. 2023, and WebGPT's best-of-n baseline,
+    Nakano et al. 2021).
+
+    Eligibility matches the pairing functions exactly (``_validated``:
+    null prompt/id/score and NaN scores drop); ``min_score`` — a
+    reward-model acceptance threshold — filters BEFORE ranking, so a
+    prompt whose every response fails it emits nothing (the
+    rejection in rejection sampling) rather than promoting its
+    least-bad response. ``rank`` is 1-based and deterministic under
+    ties (id asc — the same id-order artifact ``prompt_response_
+    stats``'s top_is_tied column exists to count).
+
+    Scale shape: one prompt-key exchange for the window; the
+    threshold is a codegen predicate pushed at the scan. Fully
+    SQL-expressible (window + filter) — carries an exact DuckDB
+    differential in the test suite, staged for a future gate."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = _validated(df, prompt_col, id_col, score_col, text_col)
+    if min_score is not None:
+        base = base.filter(F.col("score") >= float(min_score))
+    w = W.partitionBy("prompt").orderBy(
+        F.col("score").desc(), F.col("rid").asc()
+    )
+    out_cols = [
+        "prompt",
+        F.col("rid").alias("response_id"),
+        "score",
+        "rank",
+    ]
+    if text_col is not None:
+        out_cols.append("text")
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(*out_cols)
+    )
+
+
 def prompt_response_stats(
     df: DataFrame,
     prompt_col: str = "prompt_id",
