@@ -2350,3 +2350,21 @@ def test_cli_batchplan_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "batchplan: 40 rows in 5 batches" in out
     assert spark.read.parquet(rep).count() == 1  # all lengths <= 8: one bucket
+
+
+def test_cli_batchplan_empty_input(spark, tmp_path, capsys):
+    """Review r17: an input with no eligible rows (all lengths
+    null/non-positive) must report cleanly, not crash formatting the
+    NULL aggregate."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, None), (2, 0)], "doc_id long, n_tokens long"
+    ).write.parquet(src)
+    dest = str(tmp_path / "batches")
+    assert cli.main(
+        ["batchplan", "--input", src, "--output", dest, "--shard-hex", "0"]
+    ) == 0
+    assert "0 eligible rows" in capsys.readouterr().out
+    assert spark.read.parquet(dest).count() == 0

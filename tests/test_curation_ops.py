@@ -693,3 +693,89 @@ def test_free_checkpoint_blocks_falls_back_without_log4j():
     assert blocks2[0].freed == 1
 
     _free_checkpoint_blocks(_NoJvm(), [])  # empty list: no-op
+
+
+def test_free_checkpoint_blocks_restores_partially_quieted_loggers():
+    """Review r17: when setLevel fails PARTWAY (py4j hiccup after
+    some loggers were already dropped to ERROR), the fallback must
+    restore the ones it quieted — not permanently mute their WARNs —
+    and still free every block."""
+    import types
+
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+        _free_checkpoint_blocks,
+    )
+
+    set_calls = []
+
+    class _Logger:
+        def __init__(self, lvl):
+            self._l = lvl
+
+        def getLevel(self):
+            return self._l
+
+    class _LogMgr:
+        @staticmethod
+        def getLogger(n):
+            return _Logger(f"PREV[{n}]")
+
+    class _Conf:
+        @staticmethod
+        def setLevel(n, lvl):
+            if lvl == "ERROR" and sum(
+                1 for _, v in set_calls if v == "ERROR"
+            ) == 1:
+                raise RuntimeError("py4j hiccup on the second logger")
+            set_calls.append((n, lvl))
+
+    class _Level:
+        ERROR = "ERROR"
+
+    jvm = types.SimpleNamespace(
+        org=types.SimpleNamespace(
+            apache=types.SimpleNamespace(
+                logging=types.SimpleNamespace(
+                    log4j=types.SimpleNamespace(
+                        LogManager=_LogMgr,
+                        Level=_Level,
+                        core=types.SimpleNamespace(
+                            config=types.SimpleNamespace(Configurator=_Conf)
+                        ),
+                    )
+                )
+            )
+        )
+    )
+
+    class _SC:
+        _jvm = jvm
+
+    class _Block:
+        def __init__(self, name):
+            self._name = name
+            self.freed = 0
+
+        def rdd(self):
+            blk = self
+
+            class _R:
+                def getClass(self):
+                    class _C:
+                        def getName(_s):
+                            return blk._name
+
+                    return _C()
+
+            return _R()
+
+        def unpersist(self):
+            self.freed += 1
+
+    blocks = [_Block("rdd.ClassA"), _Block("rdd.ClassB")]
+    _free_checkpoint_blocks(_SC(), blocks)
+    assert [b.freed for b in blocks] == [1, 1]
+    quieted = [n for n, v in set_calls if v == "ERROR"]
+    assert len(quieted) == 1  # the hiccup stopped the loop after one
+    # ...and that one was restored to its prior level
+    assert (quieted[0], f"PREV[{quieted[0]}]") in set_calls

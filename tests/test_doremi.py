@@ -203,3 +203,40 @@ def test_validation_errors(spark):
         doremi_weights(dup)
     with pytest.raises(ValueError, match="empty"):
         doremi_weights(lam.filter(F.lit(False)))
+
+
+def test_null_step_and_duplicate_cells_raise(spark):
+    """Review r17: a NULL step cannot say WHEN its lambda applies
+    (previously a raw TypeError in sorted()); duplicate (step,
+    domain) cells would be silently last-wins by collect order —
+    both must refuse loudly like the no-step duplicate path."""
+    null_step = spark.createDataFrame(
+        [(None, "a", 1.0), (0, "b", 0.5)],
+        "step long, domain string, excess_loss double",
+    )
+    with pytest.raises(ValueError, match="NULL step"):
+        doremi_weights(null_step, step_col="step")
+    dup = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "a", 0.5)],
+        "step long, domain string, excess_loss double",
+    )
+    with pytest.raises(ValueError, match="duplicate \\(step, domain\\)"):
+        doremi_weights(dup, step_col="step")
+
+
+def test_smoothing_zero_survives_weight_collapse(spark):
+    """Review r17: smoothing=0 is allowed by the validator, and a
+    domain whose weight underflows to exactly 0 (exp(-5000)) must
+    stay collapsed across later steps — not crash the fold with
+    log(0) -> math domain error."""
+    lam = spark.createDataFrame(
+        [("a", 5000.0), ("b", 0.0)], "domain string, excess_loss double"
+    )
+    got = {
+        r["domain"]: r
+        for r in doremi_weights(lam, lr=1.0, smoothing=0.0, n_iter=3).collect()
+    }
+    assert got["a"]["final_weight"] == pytest.approx(1.0)
+    assert got["b"]["final_weight"] == 0.0
+    assert all(math.isfinite(g["weight"]) for g in got.values())
+    assert sum(g["weight"] for g in got.values()) == pytest.approx(1.0)

@@ -212,3 +212,29 @@ def test_validation_errors(spark):
         bucketed_batches(df, boundaries=[10, 10])
     with pytest.raises(ValueError, match="boundaries"):
         bucketed_batches(df, boundaries=[])
+
+
+def test_refuses_generated_column_collisions(spark):
+    """Review r17: the operator generates fixed column names; an
+    input already carrying one must be refused (silently clobbering
+    'bucket', or duplicating 'batch_idx' in the applyInPandas
+    schema, is the collision class cli._require_cols_absent exists
+    for)."""
+    for col, typ in [("bucket", "long"), ("batch_idx", "long"),
+                     ("is_remainder", "boolean")]:
+        df = spark.createDataFrame(
+            [], f"doc_id long, n_tokens long, {col} {typ}"
+        )
+        with pytest.raises(ValueError, match=col):
+            bucketed_batches(df)
+
+
+def test_length_order_plan_skips_hash_key(spark):
+    """Review r17: the md5 baseline sort key must not be computed
+    (nor ride the shuffle) on the default length path — it exists
+    only for order='hash'."""
+    from tests.plan_utils import formatted_plan
+
+    df = spark.createDataFrame([(1, 3)], "doc_id long, n_tokens long")
+    assert ":batch" not in formatted_plan(bucketed_batches(df, order="length"))
+    assert ":batch" in formatted_plan(bucketed_batches(df, order="hash"))

@@ -154,3 +154,18 @@ def test_vocab_coverage_excludes_added_tokens(spark):
     )
     [ov] = vocab_utilization(df, overlap).collect()
     assert ov.vocab_coverage == pytest.approx(4 / 5)
+
+
+def test_all_added_vocab_refuses(spark):
+    """Review r17: a spec whose every vocab entry is an added/control
+    token has no model vocabulary to measure — refuse loudly instead
+    of emitting a silently-NULL coverage column."""
+    df = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    degenerate = TokenizerSpec(
+        merges=[], vocab={"<s>": 0, "</s>": 1}, unk_token=None,
+        byte_level=False, added_tokens={"<s>": 0, "</s>": 1},
+    )
+    with pytest.raises(ValueError, match="no model vocabulary"):
+        vocab_utilization(df, degenerate)

@@ -3101,13 +3101,22 @@ def main(argv: list[str] | None = None) -> int:
         planned.write.mode("overwrite").parquet(args.output)
         written = spark.read.parquet(args.output)
         rep = padding_report(written, len_col=args.len_col).head()
-        print(
-            f"batchplan: {rep['n_rows']} rows in {rep['n_batches']} "
-            f"batches ({rep['n_remainder_batches']} remainders), "
-            f"waste_frac={rep['waste_frac']:.4f} "
-            f"(pad {rep['pad_tokens']} / real {rep['real_tokens']}) "
-            f"-> {args.output}"
-        )
+        if not rep["n_rows"]:
+            # empty input, or every row failed eligibility (null ids,
+            # null/non-positive lengths): the global aggregate row
+            # carries NULL sums, which would crash the format below
+            print(
+                f"batchplan: 0 eligible rows (nothing to batch) "
+                f"-> {args.output}"
+            )
+        else:
+            print(
+                f"batchplan: {rep['n_rows']} rows in {rep['n_batches']} "
+                f"batches ({rep['n_remainder_batches']} remainders), "
+                f"waste_frac={rep['waste_frac']:.4f} "
+                f"(pad {rep['pad_tokens']} / real {rep['real_tokens']}) "
+                f"-> {args.output}"
+            )
         if args.report_output:
             padding_report(
                 written, len_col=args.len_col, by_bucket=True

@@ -304,6 +304,7 @@ def _free_checkpoint_blocks(sc, blocks: list) -> None:
     with a fake SparkContext."""
     if not blocks:
         return
+    quieted: dict = {}
     try:
         jvm = sc._jvm
         log_mgr = jvm.org.apache.logging.log4j.LogManager
@@ -313,7 +314,17 @@ def _free_checkpoint_blocks(sc, blocks: list) -> None:
         prev = {n: log_mgr.getLogger(n).getLevel() for n in names}
         for n in names:
             configurator.setLevel(n, error_lvl)
+            quieted[n] = prev[n]
     except Exception:
+        # restore any logger ALREADY dropped to ERROR before the
+        # failure (a py4j hiccup mid-loop must not permanently mute
+        # genuine WARNs from those RDD classes), then free with the
+        # WARN
+        for n, lvl in quieted.items():
+            try:
+                configurator.setLevel(n, lvl)
+            except Exception:
+                pass
         for b in blocks:
             b.unpersist()
         return

@@ -147,10 +147,27 @@ def doremi_weights(
     domains = sorted({r["domain"] for r in rows})
     uniform = 1.0 / len(domains)
     if step_col is not None:
+        if any(r["step"] is None for r in rows):
+            raise ValueError(
+                f"doremi_weights: NULL step in {step_col!r} (or a "
+                "step_col that casts to null) — a step-keyed lambda "
+                "row must say WHEN it applies; fix the log or drop "
+                "the rows upstream"
+            )
         steps = sorted({r["step"] for r in rows})
         lam_by_step: dict = {s: {} for s in steps}
         for r in rows:
-            lam_by_step[r["step"]][r["domain"]] = (
+            cell = lam_by_step[r["step"]]
+            if r["domain"] in cell:
+                # same loud contract as the no-step path: silently
+                # keeping collect()'s last row would make the mixture
+                # partition-order dependent
+                raise ValueError(
+                    f"duplicate (step, domain) = ({r['step']!r}, "
+                    f"{r['domain']!r}): aggregate first "
+                    "(domain_excess_loss) — one lambda per cell"
+                )
+            cell[r["domain"]] = (
                 0.0 if r["lam"] is None or math.isnan(r["lam"]) else r["lam"]
             )
         schedule = [lam_by_step[s] for s in steps]
@@ -172,9 +189,15 @@ def doremi_weights(
     for lam in schedule:
         # exp in log space off the max: exp(lr * lambda) overflows a
         # double near lambda ~ 700/lr; shifting by the max is exact
-        # for the renormalized ratio
+        # for the renormalized ratio. At smoothing=0 a weight can
+        # underflow to exactly 0 (exp(-5000) == 0.0); log(0) -> -inf
+        # keeps the fold well-defined (the domain stays collapsed,
+        # the EG semantics of a zero weight) instead of raising a
+        # math domain error mid-schedule.
         scores = {
-            d: math.log(alpha[d]) + lr * lam.get(d, 0.0) for d in domains
+            d: (math.log(alpha[d]) if alpha[d] > 0.0 else -math.inf)
+            + lr * lam.get(d, 0.0)
+            for d in domains
         }
         m = max(scores.values())
         exps = {d: math.exp(scores[d] - m) for d in domains}

@@ -94,6 +94,24 @@ def bucketed_batches(
             raise ValueError(
                 f"boundaries must be non-empty strictly ascending, got {boundaries}"
             )
+    # this operator GENERATES fixed column names; an input already
+    # carrying one would be silently clobbered (bucket/shard/_ord) or
+    # duplicated in the applyInPandas schema (batch_idx/pad_to/pad/
+    # is_remainder) -- refuse loudly (the cli._require_cols_absent
+    # doctrine)
+    clash = [
+        c
+        for c in (
+            "bucket", "shard", "batch_idx", "pad_to", "pad",
+            "is_remainder", "_ord",
+        )
+        if c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"bucketed_batches generates column(s) {clash} which the "
+            "input already has -- rename or drop them first"
+        )
 
     l = F.col(len_col).cast("long")
     base = df.filter(
@@ -103,14 +121,19 @@ def bucketed_batches(
         shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_hex)
     else:
         shard = F.lit("")
-    base = base.withColumn("shard", shard).withColumn(
-        "_ord", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":batch")))
-    )
+    base = base.withColumn("shard", shard)
+    if order == "hash":
+        # the baseline's sort key; NOT computed on the length path --
+        # a 32-char column riding the shuffle for nothing
+        base = base.withColumn(
+            "_ord",
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":batch"))),
+        )
 
     from pyspark.sql.types import BooleanType
 
     out_schema = StructType(
-        list(base.drop("_ord").schema.fields)
+        [f for f in base.schema.fields if f.name != "_ord"]
         + [
             StructField("batch_idx", LongType()),
             StructField("pad_to", LongType()),
@@ -126,7 +149,8 @@ def bucketed_batches(
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(
             drop=True
         )
-        pdf = pdf.drop(columns=["_ord"])
+        if not by_length:
+            pdf = pdf.drop(columns=["_ord"])
         idx = pdf.index.to_numpy() // bs
         lens = pdf[len_col].astype("int64")
         pad_to = lens.groupby(idx).transform("max")

@@ -106,40 +106,49 @@ def semantic_dedup(
         .persist()
     )
     pinned.count()
-    assigned, stitches = pinned, None
-    if cluster_cap is not None:
-        # the guard may return a REBUILT frame (sub-bucketed ids), so
-        # keep ``pinned`` separate: the final unpersist must target
-        # the frame that was actually persisted, not the guard output
-        assigned, stitches = recluster_oversized(
-            df, pinned, cap=cluster_cap, id_col=id_col, vec_col=vec_col
+    try:
+        assigned, stitches = pinned, None
+        if cluster_cap is not None:
+            # the guard may return a REBUILT frame (sub-bucketed
+            # ids), so keep ``pinned`` separate: the final unpersist
+            # must target the frame that was actually persisted, not
+            # the guard output
+            assigned, stitches = recluster_oversized(
+                df, pinned, cap=cluster_cap, id_col=id_col, vec_col=vec_col
+            )
+        left = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
+        right = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
+        cand = (
+            left.join(right, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
-    left = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
-    right = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
-    cand = (
-        left.join(right, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if stitches is not None:
-        # duplicate-free by construction: a stitch pair spans two
-        # DIFFERENT sub-buckets, so it cannot also come out of the
-        # within-bucket self-join, and the guard already distinct()s
-        # its own output -- no dedup shuffle needed here.
-        cand = cand.unionByName(stitches)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= cos_threshold)
-        .select("id_a", "id_b")
-    )
-    result = dedup_clusters(df, pairs, id_col=id_col, src="id_a", dst="id_b")
-    # dedup_clusters -> connected_components eagerly checkpoints the
-    # edge list at entry (dedup.py::_cut), so ``pairs`` -- and with it
-    # the assignment frame -- is fully materialized by now and the
-    # returned lineage no longer references it: safe to release here
-    # rather than leaking a pinned frame per call at daemon timescales.
-    pinned.unpersist()
-    return result
+        if stitches is not None:
+            # duplicate-free by construction: a stitch pair spans two
+            # DIFFERENT sub-buckets, so it cannot also come out of
+            # the within-bucket self-join, and the guard already
+            # distinct()s its own output -- no dedup shuffle needed.
+            cand = cand.unionByName(stitches)
+        va = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        )
+        pairs = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(cosine(F.col("v_a"), F.col("v_b")) >= cos_threshold)
+            .select("id_a", "id_b")
+        )
+        return dedup_clusters(df, pairs, id_col=id_col, src="id_a", dst="id_b")
+    finally:
+        # dedup_clusters -> connected_components eagerly checkpoints
+        # the edge list at entry (dedup.py::_cut), so by the time it
+        # returns, ``pairs`` -- and with it the assignment frame --
+        # is fully materialized and the returned lineage no longer
+        # references it. finally: an exception mid-build (CC
+        # non-convergence is a designed exit) must not leak the pin
+        # either -- that daemon-timescale leak is the reason the
+        # unpersist exists.
+        pinned.unpersist()

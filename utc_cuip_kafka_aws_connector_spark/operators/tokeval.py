@@ -121,6 +121,14 @@ def vocab_utilization(
     # a plain len-subtraction would over-subtract there.
     added = getattr(spec, "added_tokens", None) or {}
     vocab_size = sum(1 for t in spec.vocab if t not in added)
+    if vocab_size == 0:
+        # every vocab key is an added/control token: there is no
+        # model vocab to measure coverage against -- Spark's null
+        # division would otherwise emit a silently-NULL column
+        raise ValueError(
+            "vocab_utilization: the spec has no model vocabulary "
+            "(every entry is an added/control token)"
+        )
     zero = F.coalesce(F.col("n_tokens"), F.lit(0)) == 0
     return out.select(
         *keys,
