@@ -2368,3 +2368,27 @@ def test_cli_batchplan_empty_input(spark, tmp_path, capsys):
     ) == 0
     assert "0 eligible rows" in capsys.readouterr().out
     assert spark.read.parquet(dest).count() == 0
+
+
+def test_cli_epochs_end_to_end(spark, tmp_path, capsys):
+    """`epochs` closes the mix -> rows loop: a unimax-shaped
+    allocation materializes as the replicated corpus."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    ).write.parquet(src)
+    alloc = str(tmp_path / "alloc")
+    spark.createDataFrame(
+        [("en", 2.0), ("de", 0.0)], "lang string, epochs double"
+    ).write.parquet(alloc)
+    dest = str(tmp_path / "rows")
+    assert cli.main(
+        ["epochs", "--input", src, "--alloc", alloc, "--output", dest]
+    ) == 0
+    got = spark.read.parquet(dest)
+    assert got.count() == 40  # 20 en docs x exactly 2 epochs; de dropped
+    assert got.filter(got.lang == "de").count() == 0
+    assert "materialized 40 rows across 1 groups" in capsys.readouterr().out

@@ -1,0 +1,141 @@
+"""operators/epochs.py: epoch materialization (allocation -> rows).
+
+Evidence: an exact pure-Python differential of the full replica
+multiset (floor tier + the md5 fractional draw, the hashdraw 13-hex
+kernel replicated with hashlib), the nesting law within an integer
+part (2.4 -> 2.7 strictly grows every group's multiset), exact
+per-group counts (floor*n + |{u < frac}| — deterministic, not
+statistical), drop semantics (unallocated/zero groups, null
+group/id rows), the loud-validation contract (duplicate groups,
+NaN/negative/null epochs, replica collision), and a plan pin
+(broadcast join + explode, no corpus shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+    materialize_epochs,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
+    HEX_CHARS,
+    SPACE,
+)
+
+
+def _u(doc_id, flr, salt="epochs"):
+    h = hashlib.md5(f"{doc_id}:{flr}:{salt}".encode()).hexdigest()
+    return int(h[:HEX_CHARS], 16) / SPACE
+
+
+def _python_replicas(doc_id, e, salt="epochs"):
+    flr = int(e)
+    reps = list(range(flr))
+    if _u(doc_id, flr, salt) < (e - flr):
+        reps.append(flr)
+    return reps
+
+
+def _fixture(spark, n=300):
+    rows = [
+        (i, ["web", "code", "books", "junk"][i % 4]) for i in range(n)
+    ]
+    rows += [(None, "web"), (9001, None)]  # dropped: null id / group
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+ALLOC = [("web", 2.4), ("code", 1.0), ("books", 0.3)]  # junk: absent
+
+
+def test_matches_python_replay_exactly(spark):
+    df = _fixture(spark)
+    alloc = spark.createDataFrame(ALLOC, "lang string, epochs double")
+    got = {}
+    for r in materialize_epochs(df, alloc).collect():
+        got.setdefault(r["doc_id"], []).append(r["replica"])
+    e_of = dict(ALLOC)
+    want = {}
+    for r in df.collect():
+        if r["doc_id"] is None or r["lang"] is None or r["lang"] not in e_of:
+            continue
+        reps = _python_replicas(r["doc_id"], e_of[r["lang"]])
+        if reps:
+            want[r["doc_id"]] = reps
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # exact per-group counts: floor*n + |{u < frac}|
+    counts = {
+        r["lang"]: r["n"]
+        for r in materialize_epochs(df, alloc)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_web = 75  # 300 docs % 4
+    extra_web = sum(1 for i in range(300) if i % 4 == 0 and _u(i, 2) < 0.4)
+    assert counts["web"] == 2 * n_web + extra_web
+    assert counts["code"] == 75  # exactly one epoch, no draw
+    assert counts.get("books", 0) == sum(
+        1 for i in range(300) if i % 4 == 2 and _u(i, 0) < 0.3
+    )
+    assert "junk" not in counts  # unallocated group dropped
+
+
+def test_nesting_within_integer_part(spark):
+    df = _fixture(spark)
+    lo = spark.createDataFrame([("web", 2.4)], "lang string, epochs double")
+    hi = spark.createDataFrame([("web", 2.7)], "lang string, epochs double")
+    key = lambda r: (r["doc_id"], r["replica"])  # noqa: E731
+    got_lo = {key(r) for r in materialize_epochs(df, lo).collect()}
+    got_hi = {key(r) for r in materialize_epochs(df, hi).collect()}
+    assert got_lo < got_hi  # strict growth, same floor
+
+
+def test_zero_and_subsample_allocations(spark):
+    df = _fixture(spark)
+    alloc = spark.createDataFrame(
+        [("web", 0.0), ("code", 0.5)], "lang string, epochs double"
+    )
+    out = materialize_epochs(df, alloc)
+    assert out.filter(F.col("lang") == "web").count() == 0
+    # pure subsample: every kept row is replica 0, count matches the
+    # deterministic draw
+    code = out.filter(F.col("lang") == "code").collect()
+    assert all(r["replica"] == 0 for r in code)
+    assert len(code) == sum(
+        1 for i in range(300) if i % 4 == 1 and _u(i, 0) < 0.5
+    )
+
+
+def test_validation_errors(spark):
+    df = _fixture(spark)
+    dup = spark.createDataFrame(
+        [("web", 1.0), ("web", 2.0)], "lang string, epochs double"
+    )
+    with pytest.raises(ValueError, match="duplicate group"):
+        materialize_epochs(df, dup)
+    for bad in (float("nan"), -1.0, None):
+        alloc = spark.createDataFrame(
+            [("web", bad)], "lang string, epochs double"
+        )
+        with pytest.raises(ValueError, match="invalid"):
+            materialize_epochs(df, alloc)
+    with pytest.raises(ValueError, match="replica"):
+        materialize_epochs(
+            df.withColumn("replica", F.lit(0)),
+            spark.createDataFrame([("web", 1.0)], "lang string, epochs double"),
+        )
+
+
+def test_plan_is_broadcast_join_no_corpus_shuffle(spark):
+    from tests.plan_utils import formatted_plan
+
+    df = _fixture(spark)
+    alloc = spark.createDataFrame(ALLOC, "lang string, epochs double")
+    plan = formatted_plan(materialize_epochs(df, alloc))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # the explode

@@ -2139,6 +2139,28 @@ def main(argv: list[str] | None = None) -> int:
     mix.add_argument("--iters", type=int, default=1,
                      help="doremi without --step-col: EG repetitions")
 
+    epochs_p = sub.add_parser(
+        "epochs",
+        help="materialize a mixture allocation as a repeated corpus: "
+        "each group's rows replicated per its (possibly fractional) "
+        "epochs — the `mix` output's row-level consumer",
+    )
+    epochs_p.add_argument("--input", required=True, help="corpus parquet")
+    epochs_p.add_argument(
+        "--alloc", required=True,
+        help="allocation parquet (one row per group; e.g. mix --op "
+        "unimax output's epochs column)",
+    )
+    epochs_p.add_argument("--output", required=True)
+    epochs_p.add_argument("--group-col", default="lang")
+    epochs_p.add_argument("--epochs-col", default="epochs")
+    epochs_p.add_argument("--id-col", default="doc_id")
+    epochs_p.add_argument(
+        "--salt", default="epochs",
+        help="fractional-draw salt (change to re-draw the fractional "
+        "tier; keep fixed for nested ablations)",
+    )
+
     curve = sub.add_parser(
         "curve",
         help="retention curve: docs/weight surviving each threshold "
@@ -3259,6 +3281,27 @@ def main(argv: list[str] | None = None) -> int:
         n_groups = spark.read.parquet(args.output).count()
         print(
             f"mix {args.op}: weights for {n_groups} groups -> {args.output}"
+        )
+    elif args.cmd == "epochs":
+        from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+            materialize_epochs,
+        )
+
+        out_rows = materialize_epochs(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.alloc),
+            group_col=args.group_col,
+            epochs_col=args.epochs_col,
+            id_col=args.id_col,
+            salt=args.salt,
+        )
+        out_rows.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        n_groups = written.select(args.group_col).distinct().count()
+        print(
+            f"epochs: materialized {n} rows across {n_groups} groups "
+            f"-> {args.output}"
         )
     elif args.cmd == "curve":
         from utc_cuip_kafka_aws_connector_spark.operators.retention import (

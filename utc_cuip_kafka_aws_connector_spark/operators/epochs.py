@@ -1,0 +1,122 @@
+"""Epoch materialization — turn a per-group mixture ALLOCATION into
+the actual repeated corpus (the missing last step of the mixture
+toolkit: temperature/UniMax/DoReMi/targets decide how many epochs of
+each group to train on; this operator materializes those epochs as
+rows, the standard "upsample by repetition" used when the trainer
+consumes a flat dataset rather than a weighted sampler).
+
+Semantics: for a group allocated ``e`` epochs, every document
+appears ``floor(e)`` times (replica ids 0..floor-1) plus ONE more
+replica with probability ``frac(e)``, decided deterministically per
+document by the hashdraw kernel (md5 of ``id:floor:salt``) — so a
+group at 2.4 epochs repeats every doc twice and a content-stable
+40% of docs a third time. Fractional-only allocations (e < 1)
+degenerate to a plain deterministic subsample, so DOWN-sampling
+rides the same contract. Groups absent from the allocation (or
+allocated 0) are dropped — the allocation IS the mixture.
+
+Nesting: the fractional draw is keyed by (id, floor(e), salt), so
+raising an allocation within the same integer part (2.4 -> 2.7)
+STRICTLY GROWS each group's replica multiset — ablations at nearby
+budgets share documents, the same nesting law as hash_sample
+thresholds and the reservoir keys. Crossing an integer boundary
+re-draws the fractional tier (the old fractional replicas become
+guaranteed ones; a fresh draw decides the new fraction).
+
+Scale shape: ONE broadcast join of the mixture-sized allocation
+table onto the corpus + one explode of a per-row replica array —
+scan-local, no corpus shuffle, output size = sum_g n_g * e_g by
+construction. The explode multiplies rows, never widens them;
+downstream writers see replica as an ordinary column (include it in
+dedup keys ONLY if repeated epochs must survive dedup).
+
+Reference parity note: the reference pipeline has no mixture tier;
+this closes SURVEY §2.D's mixtures family (weights -> epochs ->
+rows: mixture_weights/unimax/doremi plan, reservoir draws exact
+counts, materialize_epochs repeats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
+    md5_uniform_key,
+)
+
+
+def materialize_epochs(
+    df: DataFrame,
+    alloc: DataFrame,
+    group_col: str = "lang",
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    salt: str = "epochs",
+) -> DataFrame:
+    """Input columns + ``replica`` (long, 0-based): the corpus with
+    each group's rows repeated per its allocation (see module
+    docstring). ``alloc`` must hold ONE row per group (duplicate
+    groups would silently double-materialize — refused loudly) with
+    a non-negative, non-null epochs value; rows of ``df`` with a
+    NULL group or id are dropped (no allocation can address them)."""
+    if "replica" in df.columns:
+        raise ValueError(
+            "materialize_epochs generates a 'replica' column which the "
+            "input already has -- rename or drop it first"
+        )
+    a = alloc.select(
+        F.col(group_col).alias("__g"),
+        F.col(epochs_col).cast("double").alias("__e"),
+    ).filter(F.col("__g").isNotNull())
+    # mixture-sized by contract: validate driver-side (duplicates and
+    # bad epochs are configuration bugs, not data to tolerate)
+    rows = a.limit(1_000_001).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            f"materialize_epochs: allocation has >1M groups; "
+            f"group_col={group_col!r} looks high-cardinality"
+        )
+    seen = set()
+    for r in rows:
+        if r["__g"] in seen:
+            raise ValueError(
+                f"duplicate group {r['__g']!r} in the allocation — one "
+                "row per group (did you pass the corpus instead?)"
+            )
+        seen.add(r["__g"])
+        e = r["__e"]
+        if e is None or not (e == e) or e < 0:  # None / NaN / negative
+            raise ValueError(
+                f"allocation for group {r['__g']!r} has invalid "
+                f"epochs={e!r} (need a finite value >= 0)"
+            )
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    j = base.join(
+        F.broadcast(a), base[group_col] == F.col("__g"), "inner"
+    ).drop("__g")
+    flr = F.floor(F.col("__e")).cast("long")
+    frac = F.col("__e") - flr.cast("double")
+    guaranteed = F.when(
+        flr > 0, F.sequence(F.lit(0).cast("long"), flr - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    # fractional tier: one deterministic draw per (id, floor, salt) —
+    # floor in the key gives the nesting law the docstring states
+    extra = md5_uniform_key(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            flr.cast("string"),
+            F.lit(f":{salt}"),
+        )
+    ) < frac
+    replicas = F.when(
+        extra, F.concat(guaranteed, F.array(flr))
+    ).otherwise(guaranteed)
+    return (
+        j.withColumn("replica", F.explode(replicas))
+        .drop("__e")
+    )
