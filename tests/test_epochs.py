@@ -117,7 +117,7 @@ def test_validation_errors(spark):
     )
     with pytest.raises(ValueError, match="duplicate group"):
         materialize_epochs(df, dup)
-    for bad in (float("nan"), -1.0, None):
+    for bad in (float("nan"), float("inf"), -1.0, None):
         alloc = spark.createDataFrame(
             [("web", bad)], "lang string, epochs double"
         )

@@ -144,6 +144,10 @@ def doremi_weights(
     if not rows:
         raise ValueError("doremi_weights: empty losses table")
 
+    def _lam_of(v):
+        # a logged-but-unmeasurable lambda (NULL/NaN) pushes nothing
+        return 0.0 if v is None or math.isnan(v) else v
+
     domains = sorted({r["domain"] for r in rows})
     uniform = 1.0 / len(domains)
     if step_col is not None:
@@ -167,9 +171,7 @@ def doremi_weights(
                     f"{r['domain']!r}): aggregate first "
                     "(domain_excess_loss) — one lambda per cell"
                 )
-            cell[r["domain"]] = (
-                0.0 if r["lam"] is None or math.isnan(r["lam"]) else r["lam"]
-            )
+            cell[r["domain"]] = _lam_of(r["lam"])
         schedule = [lam_by_step[s] for s in steps]
     else:
         lam = {}
@@ -179,9 +181,7 @@ def doremi_weights(
                     f"duplicate domain {r['domain']!r} without step_col: "
                     "aggregate first (domain_excess_loss) or pass step_col"
                 )
-            lam[r["domain"]] = (
-                0.0 if r["lam"] is None or math.isnan(r["lam"]) else r["lam"]
-            )
+            lam[r["domain"]] = _lam_of(r["lam"])
         schedule = [lam] * n_iter
 
     alpha = {d: uniform for d in domains}

@@ -38,6 +38,8 @@ counts, materialize_epochs repeats).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,7 +88,7 @@ def materialize_epochs(
             )
         seen.add(r["__g"])
         e = r["__e"]
-        if e is None or not (e == e) or e < 0:  # None / NaN / negative
+        if e is None or math.isnan(e) or math.isinf(e) or e < 0:
             raise ValueError(
                 f"allocation for group {r['__g']!r} has invalid "
                 f"epochs={e!r} (need a finite value >= 0)"

@@ -187,7 +187,7 @@ def padding_report(
         F.max(F.col("is_remainder").cast("int")).alias("_rem"),
     )
     return (
-        (per_batch.groupBy(*keys) if keys else per_batch.groupBy())
+        per_batch.groupBy(*keys)  # *[] == the global aggregate
         .agg(
             F.sum("_n").alias("n_rows"),
             F.count(F.lit(1)).alias("n_batches"),
