@@ -2392,3 +2392,39 @@ def test_cli_epochs_end_to_end(spark, tmp_path, capsys):
     assert got.count() == 40  # 20 en docs x exactly 2 epochs; de dropped
     assert got.filter(got.lang == "de").count() == 0
     assert "materialized 40 rows across 1 groups" in capsys.readouterr().out
+
+
+def test_cli_epochs_from_doremi_weights(spark, tmp_path, capsys):
+    """The full learned-mixture loop through the CLI: mix --op doremi
+    produces WEIGHTS; epochs --budget converts them against corpus
+    sizes and materializes rows."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    losses = str(tmp_path / "losses")
+    spark.createDataFrame(
+        [("hard", 3.0 + i * 0.01, 2.0) for i in range(20)]
+        + [("easy", 2.0, 2.0)] * 20,
+        "domain string, proxy_loss double, ref_loss double",
+    ).write.parquet(losses)
+    weights = str(tmp_path / "weights")
+    assert cli.main(
+        ["mix", "--op", "doremi", "--input", losses, "--output", weights,
+         "--group-col", "domain", "--lr", "2.0"]
+    ) == 0
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, "hard" if i % 2 else "easy") for i in range(100)],
+        "doc_id long, domain string",
+    ).write.parquet(corpus)
+    rows = str(tmp_path / "rows")
+    assert cli.main(
+        ["epochs", "--input", corpus, "--alloc", weights, "--output", rows,
+         "--group-col", "domain", "--budget", "200", "--max-epochs", "3"]
+    ) == 0
+    got = spark.read.parquet(rows)
+    n_hard = got.filter(got.domain == "hard").count()
+    n_easy = got.filter(got.domain == "easy").count()
+    assert n_hard > n_easy  # the learned mixture upweights hard
+    assert n_hard + n_easy == got.count() > 0
+    assert "materialized" in capsys.readouterr().out

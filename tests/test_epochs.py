@@ -139,3 +139,72 @@ def test_plan_is_broadcast_join_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_allocation_from_weights_arithmetic_and_cap(spark):
+    """weights -> epochs glue: epochs = w * budget / n, optional
+    UniMax-style cap with surplus UNUSED; missing/empty sizes drop."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        allocation_from_weights,
+    )
+
+    w = spark.createDataFrame(
+        [("web", 0.5), ("code", 0.4), ("ghost", 0.1)],
+        "lang string, weight double",
+    )
+    s = spark.createDataFrame(
+        [("web", 1000.0), ("code", 100.0), ("empty", 0.0)],
+        "lang string, n_tokens double",
+    )
+    got = {
+        r["lang"]: r
+        for r in allocation_from_weights(w, s, budget=1000.0).collect()
+    }
+    assert set(got) == {"web", "code"}  # ghost unsized, empty zero-sized
+    assert got["web"]["epochs"] == pytest.approx(0.5)   # 500 / 1000
+    assert got["code"]["epochs"] == pytest.approx(4.0)  # 400 / 100
+    capped = {
+        r["lang"]: r["epochs"]
+        for r in allocation_from_weights(
+            w, s, budget=1000.0, max_epochs=2.0
+        ).collect()
+    }
+    assert capped["code"] == pytest.approx(2.0)  # surplus unused
+    assert capped["web"] == pytest.approx(0.5)   # uncapped unchanged
+    with pytest.raises(ValueError, match="budget"):
+        allocation_from_weights(w, s, budget=0.0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        allocation_from_weights(w, s, budget=1.0, max_epochs=0.0)
+
+
+def test_unimax_to_epochs_contract(spark):
+    """The column contract holds end-to-end: unimax_allocation's
+    (group, epochs) feeds materialize_epochs unmodified, and the
+    materialized per-group counts obey the exact size law."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        materialize_epochs,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.unimax import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(  # exactly 75 docs per lang, 4 langs
+        [(i, ["web", "code", "books", "junk"][i % 4]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    sizes = df.groupBy("lang").count().withColumnRenamed("count", "n_tokens")
+    alloc = unimax_allocation(
+        sizes, budget=450.0, max_epochs=2.0, pre_aggregated=True
+    )
+    out = materialize_epochs(df, alloc)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    epochs = {r["lang"]: r["epochs"] for r in alloc.collect()}
+    for g, e in epochs.items():
+        flr = int(e)
+        assert flr * 75 <= counts.get(g, 0) <= (flr + 1) * 75, (g, e)
+    # exact budget shape: 4 langs x 75 docs, budget 450, cap 2.0 ->
+    # fair share 112.5 < cap*75=150, so every lang gets 1.5 epochs
+    assert all(e == pytest.approx(1.5) for e in epochs.values())

@@ -2160,6 +2160,23 @@ def main(argv: list[str] | None = None) -> int:
         help="fractional-draw salt (change to re-draw the fractional "
         "tier; keep fixed for nested ablations)",
     )
+    epochs_p.add_argument(
+        "--budget", type=float, default=None,
+        help="treat --alloc as a WEIGHTS table (mix --op doremi / "
+        "temperature output) and convert first: epochs = weight * "
+        "budget / group size, sizes aggregated from the corpus",
+    )
+    epochs_p.add_argument("--weight-col", default="weight",
+                          help="with --budget: the weights column")
+    epochs_p.add_argument(
+        "--size-col", default=None,
+        help="with --budget: corpus column summed per group for "
+        "sizes (default: row count)",
+    )
+    epochs_p.add_argument(
+        "--max-epochs", type=float, default=None,
+        help="with --budget: cap per-group epochs (surplus unused)",
+    )
 
     curve = sub.add_parser(
         "curve",
@@ -3283,13 +3300,36 @@ def main(argv: list[str] | None = None) -> int:
             f"mix {args.op}: weights for {n_groups} groups -> {args.output}"
         )
     elif args.cmd == "epochs":
+        from pyspark.sql import functions as _Fe
+
         from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+            allocation_from_weights,
             materialize_epochs,
         )
 
+        corpus = spark.read.parquet(args.input)
+        alloc_df = spark.read.parquet(args.alloc)
+        if args.budget is not None:
+            size_expr = (
+                _Fe.sum(_Fe.col(args.size_col).cast("double"))
+                if args.size_col
+                else _Fe.count(_Fe.lit(1)).cast("double")
+            )
+            group_sizes = corpus.groupBy(args.group_col).agg(
+                size_expr.alias("__sz")
+            )
+            alloc_df = allocation_from_weights(
+                alloc_df,
+                group_sizes,
+                budget=args.budget,
+                group_col=args.group_col,
+                weight_col=args.weight_col,
+                size_col="__sz",
+                max_epochs=args.max_epochs,
+            )
         out_rows = materialize_epochs(
-            spark.read.parquet(args.input),
-            spark.read.parquet(args.alloc),
+            corpus,
+            alloc_df,
             group_col=args.group_col,
             epochs_col=args.epochs_col,
             id_col=args.id_col,

@@ -48,6 +48,55 @@ from utc_cuip_kafka_aws_connector_spark.operators.hashdraw import (
 )
 
 
+def allocation_from_weights(
+    weights: DataFrame,
+    sizes: DataFrame,
+    budget: float,
+    group_col: str = "lang",
+    weight_col: str = "weight",
+    size_col: str = "n_tokens",
+    max_epochs: float | None = None,
+) -> DataFrame:
+    """(group, n_units, epochs): convert a sampling MIXTURE (weights
+    summing to 1 — doremi_weights' output, temperature_weights, a
+    hand-written mix) into the epoch allocation ``materialize_epochs``
+    consumes: epochs_g = weight_g * budget / n_g. The glue between
+    weight-shaped planners and row materialization (unimax emits
+    epochs directly and skips this step).
+
+    ``max_epochs`` optionally caps each group (the UniMax concern —
+    a high weight on a tiny group otherwise materializes dozens of
+    repeats); capped surplus is simply UNUSED, stated in the epochs
+    column, matching unimax_allocation's surplus semantics rather
+    than silently re-spreading. One join of two mixture-sized
+    tables; groups missing a size (or sized <= 0) are dropped —
+    nothing to repeat."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    w = weights.select(
+        F.col(group_col).alias("__g"),
+        F.col(weight_col).cast("double").alias("__w"),
+    ).filter(F.col("__g").isNotNull())
+    s = sizes.select(
+        F.col(group_col).alias("__g"),
+        F.col(size_col).cast("double").alias("__n"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__n").isNotNull()
+        & (F.col("__n") > 0)
+    )
+    e = F.col("__w") * F.lit(float(budget)) / F.col("__n")
+    if max_epochs is not None:
+        e = F.least(e, F.lit(float(max_epochs)))
+    return w.join(s, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n_units"),
+        e.alias("epochs"),
+    )
+
+
 def materialize_epochs(
     df: DataFrame,
     alloc: DataFrame,
