@@ -129,6 +129,29 @@ def main():
         ).count(),
     )
 
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        materialize_epochs,
+    )
+
+    corpus = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("dom"), F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(20))
+        ).alias("lang"),
+    )
+    alloc = spark.createDataFrame(
+        [(f"dom{i}", 1.0 + (i % 7) * 0.35) for i in range(20)],
+        "lang string, epochs double",
+    )
+
+    def run_epochs():
+        out = materialize_epochs(corpus, alloc)
+        n = out.count()
+        print(f"    materialized {n} rows from 500k", flush=True)
+        return n
+
+    timed("epochs/materialize", run_epochs)
+
 
 if __name__ == "__main__":
     main()
