@@ -147,12 +147,19 @@ def test_q127_merge_table_is_well_formed():
         known.add(a + b)
 
 
-def test_q127_registered_at_r17():
-    """The r16 staging contract's inverse, flipped at registration:
-    q127 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+def test_q127_registered_and_resting():
+    """Registered at r17 (it held a window slot there and got its
+    green CORRECTNESS_r17 row); from r18 it RESTS on that row inside
+    the 2-round contract like any other cohort member — in the
+    catalog, window membership governed by the rotation, never
+    silently dropped."""
     assert STAGED_Q127_NAME in queries()
-    assert STAGED_Q127_NAME in _GATE_PRIORITY
+    import json
+    import os
+
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r17.json")
+    row = json.load(open(corr))[STAGED_Q127_NAME]
+    assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
 
 def test_staged_q128_matches_oracle(spark, sf_dir):
@@ -169,10 +176,9 @@ def test_staged_q128_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q128_NAME)
 
 
-def test_q128_staged_not_registered():
-    """The pre-registration contract (flips to its inverse at r18):
-    staged means NOT in the catalog and NOT holding a window slot —
-    registration must be a deliberate rotation event, never a
-    side-effect of importing the staged builder."""
-    assert STAGED_Q128_NAME not in queries()
-    assert STAGED_Q128_NAME not in _GATE_PRIORITY
+def test_q128_registered_at_r18():
+    """The r17 staging contract's inverse, flipped at registration:
+    q128 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option)."""
+    assert STAGED_Q128_NAME in queries()
+    assert STAGED_Q128_NAME in _GATE_PRIORITY

@@ -4787,8 +4787,8 @@ def staged_q127_bytelevel_encode(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r18 — NOT REGISTERED. The r18 rotation plan's named
-# promotion (see the _GATE_PRIORITY comment block): the hard-negative
+# STAGED at r17, REGISTERED at r18 (the stamped rotation plan executed
+# on schedule; see the _GATE_PRIORITY comment block): the hard-negative
 # mining tier (operators/negatives.py::hard_negatives — §2.D
 # contrastive-training scope, added r16 pytest-grade as the largest
 # un-gated ANN-composition surface). The builder runs the REAL scale
@@ -4835,6 +4835,7 @@ STAGED_Q128_ORACLE = """
 """
 
 
+@query(STAGED_Q128_NAME, oracle=STAGED_Q128_ORACLE)
 def staged_q128_hard_negatives(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5027,6 +5028,20 @@ def staged_q128_hard_negatives(
 #   way while it stays retired — the drift-guard applies to retirees
 #   precisely so module edits can never silently invalidate their
 #   resting evidence.
+#
+# Retired at r18 (the r17 plan's pre-named candidate, drawn from the
+#   EXPIRING r16 cohort so the retirement frees a same-round slot —
+#   it funds the q128_hard_negatives registration):
+#   q115_zorder_layout — its layout-ordering surface stays pinned by
+#   q116_hilbert_layout (the SAME even cohort, the stronger curve:
+#   Hilbert's gray-code walk subsumes Z-order's bit-interleave as a
+#   locality test) and by q117_clustered_skipping_read (odd cohort),
+#   which re-verifies every rotation that curve-clustered files
+#   actually produce footer-stat skips — the property q115's ordering
+#   existed to serve. Per the written policy layout.py is NOT edited
+#   by this retirement; q115 keeps its oracle in the local parity
+#   suite on its frozen r16 evidence, and any layout.py drift forces
+#   it back through the window.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
@@ -5039,138 +5054,121 @@ GATE_RETIRED: frozenset[str] = frozenset(
         "q13_having",
         "q18_rank_ntile",
         "q82_sampling",
+        "q115_zorder_layout",
     }
 )
 
 _GATE_PRIORITY = [
-    # r17 ROTATION (the stamped r16 plan, executed on schedule; at r17
-    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r16 was
-    # 50/50 green — then this window + `--round 17` in the same
-    # commit). Window: must-attest = the r15-attested queries whose
-    # rows expire at r17 close = the 50-member r15 cohort MINUS the
-    # q106 rebalance pull (re-attested early at r16, now resting on
-    # its r16 row) = 49 names, leaving ONE free slot, spent exactly
-    # as the stamped plan directed: registering the pre-staged, pre-
-    # proven promotion q127_bytelevel_encode (the byte-level tokenizer
-    # ENCODE tier — operators/bytelevel.py::spec_encode under a
-    # committed well-formed 12-merge table; its framed-REPLACE oracle
-    # was fully written at r16 staging and its staging parity test
-    # has run on every pytest since, the q124/q125/q126 recipe). No
-    # retirement needed: promotions == free slots. This round also
-    # used the window legality it opens: dedup.py/semdedup.py/
-    # similarity.py/ngramlm.py unfroze (their whole dependent set —
-    # q40/q46/q47/q51/q80/q81/q103/q110 and q124/q125 — is IN this
-    # window), which is where the r16-stamped q110 fix landed
-    # (semdedup.py: persist the narrow assigned frame before the
-    # candidate self-join — the BLAS assignment pass now runs ONCE;
-    # regression-pinned by tests/test_llm_ops.py::
-    # test_semantic_dedup_assignment_runs_once) plus the two deferred
-    # ADVICE r15 hardening items (dedup.py::_free_checkpoint_blocks
-    # log4j fallback, ngramlm.py::perplexity_buckets rel_err
-    # validation), both regression-tested.
+    # r18 ROTATION (the stamped r17 plan, executed on schedule; at r18
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r17 was
+    # 50/50 green — then this window + `--round 18` in the same
+    # commit). Window: must-attest = the ENTIRE 50-member r16 cohort
+    # (no pulls happened at r17), so r18 opened with ZERO free slots;
+    # the slot for the stamped promotion was funded exactly as the
+    # plan directed, by retiring q115_zorder_layout from this EXPIRING
+    # cohort (same-round slot; see the Retired-at-r18 note above —
+    # layout.py NOT edited, q116/q117 keep the layout surface pinned).
+    # The promotion: registering the pre-staged, pre-proven
+    # q128_hard_negatives (operators/negatives.py::hard_negatives run
+    # at the exhaustive nprobe == n_centroids setting where the IVF
+    # bucketed plan provably equals the brute all-pairs baseline; its
+    # oracle was fully written at r17 staging and its staging parity
+    # test has run on every pytest since — the q124-q127 recipe).
+    # Module-freeze reality at r18 (re-derived from the dep scan at
+    # open, matching the r17 sketch): EDITABLE = asof, bpetrain,
+    # bucketing, chunkdedup, chunking, decontam, heavyhitters,
+    # nbquality, packing, ranges, retrieval, setjoin, skew, split,
+    # tokenizer, urlops, sources.sinks, sources.txlog (+ every module
+    # with no gated dependent: epochs/lenbatch/prefpairs/doremi/
+    # retention/negatives/wordpiece/cli...); FROZEN = the dedup family
+    # (dedup/semdedup/similarity/clusterguard), ngramlm, text,
+    # multimodal, boilerplate, ordering, sampling, diff, bytelevel,
+    # tokenio, streaming.ops (all r17-resting), stats (two-cohort:
+    # q85 odd + q89 even), layout/skipread (two-cohort). Deferred on
+    # that freeze: ADVICE r17's dedup.py:335 restore-guard hardening
+    # lands at r19 when the dedup family unfreezes.
     #
-    # r18 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the ENTIRE 50-member r16 cohort
-    # (no pulls happened at r17), so r18 opens with ZERO free slots.
-    # The stamped promotion is the hard-negatives gate staged this
-    # round (q128_hard_negatives, catalog.py STAGED block — brute
-    # cosine top-k negatives in q48's planted style, with full-probe
-    # IVF == brute pinned by tests/test_negatives.py giving the
-    # bucketed path an exact oracle); fund it by retiring
-    # q115_zorder_layout from the EXPIRING r16 cohort (its
-    # layout-ordering surface stays pinned by q116_hilbert_layout +
-    # q118's skipping reads every rotation; layout.py remains
-    # two-cohort until a q117 pull, so retire q115 WITHOUT editing
-    # layout.py). Module-freeze map for r18, sketched (RE-RUN
-    # tools/gate_fingerprints.py's scan before editing anything):
-    # EDITABLE at r18 = chunking.py, chunkdedup.py, bucketing.py,
-    # nbquality.py and the rest of the even-cohort dependents; FROZEN
-    # at r18 = the dedup family (dedup/semdedup/similarity/
-    # clusterguard — all-odd after this round), ngramlm.py, text.py,
-    # multimodal.py, stats.py as always (q85 odd + q89 even),
-    # layout.py/skipread.py (two-cohort). Looking one further ahead:
-    # r19 must-attest = this r17 window (49 + q127 = 50, expiring),
-    # so r19 opens with ZERO free slots too; the stamped r19
-    # promotion candidate is the preference-pairs gate (below),
-    # funded by the long-named q57_sql_cte_top_orders retirement —
-    # q57 is IN the expiring r17 cohort at r19, so the slot frees
-    # same-round (its CTE-over-top-k surface is pinned by q19's
+    # r19 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the r17 window (49 + q127 = 50,
+    # expiring), so r19 opens with ZERO free slots. The stamped
+    # promotion is the preference-pairs gate staged THIS round
+    # (q129_preference_pairs, catalog.py STAGED block —
+    # prefpairs.preference_pairs(best_worst) over an orders-derived
+    # scored-responses frame; its window+self-join DuckDB oracle is
+    # rehearsed verbatim in tests/test_prefpairs.py::
+    # test_best_worst_matches_duckdb_window_oracle and its staging
+    # parity test runs on every pytest from r18 onward); fund it by
+    # retiring q57_sql_cte_top_orders from the EXPIRING r17 cohort
+    # (same-round slot; its CTE-over-top-k surface is pinned by q19's
     # global top-k and q74's top-supplier join every rotation).
+    # r19 is ALSO the dedup-family unfreeze round (q40/q46/q47/q51/
+    # q80/q81/q103/q110 all in the expiring cohort): land the deferred
+    # ADVICE r17 dedup.py:335 fix there, plus any tokenio.py work
+    # (q127 in-window) — e.g. wiring the r18 wordpiece module into
+    # TokenizerSpec loading.
     #
-    # r19+ PROMOTION CANDIDATES (named at r16, still current; both
-    # pytest-grade with their DuckDB dry runs ALREADY WRITTEN in
-    # their test files):
-    # (1) a preference-pairs gate — prefpairs.preference_pairs
-    #     (best_worst) over a scored-responses frame derived from
-    #     orders (o_custkey as prompt, o_totalprice as score); its
-    #     window+self-join DuckDB oracle is rehearsed verbatim in
-    #     tests/test_prefpairs.py::test_best_worst_matches_duckdb_
-    #     window_oracle, and projecting (prompt, chosen_id,
-    #     rejected_id) only keeps the gate surface integer-exact
-    #     (margin is DECIMAL-derived there, also safe).
-    # (2) a retention-curve gate — retention.retention_curve over a
-    #     documents length score; its grid-join oracle is rehearsed
-    #     in tests/test_mixture_curves.py::test_retention_matches_
-    #     python_and_duckdb, docs_kept being integer-exact by
-    #     construction.
-    # Funding: q57 funds (1) at r19; (2) needs a retiree from the
-    # cohort expiring at its registration round (the catalog sits at
-    # the 50-slot ceiling) — the next named candidate after q57 is
+    # r20+ PROMOTION CANDIDATE (named at r16, still current): a
+    # retention-curve gate — retention.retention_curve over a
+    # documents length score; its grid-join oracle is rehearsed in
+    # tests/test_mixture_curves.py::test_retention_matches_python_
+    # and_duckdb, docs_kept being integer-exact by construction.
+    # Funding: the next named retiree after q57 is
     # q64_udtf_word_split (its UDTF surface is an API demo beside
-    # q61's vectorized twin, same odd cohort).
+    # q61's vectorized twin, same odd cohort — expiring at r20, so
+    # the slot frees same-round).
     #
-    # --- the expiring r15-resters (50 minus the q106 pull) ---
-    "q03_order_count_distribution",
-    "q06_full_outer_join",
-    "q07_theta_self_join",
-    "q28_math_funcs",
-    "q29_array_funcs",
-    "q40_exact_dedup",
-    "q41_text_stats",
-    "q42_quality_score",
-    "q43_token_count",
-    "q44_language_id",
-    "q45_fingerprint",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash",
-    "q48_cosine_topk",
-    "q49_lsh_ann_pairs",
-    "q50_multimodal_features",
-    "q51_ngram_jaccard_pairs",
-    "q56_correlated_subquery",
-    "q57_sql_cte_top_orders",
-    "q58_approx_aggs",
-    "q60_streaming_tumbling",
-    "q61_python_udfs",
-    "q64_udtf_word_split",
-    "q66_salted_aggregation",
-    "q67_null_safe_join",
-    "q73_nation_trade_volume",
-    "q79_ivf_ann_topk",
-    "q80_near_dup_clusters",
-    "q81_embedding_dedup",
-    "q84_tfidf_top_terms",
-    "q85_histogram",
-    "q86_snapshot_diff",
-    "q90_pii_redaction",
-    "q91_repetition_stats",
-    "q95_stream_stream_join",
-    "q97_budget_selection",
-    "q99_curation_pipeline",
-    "q101_stream_static_join",
-    "q102_image_decode",
-    "q103_near_dup_full_table",
-    "q104_audio_decode",
-    "q105_video_frame_sample",
-    "q108_mixture_weights",
-    "q110_semantic_dedup",
-    "q117_clustered_skipping_read",
-    "q120_boilerplate_strip",
-    "q123_curriculum_stages",
-    "q124_bigram_counts",
-    "q125_sb_match_profile",
+    # --- the expiring r16 cohort (50 minus the q115 retirement) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q04_semi_anti_join",
+    "q08_interval_join",
+    "q09_asof_join",
+    "q10_count_distinct",
+    "q11_multidim_agg",
+    "q15_topk_per_group",
+    "q16_window_frames",
+    "q17_lag_lead",
+    "q19_global_topk",
+    "q20_set_ops",
+    "q22_union_by_name",
+    "q23_predicates",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q30_json_funcs",
+    "q31_map_funcs",
+    "q32_epoch_roundtrip",
+    "q33_calendar_month_agg",
+    "q34_file_scans",
+    "q36_partitioned_sink",
+    "q65_sessionize",
+    "q71_time_windows",
+    "q74_top_supplier",
+    "q75_promo_share",
+    "q77_explode_dimension_stats",
+    "q87_sequence_packing",
+    "q88_salted_join",
+    "q89_column_profile",
+    "q92_txlog_skipping",
+    "q93_change_feed",
+    "q94_decontamination",
+    "q96_cdc_incremental_agg",
+    "q98_token_shards",
+    "q100_bucketed_join",
+    "q106_document_chunking",
+    "q107_token_rarity",
+    "q109_content_defined_chunks",
+    "q111_chunk_dedup",
+    "q112_bpe_token_count",
+    "q113_prefix_jaccard_join",
+    "q114_bm25_retrieval",
+    "q116_hilbert_layout",
+    "q118_bpe_train",
+    "q119_heavy_hitters",
+    "q121_per_domain_cap",
+    "q122_leakage_safe_split",
+    "q126_nb_confusion",
     # --- new this round (never attested; the stamped promotion) ---
-    "q127_bytelevel_encode",
+    "q128_hard_negatives",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
