@@ -19,9 +19,10 @@ which is how the tests pin the composition.
 
 Scale shape: one BLAS assignment pass over the corpus and one over
 the anchors (Arrow-batched mapInPandas-style pandas_udfs, centroids
-ship in the task closure — KBs), one bucket equi-join, one
-per-anchor-partitioned window. No global sort, no driver-side
-corpus data, no all-pairs join on the IVF path.
+ship in the task closure — KBs), per-side norm folds BEFORE the join
+(each candidate pair then costs one cross-dot, not three folds), one
+bucket equi-join, one per-anchor-partitioned window. No global sort,
+no driver-side corpus data, no all-pairs join on the IVF path.
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from utc_cuip_kafka_aws_connector_spark.functions import cosine
+from utc_cuip_kafka_aws_connector_spark.functions import dot
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     kmeans_centroids,
 )
@@ -114,8 +115,22 @@ def hard_negatives(
     if anchors is None:
         anchors = df
 
-    a_cols = [F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec")]
-    c_cols = [F.col(id_col).alias("neg_id"), F.col(vec_col).alias("n_vec")]
+    # Norms are per-ROW facts: fold them once per side here, so each
+    # candidate pair costs ONE array fold (the cross dot) instead of
+    # three. The emitted value is bit-identical to functions.cosine —
+    # the same dot/(sqrt*sqrt) IEEE sequence, just not re-derived per
+    # pair (at |anchors| x |corpus|/cell candidates the two self-dots
+    # were ~2/3 of the gate's runtime).
+    a_cols = [
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("a_norm"),
+    ]
+    c_cols = [
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("n_norm"),
+    ]
     if label_col is not None:
         a_cols.append(F.col(label_col).alias("a_label"))
         c_cols.append(F.col(label_col).alias("n_label"))
@@ -167,7 +182,10 @@ def hard_negatives(
     scored = cand.select(
         "anchor_id",
         "neg_id",
-        cosine(F.col("a_vec"), F.col("n_vec")).alias("cos_sim"),
+        (
+            dot(F.col("a_vec"), F.col("n_vec"))
+            / (F.col("a_norm") * F.col("n_norm"))
+        ).alias("cos_sim"),
     )
     if method == "ivf" and nprobe > 1:
         # a candidate sharing >1 probed cell with its anchor appears

@@ -4822,6 +4822,7 @@ STAGED_Q128_ORACLE = """
       FROM e a JOIN e b
         ON b.vec_id <> a.vec_id
        AND b.label IS DISTINCT FROM a.label
+      WHERE a.vec_id % 10 = 0
     ),
     ranked AS (
       SELECT anchor_id, neg_id, raw,
@@ -4840,16 +4841,22 @@ def staged_q128_hard_negatives(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Hard-negative mining gate (operators/negatives.py::
-    hard_negatives — §2.D contrastive-training scope): for every
-    embedding, its 5 most-cosine-similar corpus vectors that are not
-    positives (self excluded; label == positive set, null-safe).
+    hard_negatives — §2.D contrastive-training scope): for each
+    anchor in a deterministic 10% query set (vec_id % 10 == 0 — the
+    production shape: queries << corpus, exercising the ``anchors=``
+    subset path), its 5 most-cosine-similar corpus vectors that are
+    not positives (self excluded; label == positive set, null-safe).
     Runs the IVF scale path at the exhaustive nprobe == n_centroids
     setting, where the bucketed plan provably equals the brute
-    baseline — giving the cell kernel, equi-join, distinct, and rank
-    window an exact all-pairs SQL oracle. Scale shape (at production
-    nprobe << n_centroids): one BLAS probe pass per side, one cell
-    equi-join (~|corpus|/n_centroids * nprobe candidates per
-    anchor), one per-anchor window — never |anchors| x |corpus|."""
+    baseline — giving the probe kernel (both sides), cell equi-join,
+    distinct, and rank window an exact all-pairs SQL oracle. Scale
+    shape (at production nprobe << n_centroids): one BLAS probe pass
+    per side, per-side norm folds before the join, one cell equi-join
+    (~|corpus|/n_centroids * nprobe candidates per anchor), one
+    per-anchor window — never |anchors| x |corpus|. (First bench of
+    the all-anchors exhaustive form read 86 s at sf0.1 — 4M pairs x 3
+    folds; the query-set gate pins identical machinery at the shape
+    the op exists for.)"""
     from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
         hard_negatives,
     )
@@ -4861,6 +4868,7 @@ def staged_q128_hard_negatives(
         id_col="vec_id",
         vec_col="embedding",
         label_col="label",
+        anchors=emb.filter(F.col("vec_id") % 10 == 0),
         method="ivf",
         n_centroids=8,
         nprobe=8,
