@@ -2428,3 +2428,50 @@ def test_cli_epochs_from_doremi_weights(spark, tmp_path, capsys):
     assert n_hard > n_easy  # the learned mixture upweights hard
     assert n_hard + n_easy == got.count() > 0
     assert "materialized" in capsys.readouterr().out
+
+
+def test_cli_epochs_budget_rejects_custom_epochs_col(spark, tmp_path):
+    """ADVICE r17: --budget always produces an 'epochs' column, so a
+    non-default --epochs-col is a config contradiction — rejected
+    with a clear parser error, not a missing-column
+    AnalysisException deep in materialize_epochs."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, "en") for i in range(4)], "doc_id long, lang string"
+    ).write.parquet(corpus)
+    weights = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [("en", 1.0)], "lang string, weight double"
+    ).write.parquet(weights)
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["epochs", "--input", corpus, "--alloc", weights,
+             "--output", str(tmp_path / "rows"),
+             "--budget", "8", "--epochs-col", "reps"]
+        )
+    assert exc.value.code == 2  # argparse error exit
+
+
+def test_cli_curve_max_groups_exposed(spark, tmp_path, capsys):
+    """ADVICE r17 (carried): the curve verb exposes retention_curve's
+    max_groups guard — a tight cap refuses on a wide group key, and
+    raising it from the command line unblocks the same run."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "scored")
+    spark.createDataFrame(
+        # 10 groups x scores across the whole grid, so the histogram
+        # carries ~5 bucket rows per group — past max_groups=3's
+        # row cap (3 * (points + 2) = 18), under 100's (600)
+        [(f"g{i}", j / 4.0) for i in range(10) for j in range(5)],
+        "grp string, score double",
+    ).write.parquet(src)
+    argv = ["curve", "--input", src, "--output", str(tmp_path / "curve"),
+            "--score-col", "score", "--lo", "0.0", "--hi", "1.0",
+            "--points", "4", "--group-col", "grp"]
+    with pytest.raises(ValueError, match="max_groups"):
+        cli.main(argv + ["--max-groups", "3"])
+    assert cli.main(argv + ["--max-groups", "100"]) == 0
+    assert "retention curve" in capsys.readouterr().out

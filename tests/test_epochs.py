@@ -208,3 +208,91 @@ def test_unimax_to_epochs_contract(spark):
     # exact budget shape: 4 langs x 75 docs, budget 450, cap 2.0 ->
     # fair share 112.5 < cap*75=150, so every lang gets 1.5 epochs
     assert all(e == pytest.approx(1.5) for e in epochs.values())
+
+
+def test_allocation_weights_must_be_a_mixture(spark):
+    """ADVICE r17: the docstring's mixture precondition is enforced —
+    negative / NaN weights and a sum away from 1 refuse loudly
+    instead of silently rescaling the budget."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        allocation_from_weights,
+    )
+
+    s = spark.createDataFrame(
+        [("web", 1000.0), ("code", 100.0)], "lang string, n_tokens double"
+    )
+    bad_sum = spark.createDataFrame(
+        [("web", 0.5), ("code", 0.2)], "lang string, weight double"
+    )
+    with pytest.raises(ValueError, match="not a mixture"):
+        allocation_from_weights(bad_sum, s, budget=100.0)
+    negative = spark.createDataFrame(
+        [("web", 1.5), ("code", -0.5)], "lang string, weight double"
+    )
+    with pytest.raises(ValueError, match="invalid"):
+        allocation_from_weights(negative, s, budget=100.0)
+    nan = spark.createDataFrame(
+        [("web", float("nan")), ("code", 1.0)], "lang string, weight double"
+    )
+    with pytest.raises(ValueError, match="invalid"):
+        allocation_from_weights(nan, s, budget=100.0)
+    # a 1e-7 drift is within tolerance (doremi/temperature outputs
+    # are float-normalized, never exactly 1)
+    near = spark.createDataFrame(
+        [("web", 0.6), ("code", 0.4 + 5e-8)], "lang string, weight double"
+    )
+    assert allocation_from_weights(near, s, budget=100.0).count() == 2
+
+
+def test_allocation_epochs_ceiling_refuses_loudly(spark):
+    """ADVICE r17: a high weight on a tiny group must refuse at the
+    sanity ceiling rather than materialize huge per-row replica
+    arrays; max_epochs (capped, surplus unused) and an explicitly
+    raised ceiling are the two sanctioned outs."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        allocation_from_weights,
+    )
+
+    w = spark.createDataFrame(
+        [("tiny", 0.9), ("web", 0.1)], "lang string, weight double"
+    )
+    s = spark.createDataFrame(
+        [("tiny", 2.0), ("web", 1_000_000.0)],
+        "lang string, n_tokens double",
+    )
+    # tiny: 0.9 * 1e7 / 2 = 4.5M epochs >> 1000
+    with pytest.raises(ValueError, match="epochs_ceiling"):
+        allocation_from_weights(w, s, budget=1e7)
+    capped = {
+        r["lang"]: r["epochs"]
+        for r in allocation_from_weights(
+            w, s, budget=1e7, max_epochs=4.0
+        ).collect()
+    }
+    assert capped["tiny"] == pytest.approx(4.0)
+    raised = allocation_from_weights(
+        w, s, budget=1e7, epochs_ceiling=5e6
+    ).count()
+    assert raised == 2
+    with pytest.raises(ValueError, match="epochs_ceiling"):
+        allocation_from_weights(w, s, budget=1e7, epochs_ceiling=0.0)
+
+
+def test_duplicate_ids_refused_when_validated(spark):
+    """ADVICE r17 (carried): duplicate (group, id) corpus rows share
+    a fractional-draw key — correlated replicas. Documented by
+    default; validate_unique_ids=True refuses loudly."""
+    df = spark.createDataFrame(
+        [(1, "web"), (1, "web"), (2, "web")], "doc_id long, lang string"
+    )
+    alloc = spark.createDataFrame([("web", 1.5)], "lang string, epochs double")
+    # default: tolerated (docstring states the correlation), and the
+    # duplicate's copies draw IDENTICALLY — together in or out
+    reps = [
+        r["replica"]
+        for r in materialize_epochs(df, alloc).collect()
+        if r["doc_id"] == 1
+    ]
+    assert sorted(reps) in ([0, 0], [0, 0, 1, 1])
+    with pytest.raises(ValueError, match="duplicate id"):
+        materialize_epochs(df, alloc, validate_unique_ids=True)

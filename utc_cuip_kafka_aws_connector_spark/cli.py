@@ -2198,6 +2198,12 @@ def main(argv: list[str] | None = None) -> int:
         "(cross-source scale alignment) and curve the normalized "
         "score instead; requires --group-col",
     )
+    curve.add_argument(
+        "--max-groups", type=int, default=10_000,
+        help="refuse if --group-col exceeds this many groups (guards "
+        "against curving on a doc-id-like key); raise deliberately "
+        "for a legitimately wide corpus",
+    )
 
     tok = sub.add_parser(
         "tokenizer",
@@ -3309,7 +3315,20 @@ def main(argv: list[str] | None = None) -> int:
 
         corpus = spark.read.parquet(args.input)
         alloc_df = spark.read.parquet(args.alloc)
+        epochs_col = args.epochs_col
         if args.budget is not None:
+            # allocation_from_weights always emits 'epochs'; a custom
+            # --epochs-col names a column of the WEIGHTS table that
+            # the conversion replaces, so the combination is a
+            # config contradiction, not a rename (ADVICE r17)
+            if args.epochs_col != "epochs":
+                parser.error(
+                    "--budget converts weights to an allocation whose "
+                    "epochs column is named 'epochs'; --epochs-col "
+                    f"{args.epochs_col!r} cannot apply — drop it (use "
+                    "--weight-col to name the weights column)"
+                )
+            epochs_col = "epochs"
             size_expr = (
                 _Fe.sum(_Fe.col(args.size_col).cast("double"))
                 if args.size_col
@@ -3331,7 +3350,7 @@ def main(argv: list[str] | None = None) -> int:
             corpus,
             alloc_df,
             group_col=args.group_col,
-            epochs_col=args.epochs_col,
+            epochs_col=epochs_col,
             id_col=args.id_col,
             salt=args.salt,
         )
@@ -3370,6 +3389,7 @@ def main(argv: list[str] | None = None) -> int:
             n_points=args.points,
             weight_col=args.weight_col,
             group_col=args.group_col,
+            max_groups=args.max_groups,
         )
         out_curve.write.mode("overwrite").parquet(args.output)
         n_rows = spark.read.parquet(args.output).count()

@@ -56,6 +56,7 @@ def allocation_from_weights(
     weight_col: str = "weight",
     size_col: str = "n_tokens",
     max_epochs: float | None = None,
+    epochs_ceiling: float = 1000.0,
 ) -> DataFrame:
     """(group, n_units, epochs): convert a sampling MIXTURE (weights
     summing to 1 — doremi_weights' output, temperature_weights, a
@@ -64,21 +65,60 @@ def allocation_from_weights(
     weight-shaped planners and row materialization (unimax emits
     epochs directly and skips this step).
 
+    The mixture precondition is ENFORCED, not just stated (ADVICE
+    r17): weights must be finite, non-negative, and sum to 1 within
+    1e-6 — a non-mixture input (raw counts, un-normalized scores)
+    silently rescales the budget by its sum, which is never what the
+    caller meant. Validation is one collect of the mixture-sized
+    weights table (the materialize_epochs contract; >1M groups is
+    refused as high-cardinality).
+
     ``max_epochs`` optionally caps each group (the UniMax concern —
     a high weight on a tiny group otherwise materializes dozens of
     repeats); capped surplus is simply UNUSED, stated in the epochs
     column, matching unimax_allocation's surplus semantics rather
-    than silently re-spreading. One join of two mixture-sized
+    than silently re-spreading. Independent of that cap,
+    ``epochs_ceiling`` is a loud sanity bound (the repo's max_*
+    refusal contract): if any group's computed epochs exceeds it,
+    the call raises instead of materializing per-row F.sequence
+    arrays thousands of entries wide — raise the ceiling explicitly
+    for a genuinely extreme run. One join of two mixture-sized
     tables; groups missing a size (or sized <= 0) are dropped —
     nothing to repeat."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if max_epochs is not None and max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if epochs_ceiling <= 0:
+        raise ValueError(
+            f"epochs_ceiling must be > 0, got {epochs_ceiling}"
+        )
     w = weights.select(
         F.col(group_col).alias("__g"),
         F.col(weight_col).cast("double").alias("__w"),
     ).filter(F.col("__g").isNotNull())
+    wrows = w.limit(1_000_001).collect()
+    if len(wrows) > 1_000_000:
+        raise ValueError(
+            f"allocation_from_weights: weights table has >1M groups; "
+            f"group_col={group_col!r} looks high-cardinality"
+        )
+    total = 0.0
+    for r in wrows:
+        v = r["__w"]
+        if v is None or math.isnan(v) or math.isinf(v) or v < 0:
+            raise ValueError(
+                f"weight for group {r['__g']!r} is invalid: {v!r} "
+                "(need a finite value >= 0)"
+            )
+        total += v
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"weights sum to {total!r}, not 1 — not a mixture. "
+            "Normalize upstream (mixture planners emit weights "
+            "summing to 1); passing raw counts here would silently "
+            "rescale the budget."
+        )
     s = sizes.select(
         F.col(group_col).alias("__g"),
         F.col(size_col).cast("double").alias("__n"),
@@ -90,11 +130,21 @@ def allocation_from_weights(
     e = F.col("__w") * F.lit(float(budget)) / F.col("__n")
     if max_epochs is not None:
         e = F.least(e, F.lit(float(max_epochs)))
-    return w.join(s, "__g").select(
+    out = w.join(s, "__g").select(
         F.col("__g").alias(group_col),
         F.col("__n").alias("n_units"),
         e.alias("epochs"),
     )
+    worst = out.agg(F.max("epochs")).first()[0]
+    if worst is not None and worst > epochs_ceiling:
+        raise ValueError(
+            f"computed epochs reach {worst:.1f}, past "
+            f"epochs_ceiling={epochs_ceiling} — a tiny group under a "
+            "high weight (materializing it would explode per-row "
+            "replica arrays). Cap with max_epochs, or raise "
+            "epochs_ceiling deliberately."
+        )
+    return out
 
 
 def materialize_epochs(
@@ -104,13 +154,24 @@ def materialize_epochs(
     epochs_col: str = "epochs",
     id_col: str = "doc_id",
     salt: str = "epochs",
+    validate_unique_ids: bool = False,
 ) -> DataFrame:
     """Input columns + ``replica`` (long, 0-based): the corpus with
     each group's rows repeated per its allocation (see module
     docstring). ``alloc`` must hold ONE row per group (duplicate
     groups would silently double-materialize — refused loudly) with
     a non-negative, non-null epochs value; rows of ``df`` with a
-    NULL group or id are dropped (no allocation can address them)."""
+    NULL group or id are dropped (no allocation can address them).
+
+    ``id_col`` is assumed UNIQUE within each group (the same
+    assumption the reservoir/sampling modules state): duplicate
+    (group, id) corpus rows share one fractional-draw key, so their
+    fractional replicas correlate — all copies of a duplicated id
+    gain or skip the extra epoch TOGETHER rather than independently
+    (integer-part replicas are unaffected). Pass
+    ``validate_unique_ids=True`` to refuse duplicates loudly instead
+    (one extra corpus aggregate — a count-distinct-shaped groupBy —
+    so it is opt-in, not the default scan)."""
     if "replica" in df.columns:
         raise ValueError(
             "materialize_epochs generates a 'replica' column which the "
@@ -146,6 +207,23 @@ def materialize_epochs(
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(id_col).isNotNull()
     )
+    if validate_unique_ids:
+        dup = (
+            base.groupBy(group_col, id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                f"materialize_epochs: duplicate id {r[id_col]!r} in "
+                f"group {r[group_col]!r} ({r['count']} rows) — "
+                "fractional draws are keyed by (id, floor, salt), so "
+                "duplicates would correlate; dedup first or use a "
+                "unique id column"
+            )
     j = base.join(
         F.broadcast(a), base[group_col] == F.col("__g"), "inner"
     ).drop("__g")

@@ -20,11 +20,14 @@ batch's own max length (dynamic padding, not the bucket bound), and
 corpus-level padding economics, the number that decides whether
 bucketing is worth a data-order constraint at all.
 
-``order="hash"`` replaces the length sort with a deterministic
-md5 order INSIDE the same machinery — the random-batching baseline.
-Running both and diffing the reports measures exactly what bucketing
-buys on a given corpus (the honest form of the claim; the sorted
-order is never assumed free, it is priced against the baseline).
+``order="hash"`` replaces the WITHIN-BUCKET length sort with a
+deterministic md5 order inside the same machinery — rows are still
+length-bucketed (the bucket key is computed regardless), so diffing
+the two reports prices the within-bucket sort alone. The true
+UNBUCKETED random-batching baseline is ``order="hash"`` with a
+single catch-all bucket (``boundaries=[<max length>]``); diff
+against THAT to price what bucketing as a whole buys (ADVICE r17 —
+the earlier phrasing overclaimed the first diff).
 
 Scale shape: one codegen projection (bucket/shard/order keys — no
 UDF), one applyInPandas per (bucket, shard) group (each group sorts
