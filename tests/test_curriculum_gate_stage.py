@@ -32,12 +32,15 @@ from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q127_ORACLE,
     STAGED_Q128_NAME,
     STAGED_Q128_ORACLE,
+    STAGED_Q129_NAME,
+    STAGED_Q129_ORACLE,
     _GATE_PRIORITY,
     queries,
     staged_q125_sb_match_profile,
     staged_q126_nb_confusion,
     staged_q127_bytelevel_encode,
     staged_q128_hard_negatives,
+    staged_q129_preference_pairs,
 )
 
 
@@ -182,3 +185,25 @@ def test_q128_registered_at_r18():
     received a driver row, so resting is not an option)."""
     assert STAGED_Q128_NAME in queries()
     assert STAGED_Q128_NAME in _GATE_PRIORITY
+
+
+def test_staged_q129_matches_oracle(spark, sf_dir):
+    """The r19 promotion lands pre-proven: the best_worst
+    preference-pairs differential (two Spark windows + self-join vs
+    the DuckDB window+self-join phrasing) runs on every pytest from
+    the r18 staging onward — the q124-q128 recipe. Exactness
+    premise: o_totalprice is DOUBLE and _validated casts scores to
+    double in-plan, so both engines rank identical doubles and the
+    margin is one IEEE subtraction — bit-identical, hash-safe."""
+    got = staged_q129_preference_pairs(spark, sf_dir)
+    want = run_duckdb(STAGED_Q129_ORACLE, sf_dir)
+    compare(got, want, STAGED_Q129_NAME)
+
+
+def test_q129_staged_not_registered():
+    """The pre-registration contract (flips to its inverse at r19):
+    staged means NOT in the catalog and NOT holding a window slot —
+    registration must be a deliberate rotation event, never a
+    side-effect of importing the staged builder."""
+    assert STAGED_Q129_NAME not in queries()
+    assert STAGED_Q129_NAME not in _GATE_PRIORITY

@@ -4881,6 +4881,72 @@ def staged_q128_hard_negatives(
     )
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r19 — NOT REGISTERED. The r19 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the
+# preference-pairs tier (operators/prefpairs.py::preference_pairs,
+# strategy="best_worst" — §2.D RLHF/DPO training-data scope, added
+# r17 pytest-grade). The scored-responses frame derives from orders
+# (o_custkey as prompt, o_orderkey as response id, o_totalprice as
+# score — ~10 responses per prompt at sf0.01), the gate shape its
+# DuckDB window+self-join oracle has rehearsed verbatim since r17 in
+# tests/test_prefpairs.py::test_best_worst_matches_duckdb_window_
+# oracle. Float determinism: o_totalprice is DOUBLE in the testdata
+# and _validated casts scores to double in-plan, so both engines
+# rank the IDENTICAL doubles (integer-exact row_number ties broken
+# by response id on both sides) and margin is a single IEEE double
+# subtraction of the same two values — bit-identical, no rounding
+# needed. Prompts with one response (or an exact best==worst tie)
+# pair with themselves in neither engine (the <> + margin > 0
+# guards mirror _STRATEGIES' tie law).
+STAGED_Q129_NAME = "q129_preference_pairs"
+STAGED_Q129_ORACLE = """
+    WITH r AS (
+      SELECT o_custkey AS prompt_id, o_orderkey AS response_id,
+             CAST(o_totalprice AS DOUBLE) AS score
+      FROM orders
+    ),
+    best AS (
+      SELECT prompt_id, response_id, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY prompt_id
+          ORDER BY score DESC, response_id ASC) AS rk
+        FROM r) WHERE rk = 1),
+    worst AS (
+      SELECT prompt_id, response_id, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY prompt_id
+          ORDER BY score ASC, response_id DESC) AS rk
+        FROM r) WHERE rk = 1)
+    SELECT b.prompt_id AS prompt, b.response_id AS chosen_id,
+           w.response_id AS rejected_id, b.score - w.score AS margin
+    FROM best b JOIN worst w USING (prompt_id)
+    WHERE b.response_id <> w.response_id AND b.score - w.score > 0
+"""
+
+
+def staged_q129_preference_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Preference-pair gate (operators/prefpairs.py::
+    preference_pairs, best_worst — §2.D RLHF/DPO scope): one
+    (prompt, chosen, rejected, margin) row per customer, the
+    top-priced order against the bottom-priced one (ties never
+    pair; every tie-break by order id). Scale shape: one shuffle on
+    the prompt key — two windows and a self-equi-join, zero UDFs,
+    predicates pushed to the scan."""
+    from utc_cuip_kafka_aws_connector_spark.operators.prefpairs import (
+        preference_pairs,
+    )
+
+    responses = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("prompt_id"),
+        F.col("o_orderkey").alias("response_id"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return preference_pairs(responses, strategy="best_worst")
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
