@@ -2178,6 +2178,46 @@ def main(argv: list[str] | None = None) -> int:
         help="with --budget: cap per-group epochs (surplus unused)",
     )
 
+    ts = sub.add_parser(
+        "trainset",
+        help="materialize a training set end-to-end: allocation -> "
+        "replica rows (unique example ids, optional deterministic "
+        "shuffle) -> packed context windows or length-bucketed padded "
+        "batches -> manifest-verified shards",
+    )
+    ts.add_argument("--input", required=True,
+                    help="corpus parquet with token id arrays")
+    ts.add_argument("--alloc", required=True,
+                    help="allocation parquet (one row per group: epochs)")
+    ts.add_argument("--output", required=True, help="shard directory")
+    ts.add_argument("--mode", default="packed",
+                    choices=["packed", "padded"])
+    ts.add_argument("--group-col", default="lang")
+    ts.add_argument("--epochs-col", default="epochs")
+    ts.add_argument("--id-col", default="doc_id")
+    ts.add_argument("--ids-col", default="token_ids")
+    ts.add_argument("--salt", default="epochs",
+                    help="fractional-draw salt (see the epochs verb)")
+    ts.add_argument(
+        "--shuffle-seed", type=int, default=None,
+        help="deterministic permutation of the fill order (replicas "
+        "scatter instead of packing back-to-back); omit for id order",
+    )
+    ts.add_argument("--context-len", type=int, default=None,
+                    help="packed: window length (required)")
+    ts.add_argument("--pad-id", type=int, default=0, help="packed")
+    ts.add_argument("--eos-id", type=int, default=None,
+                    help="packed: separator appended per document")
+    ts.add_argument("--hex-chars", type=int, default=1,
+                    help="packed: shard hex digits (16^n shards)")
+    ts.add_argument("--batch-size", type=int, default=32, help="padded")
+    ts.add_argument("--boundaries", default=None,
+                    help="padded: comma-separated ascending length bounds "
+                    "(default floor-log2 buckets)")
+    ts.add_argument("--shard-hex", type=int, default=1, help="padded")
+    ts.add_argument("--order", default="length",
+                    choices=["length", "hash"], help="padded")
+
     curve = sub.add_parser(
         "curve",
         help="retention curve: docs/weight surviving each threshold "
@@ -3361,6 +3401,78 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"epochs: materialized {n} rows across {n_groups} groups "
             f"-> {args.output}"
+        )
+    elif args.cmd == "trainset":
+        from pyspark.sql import functions as _Ft
+
+        from utc_cuip_kafka_aws_connector_spark.operators.shardwrite import (
+            verify_shards,
+        )
+        from utc_cuip_kafka_aws_connector_spark.operators.trainset import (
+            packed_training_shards,
+            padded_training_shards,
+        )
+
+        corpus = spark.read.parquet(args.input)
+        alloc_df = spark.read.parquet(args.alloc)
+        if args.mode == "packed":
+            if args.context_len is None:
+                parser.error("trainset --mode packed requires --context-len")
+            manifest = packed_training_shards(
+                corpus, alloc_df, args.output,
+                context_len=args.context_len,
+                pad_id=args.pad_id,
+                eos_id=args.eos_id,
+                group_col=args.group_col,
+                epochs_col=args.epochs_col,
+                id_col=args.id_col,
+                ids_col=args.ids_col,
+                salt=args.salt,
+                shuffle_seed=args.shuffle_seed,
+                hex_chars=args.hex_chars,
+            )
+            idc, tok, shard_key = "seq_id", "input_ids", "shard"
+        else:
+            bounds = (
+                [int(b) for b in args.boundaries.split(",")]
+                if args.boundaries
+                else None
+            )
+            manifest = padded_training_shards(
+                corpus, alloc_df, args.output,
+                batch_size=args.batch_size,
+                boundaries=bounds,
+                shard_hex=args.shard_hex,
+                order=args.order,
+                group_col=args.group_col,
+                epochs_col=args.epochs_col,
+                id_col=args.id_col,
+                ids_col=args.ids_col,
+                salt=args.salt,
+                shuffle_seed=args.shuffle_seed,
+            )
+            idc, tok, shard_key = "example_id", args.ids_col, "train_shard"
+        totals = (
+            spark.read.parquet(args.output + "_manifest")
+            .agg(
+                _Ft.count(_Ft.lit(1)).alias("shards"),
+                _Ft.sum("n_docs").alias("rows"),
+                _Ft.sum("n_tokens").alias("tokens"),
+            )
+            .first()
+        )
+        bad = verify_shards(spark, args.output, idc, tok, shard_key).count()
+        if bad:
+            print(
+                f"trainset[{args.mode}]: VERIFICATION FAILED — {bad} "
+                f"manifest row(s) disagree with the written shards at "
+                f"{args.output}"
+            )
+            return 1
+        print(
+            f"trainset[{args.mode}]: {totals['rows']} examples / "
+            f"{totals['tokens']} tokens in {totals['shards']} shards, "
+            f"manifest verified -> {args.output}"
         )
     elif args.cmd == "curve":
         from utc_cuip_kafka_aws_connector_spark.operators.retention import (

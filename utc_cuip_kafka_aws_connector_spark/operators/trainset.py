@@ -1,0 +1,251 @@
+"""Training-set materialization — the corpus-to-training-shards
+capstone that closes the loop the mixture/packing/shard pieces built
+toward (VERDICT r17 #3): an epoch ALLOCATION (mixture planners'
+output) becomes replica rows (operators/epochs.py), replica rows
+become trainer-shaped examples (packed fixed-context windows via
+operators/packout.py, or length-bucketed padded batches via
+operators/lenbatch.py), and examples land as manifest-verified
+hive shards (operators/shardwrite.py's digest/verify machinery).
+
+The one piece of NEW semantics here is the replica-qualified example
+id: ``materialize_epochs`` repeats documents, so ``doc_id`` is no
+longer unique downstream — packing fills sequences in id order and
+batch assembly hashes ids into shards, and both assume uniqueness.
+``replica_rows`` derives ``example_id = <doc_id>#<replica>`` (unique
+by construction: replica is unique per doc). With ``shuffle_seed``
+it prefixes a zero-padded xxhash64 of (doc_id, replica, seed), so
+the lexical id order every downstream stage already sorts by BECOMES
+the deterministic epoch permutation (operators/ordering.py's
+shuffle-key recipe) — replicas of one document scatter across the
+fill order instead of packing back-to-back into the same sequence.
+
+Scale shape: adds nothing to its parts — one broadcast join + explode
+(epochs), one codegen projection (the id), then the chosen assembly's
+own contract (packout: one grouped-Python assignment + one JVM
+aggregation; lenbatch: one applyInPandas per (bucket, shard) group),
+one shard-clustered write, one map-side-combined manifest aggregate.
+The write keeps EVERY column (unlike shardwrite.write_shards' narrow
+(shard, id, tokens) projection) because padded batches are useless
+without their batch_idx/pad metadata; the manifest/verify contract
+is unchanged — shardwrite.verify_shards works on the output as-is.
+
+Reference basis: SURVEY §2.D training-data-pipeline scope; the
+reference has no training tier at all (its run.py:45-51 repairs JSON
+and uploads CSVs) — this is the 100 TB pipeline capability the
+extension contract asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+    materialize_epochs,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.lenbatch import (
+    bucketed_batches,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.packout import (
+    pack_token_ids,
+)
+from utc_cuip_kafka_aws_connector_spark.operators.shardwrite import (
+    shard_manifest,
+)
+
+
+def replica_rows(
+    df: DataFrame,
+    alloc: DataFrame,
+    group_col: str = "lang",
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    salt: str = "epochs",
+    shuffle_seed: int | None = None,
+    id_out: str = "example_id",
+) -> DataFrame:
+    """Input columns + ``replica`` + ``id_out``: the corpus
+    materialized per its allocation with a unique per-example id.
+    ``id_out`` is ``<doc_id>#<replica>``; with ``shuffle_seed`` it is
+    ``<hash16>#<doc_id>#<replica>`` (zero-padded hex of
+    xxhash64(doc_id, replica, seed)) so downstream id-ordered fills
+    consume a deterministic permutation — same seed, same shards, on
+    any input layout."""
+    if id_out in df.columns:
+        raise ValueError(
+            f"replica_rows generates {id_out!r} which the input "
+            "already has -- rename or drop it first"
+        )
+    rows = materialize_epochs(
+        df,
+        alloc,
+        group_col=group_col,
+        epochs_col=epochs_col,
+        id_col=id_col,
+        salt=salt,
+    )
+    qid = F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("replica").cast("string")
+    )
+    if shuffle_seed is not None:
+        # lpad: F.hex drops leading zeros, which would break the
+        # lexical-order-equals-numeric-order property the shuffle
+        # relies on
+        key = F.lpad(
+            F.hex(
+                F.xxhash64(
+                    F.col(id_col),
+                    F.col("replica"),
+                    F.lit(int(shuffle_seed)),
+                )
+            ),
+            16,
+            "0",
+        )
+        qid = F.concat_ws("#", key, qid)
+    return rows.withColumn(id_out, qid)
+
+
+def padded_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    boundaries: list[int] | None = None,
+    shard_hex: int = 1,
+    order: str = "length",
+    id_col: str = "example_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """lenbatch.bucketed_batches over token ARRAYS: derives the
+    length column from ``size(ids_col)`` and folds (bucket, shard)
+    into one ``train_shard`` partition key (the write/manifest key —
+    lenbatch's two-level key stays available as columns)."""
+    clash = [c for c in ("train_shard", "__len") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"padded_batches generates column(s) {clash} which the "
+            "input already has -- rename or drop them first"
+        )
+    sized = df.withColumn("__len", F.size(F.col(ids_col)))
+    b = bucketed_batches(
+        sized,
+        id_col=id_col,
+        len_col="__len",
+        batch_size=batch_size,
+        boundaries=boundaries,
+        shard_hex=shard_hex,
+        order=order,
+    )
+    return b.withColumn(
+        "train_shard",
+        F.concat_ws("-", F.col("bucket").cast("string"), F.col("shard")),
+    ).drop("__len")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    tokens_col: str,
+    shard_col: str,
+) -> DataFrame:
+    """Write ``df`` (ALL columns — packed windows keep doc_starts,
+    padded batches keep batch_idx/pad metadata) as
+    ``<shard_col>=<v>/`` hive partitions under ``path``, one
+    repartition on the shard key so files track shards; write the
+    shardwrite-contract manifest beside them at ``<path>_manifest``
+    and return it. ``shardwrite.verify_shards(spark, path, id_col,
+    tokens_col, shard_col)`` verifies the result unchanged."""
+    (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    manifest = shard_manifest(df, id_col, tokens_col, shard_col)
+    manifest.write.mode("overwrite").parquet(path + "_manifest")
+    return manifest
+
+
+def packed_training_shards(
+    df: DataFrame,
+    alloc: DataFrame,
+    path: str,
+    context_len: int,
+    pad_id: int,
+    eos_id: int | None = None,
+    group_col: str = "lang",
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    salt: str = "epochs",
+    shuffle_seed: int | None = None,
+    hex_chars: int = 1,
+) -> DataFrame:
+    """The packed end-to-end: allocation -> replica rows -> fixed
+    ``context_len`` windows -> manifest-verified shards at ``path``.
+    Returns the manifest."""
+    rows = replica_rows(
+        df,
+        alloc,
+        group_col=group_col,
+        epochs_col=epochs_col,
+        id_col=id_col,
+        salt=salt,
+        shuffle_seed=shuffle_seed,
+    )
+    packed = pack_token_ids(
+        rows.select("example_id", ids_col),
+        context_len=context_len,
+        pad_id=pad_id,
+        eos_id=eos_id,
+        id_col="example_id",
+        ids_col=ids_col,
+        hex_chars=hex_chars,
+    )
+    return write_training_shards(
+        packed, path, id_col="seq_id", tokens_col="input_ids",
+        shard_col="shard",
+    )
+
+
+def padded_training_shards(
+    df: DataFrame,
+    alloc: DataFrame,
+    path: str,
+    batch_size: int = 32,
+    boundaries: list[int] | None = None,
+    shard_hex: int = 1,
+    order: str = "length",
+    group_col: str = "lang",
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    salt: str = "epochs",
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """The padded end-to-end: allocation -> replica rows -> length-
+    bucketed batches -> manifest-verified shards at ``path`` (rows
+    keep group/replica/batch metadata — replica accounting is
+    auditable from the shards themselves). Returns the manifest."""
+    rows = replica_rows(
+        df,
+        alloc,
+        group_col=group_col,
+        epochs_col=epochs_col,
+        id_col=id_col,
+        salt=salt,
+        shuffle_seed=shuffle_seed,
+    )
+    batches = padded_batches(
+        rows,
+        batch_size=batch_size,
+        boundaries=boundaries,
+        shard_hex=shard_hex,
+        order=order,
+        id_col="example_id",
+        ids_col=ids_col,
+    )
+    return write_training_shards(
+        batches, path, id_col="example_id", tokens_col=ids_col,
+        shard_col="train_shard",
+    )
