@@ -1,0 +1,220 @@
+"""operators/wordpiece.py: WordPiece (BERT-family) tokenization.
+
+Evidence model (FIXTURES.md — no `tokenizers` lib in this image):
+hand-authored differentials. Every expected token stream below was
+computed BY HAND from the published algorithm (greedy
+longest-match-first with ## continuation, all-or-nothing unk,
+BertNormalizer, BertPreTokenizer) — not by running the code — so the
+tests are an independent oracle, the test_bytelevel.py recipe.
+Plus: exact round-trip on normalized in-vocab text, the Spark kernel
+== the driver-side twin on the documents table, a no-shuffle plan
+pin, and loud rejection of every id-altering tokenizer.json section.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+    WordPieceSpec,
+    decode_ids,
+    encode_text,
+    encode_word,
+    from_wordpiece_json,
+    normalize_text,
+    pretokenize,
+    spec_encode,
+)
+
+_TOKENS = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "the", "quick", "brown", "fox", "jump",
+    "##s", "##ed", "##ing", "over", "lazy", "dog",
+    "un", "##aff", "##able", "!", ",",
+    "jumper", "##er", "cafe", "中", ".",
+]
+VOCAB = {t: i for i, t in enumerate(_TOKENS)}
+SPEC = WordPieceSpec(vocab=VOCAB)
+
+
+def ids(*toks):
+    return [VOCAB[t] for t in toks]
+
+
+# ---- hand-computed encode differentials -----------------------------------
+
+CASES = [
+    # BertNormalizer lowercase + greedy split + punctuation isolation
+    ("The quick brown fox jumps!",
+     ids("the", "quick", "brown", "fox", "jump", "##s", "!")),
+    # continuation pieces
+    ("jumping jumped", ids("jump", "##ing", "jump", "##ed")),
+    # multi-continuation chain
+    ("unaffable", ids("un", "##aff", "##able")),
+    # no match anywhere -> unk
+    ("zzz", ids("[UNK]")),
+    # matched head + unmatchable tail -> WHOLE word unk (the
+    # all-or-nothing rule, not [quick, UNK])
+    ("quickzz", ids("[UNK]")),
+    # punctuation splits words without whitespace
+    ("fox,dog", ids("fox", ",", "dog")),
+    # greedy LONGEST first: jumper ##s, never jump ##er ##s
+    ("jumpers", ids("jumper", "##s")),
+    # accent strip rides the lowercase default (strip_accents=None)
+    ("Café.", ids("cafe", ".")),
+    # CJK chars become their own words
+    ("fox中dog", ids("fox", "中", "dog")),
+    # whitespace variants collapse; empty text encodes empty
+    ("  the\tfox \n", ids("the", "fox")),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,want", CASES, ids=[c[0][:18] or "empty" for c in CASES])
+def test_encode_matches_hand_computation(text, want):
+    assert encode_text(text, SPEC) == want
+
+
+def test_max_input_chars_word_becomes_unk():
+    tight = WordPieceSpec(vocab=VOCAB, max_input_chars_per_word=6)
+    # 'jumper' (6) still splits; 'jumpers' (7) is unk outright even
+    # though it IS decomposable
+    assert encode_text("jumper jumpers", tight) == ids("jumper", "[UNK]")
+
+
+def test_special_tokens_wrap_only_on_request():
+    spec = WordPieceSpec(
+        vocab=VOCAB, special_prefix=[VOCAB["[CLS]"]],
+        special_suffix=[VOCAB["[SEP]"]],
+    )
+    assert encode_text("fox", spec) == ids("fox")
+    assert encode_text("fox", spec, add_special_tokens=True) == ids(
+        "[CLS]", "fox", "[SEP]"
+    )
+
+
+def test_round_trip_exact_on_normalized_in_vocab_text():
+    for text in (
+        "the quick brown fox jumps",
+        "unaffable jumpers over the lazy dog !",
+        "cafe , dog .",
+    ):
+        assert decode_ids(encode_text(text, SPEC), SPEC) == text
+    with pytest.raises(ValueError, match="not in the vocab"):
+        decode_ids([999], SPEC)
+
+
+def test_normalizer_pieces():
+    # control chars dropped, whitespace canonicalized, CJK spaced
+    assert normalize_text("a\x00b中Cé", SPEC) == "ab 中 ce"
+    # strip_accents=False beats the lowercase default
+    keep = WordPieceSpec(vocab=VOCAB, strip_accents=False)
+    assert normalize_text("Café", keep) == "café"
+    assert pretokenize("don't stop!") == ["don", "'", "t", "stop", "!"]
+
+
+def test_encode_word_prefix_convention():
+    alt = WordPieceSpec(
+        vocab={"ju": 0, "@@mp": 1, "[UNK]": 2},
+        continuing_subword_prefix="@@",
+    )
+    assert encode_word("jump", alt) == ["ju", "@@mp"]
+
+
+# ---- tokenizer.json loader -------------------------------------------------
+
+
+def _doc(**over):
+    doc = {
+        "version": "1.0",
+        "normalizer": {
+            "type": "BertNormalizer", "clean_text": True,
+            "handle_chinese_chars": True, "strip_accents": None,
+            "lowercase": True,
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "post_processor": {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            ],
+        },
+        "model": {
+            "type": "WordPiece", "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+            "max_input_chars_per_word": 100, "vocab": dict(VOCAB),
+        },
+        "added_tokens": [{"content": "[MASK]", "id": 25}],
+    }
+    doc.update(over)
+    return doc
+
+
+def test_loader_round_trip_bert_shape():
+    spec = from_wordpiece_json(json.dumps(_doc()))
+    assert spec.unk_token == "[UNK]" and spec.lowercase
+    assert spec.special_prefix == [VOCAB["[CLS]"]]
+    assert spec.special_suffix == [VOCAB["[SEP]"]]
+    assert spec.vocab["[MASK]"] == 25 and spec.added_tokens["[MASK]"] == 25
+    # the loaded spec encodes identically to the hand-built one
+    for text, want in CASES:
+        assert encode_text(text, spec) == want
+
+
+def test_loader_rejections():
+    with pytest.raises(ValueError, match="tokenio.load_tokenizer_spec"):
+        from_wordpiece_json(json.dumps(_doc(model={"type": "BPE"})))
+    with pytest.raises(ValueError, match="truncation"):
+        from_wordpiece_json(json.dumps(_doc(truncation={"max_length": 5})))
+    with pytest.raises(ValueError, match="normalizer"):
+        from_wordpiece_json(json.dumps(_doc(normalizer={"type": "NFC"})))
+    with pytest.raises(ValueError, match="pre_tokenizer"):
+        from_wordpiece_json(json.dumps(_doc(pre_tokenizer={"type": "Metaspace"})))
+    with pytest.raises(ValueError, match="WhitespaceSplit"):
+        from_wordpiece_json(
+            json.dumps(_doc(pre_tokenizer={"type": "WhitespaceSplit"}))
+        )
+    with pytest.raises(ValueError, match="model sections"):
+        bad = _doc()
+        bad["model"]["dropout"] = 0.1
+        from_wordpiece_json(json.dumps(bad))
+    with pytest.raises(ValueError, match="unk_token"):
+        bad = _doc()
+        bad["model"]["unk_token"] = "[NOPE]"
+        from_wordpiece_json(json.dumps(bad))
+    with pytest.raises(ValueError, match="unsupported tokenizer sections"):
+        from_wordpiece_json(json.dumps(_doc(mystery=1)))
+    with pytest.raises(ValueError, match="conflicts"):
+        from_wordpiece_json(
+            json.dumps(_doc(added_tokens=[{"content": "the", "id": 99}]))
+        )
+
+
+# ---- the Spark kernel -------------------------------------------------------
+
+
+def test_spark_kernel_equals_driver_twin(spark, sf_dir):
+    """spec_encode over the documents table == encode_text per row —
+    the Arrow batch path adds nothing and loses nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r["token_ids"]
+        for r in spec_encode(docs, SPEC).collect()
+    }
+    for r in docs.collect():
+        assert got[r["doc_id"]] == encode_text(r["text"], SPEC), r["doc_id"]
+
+
+def test_plan_is_single_scan_no_shuffle(spark):
+    from tests.plan_utils import formatted_plan
+
+    df = spark.createDataFrame([(1, "the fox")], "doc_id long, text string")
+    plan = formatted_plan(spec_encode(df, SPEC))
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
