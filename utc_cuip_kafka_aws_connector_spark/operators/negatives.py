@@ -106,6 +106,17 @@ def hard_negatives(
     pair — the exact baseline; |anchors| x |corpus| comparisons, for
     eval-scale query sets and tests, never the 100 TB path.
 
+    The candidate cross-dot is the index-ordered zip_with/aggregate
+    fold — bit-identical to the SQL oracle. A per-pair Arrow/numpy
+    einsum kernel was built and MEASURED against it (r18): 1.4x
+    slower at dim 64 and 2x slower at dim 768 on the IVF candidate
+    stream, because shipping both vectors per PAIR through Arrow
+    costs more than the fold saves — so there is deliberately no
+    "blas" pair kernel. (The design that would actually win at high
+    dim is a GEMM per cell group — each vector shipped once per
+    cell, not once per pair — at the cost of pairwise summation
+    order, i.e. it could not share the exact SQL oracle.)
+
     Vectors must be non-null (the ANN-stack contract; nulls would
     poison the BLAS batch)."""
     if k < 1:
