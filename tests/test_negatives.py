@@ -206,4 +206,3 @@ def test_validation(spark):
         hard_negatives(df, method="annoy")
     with pytest.raises(ValueError, match="centroid_source"):
         hard_negatives(df, method="ivf", centroid_source="grid")
-

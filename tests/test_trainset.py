@@ -200,3 +200,51 @@ def test_cli_trainset_packed_requires_context_len(spark, tmp_path):
              "--output", str(tmp_path / "s")]
         )
     assert exc.value.code == 2
+
+
+def test_duplicate_corpus_ids_refused_by_default(spark, tmp_path):
+    """Review r18: duplicate (group, doc_id) corpus rows would
+    collide example ids and make shard assignment layout-dependent —
+    the capstone refuses by default; the documented opt-out skips
+    the check for upstream-deduped corpora."""
+    dup = _corpus(spark).union(_corpus(spark).limit(1))
+    with pytest.raises(ValueError, match="duplicate id"):
+        packed_training_shards(
+            dup, _alloc(spark), str(tmp_path / "s"), context_len=16,
+            pad_id=0,
+        )
+    # the opt-out still runs end-to-end (caller takes the risk)
+    packed_training_shards(
+        dup, _alloc(spark), str(tmp_path / "s2"), context_len=16,
+        pad_id=0, validate_unique_ids=False,
+    )
+
+
+def test_empty_allocation_refused_loudly(spark, tmp_path):
+    """Review r18: an allocation matching no corpus groups must
+    refuse with a clear message, not crash verify_shards on an
+    unreadable all-partition empty parquet dir."""
+    bad_alloc = spark.createDataFrame(
+        [("EN", 2.0)], "lang string, epochs double"  # case mismatch
+    )
+    with pytest.raises(ValueError, match="ZERO examples"):
+        packed_training_shards(
+            _corpus(spark), bad_alloc, str(tmp_path / "s"),
+            context_len=16, pad_id=0,
+        )
+
+
+def test_cli_no_validate_ids_flag(spark, tmp_path, capsys):
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "corpus")
+    _corpus(spark).union(_corpus(spark).limit(1)).write.parquet(src)
+    alloc = str(tmp_path / "alloc")
+    _alloc(spark).write.parquet(alloc)
+    argv = ["trainset", "--input", src, "--alloc", alloc,
+            "--output", str(tmp_path / "shards"),
+            "--mode", "packed", "--context-len", "16"]
+    with pytest.raises(ValueError, match="duplicate id"):
+        cli.main(argv)
+    assert cli.main(argv + ["--no-validate-ids"]) == 0
+    assert "manifest verified" in capsys.readouterr().out

@@ -165,6 +165,32 @@ def test_loader_round_trip_bert_shape():
         assert encode_text(text, spec) == want
 
 
+def test_loader_lowercase_normalizer_does_not_strip_accents():
+    """Review r18: HF's standalone Lowercase normalizer ONLY
+    lowercases — a vocab with both 'café' and 'cafe' must keep the
+    accented id (BertNormalizer's follow-the-lowercase accent strip
+    is that normalizer's semantics, not Lowercase's)."""
+    vocab = dict(VOCAB)
+    vocab["café"] = 100
+    doc = _doc(normalizer={"type": "Lowercase"}, post_processor=None)
+    doc["model"]["vocab"] = vocab
+    spec = from_wordpiece_json(json.dumps(doc))
+    assert encode_text("Café", spec) == [100]
+    assert spec.clean_text is False and spec.handle_chinese_chars is False
+
+
+def test_loader_absent_normalizer_is_identity():
+    """Review r18: no normalizer section = the identity (HF
+    convention) — no CJK spacing, no lowercase, no accent strip, no
+    control-char cleanup baked in uninvited."""
+    doc = _doc(normalizer=None, post_processor=None)
+    spec = from_wordpiece_json(json.dumps(doc))
+    # '中' stays INSIDE the word: 'fox中dog' is one unmatchable word
+    assert encode_text("fox中dog", spec) == ids("[UNK]")
+    # case preserved: 'The' is not 'the'
+    assert encode_text("The the", spec) == ids("[UNK]", "the")
+
+
 def test_loader_rejections():
     with pytest.raises(ValueError, match="tokenio.load_tokenizer_spec"):
         from_wordpiece_json(json.dumps(_doc(model={"type": "BPE"})))

@@ -2217,6 +2217,13 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("--shard-hex", type=int, default=1, help="padded")
     ts.add_argument("--order", default="length",
                     choices=["length", "hash"], help="padded")
+    ts.add_argument(
+        "--no-validate-ids", action="store_true",
+        help="skip the duplicate-(group,id) corpus check (one "
+        "count-shaped aggregate); only when uniqueness is already "
+        "enforced upstream — duplicates would collide example ids "
+        "and make shard assignment layout-dependent",
+    )
 
     curve = sub.add_parser(
         "curve",
@@ -3430,6 +3437,7 @@ def main(argv: list[str] | None = None) -> int:
                 salt=args.salt,
                 shuffle_seed=args.shuffle_seed,
                 hex_chars=args.hex_chars,
+                validate_unique_ids=not args.no_validate_ids,
             )
             idc, tok, shard_key = "seq_id", "input_ids", "shard"
         else:
@@ -3450,6 +3458,7 @@ def main(argv: list[str] | None = None) -> int:
                 ids_col=args.ids_col,
                 salt=args.salt,
                 shuffle_seed=args.shuffle_seed,
+                validate_unique_ids=not args.no_validate_ids,
             )
             idc, tok, shard_key = "example_id", args.ids_col, "train_shard"
         totals = (

@@ -69,9 +69,10 @@ def allocation_from_weights(
     r17): weights must be finite, non-negative, and sum to 1 within
     1e-6 — a non-mixture input (raw counts, un-normalized scores)
     silently rescales the budget by its sum, which is never what the
-    caller meant. Validation is one collect of the mixture-sized
-    weights table (the materialize_epochs contract; >1M groups is
-    refused as high-cardinality).
+    caller meant. Validation costs one aggregate over the WEIGHTS
+    table only (O(1) driver data — review r18; a second tiny lookup
+    fetches the offending group name on failure), never a corpus
+    pass.
 
     ``max_epochs`` optionally caps each group (the UniMax concern —
     a high weight on a tiny group otherwise materializes dozens of
@@ -84,7 +85,15 @@ def allocation_from_weights(
     arrays thousands of entries wide — raise the ceiling explicitly
     for a genuinely extreme run. One join of two mixture-sized
     tables; groups missing a size (or sized <= 0) are dropped —
-    nothing to repeat."""
+    nothing to repeat.
+
+    The returned allocation is LOCALIZED (the join runs once here —
+    incl. whatever corpus lineage ``sizes`` carries — and the
+    mixture-sized rows come back as a driver-built frame): the
+    ceiling check rides that same single action, and downstream
+    consumers like materialize_epochs's own validation collect do
+    NOT re-trigger the sizes aggregation (review r18 — the --budget
+    CLI path previously scanned the corpus twice)."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if max_epochs is not None and max_epochs <= 0:
@@ -97,21 +106,24 @@ def allocation_from_weights(
         F.col(group_col).alias("__g"),
         F.col(weight_col).cast("double").alias("__w"),
     ).filter(F.col("__g").isNotNull())
-    wrows = w.limit(1_000_001).collect()
-    if len(wrows) > 1_000_000:
+    bad_w = (
+        F.col("__w").isNull()
+        | F.isnan(F.col("__w"))
+        | (F.abs(F.col("__w")) == float("inf"))
+        | (F.col("__w") < 0)
+    )
+    stats = w.agg(
+        F.count(F.when(bad_w, 1)).alias("n_bad"),
+        F.sum(F.when(~bad_w, F.col("__w"))).alias("total"),
+    ).first()
+    if stats["n_bad"]:
+        offender = w.filter(bad_w).limit(1).collect()[0]
         raise ValueError(
-            f"allocation_from_weights: weights table has >1M groups; "
-            f"group_col={group_col!r} looks high-cardinality"
+            f"weight for group {offender['__g']!r} is invalid: "
+            f"{offender['__w']!r} (need a finite value >= 0; "
+            f"{stats['n_bad']} such row(s))"
         )
-    total = 0.0
-    for r in wrows:
-        v = r["__w"]
-        if v is None or math.isnan(v) or math.isinf(v) or v < 0:
-            raise ValueError(
-                f"weight for group {r['__g']!r} is invalid: {v!r} "
-                "(need a finite value >= 0)"
-            )
-        total += v
+    total = stats["total"] or 0.0
     if abs(total - 1.0) > 1e-6:
         raise ValueError(
             f"weights sum to {total!r}, not 1 — not a mixture. "
@@ -135,7 +147,15 @@ def allocation_from_weights(
         F.col("__n").alias("n_units"),
         e.alias("epochs"),
     )
-    worst = out.agg(F.max("epochs")).first()[0]
+    # ONE action computes the join (and the sizes lineage); the
+    # ceiling check and the localized return ride it together
+    rows = out.limit(1_000_001).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            f"allocation_from_weights: allocation has >1M groups; "
+            f"group_col={group_col!r} looks high-cardinality"
+        )
+    worst = max((r["epochs"] for r in rows), default=None)
     if worst is not None and worst > epochs_ceiling:
         raise ValueError(
             f"computed epochs reach {worst:.1f}, past "
@@ -144,7 +164,7 @@ def allocation_from_weights(
             "replica arrays). Cap with max_epochs, or raise "
             "epochs_ceiling deliberately."
         )
-    return out
+    return out.sparkSession.createDataFrame(rows, out.schema)
 
 
 def materialize_epochs(

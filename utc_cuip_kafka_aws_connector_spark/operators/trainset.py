@@ -63,6 +63,7 @@ def replica_rows(
     salt: str = "epochs",
     shuffle_seed: int | None = None,
     id_out: str = "example_id",
+    validate_unique_ids: bool = True,
 ) -> DataFrame:
     """Input columns + ``replica`` + ``id_out``: the corpus
     materialized per its allocation with a unique per-example id.
@@ -70,7 +71,15 @@ def replica_rows(
     ``<hash16>#<doc_id>#<replica>`` (zero-padded hex of
     xxhash64(doc_id, replica, seed)) so downstream id-ordered fills
     consume a deterministic permutation — same seed, same shards, on
-    any input layout."""
+    any input layout.
+
+    Uniqueness is this module's load-bearing claim — duplicate
+    (group, doc_id) corpus rows would collide example ids and make
+    seq/shard assignment layout-dependent (review r18) — so
+    ``validate_unique_ids`` defaults ON here (one count-shaped
+    corpus aggregate, materialize_epochs's guard); pass False only
+    for a corpus whose key uniqueness is already enforced upstream
+    (e.g. it just came out of exact_dedup)."""
     if id_out in df.columns:
         raise ValueError(
             f"replica_rows generates {id_out!r} which the input "
@@ -83,6 +92,7 @@ def replica_rows(
         epochs_col=epochs_col,
         id_col=id_col,
         salt=salt,
+        validate_unique_ids=validate_unique_ids,
     )
     qid = F.concat_ws(
         "#", F.col(id_col).cast("string"), F.col("replica").cast("string")
@@ -163,7 +173,18 @@ def write_training_shards(
     )
     manifest = shard_manifest(df, id_col, tokens_col, shard_col)
     manifest.write.mode("overwrite").parquet(path + "_manifest")
-    return manifest
+    spark = df.sparkSession
+    written = spark.read.parquet(path + "_manifest")
+    if written.limit(1).count() == 0:
+        # an all-partition parquet dir with zero rows has no readable
+        # schema — verify_shards (and every consumer) would crash on
+        # it later with an unhelpful inference error (review r18)
+        raise ValueError(
+            f"write_training_shards wrote ZERO examples to {path} — "
+            "the allocation matched no corpus groups (check the group "
+            "column values / epochs > 0)"
+        )
+    return written
 
 
 def packed_training_shards(
@@ -180,6 +201,7 @@ def packed_training_shards(
     salt: str = "epochs",
     shuffle_seed: int | None = None,
     hex_chars: int = 1,
+    validate_unique_ids: bool = True,
 ) -> DataFrame:
     """The packed end-to-end: allocation -> replica rows -> fixed
     ``context_len`` windows -> manifest-verified shards at ``path``.
@@ -192,6 +214,7 @@ def packed_training_shards(
         id_col=id_col,
         salt=salt,
         shuffle_seed=shuffle_seed,
+        validate_unique_ids=validate_unique_ids,
     )
     packed = pack_token_ids(
         rows.select("example_id", ids_col),
@@ -222,6 +245,7 @@ def padded_training_shards(
     ids_col: str = "token_ids",
     salt: str = "epochs",
     shuffle_seed: int | None = None,
+    validate_unique_ids: bool = True,
 ) -> DataFrame:
     """The padded end-to-end: allocation -> replica rows -> length-
     bucketed batches -> manifest-verified shards at ``path`` (rows
@@ -235,6 +259,7 @@ def padded_training_shards(
         id_col=id_col,
         salt=salt,
         shuffle_seed=shuffle_seed,
+        validate_unique_ids=validate_unique_ids,
     )
     batches = padded_batches(
         rows,

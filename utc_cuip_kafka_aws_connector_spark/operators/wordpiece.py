@@ -283,7 +283,13 @@ def from_wordpiece_json(text: str) -> WordPieceSpec:
         raise ValueError("tokenizer.json carries no vocab")
     vocab = {str(t): int(i) for t, i in vocab_raw.items()}
 
-    clean_text, handle_cjk, strip_accents, lowercase = True, True, None, False
+    # ABSENT normalizer is the IDENTITY (the HF convention) — every
+    # Bert-specific behavior must be opted into by the file, or this
+    # loader would silently tokenize differently than the file's real
+    # tokenizer (review r18)
+    clean_text, handle_cjk, strip_accents, lowercase = (
+        False, False, False, False,
+    )
     norm = doc.get("normalizer")
     if norm is not None:
         ntype = norm.get("type") if isinstance(norm, dict) else None
@@ -293,7 +299,11 @@ def from_wordpiece_json(text: str) -> WordPieceSpec:
             strip_accents = norm.get("strip_accents")  # None | bool
             lowercase = bool(norm.get("lowercase", True))
         elif ntype == "Lowercase":
-            clean_text, handle_cjk, lowercase = False, False, True
+            # HF's standalone Lowercase normalizer ONLY lowercases —
+            # no accent strip (strip_accents=None would follow the
+            # lowercase flag, which is BertNormalizer semantics, not
+            # Lowercase's)
+            lowercase = True
         else:
             raise ValueError(
                 f"unsupported normalizer type for WordPiece: {ntype!r} "

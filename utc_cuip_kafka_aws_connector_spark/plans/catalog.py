@@ -5142,12 +5142,18 @@ _GATE_PRIORITY = [
     # plan directed, by retiring q115_zorder_layout from this EXPIRING
     # cohort (same-round slot; see the Retired-at-r18 note above —
     # layout.py NOT edited, q116/q117 keep the layout surface pinned).
-    # The promotion: registering the pre-staged, pre-proven
-    # q128_hard_negatives (operators/negatives.py::hard_negatives run
-    # at the exhaustive nprobe == n_centroids setting where the IVF
-    # bucketed plan provably equals the brute all-pairs baseline; its
-    # oracle was fully written at r17 staging and its staging parity
-    # test has run on every pytest since — the q124-q127 recipe).
+    # The promotion: registering q128_hard_negatives
+    # (operators/negatives.py::hard_negatives run at the exhaustive
+    # nprobe == n_centroids setting where the IVF bucketed plan
+    # provably equals the brute all-pairs baseline). Provenance,
+    # stated precisely (review r18): the r17 staging proved the
+    # ALL-ANCHORS exhaustive shape on every pytest since; at
+    # registration this round the gate was RE-SHAPED in-window to a
+    # 10% anchor query set (builder + oracle together, plus a
+    # per-side norm precompute in the operator) after the first
+    # sf0.1 bench read 86 s for the all-anchors form — the staging
+    # parity test has run the current query-set form since commit
+    # ec0bc28, and the sf0.01 rehearsal re-verified it this round.
     # Module-freeze reality at r18 (re-derived from the dep scan at
     # open, matching the r17 sketch): EDITABLE = asof, bpetrain,
     # bucketing, chunkdedup, chunking, decontam, heavyhitters,
