@@ -3461,15 +3461,13 @@ def main(argv: list[str] | None = None) -> int:
                 validate_unique_ids=not args.no_validate_ids,
             )
             idc, tok, shard_key = "example_id", args.ids_col, "train_shard"
-        totals = (
-            spark.read.parquet(args.output + "_manifest")
-            .agg(
-                _Ft.count(_Ft.lit(1)).alias("shards"),
-                _Ft.sum("n_docs").alias("rows"),
-                _Ft.sum("n_tokens").alias("tokens"),
-            )
-            .first()
-        )
+        # the builders return the WRITTEN manifest (already read back
+        # from disk) — aggregate it directly, no second read
+        totals = manifest.agg(
+            _Ft.count(_Ft.lit(1)).alias("shards"),
+            _Ft.sum("n_docs").alias("rows"),
+            _Ft.sum("n_tokens").alias("tokens"),
+        ).first()
         bad = verify_shards(spark, args.output, idc, tok, shard_key).count()
         if bad:
             print(

@@ -164,15 +164,30 @@ def write_training_shards(
     repartition on the shard key so files track shards; write the
     shardwrite-contract manifest beside them at ``<path>_manifest``
     and return it. ``shardwrite.verify_shards(spark, path, id_col,
-    tokens_col, shard_col)`` verifies the result unchanged."""
-    (
-        df.repartition(F.col(shard_col))
-        .write.mode("overwrite")
-        .partitionBy(shard_col)
-        .parquet(path)
+    tokens_col, shard_col)`` verifies the result unchanged.
+
+    The input is persisted DISK_ONLY across the two consumers (data
+    write + lineage-derived manifest — the dual_destination_write
+    recipe): the expensive upstream lineage (the pack/batch Python
+    stage) runs ONCE, while the manifest still derives from the
+    LINEAGE rather than a read-back of the files, so a corrupted
+    write is caught by the first verify instead of being
+    re-certified by its own bytes."""
+    from pyspark import StorageLevel
+
+    clustered = df.repartition(F.col(shard_col)).persist(
+        StorageLevel.DISK_ONLY
     )
-    manifest = shard_manifest(df, id_col, tokens_col, shard_col)
-    manifest.write.mode("overwrite").parquet(path + "_manifest")
+    try:
+        (
+            clustered.write.mode("overwrite")
+            .partitionBy(shard_col)
+            .parquet(path)
+        )
+        manifest = shard_manifest(clustered, id_col, tokens_col, shard_col)
+        manifest.write.mode("overwrite").parquet(path + "_manifest")
+    finally:
+        clustered.unpersist()
     spark = df.sparkSession
     written = spark.read.parquet(path + "_manifest")
     if written.limit(1).count() == 0:
