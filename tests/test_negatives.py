@@ -206,3 +206,110 @@ def test_validation(spark):
         hard_negatives(df, method="annoy")
     with pytest.raises(ValueError, match="centroid_source"):
         hard_negatives(df, method="ivf", centroid_source="grid")
+
+
+def test_gemm_kernel_matches_fold_exhaustive(spark):
+    """hard_negatives_gemm at nprobe == n_centroids equals the
+    oracle-exact fold path row-for-row on non-degenerate data:
+    identical (anchor, rank, neg_id), cosines within 1e-12 (GEMM
+    sums in a different order — the documented exactness trade)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives_gemm,
+    )
+
+    df, _, _ = _cluster_corpus(spark)
+    common = dict(
+        k=4, id_col="vec_id", vec_col="embedding", label_col="lang",
+        n_centroids=3, nprobe=3,
+    )
+    fold = hard_negatives(df, method="ivf", **common).collect()
+    gemm = hard_negatives_gemm(df, **common).collect()
+    fkey = {(r["anchor_id"], r["rank"]): r for r in fold}
+    gkey = {(r["anchor_id"], r["rank"]): r for r in gemm}
+    assert set(fkey) == set(gkey)
+    for key, fr in fkey.items():
+        gr = gkey[key]
+        assert fr["neg_id"] == gr["neg_id"], key
+        assert abs(fr["cos_sim"] - gr["cos_sim"]) < 1e-12, key
+
+
+def test_gemm_kernel_matches_fold_partial_probe(spark):
+    """Same candidate structure at a PARTIAL probe (the production
+    setting): both kernels see exactly the probed cells, so they
+    agree row-for-row there too."""
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives_gemm,
+    )
+
+    df, _, _ = _cluster_corpus(spark)
+    common = dict(
+        k=3, id_col="vec_id", vec_col="embedding",
+        n_centroids=3, nprobe=1,
+    )
+    fold = sorted(
+        (r["anchor_id"], r["rank"], r["neg_id"])
+        for r in hard_negatives(df, method="ivf", **common).collect()
+    )
+    gemm = sorted(
+        (r["anchor_id"], r["rank"], r["neg_id"])
+        for r in hard_negatives_gemm(df, **common).collect()
+    )
+    assert fold == gemm
+
+
+def test_gemm_null_label_law_matches_fold(spark):
+    """eqNullSafe's law holds in the factorized GEMM mask: two
+    null-labeled vectors ARE each other's positives (excluded), and
+    a null-labeled candidate is excluded for no labeled anchor."""
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives_gemm,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], None),
+            (1, [0.9, 0.1], None),
+            (2, [0.8, 0.2], "A"),
+        ],
+        "vec_id long, embedding array<double>, lang string",
+    )
+    common = dict(
+        k=3, id_col="vec_id", vec_col="embedding", label_col="lang",
+        n_centroids=2, nprobe=2,
+    )
+    fold = sorted(
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negatives(df, method="ivf", **common).collect()
+    )
+    gemm = sorted(
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negatives_gemm(df, **common).collect()
+    )
+    assert fold == gemm
+    # anchors 0/1 (null) exclude each other; both can take 2; anchor
+    # 2 takes 0 and 1
+    assert fold == [(0, 2), (1, 2), (2, 0), (2, 1)]
+
+
+def test_gemm_anchor_subset_and_empty_cells(spark):
+    """The anchors= subset path works and cells with no anchors (or
+    no candidates) contribute nothing rather than crashing."""
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives_gemm,
+    )
+
+    df, _, _ = _cluster_corpus(spark)
+    out = hard_negatives_gemm(
+        df,
+        k=2,
+        id_col="vec_id",
+        vec_col="embedding",
+        anchors=df.filter(F.col("vec_id") < 3),
+        n_centroids=5,
+        nprobe=1,
+    ).collect()
+    assert {r["anchor_id"] for r in out} <= {0, 1, 2}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]

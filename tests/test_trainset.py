@@ -248,3 +248,42 @@ def test_cli_no_validate_ids_flag(spark, tmp_path, capsys):
         cli.main(argv)
     assert cli.main(argv + ["--no-validate-ids"]) == 0
     assert "manifest verified" in capsys.readouterr().out
+
+
+def test_cli_trainset_budget_full_mixture_loop(spark, tmp_path, capsys):
+    """The one-verb corpus-to-shards loop: mixture WEIGHTS + a token
+    budget convert through allocation_from_weights (token-mass
+    sizes), then materialize, pack, write, verify. Exact accounting:
+    en/de token masses are known, so the converted epochs — and
+    therefore the packed doc totals — are laws."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "corpus")
+    _corpus(spark).write.parquet(src)
+    weights = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [("en", 0.5), ("de", 0.5)], "lang string, weight double"
+    ).write.parquet(weights)
+    # token masses: en = sum(2..6 pattern) = 20 docs avg 4 = 80;
+    # de = 10 docs of 3+i%3 -> 3,4,5 repeating = 39
+    # budget 160 -> en epochs = 80/80 = 1.0, de = 80/39 ~ 2.051
+    dest = str(tmp_path / "shards")
+    assert cli.main(
+        ["trainset", "--input", src, "--alloc", weights, "--output", dest,
+         "--mode", "padded", "--budget", "160", "--shard-hex", "0"]
+    ) == 0
+    assert "manifest verified" in capsys.readouterr().out
+    back = spark.read.parquet(dest)
+    counts = {
+        r["lang"]: r["n"]
+        for r in back.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["en"] == 20  # exactly 1.0 epochs
+    # de at ~2.051: every doc twice plus a deterministic ~5% third
+    assert 20 <= counts["de"] <= 30
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["trainset", "--input", src, "--alloc", weights,
+             "--output", dest, "--budget", "160",
+             "--epochs-col", "reps", "--mode", "padded"]
+        )

@@ -21,6 +21,10 @@ best-of-2 warm):
                     exhaustive oracle setting). A per-pair Arrow
                     einsum kernel was measured here and LOST to the
                     fold (1.4x at dim 64, 2x at dim 768) — removed.
+  negatives/gemm    the same setting through hard_negatives_gemm
+                    (one GEMM per cell, vectors ship once per cell)
+                    — the production kernel: 2.9x at dim 64, 7.9x
+                    at dim 768 over the fold.
 
 Prints one line per probe; paste the table into BENCH_NOTES.
 """
@@ -55,6 +59,7 @@ def timed(label, fn, runs=2):
 def main():
     from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
         hard_negatives,
+        hard_negatives_gemm,
     )
     from utc_cuip_kafka_aws_connector_spark.operators.shardwrite import (
         verify_shards,
@@ -141,6 +146,18 @@ def main():
         ).count()
 
     timed("negatives/prod", prod_negatives)
+
+    def gemm_negatives():
+        return hard_negatives_gemm(
+            emb,
+            k=5,
+            anchors=emb.filter(F.col("vec_id") % 100 == 0),
+            label_col="label",
+            n_centroids=64,
+            nprobe=4,
+        ).count()
+
+    timed("negatives/gemm", gemm_negatives)
 
     shutil.rmtree(work, ignore_errors=True)
 

@@ -2224,6 +2224,19 @@ def main(argv: list[str] | None = None) -> int:
         "enforced upstream — duplicates would collide example ids "
         "and make shard assignment layout-dependent",
     )
+    ts.add_argument(
+        "--budget", type=float, default=None,
+        help="treat --alloc as a WEIGHTS table (mix output) and "
+        "convert first: epochs = weight * budget / group token "
+        "count — the epochs verb's conversion, sized here by "
+        "sum(size(--ids-col)) per group",
+    )
+    ts.add_argument("--weight-col", default="weight",
+                    help="with --budget: the weights column")
+    ts.add_argument(
+        "--max-epochs", type=float, default=None,
+        help="with --budget: cap per-group epochs (surplus unused)",
+    )
 
     curve = sub.add_parser(
         "curve",
@@ -3422,6 +3435,33 @@ def main(argv: list[str] | None = None) -> int:
 
         corpus = spark.read.parquet(args.input)
         alloc_df = spark.read.parquet(args.alloc)
+        if args.budget is not None:
+            # the epochs verb's weights->allocation conversion, sized
+            # by token mass (the budget is a TOKEN budget here — the
+            # unit trainers actually plan in)
+            if args.epochs_col != "epochs":
+                parser.error(
+                    "--budget converts weights to an allocation whose "
+                    "epochs column is named 'epochs'; --epochs-col "
+                    f"{args.epochs_col!r} cannot apply (use "
+                    "--weight-col to name the weights column)"
+                )
+            from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+                allocation_from_weights,
+            )
+
+            group_sizes = corpus.groupBy(args.group_col).agg(
+                _Ft.sum(_Ft.size(args.ids_col)).cast("double").alias("__sz")
+            )
+            alloc_df = allocation_from_weights(
+                alloc_df,
+                group_sizes,
+                budget=args.budget,
+                group_col=args.group_col,
+                weight_col=args.weight_col,
+                size_col="__sz",
+                max_epochs=args.max_epochs,
+            )
         if args.mode == "packed":
             if args.context_len is None:
                 parser.error("trainset --mode packed requires --context-len")
