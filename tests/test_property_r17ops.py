@@ -72,15 +72,31 @@ def test_lenbatch_invariants(spark, lengths, batch_size):
         == 1
         for b in rem
     )
-    # universal economics: sorted-by-length never pads more than the
-    # hash baseline at the same (buckets, batch_size)
-    w_len = padding_report(
-        bucketed_batches(df, batch_size=batch_size, shard_hex=0)
-    ).head()
-    w_hash = padding_report(
-        bucketed_batches(df, batch_size=batch_size, shard_hex=0, order="hash")
-    ).head()
-    assert w_len["pad_tokens"] <= w_hash["pad_tokens"]
+    # economics: sorted-by-length never pads more than the hash
+    # baseline — TRUE ONLY when every bucket fills its batches evenly
+    # (consecutive sorted chunks minimize the sum of batch maxima for
+    # equal-size groups). With a tail remainder the claim is FALSE in
+    # general: hypothesis found lengths [1, 1, 2048, 2218, 2385] at
+    # batch_size 2, where sorted pairs (2048, 2218) and leaves 2385
+    # as the remainder (pad 170) while an order pairing the two
+    # largest pads only 167 — so the comparison is asserted on the
+    # evenly-filled cases hypothesis generates (batch_size=1 always
+    # qualifies) and skipped otherwise (r18: the original
+    # unconditional assert was an overclaim in the test, not a
+    # lenbatch behavior change).
+    from collections import Counter
+
+    per_bucket = Counter(r["bucket"] for r in out)
+    if all(n % batch_size == 0 for n in per_bucket.values()):
+        w_len = padding_report(
+            bucketed_batches(df, batch_size=batch_size, shard_hex=0)
+        ).head()
+        w_hash = padding_report(
+            bucketed_batches(
+                df, batch_size=batch_size, shard_hex=0, order="hash"
+            )
+        ).head()
+        assert w_len["pad_tokens"] <= w_hash["pad_tokens"]
 
 
 @settings(max_examples=40, deadline=None)

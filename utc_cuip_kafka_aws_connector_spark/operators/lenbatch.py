@@ -82,8 +82,13 @@ def bucketed_batches(
     ``shard_hex=1`` gives 16 shards per bucket (the default scale
     knob, <= 16 remainder batches per bucket); each further hex
     digit multiplies by 16. ``order="length"`` sorts (len, id) —
-    the padding-minimizing order; ``order="hash"`` sorts by
-    md5(id) — the random-batch baseline for pricing the sort."""
+    minimizes total padding whenever a group's batches fill evenly
+    (consecutive sorted chunks minimize the sum of batch maxima);
+    with a tail remainder it is the standard heuristic, and a rare
+    adversarial order can pad slightly less (hypothesis found one:
+    sorted leaves the single largest row as the remainder instead of
+    pairing the two largest). ``order="hash"`` sorts by md5(id) —
+    the random-batch baseline for pricing the sort."""
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     if shard_hex < 0:
