@@ -244,3 +244,35 @@ def test_plan_is_single_scan_no_shuffle(spark):
     plan = formatted_plan(spec_encode(df, SPEC))
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan
+
+
+def test_cli_tokenizer_encode_routes_wordpiece(spark, tmp_path, capsys):
+    """`tokenizer --op encode` on a WordPiece tokenizer.json routes
+    to operators/wordpiece.py (tokenio stays frozen this round) and
+    the written ids equal the driver twin; --sample-alpha is a clear
+    error for the deterministic WordPiece encoder."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    model = tmp_path / "tokenizer.json"
+    model.write_text(json.dumps(_doc()))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "The quick brown fox jumps!"), (2, "unaffable jumpers")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "ids")
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", str(model),
+         "--input", src, "--output", out]
+    ) == 0
+    assert "WordPiece" in capsys.readouterr().out
+    spec = from_wordpiece_json(json.dumps(_doc()))
+    got = {r["doc_id"]: r["token_ids"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == encode_text("The quick brown fox jumps!", spec)
+    assert got[2] == encode_text("unaffable jumpers", spec)
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["tokenizer", "--op", "encode", "--model", str(model),
+             "--input", src, "--output", out, "--sample-alpha", "0.1"]
+        )
+    assert exc.value.code == 2

@@ -3630,20 +3630,55 @@ def main(argv: list[str] | None = None) -> int:
 
             if not args.output:
                 parser.error("tokenizer --op encode requires --output")
-            spec = load_tokenizer_spec(spark, args.model)
-            ids = spec_encode(
-                df,
-                spec,
-                id_col=args.id_col,
-                text_col=args.text_col,
-                sample_alpha=args.sample_alpha,
-                sample_seed=args.sample_seed,
+            # model-type routing lives HERE this round: tokenio.py is
+            # fingerprint-frozen under q127's resting gate row, so the
+            # WordPiece branch inspects the file and dispatches to
+            # operators/wordpiece.py without touching the BPE/Unigram
+            # loader (r19 moves the dispatch into load_tokenizer_spec)
+            import json as _json
+
+            from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                _fs_read_text,
             )
+
+            model_text = _fs_read_text(spark, args.model)
+            if model_text is None:
+                raise FileNotFoundError(args.model)
+            mtype = (_json.loads(model_text).get("model") or {}).get("type")
+            if mtype == "WordPiece":
+                if args.sample_alpha is not None:
+                    parser.error(
+                        "--sample-alpha is subword regularization for "
+                        "BPE/Unigram models; WordPiece encoding is "
+                        "deterministic"
+                    )
+                from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                    from_wordpiece_json,
+                )
+                from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                    spec_encode as wp_encode,
+                )
+
+                wspec = from_wordpiece_json(model_text)
+                ids = wp_encode(
+                    df, wspec, id_col=args.id_col, text_col=args.text_col
+                )
+                shape = "WordPiece"
+            else:
+                spec = load_tokenizer_spec(spark, args.model)
+                ids = spec_encode(
+                    df,
+                    spec,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    sample_alpha=args.sample_alpha,
+                    sample_seed=args.sample_seed,
+                )
+                shape = (
+                    "byte-level BPE" if spec.byte_level else spec.model_type
+                )
             ids.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
-            shape = (
-                "byte-level BPE" if spec.byte_level else spec.model_type
-            )
             print(
                 f"encoded {n} docs with {args.model} ({shape}), "
                 f"output={args.output}"
