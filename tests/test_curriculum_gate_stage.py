@@ -179,12 +179,20 @@ def test_staged_q128_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q128_NAME)
 
 
-def test_q128_registered_at_r18():
-    """The r17 staging contract's inverse, flipped at registration:
-    q128 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+def test_q128_registered_and_reattesting():
+    """Registered at r18 (green CORRECTNESS_r18 row); at r19 it does
+    NOT rest on that row — it is PULLED back into the window (the r15
+    rebalance precedent) because this round edits
+    operators/negatives.py under it (the no-op distinct() removal,
+    VERDICT r18 #1), which drifts its fingerprint."""
     assert STAGED_Q128_NAME in queries()
     assert STAGED_Q128_NAME in _GATE_PRIORITY
+    import json
+    import os
+
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r18.json")
+    row = json.load(open(corr))[STAGED_Q128_NAME]
+    assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
 
 def test_staged_q129_matches_oracle(spark, sf_dir):
@@ -200,10 +208,9 @@ def test_staged_q129_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q129_NAME)
 
 
-def test_q129_staged_not_registered():
-    """The pre-registration contract (flips to its inverse at r19):
-    staged means NOT in the catalog and NOT holding a window slot —
-    registration must be a deliberate rotation event, never a
-    side-effect of importing the staged builder."""
-    assert STAGED_Q129_NAME not in queries()
-    assert STAGED_Q129_NAME not in _GATE_PRIORITY
+def test_q129_registered_at_r19():
+    """The r18 staging contract's inverse, flipped at registration:
+    q129 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option)."""
+    assert STAGED_Q129_NAME in queries()
+    assert STAGED_Q129_NAME in _GATE_PRIORITY

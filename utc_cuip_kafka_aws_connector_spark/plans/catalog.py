@@ -4882,7 +4882,9 @@ def staged_q128_hard_negatives(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r19 — NOT REGISTERED. The r19 rotation plan's named
+# REGISTERED at r19 (staged r18, the stamped plan executed on
+# schedule; the STAGED_* names are kept — the staging tests and the
+# provenance trail reference them). The r19 rotation plan's named
 # promotion (see the _GATE_PRIORITY comment block): the
 # preference-pairs tier (operators/prefpairs.py::preference_pairs,
 # strategy="best_worst" — §2.D RLHF/DPO training-data scope, added
@@ -4925,6 +4927,7 @@ STAGED_Q129_ORACLE = """
 """
 
 
+@query(STAGED_Q129_NAME, oracle=STAGED_Q129_ORACLE)
 def staged_q129_preference_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5116,6 +5119,41 @@ def staged_q129_preference_pairs(
 #   by this retirement; q115 keeps its oracle in the local parity
 #   suite on its frozen r16 evidence, and any layout.py drift forces
 #   it back through the window.
+#
+# Retired at r19 (both drawn from the EXPIRING r17 cohort so each
+#   frees a same-round slot; one funds the stamped promotion, one
+#   funds a rebalance pull — the r15 precedent):
+#   q57_sql_cte_top_orders (funds the q129_preference_pairs
+#   registration — the stamped r18 plan's named pair): its
+#   CTE-over-top-k surface is pinned by q19_global_topk (the global
+#   LIMIT-ordered draw) and q74_top_supplier (the CTE + join-back
+#   composition) every rotation; the SQL-string entry path itself is
+#   pinned by q73/q75/q77/q89 each round.
+#   q64_udtf_word_split (funds the q128_hard_negatives rebalance
+#   pull, below): its UDTF surface is an API demo beside
+#   q61_python_udfs' vectorized twin — the SAME expiring cohort, so
+#   q61 re-attests every rotation the UDTF demo would have; the
+#   explode-shaped output contract is pinned by q77's explode gate
+#   each even round. q64 was ALREADY the next named retiree (the
+#   r16-named r20 retention-curve funding); spending it one round
+#   early is strictly better: the q128 pull leaves the r18 cohort at
+#   49 members, so r20's retention promotion takes the freed slot
+#   with NO further retirement (see the r20 plan in the window
+#   comment).
+#
+#   Like every retiree both keep their oracles in the local parity
+#   suite on their frozen r17 evidence, and any fingerprint drift
+#   forces them back through the window.
+#
+# Pulled at r19 (the r15 rebalance precedent — re-attesting a round
+#   early to unfreeze a module): q128_hard_negatives, fresh on its
+#   r18 row, takes a window slot anyway because this round edits
+#   operators/negatives.py (VERDICT r18 #1: the provably-no-op
+#   distinct() in the IVF path — the corpus side is SINGLE-probed,
+#   so a (anchor, neg) pair can share at most one cell and the
+#   distinct's Exchange, the largest in the gate, dedups nothing).
+#   The edit drifts q128's fingerprint, so it routes back through
+#   the window; it thereby joins the ODD cohort.
 # ---------------------------------------------------------------------------
 GATE_RETIRED: frozenset[str] = frozenset(
     {
@@ -5129,125 +5167,113 @@ GATE_RETIRED: frozenset[str] = frozenset(
         "q18_rank_ntile",
         "q82_sampling",
         "q115_zorder_layout",
+        "q57_sql_cte_top_orders",
+        "q64_udtf_word_split",
     }
 )
 
 _GATE_PRIORITY = [
-    # r18 ROTATION (the stamped r17 plan, executed on schedule; at r18
-    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r17 was
-    # 50/50 green — then this window + `--round 18` in the same
-    # commit). Window: must-attest = the ENTIRE 50-member r16 cohort
-    # (no pulls happened at r17), so r18 opened with ZERO free slots;
-    # the slot for the stamped promotion was funded exactly as the
-    # plan directed, by retiring q115_zorder_layout from this EXPIRING
-    # cohort (same-round slot; see the Retired-at-r18 note above —
-    # layout.py NOT edited, q116/q117 keep the layout surface pinned).
-    # The promotion: registering q128_hard_negatives
-    # (operators/negatives.py::hard_negatives run at the exhaustive
-    # nprobe == n_centroids setting where the IVF bucketed plan
-    # provably equals the brute all-pairs baseline). Provenance,
-    # stated precisely (review r18): the r17 staging proved the
-    # ALL-ANCHORS exhaustive shape on every pytest since; at
-    # registration this round the gate was RE-SHAPED in-window to a
-    # 10% anchor query set (builder + oracle together, plus a
-    # per-side norm precompute in the operator) after the first
-    # sf0.1 bench read 86 s for the all-anchors form — the staging
-    # parity test has run the current query-set form since commit
-    # ec0bc28, and the sf0.01 rehearsal re-verified it this round.
-    # Module-freeze reality at r18 (re-derived from the dep scan at
-    # open, matching the r17 sketch): EDITABLE = asof, bpetrain,
-    # bucketing, chunkdedup, chunking, decontam, heavyhitters,
-    # nbquality, packing, ranges, retrieval, setjoin, skew, split,
-    # tokenizer, urlops, sources.sinks, sources.txlog (+ every module
-    # with no gated dependent: epochs/lenbatch/prefpairs/doremi/
-    # retention/negatives/wordpiece/cli...); FROZEN = the dedup family
-    # (dedup/semdedup/similarity/clusterguard), ngramlm, text,
-    # multimodal, boilerplate, ordering, sampling, diff, bytelevel,
-    # tokenio, streaming.ops (all r17-resting), stats (two-cohort:
-    # q85 odd + q89 even), layout/skipread (two-cohort). Deferred on
-    # that freeze: ADVICE r17's dedup.py:335 restore-guard hardening
-    # lands at r19 when the dedup family unfreezes.
-    #
-    # r19 ROTATION PLAN (write once, so the next round doesn't have
-    # to re-derive it): must-attest = the r17 window (49 + q127 = 50,
-    # expiring), so r19 opens with ZERO free slots. The stamped
-    # promotion is the preference-pairs gate staged THIS round
-    # (q129_preference_pairs, catalog.py STAGED block —
-    # prefpairs.preference_pairs(best_worst) over an orders-derived
-    # scored-responses frame; its window+self-join DuckDB oracle is
-    # rehearsed verbatim in tests/test_prefpairs.py::
-    # test_best_worst_matches_duckdb_window_oracle and its staging
-    # parity test runs on every pytest from r18 onward); fund it by
-    # retiring q57_sql_cte_top_orders from the EXPIRING r17 cohort
-    # (same-round slot; its CTE-over-top-k surface is pinned by q19's
-    # global top-k and q74's top-supplier join every rotation).
+    # r19 ROTATION (the stamped r18 plan, executed on schedule; at r19
+    # open: `--reconcile` first — 0 phantoms, CORRECTNESS_r18 was
+    # 50/50 green — then this window + `--round 19` in the same
+    # commit). Window: must-attest = the ENTIRE 50-member r17 cohort
+    # (49 + q127), so r19 opened with ZERO free slots; both funded
+    # moves come from retirements out of this EXPIRING cohort exactly
+    # as the plan directed (see the Retired-at-r19 note above):
+    #   - q57_sql_cte_top_orders retires -> funds the stamped
+    #     promotion, registering q129_preference_pairs (staged r18;
+    #     its DuckDB window+self-join oracle rehearsed on every
+    #     pytest since, parity green at sf0.001 AND sf0.01 in the
+    #     r18 judge's independent runs).
+    #   - q64_udtf_word_split retires (one round before its r16-named
+    #     r20 schedule) -> funds the q128_hard_negatives rebalance
+    #     pull so operators/negatives.py can drop the provably-no-op
+    #     distinct() (VERDICT r18 #1) with q128 routed back through
+    #     driver verification in the same round.
     # r19 is ALSO the dedup-family unfreeze round (q40/q46/q47/q51/
-    # q80/q81/q103/q110 all in the expiring cohort): land the deferred
-    # ADVICE r17 dedup.py:335 fix there, plus any tokenio.py work
-    # (q127 in-window) — e.g. wiring the r18 wordpiece module into
-    # TokenizerSpec loading.
+    # q80/q81/q99/q103/q110 all in-window): the deferred ADVICE r17
+    # dedup.py:335 restore-guard fix lands here, and tokenio.py
+    # (q127 in-window) gains the WordPiece model-type dispatch into
+    # load_tokenizer_spec.
+    # Module-freeze reality at r19 (re-derived from the dep scan at
+    # open): EDITABLE = the dedup family (dedup/semdedup/similarity/
+    # clusterguard), ngramlm, text, multimodal, boilerplate, ordering,
+    # sampling, diff, bytelevel, tokenio, streaming.ops (all
+    # r17-resting, now in-window), negatives (q128 pulled in), plus
+    # every module with no gated dependent (epochs/lenbatch/prefpairs/
+    # doremi/retention/wordpiece/trainset/bitext/cli...); FROZEN =
+    # asof, bpetrain, bucketing, chunkdedup, chunking, decontam,
+    # heavyhitters, nbquality, packing, ranges, retrieval, setjoin,
+    # skew, split, tokenizer, urlops, sources.sinks, sources.txlog
+    # (all r18-resting), stats (two-cohort: q85 odd + q89 even),
+    # layout/skipread (two-cohort).
     #
-    # r20+ PROMOTION CANDIDATE (named at r16, still current): a
-    # retention-curve gate — retention.retention_curve over a
-    # documents length score; its grid-join oracle is rehearsed in
-    # tests/test_mixture_curves.py::test_retention_matches_python_
-    # and_duckdb, docs_kept being integer-exact by construction.
-    # Funding: the next named retiree after q57 is
-    # q64_udtf_word_split (its UDTF surface is an API demo beside
-    # q61's vectorized twin, same odd cohort — expiring at r20, so
-    # the slot frees same-round).
+    # r20 ROTATION PLAN (write once, so the next round doesn't have
+    # to re-derive it): must-attest = the r18 cohort MINUS the q128
+    # pull (49 members, expiring), so r20 opens with ONE free slot —
+    # no retirement needed. The stamped promotion is the
+    # retention-curve gate (named at r16, staged THIS round:
+    # q130_retention_curve, catalog.py STAGED block —
+    # retention.retention_curve over a documents length score; its
+    # grid-join oracle is rehearsed in tests/test_mixture_curves.py::
+    # test_retention_matches_python_and_duckdb, docs_kept being
+    # integer-exact by construction); it takes the free slot.
+    # r20 unfreezes the r18-resting family (asof/bpetrain/packing/
+    # ranges/retrieval/setjoin/... above) if edits are needed.
     #
-    # --- the expiring r16 cohort (50 minus the q115 retirement) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
-    "q106_document_chunking",
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q116_hilbert_layout",
-    "q118_bpe_train",
-    "q119_heavy_hitters",
-    "q121_per_domain_cap",
-    "q122_leakage_safe_split",
-    "q126_nb_confusion",
+    # --- the expiring r17 cohort (50 minus the q57 + q64 retirements) ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q103_near_dup_full_table",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q108_mixture_weights",
+    "q110_semantic_dedup",
+    "q117_clustered_skipping_read",
+    "q120_boilerplate_strip",
+    "q123_curriculum_stages",
+    "q124_bigram_counts",
+    "q125_sb_match_profile",
+    "q127_bytelevel_encode",
     # --- new this round (never attested; the stamped promotion) ---
+    "q129_preference_pairs",
+    # --- pulled this round (fresh r18 row; re-attests early so the
+    #     negatives.py edit routes through the gate — r15 precedent) ---
     "q128_hard_negatives",
 ]
 
