@@ -779,3 +779,88 @@ def test_free_checkpoint_blocks_restores_partially_quieted_loggers():
     assert len(quieted) == 1  # the hiccup stopped the loop after one
     # ...and that one was restored to its prior level
     assert (quieted[0], f"PREV[{quieted[0]}]") in set_calls
+
+
+def test_free_checkpoint_blocks_success_path_restore_is_guarded():
+    """ADVICE r17 (landed at the r19 unfreeze): the SUCCESS path's
+    finally-restore must guard each setLevel like the except branch
+    does — one restore failing mid-loop must neither skip the
+    remaining restores nor raise out of a cosmetic helper."""
+    import types
+
+    from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
+        _free_checkpoint_blocks,
+    )
+
+    set_calls = []
+
+    class _Logger:
+        def __init__(self, lvl):
+            self._l = lvl
+
+        def getLevel(self):
+            return self._l
+
+    class _LogMgr:
+        @staticmethod
+        def getLogger(n):
+            return _Logger(f"PREV[{n}]")
+
+    class _Conf:
+        @staticmethod
+        def setLevel(n, lvl):
+            # quieting (lvl == ERROR) always succeeds; the RESTORE of
+            # rdd.ClassA (its prior level) raises
+            if lvl == "PREV[rdd.ClassA]":
+                raise RuntimeError("py4j hiccup restoring ClassA")
+            set_calls.append((n, lvl))
+
+    class _Level:
+        ERROR = "ERROR"
+
+    jvm = types.SimpleNamespace(
+        org=types.SimpleNamespace(
+            apache=types.SimpleNamespace(
+                logging=types.SimpleNamespace(
+                    log4j=types.SimpleNamespace(
+                        LogManager=_LogMgr,
+                        Level=_Level,
+                        core=types.SimpleNamespace(
+                            config=types.SimpleNamespace(Configurator=_Conf)
+                        ),
+                    )
+                )
+            )
+        )
+    )
+
+    class _SC:
+        _jvm = jvm
+
+    class _Block:
+        def __init__(self, name):
+            self._name = name
+            self.freed = 0
+
+        def rdd(self):
+            blk = self
+
+            class _R:
+                def getClass(self):
+                    class _C:
+                        def getName(_s):
+                            return blk._name
+
+                    return _C()
+
+            return _R()
+
+        def unpersist(self):
+            self.freed += 1
+
+    blocks = [_Block("rdd.ClassA"), _Block("rdd.ClassB")]
+    _free_checkpoint_blocks(_SC(), blocks)  # must NOT raise
+    assert [b.freed for b in blocks] == [1, 1]
+    # ClassB's restore still happened despite ClassA's failing first
+    # or second (dict order is not the contract — the guard is)
+    assert ("rdd.ClassB", "PREV[rdd.ClassB]") in set_calls

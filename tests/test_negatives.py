@@ -313,3 +313,75 @@ def test_gemm_anchor_subset_and_empty_cells(spark):
     assert {r["anchor_id"] for r in out} <= {0, 1, 2}
     for r in out:
         assert r["neg_id"] != r["anchor_id"]
+
+
+def test_ivf_plan_has_no_distinct_aggregate(spark):
+    """VERDICT r18 #1 (fixed r19): the nprobe>1 IVF path used to
+    distinct() its scored candidates, paying the gate's largest
+    Exchange to dedup rows that are UNIQUE by construction (the
+    corpus side is single-probed, so an (anchor, neg) pair shares at
+    most one cell). Pin the fix: no aggregate node (distinct's
+    signature) and exactly THREE shuffle Exchanges in the static plan
+    — one per cell-join side (AQE turns the smaller into a broadcast
+    at runtime) plus the rank window's — where the distinct used to
+    add a fourth."""
+    import re
+
+    df, _, _ = _cluster_corpus(spark)
+    plan = (
+        hard_negatives(df, k=2, method="ivf", n_centroids=4, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+
+
+def test_ivf_multiprobe_pairs_unique_without_distinct(spark):
+    """The semantics behind the no-op-distinct removal: even at
+    nprobe > 1 each (anchor, neg) pair appears exactly once, because
+    a corpus vector is assigned to exactly one cell."""
+    df, _, _ = _cluster_corpus(spark)
+    got = hard_negatives(
+        df, k=15, method="ivf", n_centroids=4, nprobe=4
+    ).collect()
+    pairs = [(r.anchor_id, r.neg_id) for r in got]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_gemm_boundary_tie_is_layout_independent(spark):
+    """ADVICE r18: an exact cosine tie at the top-k boundary must be
+    resolved by (sim desc, neg_id asc) — never by within-cell row
+    order. Three exact-duplicate candidates tie at cos 1.0 with k=2:
+    whichever physical layout the cell group arrives in, the two
+    SMALLEST tied ids win."""
+    from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+        hard_negatives_gemm,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (5, [1.0, 0.0], "x"),
+        (3, [1.0, 0.0], "x"),
+        (9, [1.0, 0.0], "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    )
+    anchors = df.filter("vec_id = 0")
+    outs = []
+    for layout in (df, df.orderBy(F.desc("vec_id")), df.repartition(7)):
+        got = (
+            hard_negatives_gemm(
+                df if layout is df else layout,
+                k=2,
+                label_col="lang",
+                anchors=anchors,
+                n_centroids=1,
+                nprobe=1,
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        outs.append([(r.neg_id, r.rank) for r in got])
+    assert outs[0] == [(3, 1), (5, 2)]
+    assert outs[1] == outs[0] and outs[2] == outs[0]

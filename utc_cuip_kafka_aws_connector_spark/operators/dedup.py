@@ -332,8 +332,15 @@ def _free_checkpoint_blocks(sc, blocks: list) -> None:
         for b in blocks:
             b.unpersist()
     finally:
+        # guard EACH restore like the except branch does (ADVICE r17,
+        # landed at the r19 unfreeze): one setLevel failing mid-loop
+        # must neither skip the remaining restores nor propagate out
+        # of a cosmetic helper
         for n, lvl in prev.items():
-            configurator.setLevel(n, lvl)
+            try:
+                configurator.setLevel(n, lvl)
+            except Exception:
+                pass
 
 
 def connected_components(

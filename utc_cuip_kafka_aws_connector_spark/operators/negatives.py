@@ -217,11 +217,12 @@ def hard_negatives(
             / (F.col("a_norm") * F.col("n_norm"))
         ).alias("cos_sim"),
     )
-    if method == "ivf" and nprobe > 1:
-        # a candidate sharing >1 probed cell with its anchor appears
-        # once per shared cell — same (anchor, neg, sim) row, so a
-        # plain distinct (cheap: post-top-k-ish cardinality) dedups
-        scored = scored.distinct()
+    # No dedup needed even at nprobe > 1 (VERDICT r18 #1): the CORPUS
+    # side is SINGLE-probed, so a given neg_id lives in exactly one
+    # cell and an (anchor, neg) pair can share at most that one cell —
+    # the join emits each pair at most once by construction. The
+    # distinct() this replaced was the gate's largest Exchange and
+    # provably dropped zero rows.
     w = W.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("neg_id").asc()
     )
@@ -255,10 +256,15 @@ def hard_negatives_gemm(
 
     Exactness contract: the GEMM sums products in a different order
     than the fold, so ``cos_sim`` can differ from ``hard_negatives``
-    in the last ulps and the two kernels may break an EXACT cosine
-    tie differently — this kernel is for production mining, the fold
+    in the last ulps — this kernel is for production mining, the fold
     kernel for oracle-exact verification; tests pin rank agreement
-    on non-degenerate data and value agreement to 1e-12.
+    on non-degenerate data and value agreement to 1e-12. On the
+    GEMM-computed sims the result IS deterministic and
+    layout-independent (ADVICE r18): an exact tie at the top-k
+    boundary is resolved by the fold path's own (sim desc, neg_id
+    asc) law, never by within-cell row order. The residual
+    divergence between the kernels is therefore only that summation
+    order can make two pairs tie under one kernel and not the other.
 
     Per-cell top-k is globally sound: a pair's corpus vector lives in
     exactly one cell, and any candidate that beats it there beats it
@@ -339,11 +345,25 @@ def hard_negatives_gemm(
             mask |= a_lab[:, None] == c_lab[None, :]
         sims = np.where(mask, -np.inf, sims)
         kk = min(top, sims.shape[1])
-        # argpartition then exact sort of the slice: (sim desc, id asc)
+        # argpartition finds the value boundary in O(n); membership at
+        # an EXACT cosine tie on that boundary is then resolved by the
+        # same (sim desc, neg_id asc) law the fold path obeys — never
+        # by within-cell row order, so results are layout-independent
+        # (ADVICE r18)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for i in range(sims.shape[0]):
-            cand = part[i]
+            thresh = sims[i, part[i]].min()
+            if thresh > -np.inf and (sims[i] == thresh).sum() > 1:
+                # boundary value is shared: keep everything strictly
+                # above it, then fill the remaining slots from ALL
+                # tied candidates by id asc (not argpartition's pick)
+                above = np.flatnonzero(sims[i] > thresh)
+                tied = np.flatnonzero(sims[i] == thresh)
+                tied = tied[np.argsort(c_ids[tied], kind="stable")]
+                cand = np.concatenate([above, tied[: kk - len(above)]])
+            else:
+                cand = part[i]
             s = sims[i, cand]
             keep = s > -np.inf
             cand, s = cand[keep], s[keep]

@@ -4849,7 +4849,9 @@ def staged_q128_hard_negatives(
     Runs the IVF scale path at the exhaustive nprobe == n_centroids
     setting, where the bucketed plan provably equals the brute
     baseline — giving the probe kernel (both sides), cell equi-join,
-    distinct, and rank window an exact all-pairs SQL oracle. Scale
+    and rank window an exact all-pairs SQL oracle (the r18 plan's
+    distinct stage was removed at r19: the single-probed corpus side
+    makes pairs unique by construction). Scale
     shape (at production nprobe << n_centroids): one BLAS probe pass
     per side, per-side norm folds before the join, one cell equi-join
     (~|corpus|/n_centroids * nprobe candidates per anchor), one
