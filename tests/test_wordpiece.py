@@ -276,3 +276,216 @@ def test_cli_tokenizer_encode_routes_wordpiece(spark, tmp_path, capsys):
              "--input", src, "--output", out, "--sample-alpha", "0.1"]
         )
     assert exc.value.code == 2
+
+
+# ---- added-token atomic matching (ADVICE r18, fixed r19) -------------------
+
+
+def test_added_tokens_match_atomically_in_raw_text():
+    """HF splits on added/special tokens BEFORE normalization:
+    '[MASK]' in running text emits id 25 atomically — it is never
+    lowercased to '[mask]' or punctuation-split into '[', 'mask',
+    ']'. Expected streams hand-computed."""
+    spec = from_wordpiece_json(json.dumps(_doc()))
+    assert encode_text("The [MASK] fox jumps!", spec) == (
+        ids("the") + [25] + ids("fox", "jump", "##s", "!")
+    )
+    # adjacent, no whitespace: segments re-pretokenize independently
+    # ('ed' is segment-initial, so no ## continuation; not in vocab
+    # un-prefixed -> all-or-nothing unk)
+    assert encode_text("un[MASK]ed", spec) == (
+        ids("un") + [25] + ids("[UNK]")
+    )
+    # twice in a row
+    assert encode_text("[MASK][MASK]", spec) == [25, 25]
+    # WITHOUT the added token registered, the same text goes through
+    # normalize + punctuation split (the pre-fix behavior — kept as
+    # the contrast pin: '[', 'mask', ']' are all OOV here)
+    bare = from_wordpiece_json(json.dumps(_doc(added_tokens=[])))
+    assert encode_text("[MASK]", bare) == ids("[UNK]", "[UNK]", "[UNK]")
+
+
+def test_added_token_longest_match_wins():
+    """At a shared prefix the LONGEST added token matches (the HF
+    order), not the first-listed."""
+    doc = _doc(
+        added_tokens=[
+            {"content": "<m>", "id": 25},
+            {"content": "<m>x", "id": 26},
+        ]
+    )
+    spec = from_wordpiece_json(json.dumps(doc))
+    assert encode_text("the <m>x", spec) == ids("the") + [26]
+    assert encode_text("the <m>y", spec) == ids("the") + [25, VOCAB["[UNK]"]]
+
+
+def test_added_token_unsupported_matching_flags_are_refused():
+    """encode matches added tokens as raw exact substrings — a file
+    asking for lstrip/rstrip/single_word/normalized matching would
+    tokenize differently, so the loader refuses it loudly."""
+    for flag in ("single_word", "lstrip", "rstrip", "normalized"):
+        doc = _doc(added_tokens=[{"content": "[MASK]", "id": 25, flag: True}])
+        with pytest.raises(ValueError, match="matching"):
+            from_wordpiece_json(json.dumps(doc))
+    # explicit-false flags are the defaults this engine reproduces
+    doc = _doc(added_tokens=[{
+        "content": "[MASK]", "id": 25, "special": True,
+        "single_word": False, "lstrip": False, "rstrip": False,
+        "normalized": False,
+    }])
+    assert from_wordpiece_json(json.dumps(doc)).added_tokens["[MASK]"] == 25
+
+
+# ---- generic loader dispatch (r19: tokenio.load_tokenizer_spec) ------------
+
+
+def test_load_tokenizer_spec_dispatches_wordpiece(spark, tmp_path):
+    """tokenio.load_tokenizer_spec is the generic tokenizer.json
+    entry point since r19: WordPiece files come back as a
+    WordPieceSpec that encodes exactly like from_wordpiece_json's."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        TokenizerSpec,
+        load_tokenizer_spec,
+    )
+
+    path = tmp_path / "wp.json"
+    path.write_text(json.dumps(_doc()))
+    spec = load_tokenizer_spec(spark, str(path))
+    assert isinstance(spec, WordPieceSpec)
+    for text, want in CASES:
+        assert encode_text(text, spec) == want
+    # non-WordPiece files still return a TokenizerSpec
+    bpe = tmp_path / "bpe.json"
+    bpe.write_text(json.dumps({
+        "version": "1.0",
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "model": {
+            "type": "BPE", "unk_token": "<unk>",
+            "vocab": {"<unk>": 0, "a": 1, "b": 2, "ab": 3},
+            "merges": ["a b"],
+        },
+    }))
+    assert isinstance(load_tokenizer_spec(spark, str(bpe)), TokenizerSpec)
+    # a top-level JSON array hits the shared one-object error (ADVICE
+    # r18: the CLI's old sniffing raised AttributeError here)
+    arr = tmp_path / "arr.json"
+    arr.write_text("[1, 2]")
+    with pytest.raises(ValueError, match="one JSON object"):
+        load_tokenizer_spec(spark, str(arr))
+
+
+def test_wordpiece_spec_decode_df_round_trips(spark):
+    """spec_decode_df is decode_ids' distributed twin: encode ->
+    decode round-trips normalized, whitespace-canonical, in-vocab
+    text (the achievable WordPiece round-trip)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        spec_decode_df,
+    )
+
+    # words that split into continuations re-fuse on decode, so
+    # normalized in-vocab text round-trips exactly
+    texts = ["the quick brown fox", "jumps", "unaffable"]
+    want = ["the quick brown fox", "jumps", "unaffable"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ids_df = spec_encode(df, SPEC)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spec_decode_df(ids_df, SPEC).collect()
+    }
+    assert [got[i] for i in range(len(texts))] == want
+
+
+def test_report_and_utilization_accept_wordpiece_spec(spark):
+    """r19: the fitness report and the utilization table serve
+    WordPiece specs through the same aggregate path as BPE specs
+    (their encode legs dispatch on the spec family)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        tokenizer_report_spec,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.tokeval import (
+        vocab_utilization,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox zzz"), (2, "jumping over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rep = tokenizer_report_spec(df, SPEC, slice_col=None).collect()
+    assert len(rep) == 1
+    # 'zzz' is the one OOV word (1 unk of 4+6 tokens — hand-counted:
+    # the,quick,fox,[UNK] + jump,##ing,over,the,lazy,dog)
+    assert rep[0]["n_tokens"] == 10
+    assert rep[0]["oov_rate"] == pytest.approx(0.1)
+    util = vocab_utilization(df, SPEC).collect()
+    assert len(util) == 1
+    # distinct ids exercised: the,quick,fox,[UNK],jump,##ing,over,
+    # lazy,dog = 9
+    assert util[0]["distinct_ids"] == 9
+    assert util[0]["n_tokens"] == 10
+
+
+def test_cli_tokenizer_wordpiece_lifecycle(spark, tmp_path, capsys):
+    """r19: beyond --op encode, the tokenizer verb serves WordPiece
+    files for decode/report/utilization through load_tokenizer_spec's
+    generic dispatch, refuses --op prune (no merges to prune), and
+    rejects --sample-seed like --sample-alpha (WordPiece encoding is
+    deterministic)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    model = tmp_path / "tokenizer.json"
+    model.write_text(json.dumps(_doc()))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the quick fox"), (2, "jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ids_out = str(tmp_path / "ids")
+    assert cli.main(
+        ["tokenizer", "--op", "encode", "--model", str(model),
+         "--input", src, "--output", ids_out]
+    ) == 0
+    capsys.readouterr()
+
+    # decode: the distributed inverse round-trips the (already
+    # normalized, in-vocab) inputs exactly
+    texts_out = str(tmp_path / "texts")
+    assert cli.main(
+        ["tokenizer", "--op", "decode", "--model", str(model),
+         "--input", ids_out, "--output", texts_out]
+    ) == 0
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(texts_out).collect()
+    }
+    assert got == {1: "the quick fox", 2: "jumps over the lazy dog"}
+
+    # report + utilization run (correctness of the numbers is pinned
+    # in test_report_and_utilization_accept_wordpiece_spec)
+    assert cli.main(
+        ["tokenizer", "--op", "report", "--model", str(model),
+         "--input", src]
+    ) == 0
+    assert "oov" in capsys.readouterr().out
+    assert cli.main(
+        ["tokenizer", "--op", "utilization", "--model", str(model),
+         "--input", src]
+    ) == 0
+    assert "coverage" in capsys.readouterr().out
+
+    # prune: loud refusal
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["tokenizer", "--op", "prune", "--model", str(model),
+             "--input", src, "--output", str(tmp_path / "pruned.json")]
+        )
+    assert exc.value.code == 2
+
+    # --sample-seed is BPE/Unigram subword regularization
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["tokenizer", "--op", "encode", "--model", str(model),
+             "--input", src, "--output", ids_out, "--sample-seed", "7"]
+        )
+    assert exc.value.code == 2

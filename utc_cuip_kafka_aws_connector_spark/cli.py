@@ -3615,11 +3615,22 @@ def main(argv: list[str] | None = None) -> int:
             from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
                 spec_decode_df,
             )
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                WordPieceSpec,
+            )
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                spec_decode_df as wp_decode_df,
+            )
 
             if not args.output:
                 parser.error("tokenizer --op decode requires --output")
             spec = load_tokenizer_spec(spark, args.model)
-            texts = spec_decode_df(df, spec, id_col=args.id_col)
+            decode = (
+                wp_decode_df
+                if isinstance(spec, WordPieceSpec)
+                else spec_decode_df
+            )
+            texts = decode(df, spec, id_col=args.id_col)
             texts.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(f"decoded {n} docs with {args.model}, output={args.output}")
@@ -3630,42 +3641,36 @@ def main(argv: list[str] | None = None) -> int:
 
             if not args.output:
                 parser.error("tokenizer --op encode requires --output")
-            # model-type routing lives HERE this round: tokenio.py is
-            # fingerprint-frozen under q127's resting gate row, so the
-            # WordPiece branch inspects the file and dispatches to
-            # operators/wordpiece.py without touching the BPE/Unigram
-            # loader (r19 moves the dispatch into load_tokenizer_spec)
-            import json as _json
-
-            from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
-                _fs_read_text,
+            # model-type routing lives in load_tokenizer_spec since
+            # r19 (it returns a WordPieceSpec for BERT-family files) —
+            # a malformed file hits tokenio's "must be one JSON
+            # object" error instead of ad-hoc sniffing here
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                WordPieceSpec,
+            )
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                spec_encode as wp_encode,
             )
 
-            model_text = _fs_read_text(spark, args.model)
-            if model_text is None:
-                raise FileNotFoundError(args.model)
-            mtype = (_json.loads(model_text).get("model") or {}).get("type")
-            if mtype == "WordPiece":
+            spec = load_tokenizer_spec(spark, args.model)
+            if isinstance(spec, WordPieceSpec):
                 if args.sample_alpha is not None:
                     parser.error(
                         "--sample-alpha is subword regularization for "
                         "BPE/Unigram models; WordPiece encoding is "
                         "deterministic"
                     )
-                from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                    from_wordpiece_json,
-                )
-                from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                    spec_encode as wp_encode,
-                )
-
-                wspec = from_wordpiece_json(model_text)
+                if args.sample_seed:
+                    parser.error(
+                        "--sample-seed only applies with --sample-alpha "
+                        "(BPE/Unigram subword regularization); WordPiece "
+                        "encoding is deterministic"
+                    )
                 ids = wp_encode(
-                    df, wspec, id_col=args.id_col, text_col=args.text_col
+                    df, spec, id_col=args.id_col, text_col=args.text_col
                 )
                 shape = "WordPiece"
             else:
-                spec = load_tokenizer_spec(spark, args.model)
                 ids = spec_encode(
                     df,
                     spec,
@@ -3692,6 +3697,17 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("tokenizer --op prune requires --output "
                              "(the pruned tokenizer.json path)")
             spec = load_tokenizer_spec(spark, args.model)
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                WordPieceSpec as _WPSpec,
+            )
+
+            if isinstance(spec, _WPSpec):
+                parser.error(
+                    "tokenizer --op prune operates on BPE/Unigram merge "
+                    "tables; WordPiece models have no merges to prune "
+                    "(supported WordPiece ops: encode, decode, report, "
+                    "utilization)"
+                )
             # save_tokenizer writes merges/vocab/byte_level/
             # add_prefix_space/unk ONLY — refuse specs whose other
             # sections it would silently drop (a written file that

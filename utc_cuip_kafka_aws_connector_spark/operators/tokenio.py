@@ -557,13 +557,33 @@ def load_tokenizer(
     return from_tokenizer_json(text)
 
 
-def load_tokenizer_spec(spark: SparkSession, path: str) -> TokenizerSpec:
-    """``load_tokenizer`` for the full supported surface (byte-level
-    and byte_fallback models included): feed the result to
-    ``bytelevel.spec_encode``."""
+def load_tokenizer_spec(spark: SparkSession, path: str):
+    """``load_tokenizer`` for the full supported surface: the generic
+    ``tokenizer.json`` entry point, dispatching on ``model.type``.
+    BPE / byte-level BPE / Unigram files return a ``TokenizerSpec``
+    (feed it to ``bytelevel.spec_encode``); WordPiece files — the
+    BERT family, the last mainstream model type (r19) — return a
+    ``wordpiece.WordPieceSpec`` (feed it to ``wordpiece.spec_encode``
+    / ``spec_decode_df``). Dispatch is on the parsed document, so a
+    malformed file hits the shared "must be one JSON object" error
+    here rather than an AttributeError in a caller's sniffing code
+    (ADVICE r18 cli.py). Callers that need one family only should
+    isinstance-check the result."""
     text = _fs_read_text(spark, path)
     if text is None:
         raise FileNotFoundError(path)
+    doc = json.loads(text)
+    if not isinstance(doc, dict):
+        raise ValueError("tokenizer.json must be one JSON object")
+    model = doc.get("model")
+    if isinstance(model, dict) and model.get("type") == "WordPiece":
+        # lazy import: wordpiece.py imports this module's shared
+        # section parsers at its top level
+        from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+            from_wordpiece_json,
+        )
+
+        return from_wordpiece_json(text)
     return from_tokenizer_json_spec(text)
 
 
@@ -606,16 +626,27 @@ def tokenizer_report_spec(
     text_col: str = "text",
     slice_col: str | None = "lang",
 ):
-    """``tokenizer_report`` for any loaded ``TokenizerSpec`` — the
-    encode leg runs ``bytelevel.spec_encode``, so byte-level models
-    (structurally zero-OOV) and byte_fallback models report through
-    the same fitness columns as the plain path."""
-    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-        spec_encode,
+    """``tokenizer_report`` for any loaded spec — the encode leg runs
+    ``bytelevel.spec_encode`` for ``TokenizerSpec`` (so byte-level
+    models, structurally zero-OOV, and byte_fallback models report
+    through the same fitness columns as the plain path) and
+    ``wordpiece.spec_encode`` for ``WordPieceSpec`` (r19, matching
+    ``load_tokenizer_spec``'s generic dispatch); both kernels share
+    the (id_col, token_ids) output contract the aggregate consumes."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
     )
 
     unk_id = spec.vocab.get(spec.unk_token) if spec.unk_token else None
     eff_unk = unk_id if unk_id is not None else -1
+    if isinstance(spec, WordPieceSpec):
+        from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+            spec_encode,
+        )
+    else:
+        from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+            spec_encode,
+        )
     ids = spec_encode(df.select(id_col, text_col), spec, id_col, text_col)
     return _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col)
 

@@ -69,13 +69,29 @@ def vocab_utilization(
         *keys,
         F.octet_length(text).cast("long").alias("__bytes"),
     )
-    enc = spec_encode(
-        base.select(F.col(id_col), text.alias(text_col)),
-        spec,
-        id_col=id_col,
-        text_col=text_col,
-        cache_cap=cache_cap,
-    ).select(F.col(id_col).alias("__id"), "token_ids")
+    # encode leg dispatches on the spec family (r19: load_tokenizer_
+    # spec may hand callers a WordPieceSpec); both kernels share the
+    # (id_col, token_ids) output contract this report consumes
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+        spec_encode as wp_spec_encode,
+    )
+
+    if isinstance(spec, WordPieceSpec):
+        enc = wp_spec_encode(
+            base.select(F.col(id_col), text.alias(text_col)),
+            spec,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(F.col(id_col).alias("__id"), "token_ids")
+    else:
+        enc = spec_encode(
+            base.select(F.col(id_col), text.alias(text_col)),
+            spec,
+            id_col=id_col,
+            text_col=text_col,
+            cache_cap=cache_cap,
+        ).select(F.col(id_col).alias("__id"), "token_ids")
     j = meta.join(enc, "__id")
 
     sizes = (j.groupBy(*keys) if keys else j.groupBy()).agg(

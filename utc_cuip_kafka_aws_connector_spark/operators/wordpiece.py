@@ -8,14 +8,14 @@ model), BertNormalizer (clean_text, CJK spacing, optional accent
 strip + lowercase), and BertPreTokenizer (whitespace split with
 every punctuation character its own token).
 
-Kept as its OWN module rather than a tokenio.py branch this round:
-tokenio is pinned under q127's resting r17 gate row (the fingerprint
-freeze map), so the loader here is self-contained and the r19
-rotation wires model-type dispatch into ``load_tokenizer_spec`` when
-tokenio unfreezes. The file-format guardrails are shared by IMPORT
-(tokenio's ``_parse_post_processor`` and top-level section law), so
-the two loaders cannot drift apart on what a tokenizer.json may
-contain.
+Kept as its OWN module rather than a tokenio.py branch (landed r18
+while tokenio was pinned under q127's resting r17 gate row); since
+r19, ``tokenio.load_tokenizer_spec`` IS the generic entry point — it
+dispatches ``model.type == "WordPiece"`` files to
+``from_wordpiece_json`` here. The file-format guardrails are shared
+by IMPORT (tokenio's ``_parse_post_processor`` and top-level section
+law), so the two loaders cannot drift apart on what a tokenizer.json
+may contain.
 
 Algorithm (per pre-tokenized word): words longer than
 ``max_input_chars_per_word`` become ``unk`` outright; otherwise scan
@@ -39,8 +39,10 @@ rejection of every id-altering section.
 from __future__ import annotations
 
 import json
+import re
 import unicodedata
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd  # module scope: the pandas_udf type hints resolve here
 from pyspark.sql import DataFrame
@@ -179,23 +181,56 @@ def encode_word(word: str, spec: WordPieceSpec) -> list[str]:
     return pieces
 
 
+@lru_cache(maxsize=32)
+def _added_token_pattern(tokens: tuple[str, ...]) -> re.Pattern:
+    """Capturing alternation over the added tokens, longest first (the
+    HF matching order: at each position the longest added token wins).
+    Cached per distinct token SET — the UDF calls encode_text per
+    document, and recompiling a ~5-entry alternation per doc would be
+    pure waste."""
+    alts = sorted(tokens, key=len, reverse=True)
+    return re.compile("(" + "|".join(re.escape(t) for t in alts) + ")")
+
+
 def encode_text(
     text: str, spec: WordPieceSpec, add_special_tokens: bool = False
 ) -> list[int]:
-    """One document through normalize -> pretokenize -> per-word
-    greedy split -> ids (the driver-side twin of the Spark kernel;
-    the UDF calls exactly this)."""
+    """One document through added-token split -> normalize ->
+    pretokenize -> per-word greedy split -> ids (the driver-side twin
+    of the Spark kernel; the UDF calls exactly this).
+
+    Added tokens match ATOMICALLY on the RAW text, before
+    normalization (the HF convention, ADVICE r18): '[MASK]' in
+    running text emits its own id — it is never lowercased to
+    '[mask]' or punctuation-split into '[', 'mask', ']'. The loader
+    only accepts added tokens with default matching flags
+    (normalized=false, no lstrip/rstrip/single_word), so this raw
+    exact-substring split IS the published behavior for the files it
+    loads."""
     ids: list[int] = []
     unk_id = spec.vocab.get(spec.unk_token)
-    for word in pretokenize(normalize_text(text or "", spec)):
-        for tok in encode_word(word, spec):
-            tid = spec.vocab.get(tok, unk_id)
-            if tid is None:
-                raise ValueError(
-                    f"token {tok!r} missing from vocab and no unk_token "
-                    "to fall back to"
-                )
+    if spec.added_tokens:
+        segments = _added_token_pattern(
+            tuple(sorted(spec.added_tokens))
+        ).split(text or "")
+    else:
+        segments = [text or ""]
+    for seg in segments:
+        if not seg:
+            continue
+        tid = spec.added_tokens.get(seg)
+        if tid is not None:
             ids.append(tid)
+            continue
+        for word in pretokenize(normalize_text(seg, spec)):
+            for tok in encode_word(word, spec):
+                tid = spec.vocab.get(tok, unk_id)
+                if tid is None:
+                    raise ValueError(
+                        f"token {tok!r} missing from vocab and no "
+                        "unk_token to fall back to"
+                    )
+                ids.append(tid)
     if add_special_tokens:
         ids = list(spec.special_prefix) + ids + list(spec.special_suffix)
     return ids
@@ -241,6 +276,36 @@ def decode_ids(ids: list[int], spec: WordPieceSpec) -> str:
         else:
             words.append(tok)
     return " ".join(words)
+
+
+def spec_decode_df(
+    df: DataFrame,
+    spec: WordPieceSpec,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+) -> DataFrame:
+    """Distributed inverse of ``spec_encode``: ``(id, out_col)`` via
+    one Arrow-batched scan running ``decode_ids`` per row — the same
+    shape (and the same inspection/debug purpose) as
+    bytelevel.spec_decode_df, so the CLI's ``tokenizer --op decode``
+    serves WordPiece specs through the identical plumbing. Exactness
+    contract as ``decode_ids``: round-trips normalized,
+    whitespace-canonical, fully in-vocab text; normalization is lossy
+    by design."""
+
+    def run(batches):
+        for pdf in batches:
+            texts = [
+                decode_ids([int(t) for t in ids], spec)
+                for ids in pdf[ids_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: texts})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(ids_col)).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {out_col} string"
+    )
 
 
 def from_wordpiece_json(text: str) -> WordPieceSpec:
@@ -334,6 +399,22 @@ def from_wordpiece_json(text: str) -> WordPieceSpec:
             raise ValueError(
                 f"added token {content!r} id {tid} conflicts with vocab "
                 f"id {vocab[content]}"
+            )
+        # encode_text matches added tokens as raw exact substrings,
+        # which is HF's behavior ONLY under the default matching flags
+        # — a file asking for lstrip/rstrip whitespace absorption,
+        # whole-word-only matching, or match-after-normalization would
+        # tokenize differently, so refuse it rather than diverge
+        # (ADVICE r18; real BERT files ship all-default flags)
+        bad_flags = [
+            f for f in ("single_word", "lstrip", "rstrip", "normalized")
+            if tok.get(f)
+        ]
+        if bad_flags:
+            raise ValueError(
+                f"added token {content!r} sets unsupported matching "
+                f"flag(s) {bad_flags} (this engine reproduces the "
+                "default raw exact-substring matching only)"
             )
         added[content] = tid
         vocab[content] = tid
