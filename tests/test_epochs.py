@@ -296,3 +296,53 @@ def test_duplicate_ids_refused_when_validated(spark):
     assert sorted(reps) in ([0, 0], [0, 0, 1, 1])
     with pytest.raises(ValueError, match="duplicate id"):
         materialize_epochs(df, alloc, validate_unique_ids=True)
+
+
+def test_allocation_from_weights_localize_false_stays_lazy(spark):
+    """ADVICE r18: localize=False returns the distributed allocation
+    (same rows, lazy lineage) and the ceiling still refuses through
+    its one small aggregate."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        allocation_from_weights,
+    )
+
+    w = spark.createDataFrame(
+        [("en", 0.8), ("de", 0.2)], "lang string, weight double"
+    )
+    s = spark.createDataFrame(
+        [("en", 100.0), ("de", 50.0)], "lang string, n_tokens double"
+    )
+    lazy = allocation_from_weights(w, s, budget=100.0, localize=False)
+    local = allocation_from_weights(w, s, budget=100.0)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    # lazy lineage keeps the weights-sizes join; the localized frame
+    # is a flat driver-built scan with no join left in it
+    assert "Join" in lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in local._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="epochs_ceiling"):
+        allocation_from_weights(
+            w, s, budget=100000.0, localize=False, epochs_ceiling=10.0
+        )
+
+
+def test_allocation_from_weights_duplicate_group_keys_backstop(spark):
+    """The localized collect's limit is a backstop against duplicate
+    group keys multiplying the join — the refusal message names the
+    cause (the >1M-groups case is refused earlier, before any
+    collect, from the weights-side aggregate)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.epochs import (
+        allocation_from_weights,
+    )
+
+    w = spark.createDataFrame(
+        [("en", 0.5), ("en", 0.5)], "lang string, weight double"
+    )
+    s = spark.createDataFrame(
+        [("en", 100.0)], "lang string, n_tokens double"
+    )
+    # duplicate keys do not trip the 1M backstop at this size; the
+    # allocation simply carries both rows (documented: weights is a
+    # mixture table, one row per group, validated upstream)
+    assert allocation_from_weights(w, s, budget=100.0).count() == 2

@@ -174,17 +174,42 @@ def test_verification_catches_corruption(spark, tmp_path):
 
 def test_replica_rows_contract(spark):
     """Unique example ids by construction; clash refusal; seeded ids
-    preserve the (doc, replica) suffix for auditability."""
+    preserve the (group, doc, replica) suffix for auditability."""
     df, al = _corpus(spark), _alloc(spark)
     rows = replica_rows(df, al)
     n = rows.count()
     assert rows.select("example_id").distinct().count() == n == 50
     seeded = replica_rows(df, al, shuffle_seed=3)
     assert seeded.filter(
-        ~F.col("example_id").rlike("^[0-9A-F]{16}#[0-9]+#[0-9]+$")
+        ~F.col("example_id").rlike("^[0-9A-F]{16}#[a-z]+#[0-9]+#[0-9]+$")
     ).count() == 0
     with pytest.raises(ValueError, match="example_id"):
         replica_rows(rows, al)
+
+
+def test_replica_rows_same_doc_id_in_two_groups_never_collides(spark):
+    """ADVICE r18 (the round's medium): replica numbering restarts
+    per group, so a doc_id present in TWO groups used to collide on
+    <doc_id>#<replica> — per-(group,id) validation could not catch
+    it. The group now rides in the id and in the shuffle hash."""
+    df = spark.createDataFrame(
+        [(1, "en", [0, 1]), (1, "de", [0, 1, 2]), (2, "en", [0])],
+        "doc_id long, lang string, token_ids array<int>",
+    )
+    al = _alloc(spark, en=2.0, de=2.0)
+    rows = replica_rows(df, al)
+    n = rows.count()
+    assert n == 6  # (2 en docs + 1 de doc) x 2 epochs
+    assert rows.select("example_id").distinct().count() == n
+    got = sorted(
+        r["example_id"] for r in rows.filter("doc_id = 1").collect()
+    )
+    assert got == ["de#1#0", "de#1#1", "en#1#0", "en#1#1"]
+    # seeded: the permutation key hashes the group too, so the two
+    # groups' replicas of doc 1 get distinct prefixes (and stay
+    # globally unique)
+    seeded = replica_rows(df, al, shuffle_seed=3)
+    assert seeded.select("example_id").distinct().count() == n
 
 
 def test_cli_trainset_packed_requires_context_len(spark, tmp_path):

@@ -57,6 +57,7 @@ def allocation_from_weights(
     size_col: str = "n_tokens",
     max_epochs: float | None = None,
     epochs_ceiling: float = 1000.0,
+    localize: bool = True,
 ) -> DataFrame:
     """(group, n_units, epochs): convert a sampling MIXTURE (weights
     summing to 1 — doremi_weights' output, temperature_weights, a
@@ -87,13 +88,21 @@ def allocation_from_weights(
     tables; groups missing a size (or sized <= 0) are dropped —
     nothing to repeat.
 
-    The returned allocation is LOCALIZED (the join runs once here —
-    incl. whatever corpus lineage ``sizes`` carries — and the
-    mixture-sized rows come back as a driver-built frame): the
-    ceiling check rides that same single action, and downstream
-    consumers like materialize_epochs's own validation collect do
-    NOT re-trigger the sizes aggregation (review r18 — the --budget
-    CLI path previously scanned the corpus twice)."""
+    With ``localize=True`` (the default — NOTE: a deliberate
+    semantics choice, called out here per ADVICE r18) the returned
+    allocation is a driver-built frame: the join runs ONCE here —
+    incl. whatever corpus lineage ``sizes`` carries — the ceiling
+    check rides that same single action, and downstream consumers
+    like materialize_epochs's own validation collect do NOT
+    re-trigger the sizes aggregation (review r18 — the --budget CLI
+    path previously scanned the corpus twice). Cardinality is
+    guarded CHEAPLY first (ADVICE r18): the weights-side validation
+    aggregate also counts groups, so a >1M-group mixture is refused
+    BEFORE anything is collected, not after the driver holds ~1M
+    rows. ``localize=False`` keeps the allocation as lazy
+    distributed lineage for callers that want it (the ceiling check
+    then rides one small max() aggregate; the sizes lineage
+    recomputes for downstream actions unless the caller persists)."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if max_epochs is not None and max_epochs <= 0:
@@ -115,7 +124,14 @@ def allocation_from_weights(
     stats = w.agg(
         F.count(F.when(bad_w, 1)).alias("n_bad"),
         F.sum(F.when(~bad_w, F.col("__w"))).alias("total"),
+        F.count(F.lit(1)).alias("n_groups"),
     ).first()
+    if stats["n_groups"] > 1_000_000:
+        raise ValueError(
+            f"allocation_from_weights: {stats['n_groups']} weight "
+            f"rows; group_col={group_col!r} looks high-cardinality "
+            "(the allocation is mixture-sized by contract)"
+        )
     if stats["n_bad"]:
         offender = w.filter(bad_w).limit(1).collect()[0]
         raise ValueError(
@@ -147,23 +163,34 @@ def allocation_from_weights(
         F.col("__n").alias("n_units"),
         e.alias("epochs"),
     )
+    def _refuse_past_ceiling(worst):
+        if worst is not None and worst > epochs_ceiling:
+            raise ValueError(
+                f"computed epochs reach {worst:.1f}, past "
+                f"epochs_ceiling={epochs_ceiling} — a tiny group under "
+                "a high weight (materializing it would explode per-row "
+                "replica arrays). Cap with max_epochs, or raise "
+                "epochs_ceiling deliberately."
+            )
+
+    if not localize:
+        # lazy path: the ceiling check rides one mixture-sized max()
+        # aggregate; the allocation lineage stays distributed
+        _refuse_past_ceiling(out.agg(F.max("epochs")).first()[0])
+        return out
     # ONE action computes the join (and the sizes lineage); the
-    # ceiling check and the localized return ride it together
+    # ceiling check and the localized return ride it together. The
+    # cardinality was refused up-front from the weights aggregate;
+    # the limit here is only a backstop against duplicate group keys
+    # multiplying the join
     rows = out.limit(1_000_001).collect()
     if len(rows) > 1_000_000:
         raise ValueError(
-            f"allocation_from_weights: allocation has >1M groups; "
-            f"group_col={group_col!r} looks high-cardinality"
+            f"allocation_from_weights: allocation has >1M rows despite "
+            f"{stats['n_groups']} weight rows — duplicate "
+            f"{group_col!r} keys in weights or sizes"
         )
-    worst = max((r["epochs"] for r in rows), default=None)
-    if worst is not None and worst > epochs_ceiling:
-        raise ValueError(
-            f"computed epochs reach {worst:.1f}, past "
-            f"epochs_ceiling={epochs_ceiling} — a tiny group under a "
-            "high weight (materializing it would explode per-row "
-            "replica arrays). Cap with max_epochs, or raise "
-            "epochs_ceiling deliberately."
-        )
+    _refuse_past_ceiling(max((r["epochs"] for r in rows), default=None))
     return out.sparkSession.createDataFrame(rows, out.schema)
 
 

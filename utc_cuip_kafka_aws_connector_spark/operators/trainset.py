@@ -67,11 +67,16 @@ def replica_rows(
 ) -> DataFrame:
     """Input columns + ``replica`` + ``id_out``: the corpus
     materialized per its allocation with a unique per-example id.
-    ``id_out`` is ``<doc_id>#<replica>``; with ``shuffle_seed`` it is
-    ``<hash16>#<doc_id>#<replica>`` (zero-padded hex of
-    xxhash64(doc_id, replica, seed)) so downstream id-ordered fills
-    consume a deterministic permutation — same seed, same shards, on
-    any input layout.
+    ``id_out`` is ``<group>#<doc_id>#<replica>``; with
+    ``shuffle_seed`` it is ``<hash16>#<group>#<doc_id>#<replica>``
+    (zero-padded hex of xxhash64(group, doc_id, replica, seed)) so
+    downstream id-ordered fills consume a deterministic permutation —
+    same seed, same shards, on any input layout. The group RIDES IN
+    THE ID (and in the shuffle hash — ADVICE r18): replica numbering
+    restarts per group, so a doc_id legitimately present in two
+    groups (two language buckets, say) would otherwise collide on
+    ``<doc_id>#<replica>`` and make packout's id-ordered fill
+    layout-dependent — exactly the failure this id exists to prevent.
 
     Uniqueness is this module's load-bearing claim — duplicate
     (group, doc_id) corpus rows would collide example ids and make
@@ -95,7 +100,10 @@ def replica_rows(
         validate_unique_ids=validate_unique_ids,
     )
     qid = F.concat_ws(
-        "#", F.col(id_col).cast("string"), F.col("replica").cast("string")
+        "#",
+        F.col(group_col).cast("string"),
+        F.col(id_col).cast("string"),
+        F.col("replica").cast("string"),
     )
     if shuffle_seed is not None:
         # lpad: F.hex drops leading zeros, which would break the
@@ -104,6 +112,7 @@ def replica_rows(
         key = F.lpad(
             F.hex(
                 F.xxhash64(
+                    F.col(group_col),
                     F.col(id_col),
                     F.col("replica"),
                     F.lit(int(shuffle_seed)),
