@@ -191,3 +191,63 @@ def test_validation(spark):
         mine_bitext(src, tgt, strategy="best")
     with pytest.raises(ValueError, match="centroid_source"):
         mine_bitext(src, tgt, method="ivf", centroid_source="grid")
+
+
+def test_gemm_kernel_matches_fold(spark):
+    """r19 (VERDICT r18 #6): kernel='gemm' scores each cell as one
+    numpy GEMM — same pairs, same margins (1e-12) as the fold kernel
+    on the same IVF structure, at exhaustive and partial probes."""
+    src, tgt, _, _ = _corpora(spark)
+    for nprobe in (4, 2):
+        fold = _collect(
+            mine_bitext(
+                src, tgt, k=3, threshold=-10.0, strategy="all",
+                method="ivf", n_centroids=4, nprobe=nprobe,
+            )
+        )
+        gemm = _collect(
+            mine_bitext(
+                src, tgt, k=3, threshold=-10.0, strategy="all",
+                method="ivf", n_centroids=4, nprobe=nprobe,
+                kernel="gemm",
+            )
+        )
+        assert set(gemm) == set(fold), f"nprobe={nprobe}"
+        for pair, (c, m) in fold.items():
+            assert gemm[pair][0] == pytest.approx(c, abs=1e-12)
+            assert gemm[pair][1] == pytest.approx(m, abs=1e-12)
+
+
+def test_gemm_forward_strategy_end_to_end(spark):
+    """The production composition: gemm kernel + forward strategy
+    recovers exactly the planted pairs over the working threshold."""
+    src, tgt, _, _ = _corpora(spark)
+    rows = mine_bitext(
+        src, tgt, k=3, threshold=1.05, strategy="forward",
+        method="ivf", n_centroids=4, nprobe=4, kernel="gemm",
+    ).collect()
+    assert {(r.src_id, r.tgt_id) for r in rows} == {
+        (i, i) for i in range(N_PAR)
+    }
+
+
+def test_gemm_requires_ivf_and_validates(spark):
+    src, tgt, _, _ = _corpora(spark)
+    with pytest.raises(ValueError, match="kernel"):
+        mine_bitext(src, tgt, kernel="blas")
+    with pytest.raises(ValueError, match="ivf"):
+        mine_bitext(src, tgt, kernel="gemm", method="brute")
+
+
+def test_ivf_pairs_unique_without_distinct(spark):
+    """The r19 no-op-distinct removal's semantics here too: the
+    corpus side is single-probed, so even at nprobe > 1 each
+    direction emits a candidate pair at most once, and the
+    cross-direction union dedups by key."""
+    src, tgt, _, _ = _corpora(spark)
+    got = mine_bitext(
+        src, tgt, k=3, threshold=-10.0, strategy="all",
+        method="ivf", n_centroids=4, nprobe=4,
+    ).collect()
+    pairs = [(r.src_id, r.tgt_id) for r in got]
+    assert len(pairs) == len(set(pairs))

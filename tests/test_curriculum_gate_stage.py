@@ -214,3 +214,36 @@ def test_q129_registered_at_r19():
     received a driver row, so resting is not an option)."""
     assert STAGED_Q129_NAME in queries()
     assert STAGED_Q129_NAME in _GATE_PRIORITY
+
+
+def test_staged_q130_matches_oracle(spark, sf_dir):
+    """The r20 promotion lands pre-proven: the retention-curve
+    differential (one-pass grid histogram + driver suffix sums vs
+    the DuckDB grid cross-join replay) runs on every pytest from the
+    r19 staging onward — the q124-q129 recipe. Exactness premise:
+    docs_kept is integer-exact, the grid is the same IEEE
+    multiply-add over the same literals in both engines, the score
+    is one bigint/literal division + least both sides, and
+    docs_frac is one division of two exact integers."""
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
+        STAGED_Q130_NAME,
+        STAGED_Q130_ORACLE,
+        staged_q130_retention_curve,
+    )
+
+    got = staged_q130_retention_curve(spark, sf_dir)
+    want = run_duckdb(STAGED_Q130_ORACLE, sf_dir)
+    compare(got, want, STAGED_Q130_NAME)
+
+
+def test_q130_staged_not_registered():
+    """The pre-registration contract (flips to its inverse at r20):
+    staged means NOT in the catalog and NOT holding a window slot —
+    registration must be a deliberate rotation event, never a
+    side-effect of importing the staged builder."""
+    from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
+        STAGED_Q130_NAME,
+    )
+
+    assert STAGED_Q130_NAME not in queries()
+    assert STAGED_Q130_NAME not in _GATE_PRIORITY

@@ -232,6 +232,32 @@ def hard_negatives(
     )
 
 
+def _row_topk(sim_row: np.ndarray, c_ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of one anchor row's top-``kk`` candidates, ORDERED by
+    the (sim desc, id asc) law; ``-inf``-masked entries never
+    selected. argpartition finds the value boundary in O(n);
+    membership at an EXACT tie on that boundary is then resolved by
+    id asc over ALL tied candidates — never by within-cell row order,
+    so results are layout-independent (ADVICE r18). Shared by the
+    GEMM cell kernels here and in bitext.py."""
+    part = np.argpartition(-sim_row, kk - 1)[:kk]
+    thresh = sim_row[part].min()
+    if thresh > -np.inf and (sim_row == thresh).sum() > 1:
+        # boundary value is shared: keep everything strictly above
+        # it, then fill the remaining slots from ALL tied candidates
+        # by id asc (not argpartition's pick)
+        above = np.flatnonzero(sim_row > thresh)
+        tied = np.flatnonzero(sim_row == thresh)
+        tied = tied[np.argsort(c_ids[tied], kind="stable")]
+        cand = np.concatenate([above, tied[: kk - len(above)]])
+    else:
+        cand = part
+    s = sim_row[cand]
+    cand = cand[s > -np.inf]
+    order = np.lexsort((c_ids[cand], -sim_row[cand]))
+    return cand[order]
+
+
 def hard_negatives_gemm(
     df: DataFrame,
     k: int = 5,
@@ -345,36 +371,16 @@ def hard_negatives_gemm(
             mask |= a_lab[:, None] == c_lab[None, :]
         sims = np.where(mask, -np.inf, sims)
         kk = min(top, sims.shape[1])
-        # argpartition finds the value boundary in O(n); membership at
-        # an EXACT cosine tie on that boundary is then resolved by the
-        # same (sim desc, neg_id asc) law the fold path obeys — never
-        # by within-cell row order, so results are layout-independent
-        # (ADVICE r18)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for i in range(sims.shape[0]):
-            thresh = sims[i, part[i]].min()
-            if thresh > -np.inf and (sims[i] == thresh).sum() > 1:
-                # boundary value is shared: keep everything strictly
-                # above it, then fill the remaining slots from ALL
-                # tied candidates by id asc (not argpartition's pick)
-                above = np.flatnonzero(sims[i] > thresh)
-                tied = np.flatnonzero(sims[i] == thresh)
-                tied = tied[np.argsort(c_ids[tied], kind="stable")]
-                cand = np.concatenate([above, tied[: kk - len(above)]])
-            else:
-                cand = part[i]
-            s = sims[i, cand]
-            keep = s > -np.inf
-            cand, s = cand[keep], s[keep]
-            order = np.lexsort((c_ids[cand], -s))
+            cand = _row_topk(sims[i], c_ids, kk)
             rows.append(
                 pd.DataFrame(
                     {
                         # cand indexes CANDIDATES — the anchor is row i
                         "anchor_id": np.repeat(a_ids[i], len(cand)),
-                        "neg_id": c_ids[cand[order]],
-                        "cos_sim": s[order],
+                        "neg_id": c_ids[cand],
+                        "cos_sim": sims[i, cand],
                     }
                 )
             )

@@ -4952,6 +4952,80 @@ def staged_q129_preference_pairs(
     return preference_pairs(responses, strategy="best_worst")
 
 
+# ---------------------------------------------------------------------------
+# STAGED FOR r20 — NOT REGISTERED. The r20 rotation plan's named
+# promotion (see the _GATE_PRIORITY comment block): the
+# retention-curve tier (operators/retention.py::retention_curve —
+# §2.D curation-economics scope, named as the candidate at r16; its
+# grid-join DuckDB oracle has been rehearsed in
+# tests/test_mixture_curves.py::test_retention_matches_python_and_
+# duckdb since then). The gate runs the curve over the documents
+# table with a length-based score (least(1.0, n_chars/2000.0)),
+# grouped by lang, on the [0, 1] grid at 20 points, no weight
+# column. Float determinism: docs_kept is integer-exact by
+# construction (suffix counts of an integer histogram); every grid
+# threshold is lo + i*step with both engines computing the same
+# IEEE multiply-add over the same literals (the operator mirrors its
+# driver-side grid arithmetic bit-for-bit in-plan — retention.py's
+# t_of note); the score is one bigint/literal division + least, the
+# same two IEEE ops both sides; and docs_frac is one division of two
+# exact integers. Nothing needs rounding. Funding: the q128 pull at
+# r19 left the r18 cohort at 49 must-attest members, so r20 opens
+# with ONE free slot — this gate takes it with NO retirement.
+STAGED_Q130_NAME = "q130_retention_curve"
+STAGED_Q130_ORACLE = """
+    -- every float literal is cast to DOUBLE explicitly: DuckDB parses
+    -- bare 0.05/2000.0 as DECIMAL and would run the grid and the score
+    -- in exact decimal arithmetic, diverging from Spark's IEEE doubles
+    -- on thresholds like 6*0.05
+    WITH scored AS (
+      SELECT lang,
+             least(CAST(1.0 AS DOUBLE),
+                   n_chars / CAST(2000.0 AS DOUBLE)) AS score
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    grid AS (
+      SELECT CAST(0.0 AS DOUBLE) + i * CAST(0.05 AS DOUBLE) AS threshold
+      FROM generate_series(0, 20) AS t(i)
+    )
+    SELECT sc.lang, g.threshold,
+           count(*) FILTER (WHERE sc.score >= g.threshold) AS docs_kept,
+           CAST(count(*) FILTER (WHERE sc.score >= g.threshold) AS DOUBLE)
+             / count(*) AS docs_frac
+    FROM scored sc CROSS JOIN grid g
+    GROUP BY sc.lang, g.threshold
+"""
+
+
+def staged_q130_retention_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention-curve gate (operators/retention.py::retention_curve
+    — §2.D curation-economics scope): for each lang and each of 21
+    thresholds on [0, 1], how many documents a length-score filter
+    at that threshold would keep, and the kept fraction — the
+    keep-rate-vs-threshold table every quality-filter sweep reads
+    off before committing a cut point. Scale shape: ONE corpus
+    aggregation into a grid-sized histogram (bucket =
+    grid-corrected floor division, a plain column expression), then
+    suffix sums over the mixture-sized histogram on the driver —
+    no corpus re-scan per threshold, no window over the corpus."""
+    from utc_cuip_kafka_aws_connector_spark.operators.retention import (
+        retention_curve,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0)).alias(
+            "score"
+        ),
+    )
+    return retention_curve(
+        docs, "score", lo=0.0, hi=1.0, n_points=20, group_col="lang"
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order. The external correctness gate emits
 # rows for (at most) the FIRST 50 registered queries, so registration
