@@ -3,14 +3,17 @@ scale_probe_sf1 / r16ops / r17ops / r18ops recipe: no sf1 fixture
 exists, so corpora are synthesized at sf1's scale at the shape the
 operator actually consumes).
 
-Probes (each timed to a materialized count, best-of-2 warm):
-  bitext/fold-d64    mine_bitext forward strategy, 20k src x 100k
+Probes (each timed to a materialized count, best-of-2 warm; sizes
+chosen so the per-direction candidate-pair count matches the r18
+negatives probe's regime — bitext runs BOTH directions, so 5k x 50k
+here produces ~2x the pair volume of r18's 1k x 100k):
+  bitext/fold-d64    mine_bitext forward strategy, 5k src x 50k
                      tgt, dim 64, 64 cells, nprobe 4 — the fold
-                     (oracle-exact) kernel
+                     (oracle-exact) kernel (~31M scored pairs/run)
   bitext/gemm-d64    the same setting through kernel="gemm" (one
                      GEMM per cell per direction; vectors ship once
                      per cell) — the r19 production kernel
-  bitext/fold-d768   20k x 20k at dim 768 (high-dim regime where
+  bitext/fold-d768   5k x 5k at dim 768 (high-dim regime where
                      the fold scales linearly with dim)
   bitext/gemm-d768   same through the GEMM kernel
   negatives/ivf-d64  hard_negatives at the r18 production setting
@@ -72,8 +75,8 @@ def main():
 
     spark = get_spark()
 
-    src64 = _emb_frame(spark, 20_000, 64).persist()
-    tgt64 = _emb_frame(spark, 100_000, 64, seed_off=7_777_777).persist()
+    src64 = _emb_frame(spark, 5_000, 64).persist()
+    tgt64 = _emb_frame(spark, 50_000, 64, seed_off=7_777_777).persist()
     src64.count(), tgt64.count()
     kw64 = dict(
         k=4, threshold=1.0, strategy="forward",
@@ -86,8 +89,8 @@ def main():
     )
     src64.unpersist(), tgt64.unpersist()
 
-    src768 = _emb_frame(spark, 20_000, 768).persist()
-    tgt768 = _emb_frame(spark, 20_000, 768, seed_off=7_777_777).persist()
+    src768 = _emb_frame(spark, 5_000, 768).persist()
+    tgt768 = _emb_frame(spark, 5_000, 768, seed_off=7_777_777).persist()
     src768.count(), tgt768.count()
     kw768 = dict(
         k=4, threshold=1.0, strategy="forward",

@@ -2294,8 +2294,15 @@ def main(argv: list[str] | None = None) -> int:
         "the word histogram) instead of BPE; sized by --vocab-size",
     )
     tok.add_argument(
+        "--wordpiece", action="store_true",
+        help="train: WordPiece model (BERT family, likelihood-scored "
+        "merges over the BertPreTokenizer word histogram) instead of "
+        "BPE; sized by --vocab-size",
+    )
+    tok.add_argument(
         "--vocab-size", type=int, default=8000,
-        help="train --unigram: target vocabulary size (incl. <unk>)",
+        help="train --unigram/--wordpiece: target vocabulary size "
+        "(incl. specials)",
     )
     tok.add_argument(
         "--sample-alpha", type=float, default=None,
@@ -3566,7 +3573,23 @@ def main(argv: list[str] | None = None) -> int:
 
         df = spark.read.parquet(args.input)
         if args.op == "train":
-            if args.unigram:
+            if args.unigram and args.wordpiece:
+                parser.error("--unigram and --wordpiece are exclusive")
+            if args.wordpiece:
+                from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+                    save_wordpiece_tokenizer,
+                    wordpiece_train,
+                )
+
+                wvocab = wordpiece_train(
+                    df, args.vocab_size, text_col=args.text_col
+                )
+                save_wordpiece_tokenizer(spark, args.model, wvocab)
+                print(
+                    f"trained WordPiece: vocab {len(wvocab)}, "
+                    f"model={args.model}"
+                )
+            elif args.unigram:
                 from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
                     save_unigram_tokenizer,
                 )
@@ -3606,7 +3629,7 @@ def main(argv: list[str] | None = None) -> int:
                 merges = bpe_train_merges(df, args.merges, text_col=args.text_col)
                 vocab = bpe_vocab(merges, corpus_chars(df, text_col=args.text_col))
                 save_tokenizer(spark, args.model, merges, vocab)
-            if not args.unigram:
+            if not args.unigram and not args.wordpiece:
                 print(
                     f"trained {'byte-level ' if args.byte_level else ''}BPE: "
                     f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"

@@ -1,0 +1,283 @@
+"""Distributed WordPiece vocabulary TRAINING — the likelihood-scored
+subword learner of the BERT family (Schuster & Nakajima 2012,
+"Japanese and Korean Voice Search"; described for BERT in Devlin et
+al. 2018 §A and taught as reference pseudocode in the public HF LLM
+course's WordPiece chapter).
+
+``operators/wordpiece.py`` APPLIES a WordPiece vocab; this module
+LEARNS one from the corpus, completing the tokenizer tier's third
+train/encode pair (BPE: bpetrain.py -> tokenizer.py; Unigram:
+unigram.py; WordPiece: here -> wordpiece.py). (The reference repo has
+no tokenizer at all — run.py's whitespace field split is its closest
+analogue; token-aware curation is this engine's §2.D surface.)
+
+Algorithm (the published likelihood variant, restated as the operator
+contract): words are produced by the SAME BertNormalizer +
+BertPreTokenizer kernel the encoder runs (training/encoding
+consistency is exact by construction); each word starts as its
+character sequence with every non-initial character carrying the
+``##`` continuation prefix. Repeatedly: count every adjacent symbol
+pair across the corpus weighted by word frequency AND every symbol's
+own weighted frequency, score each pair
+
+    score(a, b) = freq(a b) / (freq(a) * freq(b))
+
+(the likelihood gain of merging under a unigram LM — what
+distinguishes WordPiece from BPE's raw-frequency argmax), merge the
+best-scoring pair everywhere (merged symbol = a + b with b's ``##``
+stripped; the merged symbol inherits a's word-position), and add the
+merged token to the vocab — until the vocab reaches ``vocab_size`` or
+no pair occurs twice. Ties are broken by (score desc, pair count
+desc, lhs asc, rhs asc) — the published pseudocode leaves ties
+unspecified; pinning them is what makes training deterministic and
+cross-implementation checkable (the bpetrain.py convention).
+
+Id assignment (a free choice the published algorithm does not fix;
+pinned here for determinism): special tokens in caller order, then
+the alphabet sorted lexicographically, then merged tokens in merge
+order — the file round-trips byte-for-byte.
+
+Scale design: ONE corpus-scale pass total — an Arrow-batched
+normalize+pretokenize scan (the encoder's own kernel, so no
+train/encode drift) feeding a map-side-combined word histogram —
+collapses the 100 TB text stream to its Zipf-bounded (word, freq)
+vocabulary before any iteration starts, exactly bpetrain.py's
+argument. The scoring iterations then run on the driver over that
+histogram under an explicit ``max_histogram_rows`` budget
+(refuse-loudly, the retention_curve max_groups contract): unlike
+BPE's pure-frequency argmax, the likelihood score renormalizes by
+BOTH endpoint frequencies every round, so each merge perturbs every
+score sharing a symbol — the classic implementations (and the HF
+course reference) all train driver-side over the histogram for this
+reason. A corpus whose WORD HISTOGRAM exceeds the budget needs the
+budget raised explicitly (the histogram grows with vocabulary, not
+corpus size — Heaps' law keeps real-text histograms far under it).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+    WordPieceSpec,
+    normalize_text,
+    pretokenize,
+)
+
+DEFAULT_SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
+
+def word_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    clean_text: bool = True,
+    handle_chinese_chars: bool = True,
+    strip_accents: bool | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(word, freq) over the BertNormalizer+BertPreTokenizer word
+    stream — the single corpus-scale shuffle of training. The word
+    extraction runs the ENCODER'S normalize/pretokenize kernel in an
+    Arrow-batched UDF (vocab-free spec: the normalizer flags are the
+    only state), so the trained vocab tokenizes exactly the stream it
+    was trained on."""
+    norm_spec = WordPieceSpec(
+        vocab={},
+        clean_text=clean_text,
+        handle_chinese_chars=handle_chinese_chars,
+        strip_accents=strip_accents,
+        lowercase=lowercase,
+    )
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def words(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [pretokenize(normalize_text(t or "", norm_spec)) for t in texts]
+        )
+
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _driver_train(
+    wf: list[tuple[str, int]],
+    n_merges: int,
+    prefix: str = "##",
+    min_pair_freq: int = 2,
+) -> list[str]:
+    """The likelihood-scored merge loop over a driver-resident
+    (word, freq) histogram: returns merged tokens in merge order.
+    Deterministic: ties by (score desc, pair count desc, lhs, rhs).
+    O(pairs) rescan per merge — the score's denominators change with
+    every merge touching a shared symbol, so (unlike Sennrich BPE)
+    there is no sound lazy heap; the histogram is Zipf-bounded and
+    n_merges is vocab-sized, which keeps this tractable where it is
+    meant to run."""
+    segs: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in wf:
+        segs.append([w[0]] + [prefix + ch for ch in w[1:]])
+        freqs.append(f)
+
+    out: list[str] = []
+    for _ in range(n_merges):
+        sym_freq: dict[str, int] = {}
+        pair_freq: dict[tuple[str, str], int] = {}
+        for s, f in zip(segs, freqs):
+            for sym in s:
+                sym_freq[sym] = sym_freq.get(sym, 0) + f
+            for pair in zip(s, s[1:]):
+                pair_freq[pair] = pair_freq.get(pair, 0) + f
+        best = None
+        for (a, b), pf in pair_freq.items():
+            if pf < min_pair_freq:
+                continue  # below the trainer's min_frequency knob
+            score = pf / (sym_freq[a] * sym_freq[b])
+            key = (-score, -pf, a, b)
+            if best is None or key < best[0]:
+                best = (key, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        merged = a + b[len(prefix):]
+        out.append(merged)
+        for i, s in enumerate(segs):
+            j, ns = 0, []
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    ns.append(merged)
+                    j += 2
+                else:
+                    ns.append(s[j])
+                    j += 1
+            segs[i] = ns
+    return out
+
+
+def wordpiece_train(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    special_tokens: tuple[str, ...] = DEFAULT_SPECIALS,
+    clean_text: bool = True,
+    handle_chinese_chars: bool = True,
+    strip_accents: bool | None = None,
+    lowercase: bool = True,
+    continuing_subword_prefix: str = "##",
+    min_pair_freq: int = 2,
+    max_histogram_rows: int = 2_000_000,
+) -> dict[str, int]:
+    """Learn a WordPiece vocab of (at most) ``vocab_size`` entries
+    from the corpus: specials, then the sorted character alphabet
+    (word-initial and ``##``-continuation forms are distinct
+    symbols), then likelihood-scored merges in learn order. Returns
+    the token -> id mapping ``wordpiece.spec_encode`` consumes
+    (``save_wordpiece_tokenizer`` writes it as a loadable
+    tokenizer.json). ``min_pair_freq`` is the standard trainer
+    min_frequency knob (a pair below it never merges; the default 2
+    stops singleton pairs from minting tokens seen once). Fewer than
+    ``vocab_size`` entries come back when the corpus runs out of
+    eligible pairs — never padded."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if len(set(special_tokens)) != len(special_tokens):
+        raise ValueError(f"duplicate special tokens: {special_tokens}")
+    hist = word_histogram(
+        df,
+        text_col=text_col,
+        clean_text=clean_text,
+        handle_chinese_chars=handle_chinese_chars,
+        strip_accents=strip_accents,
+        lowercase=lowercase,
+    )
+    rows = hist.limit(max_histogram_rows + 1).collect()
+    if len(rows) > max_histogram_rows:
+        raise ValueError(
+            f"wordpiece_train: word histogram exceeds "
+            f"max_histogram_rows={max_histogram_rows} — an unusual "
+            "corpus (random strings? binary noise?); raise the budget "
+            "deliberately if the vocabulary really is that large"
+        )
+    # deterministic iteration order regardless of partition layout
+    wf = sorted(((r["word"], r["freq"]) for r in rows))
+
+    alphabet: set[str] = set()
+    for w, _ in wf:
+        alphabet.add(w[0])
+        alphabet.update(continuing_subword_prefix + ch for ch in w[1:])
+    base = list(special_tokens) + sorted(alphabet)
+    if vocab_size < len(base):
+        raise ValueError(
+            f"vocab_size={vocab_size} cannot hold the "
+            f"{len(special_tokens)} specials + {len(alphabet)} alphabet "
+            "symbols — a vocab that cannot represent single characters "
+            "would unk almost everything"
+        )
+    merges = _driver_train(
+        wf,
+        vocab_size - len(base),
+        prefix=continuing_subword_prefix,
+        min_pair_freq=min_pair_freq,
+    )
+    vocab: dict[str, int] = {}
+    for tok in base + merges:
+        if tok not in vocab:  # a merge may collide with a special
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def to_wordpiece_tokenizer_json(
+    vocab: dict[str, int],
+    unk_token: str = "[UNK]",
+    continuing_subword_prefix: str = "##",
+    clean_text: bool = True,
+    handle_chinese_chars: bool = True,
+    strip_accents: bool | None = None,
+    lowercase: bool = True,
+) -> str:
+    """Serialize a trained vocab as a ``tokenizer.json`` that
+    ``wordpiece.from_wordpiece_json`` / ``tokenio.load_tokenizer_
+    spec`` loads back EXACTLY (the round-trip the tests pin):
+    model.type WordPiece + BertNormalizer (the training flags) +
+    BertPreTokenizer."""
+    if unk_token not in vocab:
+        raise ValueError(f"unk_token {unk_token!r} is not in the vocab")
+    doc = {
+        "version": "1.0",
+        "normalizer": {
+            "type": "BertNormalizer",
+            "clean_text": clean_text,
+            "handle_chinese_chars": handle_chinese_chars,
+            "strip_accents": strip_accents,
+            "lowercase": lowercase,
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "model": {
+            "type": "WordPiece",
+            "unk_token": unk_token,
+            "continuing_subword_prefix": continuing_subword_prefix,
+            "max_input_chars_per_word": 100,
+            "vocab": dict(sorted(vocab.items(), key=lambda kv: kv[1])),
+        },
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1)
+
+
+def save_wordpiece_tokenizer(
+    spark: SparkSession, path: str, vocab: dict[str, int], **kwargs
+) -> None:
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        _fs_write_text,
+    )
+
+    _fs_write_text(
+        spark, path, to_wordpiece_tokenizer_json(vocab, **kwargs)
+    )
