@@ -312,3 +312,21 @@ def test_cli_trainset_budget_full_mixture_loop(spark, tmp_path, capsys):
              "--output", dest, "--budget", "160",
              "--epochs-col", "reps", "--mode", "padded"]
         )
+
+
+def test_replica_rows_ids_injective_with_separator_in_keys(spark):
+    """Review r19: with two variable-width fields in the composite
+    id, an unescaped '#' would alias (group='a#1', doc='b') with
+    (group='a', doc='1#b'). Fields are backslash-escaped, so the
+    crafted collision stays two distinct ids."""
+    df = spark.createDataFrame(
+        [("b", "a#1", [0, 1]), ("1#b", "a", [0, 1])],
+        "doc_id string, lang string, token_ids array<int>",
+    )
+    al = spark.createDataFrame(
+        [("a#1", 1.0), ("a", 1.0)], "lang string, epochs double"
+    )
+    rows = replica_rows(df, al)
+    got = sorted(r["example_id"] for r in rows.collect())
+    assert len(got) == 2 and got[0] != got[1]
+    assert got == [r"a#1\#b#0", r"a\#1#b#0"]

@@ -489,3 +489,52 @@ def test_cli_tokenizer_wordpiece_lifecycle(spark, tmp_path, capsys):
              "--input", src, "--output", ids_out, "--sample-seed", "7"]
         )
     assert exc.value.code == 2
+
+
+def test_cli_wordpiece_sample_seed_zero_also_rejected(spark, tmp_path):
+    """Review r19: --sample-seed defaults to None so EXPLICIT use is
+    always detectable — `--sample-seed 0` exits 2 on the WordPiece
+    route exactly like any other seed."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    model = tmp_path / "tokenizer.json"
+    model.write_text(json.dumps(_doc()))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the fox")], "doc_id long, text string"
+    ).write.parquet(src)
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["tokenizer", "--op", "encode", "--model", str(model),
+             "--input", src, "--output", str(tmp_path / "o"),
+             "--sample-seed", "0"]
+        )
+    assert exc.value.code == 2
+
+
+def test_encode_for_spec_dispatch_and_refusals(spark):
+    """tokenio.encode_for_spec is THE family dispatch (review r19:
+    previously copy-pasted at four call sites): WordPieceSpec routes
+    to the wordpiece kernel, sampling knobs refuse loudly, and
+    cache_cap (an implementation bound, not semantics) is ignored."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        decode_for_spec,
+        encode_for_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox")], "doc_id long, text string"
+    )
+    ids = encode_for_spec(df, SPEC)
+    got = ids.collect()[0]["token_ids"]
+    assert got == encode_text("the quick fox", SPEC)
+    # cache_cap ignored, not refused
+    assert encode_for_spec(df, SPEC, cache_cap=10).collect()[0][
+        "token_ids"
+    ] == got
+    with pytest.raises(ValueError, match="deterministic"):
+        encode_for_spec(df, SPEC, sample_alpha=0.1)
+    with pytest.raises(ValueError, match="sample_seed"):
+        encode_for_spec(df, SPEC, sample_seed=0)
+    back = decode_for_spec(ids, SPEC).collect()[0]["text"]
+    assert back == "the quick fox"

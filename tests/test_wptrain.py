@@ -146,6 +146,20 @@ def test_wordpiece_train_end_to_end_round_trip(spark, tmp_path):
     assert spec.vocab == vocab
     assert spec.lowercase and spec.clean_text  # the training defaults
 
+    # review r19: trained specials are REACHABLE — registered as
+    # added_tokens (atomic raw-text match) and as the CLS/SEP template
+    assert spec.added_tokens == {
+        t: vocab[t] for t in ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+    }
+    assert spec.special_prefix == [vocab["[CLS]"]]
+    assert spec.special_suffix == [vocab["[SEP]"]]
+    assert encode_text("the [MASK] pug", spec) == (
+        encode_text("the", spec) + [vocab["[MASK]"]] + encode_text("pug", spec)
+    )
+    assert encode_text("pug", spec, add_special_tokens=True) == (
+        [vocab["[CLS]"]] + encode_text("pug", spec) + [vocab["[SEP]"]]
+    )
+
     unk = vocab["[UNK]"]
     for t in texts:
         ids = encode_text(t, spec)
@@ -234,3 +248,26 @@ def test_cli_tokenizer_train_wordpiece_lifecycle(spark, tmp_path, capsys):
              "--model", model, "--input", src]
         )
     assert exc.value.code == 2
+
+
+def test_cli_train_flag_exclusivity_all_pairs(spark, tmp_path):
+    """Review r19: every pair of model-family flags is refused, not
+    just --unigram x --wordpiece (--byte-level --wordpiece used to
+    silently train char-level WordPiece)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "ab ab")], "doc_id long, text string"
+    ).write.parquet(src)
+    for flags in (
+        ["--unigram", "--wordpiece"],
+        ["--byte-level", "--wordpiece"],
+        ["--unigram", "--byte-level"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            cli.main(
+                ["tokenizer", "--op", "train", *flags,
+                 "--model", str(tmp_path / "m.json"), "--input", src]
+            )
+        assert exc.value.code == 2, flags

@@ -2309,7 +2309,11 @@ def main(argv: list[str] | None = None) -> int:
         help="encode (Unigram models): subword-regularization inverse "
         "temperature — each piece occurrence samples its segmentation",
     )
-    tok.add_argument("--sample-seed", type=int, default=0)
+    tok.add_argument(
+        "--sample-seed", type=int, default=None,
+        help="encode: seed for --sample-alpha's draws (BPE/Unigram "
+        "only; None default so explicit use is always detectable)",
+    )
     tok.add_argument(
         "--remap-output", default=None,
         help="prune: also write the (old_id, new_id) mapping parquet "
@@ -3573,8 +3577,18 @@ def main(argv: list[str] | None = None) -> int:
 
         df = spark.read.parquet(args.input)
         if args.op == "train":
-            if args.unigram and args.wordpiece:
-                parser.error("--unigram and --wordpiece are exclusive")
+            picked = [
+                f for f, on in (
+                    ("--unigram", args.unigram),
+                    ("--wordpiece", args.wordpiece),
+                    ("--byte-level", args.byte_level),
+                ) if on
+            ]
+            if len(picked) > 1:
+                parser.error(
+                    f"{' and '.join(picked)} are exclusive model "
+                    "families — pick one (or none for plain BPE)"
+                )
             if args.wordpiece:
                 from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
                     save_wordpiece_tokenizer,
@@ -3635,31 +3649,23 @@ def main(argv: list[str] | None = None) -> int:
                     f"{len(merges)} merges, vocab {len(vocab)}, model={args.model}"
                 )
         elif args.op == "decode":
-            from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-                spec_decode_df,
-            )
-            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                WordPieceSpec,
-            )
-            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                spec_decode_df as wp_decode_df,
+            from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                decode_for_spec,
             )
 
             if not args.output:
                 parser.error("tokenizer --op decode requires --output")
             spec = load_tokenizer_spec(spark, args.model)
-            decode = (
-                wp_decode_df
-                if isinstance(spec, WordPieceSpec)
-                else spec_decode_df
-            )
-            texts = decode(df, spec, id_col=args.id_col)
+            texts = decode_for_spec(df, spec, id_col=args.id_col)
             texts.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(f"decoded {n} docs with {args.model}, output={args.output}")
         elif args.op == "encode":
-            from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-                spec_encode,
+            from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                encode_for_spec,
+            )
+            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+                WordPieceSpec,
             )
 
             if not args.output:
@@ -3667,34 +3673,12 @@ def main(argv: list[str] | None = None) -> int:
             # model-type routing lives in load_tokenizer_spec since
             # r19 (it returns a WordPieceSpec for BERT-family files) —
             # a malformed file hits tokenio's "must be one JSON
-            # object" error instead of ad-hoc sniffing here
-            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                WordPieceSpec,
-            )
-            from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-                spec_encode as wp_encode,
-            )
-
+            # object" error instead of ad-hoc sniffing here, and
+            # encode_for_spec owns the family dispatch + the
+            # sampling-knob refusal for the deterministic kernel
             spec = load_tokenizer_spec(spark, args.model)
-            if isinstance(spec, WordPieceSpec):
-                if args.sample_alpha is not None:
-                    parser.error(
-                        "--sample-alpha is subword regularization for "
-                        "BPE/Unigram models; WordPiece encoding is "
-                        "deterministic"
-                    )
-                if args.sample_seed:
-                    parser.error(
-                        "--sample-seed only applies with --sample-alpha "
-                        "(BPE/Unigram subword regularization); WordPiece "
-                        "encoding is deterministic"
-                    )
-                ids = wp_encode(
-                    df, spec, id_col=args.id_col, text_col=args.text_col
-                )
-                shape = "WordPiece"
-            else:
-                ids = spec_encode(
+            try:
+                ids = encode_for_spec(
                     df,
                     spec,
                     id_col=args.id_col,
@@ -3702,9 +3686,13 @@ def main(argv: list[str] | None = None) -> int:
                     sample_alpha=args.sample_alpha,
                     sample_seed=args.sample_seed,
                 )
-                shape = (
-                    "byte-level BPE" if spec.byte_level else spec.model_type
-                )
+            except ValueError as e:
+                parser.error(str(e))
+            shape = (
+                "WordPiece"
+                if isinstance(spec, WordPieceSpec)
+                else ("byte-level BPE" if spec.byte_level else spec.model_type)
+            )
             ids.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(

@@ -36,15 +36,14 @@ not something the operator can check.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from utc_cuip_kafka_aws_connector_spark.functions import cosine
 from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
+    _gemm_cell_kernel,
     _probe_cells,
-    _row_topk,
 )
 from utc_cuip_kafka_aws_connector_spark.operators.similarity import (
     kmeans_centroids,
@@ -94,38 +93,18 @@ def _topk_pairs(
         a_type = dict(anchors.dtypes)[id_col]
         c_type = dict(corpus.dtypes)[id_col]
         out_schema = f"{a_alias} {a_type}, {c_alias} {c_type}, cos_sim double"
-        top = int(k)
-
-        def cell_topk(a_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({a_alias: [], c_alias: [], "cos_sim": []})
-            if a_pdf.empty or c_pdf.empty:
-                return empty
-            A = np.array(a_pdf["_a_vec"].tolist(), dtype=np.float64)
-            C = np.array(c_pdf["_c_vec"].tolist(), dtype=np.float64)
-            A = A / np.linalg.norm(A, axis=1, keepdims=True)
-            C = C / np.linalg.norm(C, axis=1, keepdims=True)
-            sims = A @ C.T
-            a_ids = a_pdf[a_alias].to_numpy()
-            c_ids = c_pdf[c_alias].to_numpy()
-            kk = min(top, sims.shape[1])
-            rows = []
-            for i in range(sims.shape[0]):
-                cand = _row_topk(sims[i], c_ids, kk)
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            a_alias: np.repeat(a_ids[i], len(cand)),
-                            c_alias: c_ids[cand],
-                            "cos_sim": sims[i, cand],
-                        }
-                    )
-                )
-            return pd.concat(rows, ignore_index=True) if rows else empty
-
+        # the shared per-cell GEMM (negatives._gemm_cell_kernel),
+        # with NO exclusion mask: src and tgt are distinct corpora,
+        # so an id collision across them is a legitimate pair
         scored = (
             a_cells.groupby("_cell")
             .cogroup(c_cells.groupby("_cell"))
-            .applyInPandas(cell_topk, out_schema)
+            .applyInPandas(
+                _gemm_cell_kernel(
+                    a_alias, c_alias, "_a_vec", "_c_vec", int(k)
+                ),
+                out_schema,
+            )
         )
     else:
         if method == "brute":
@@ -180,9 +159,10 @@ def mine_bitext(
     one aligned space.
 
     Candidates are the union of src->tgt and tgt->src top-``k``
-    neighbor pairs (cosine is computed by one shared deterministic
-    kernel, so the two directions agree bit-for-bit and the union
-    dedups exactly). ``strategy``:
+    neighbor pairs, deduped by pair KEY (under the fold kernel both
+    directions' cosines are bit-identical; under the GEMM kernel the
+    two differently-shaped GEMMs may disagree in the last ulp, so
+    the dedup picks max(cos) deterministically). ``strategy``:
 
     - ``"all"``: every candidate above threshold.
     - ``"forward"`` (default, the paper's *max* strategy): per

@@ -232,6 +232,58 @@ def hard_negatives(
     )
 
 
+def _gemm_cell_kernel(
+    a_id: str,
+    c_id: str,
+    a_vec: str,
+    c_vec: str,
+    k: int,
+    mask_fn=None,
+):
+    """Builds the cogrouped-applyInPandas cell function both GEMM
+    consumers share (review r19 — this was duplicated between
+    hard_negatives_gemm and bitext's kernel="gemm"): normalize each
+    side, one GEMM for the whole cell, optional exclusion mask
+    (``mask_fn(a_pdf, c_pdf) -> bool ndarray`` of masked-OUT pairs —
+    hard negatives' self/label law; None for bitext, where src and
+    tgt are distinct corpora), then the deterministic per-row
+    ``_row_topk``. Zero-norm vectors are the ANN-stack contract's
+    exclusion (non-null, non-zero) in BOTH consumers — deliberately
+    NOT clamped here, so the GEMM result stays comparable to the
+    fold kernels, which don't clamp either."""
+
+    def cell_topk(a_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({a_id: [], c_id: [], "cos_sim": []})
+        if a_pdf.empty or c_pdf.empty:
+            return empty
+        A = np.array(a_pdf[a_vec].tolist(), dtype=np.float64)
+        C = np.array(c_pdf[c_vec].tolist(), dtype=np.float64)
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sims = A @ C.T  # (n_anchors, n_cands)
+        a_ids = a_pdf[a_id].to_numpy()
+        c_ids = c_pdf[c_id].to_numpy()
+        if mask_fn is not None:
+            sims = np.where(mask_fn(a_pdf, c_pdf), -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        rows = []
+        for i in range(sims.shape[0]):
+            cand = _row_topk(sims[i], c_ids, kk)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        # cand indexes CANDIDATES — the anchor is row i
+                        a_id: np.repeat(a_ids[i], len(cand)),
+                        c_id: c_ids[cand],
+                        "cos_sim": sims[i, cand],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    return cell_topk
+
+
 def _row_topk(sim_row: np.ndarray, c_ids: np.ndarray, kk: int) -> np.ndarray:
     """Indices of one anchor row's top-``kk`` candidates, ORDERED by
     the (sim desc, id asc) law; ``-inf``-masked entries never
@@ -340,22 +392,12 @@ def hard_negatives_gemm(
         f"anchor_id {id_type}, neg_id {id_type}, cos_sim double"
     )
     use_labels = label_col is not None
-    top = int(k)
 
-    def cell_topk(a_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"anchor_id": [], "neg_id": [], "cos_sim": []}
-        )
-        if a_pdf.empty or c_pdf.empty:
-            return empty
-        A = np.array(a_pdf["a_vec"].tolist(), dtype=np.float64)
-        C = np.array(c_pdf["n_vec"].tolist(), dtype=np.float64)
-        A = A / np.linalg.norm(A, axis=1, keepdims=True)
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)
-        sims = A @ C.T  # (n_anchors, n_cands)
-        a_ids = a_pdf["anchor_id"].to_numpy()
-        c_ids = c_pdf["neg_id"].to_numpy()
-        mask = a_ids[:, None] == c_ids[None, :]  # self-pairs
+    def exclude(a_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> np.ndarray:
+        mask = (
+            a_pdf["anchor_id"].to_numpy()[:, None]
+            == c_pdf["neg_id"].to_numpy()[None, :]
+        )  # self-pairs
         if use_labels:
             # joint factorize == eqNullSafe: NaN/None gets its own
             # code, so null==null excludes (the fold path's law)
@@ -369,22 +411,11 @@ def hard_negatives_gemm(
             a_lab = codes[: len(a_pdf)]
             c_lab = codes[len(a_pdf):]
             mask |= a_lab[:, None] == c_lab[None, :]
-        sims = np.where(mask, -np.inf, sims)
-        kk = min(top, sims.shape[1])
-        rows = []
-        for i in range(sims.shape[0]):
-            cand = _row_topk(sims[i], c_ids, kk)
-            rows.append(
-                pd.DataFrame(
-                    {
-                        # cand indexes CANDIDATES — the anchor is row i
-                        "anchor_id": np.repeat(a_ids[i], len(cand)),
-                        "neg_id": c_ids[cand],
-                        "cos_sim": sims[i, cand],
-                    }
-                )
-            )
-        return pd.concat(rows, ignore_index=True) if rows else empty
+        return mask
+
+    cell_topk = _gemm_cell_kernel(
+        "anchor_id", "neg_id", "a_vec", "n_vec", int(k), mask_fn=exclude
+    )
 
     pooled = (
         anchor_cells.groupby("centroid_id")

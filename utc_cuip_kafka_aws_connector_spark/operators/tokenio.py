@@ -587,6 +587,104 @@ def load_tokenizer_spec(spark: SparkSession, path: str):
     return from_tokenizer_json_spec(text)
 
 
+def encode_for_spec(
+    df,
+    spec,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    cache_cap: int | None = None,
+    add_special_tokens: bool = False,
+    sample_alpha: float | None = None,
+    sample_seed: int | None = None,
+):
+    """THE encoder dispatch for ``load_tokenizer_spec`` results
+    (review r19: this decision used to be copy-pasted at four call
+    sites): ``TokenizerSpec`` -> ``bytelevel.spec_encode``,
+    ``WordPieceSpec`` -> ``wordpiece.spec_encode``. Both kernels
+    share the ``(id_col, out_col array<int>)`` output contract.
+    Raises ``ValueError`` when an ID-CHANGING BPE/Unigram-only knob
+    (``sample_alpha``/``sample_seed`` subword regularization) is
+    asked of the deterministic WordPiece kernel — callers surface
+    that message verbatim. ``cache_cap`` is an implementation bound
+    (the byte-level kernel's segmentation cache), not a semantics
+    knob: the cache-free WordPiece kernel ignores it."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+
+    if isinstance(spec, WordPieceSpec):
+        bad = [
+            name
+            for name, v in (
+                ("sample_alpha", sample_alpha),
+                ("sample_seed", sample_seed),
+            )
+            if v is not None
+        ]
+        if bad:
+            raise ValueError(
+                f"{'/'.join(bad)} only appl"
+                f"{'y' if len(bad) > 1 else 'ies'} to BPE/Unigram "
+                "models (subword regularization); WordPiece encoding "
+                "is deterministic"
+            )
+        from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+            spec_encode as _wp_encode,
+        )
+
+        return _wp_encode(
+            df,
+            spec,
+            id_col=id_col,
+            text_col=text_col,
+            add_special_tokens=add_special_tokens,
+            out_col=out_col,
+        )
+    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+        spec_encode as _bl_encode,
+    )
+
+    kw = {} if cache_cap is None else {"cache_cap": cache_cap}
+    return _bl_encode(
+        df,
+        spec,
+        id_col=id_col,
+        text_col=text_col,
+        out_col=out_col,
+        add_special_tokens=add_special_tokens,
+        sample_alpha=sample_alpha,
+        sample_seed=0 if sample_seed is None else sample_seed,
+        **kw,
+    )
+
+
+def decode_for_spec(
+    df,
+    spec,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+):
+    """``encode_for_spec``'s inverse dispatch: ``TokenizerSpec`` ->
+    ``bytelevel.spec_decode_df``, ``WordPieceSpec`` ->
+    ``wordpiece.spec_decode_df`` — one place to wire the next model
+    family's decoder."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+
+    if isinstance(spec, WordPieceSpec):
+        from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+            spec_decode_df as _decode,
+        )
+    else:
+        from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
+            spec_decode_df as _decode,
+        )
+    return _decode(df, spec, id_col=id_col, ids_col=ids_col, out_col=out_col)
+
+
 def tokenizer_report(
     df,
     merges: list[tuple[str, str]],
@@ -626,28 +724,18 @@ def tokenizer_report_spec(
     text_col: str = "text",
     slice_col: str | None = "lang",
 ):
-    """``tokenizer_report`` for any loaded spec — the encode leg runs
-    ``bytelevel.spec_encode`` for ``TokenizerSpec`` (so byte-level
-    models, structurally zero-OOV, and byte_fallback models report
-    through the same fitness columns as the plain path) and
-    ``wordpiece.spec_encode`` for ``WordPieceSpec`` (r19, matching
-    ``load_tokenizer_spec``'s generic dispatch); both kernels share
-    the (id_col, token_ids) output contract the aggregate consumes."""
-    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-        WordPieceSpec,
-    )
-
+    """``tokenizer_report`` for any loaded spec — the encode leg is
+    ``encode_for_spec``'s family dispatch (bytelevel for
+    ``TokenizerSpec``, so byte-level models, structurally zero-OOV,
+    and byte_fallback models report through the same fitness columns
+    as the plain path; wordpiece for ``WordPieceSpec``, r19); both
+    kernels share the (id_col, token_ids) contract the aggregate
+    consumes."""
     unk_id = spec.vocab.get(spec.unk_token) if spec.unk_token else None
     eff_unk = unk_id if unk_id is not None else -1
-    if isinstance(spec, WordPieceSpec):
-        from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-            spec_encode,
-        )
-    else:
-        from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-            spec_encode,
-        )
-    ids = spec_encode(df.select(id_col, text_col), spec, id_col, text_col)
+    ids = encode_for_spec(
+        df.select(id_col, text_col), spec, id_col=id_col, text_col=text_col
+    )
     return _fitness_agg(df, ids, eff_unk, id_col, text_col, slice_col)
 
 

@@ -20,7 +20,8 @@ ids`` (ids seen exactly once: pruning candidates), ``n_tokens``, and
 to the fitness report's chars_per_token, which undercounts CJK where
 a char is 3 bytes).
 
-Scale shape: one Arrow-batched encode pass (``bytelevel.spec_encode``),
+Scale shape: one Arrow-batched encode pass (``tokenio.encode_for_
+spec``'s family dispatch),
 one explode into the per-(group, id) frequency table — partial
 aggregation collapses each partition to at most vocab-size rows
 before the shuffle, so the exchanged data is O(groups x vocab),
@@ -34,10 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
-
-from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-    spec_encode,
-)
 
 
 def vocab_utilization(
@@ -69,29 +66,21 @@ def vocab_utilization(
         *keys,
         F.octet_length(text).cast("long").alias("__bytes"),
     )
-    # encode leg dispatches on the spec family (r19: load_tokenizer_
-    # spec may hand callers a WordPieceSpec); both kernels share the
-    # (id_col, token_ids) output contract this report consumes
-    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
-        WordPieceSpec,
-        spec_encode as wp_spec_encode,
+    # encode leg: tokenio.encode_for_spec's family dispatch (r19:
+    # load_tokenizer_spec may hand callers a WordPieceSpec); both
+    # kernels share the (id_col, token_ids) contract this report
+    # consumes, and the cache_cap knob applies where a cache exists
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        encode_for_spec,
     )
 
-    if isinstance(spec, WordPieceSpec):
-        enc = wp_spec_encode(
-            base.select(F.col(id_col), text.alias(text_col)),
-            spec,
-            id_col=id_col,
-            text_col=text_col,
-        ).select(F.col(id_col).alias("__id"), "token_ids")
-    else:
-        enc = spec_encode(
-            base.select(F.col(id_col), text.alias(text_col)),
-            spec,
-            id_col=id_col,
-            text_col=text_col,
-            cache_cap=cache_cap,
-        ).select(F.col(id_col).alias("__id"), "token_ids")
+    enc = encode_for_spec(
+        base.select(F.col(id_col), text.alias(text_col)),
+        spec,
+        id_col=id_col,
+        text_col=text_col,
+        cache_cap=cache_cap,
+    ).select(F.col(id_col).alias("__id"), "token_ids")
     j = meta.join(enc, "__id")
 
     sizes = (j.groupBy(*keys) if keys else j.groupBy()).agg(

@@ -77,6 +77,12 @@ def replica_rows(
     groups (two language buckets, say) would otherwise collide on
     ``<doc_id>#<replica>`` and make packout's id-ordered fill
     layout-dependent — exactly the failure this id exists to prevent.
+    The group and doc fields are backslash-ESCAPED before joining
+    (``\\`` -> ``\\\\``, ``#`` -> ``\\#`` — review r19): with two
+    variable-width fields, an unescaped ``#`` inside either would
+    make the composite non-injective (group ``a#1`` + doc ``b``
+    colliding with group ``a`` + doc ``1#b``). Values without those
+    characters — every realistic key — keep their plain spelling.
 
     Uniqueness is this module's load-bearing claim — duplicate
     (group, doc_id) corpus rows would collide example ids and make
@@ -99,10 +105,20 @@ def replica_rows(
         salt=salt,
         validate_unique_ids=validate_unique_ids,
     )
+    def esc(c):
+        # backslash-escape the join separator (and the escape char
+        # itself) so the 3-field composite stays injective even when
+        # a key value contains '#'
+        return F.regexp_replace(
+            F.regexp_replace(c.cast("string"), r"\\", r"\\\\"),
+            "#",
+            r"\\#",
+        )
+
     qid = F.concat_ws(
         "#",
-        F.col(group_col).cast("string"),
-        F.col(id_col).cast("string"),
+        esc(F.col(group_col)),
+        esc(F.col(id_col)),
         F.col("replica").cast("string"),
     )
     if shuffle_seed is not None:

@@ -116,26 +116,37 @@ def _driver_train(
     """The likelihood-scored merge loop over a driver-resident
     (word, freq) histogram: returns merged tokens in merge order.
     Deterministic: ties by (score desc, pair count desc, lhs, rhs).
-    O(pairs) rescan per merge — the score's denominators change with
-    every merge touching a shared symbol, so (unlike Sennrich BPE)
-    there is no sound lazy heap; the histogram is Zipf-bounded and
-    n_merges is vocab-sized, which keeps this tractable where it is
-    meant to run."""
+
+    Counting is INCREMENTAL (review r19): a merge only changes the
+    symbol/pair counts of words containing the merged pair, so those
+    words (found through a pair -> word-ids index, the Sennrich
+    acceleration bpetrain._driver_train uses) are the only ones
+    re-counted — without this, each merge re-scanned the whole
+    histogram and a budget-sized corpus took ~10^11 Python ops. The
+    re-SCORING each round still scans every live pair: the score's
+    denominators change with every merge touching a shared symbol,
+    so (unlike Sennrich BPE's count argmax) there is no sound lazy
+    heap — but that scan is pair-vocabulary-sized, not corpus-sized,
+    and the argmax key (score desc, count desc, lhs, rhs) is total,
+    so dict iteration order never leaks into the result."""
     segs: list[list[str]] = []
     freqs: list[int] = []
     for w, f in wf:
         segs.append([w[0]] + [prefix + ch for ch in w[1:]])
         freqs.append(f)
 
+    sym_freq: dict[str, int] = {}
+    pair_freq: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for i, (s, f) in enumerate(zip(segs, freqs)):
+        for sym in s:
+            sym_freq[sym] = sym_freq.get(sym, 0) + f
+        for pair in zip(s, s[1:]):
+            pair_freq[pair] = pair_freq.get(pair, 0) + f
+            index.setdefault(pair, set()).add(i)
+
     out: list[str] = []
     for _ in range(n_merges):
-        sym_freq: dict[str, int] = {}
-        pair_freq: dict[tuple[str, str], int] = {}
-        for s, f in zip(segs, freqs):
-            for sym in s:
-                sym_freq[sym] = sym_freq.get(sym, 0) + f
-            for pair in zip(s, s[1:]):
-                pair_freq[pair] = pair_freq.get(pair, 0) + f
         best = None
         for (a, b), pf in pair_freq.items():
             if pf < min_pair_freq:
@@ -149,8 +160,19 @@ def _driver_train(
         _, a, b = best
         merged = a + b[len(prefix):]
         out.append(merged)
-        for i, s in enumerate(segs):
-            j, ns = 0, []
+        for i in index.pop((a, b), ()):
+            s, f = segs[i], freqs[i]
+            if not any(
+                s[j] == a and s[j + 1] == b for j in range(len(s) - 1)
+            ):
+                continue  # stale index entry: pair already merged away
+            for sym in s:
+                sym_freq[sym] -= f
+            for pair in zip(s, s[1:]):
+                pair_freq[pair] -= f
+                if pair_freq[pair] <= 0:
+                    del pair_freq[pair]
+            ns, j = [], 0
             while j < len(s):
                 if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
                     ns.append(merged)
@@ -159,6 +181,11 @@ def _driver_train(
                     ns.append(s[j])
                     j += 1
             segs[i] = ns
+            for sym in ns:
+                sym_freq[sym] = sym_freq.get(sym, 0) + f
+            for pair in zip(ns, ns[1:]):
+                pair_freq[pair] = pair_freq.get(pair, 0) + f
+                index.setdefault(pair, set()).add(i)
     return out
 
 
@@ -242,12 +269,26 @@ def to_wordpiece_tokenizer_json(
     handle_chinese_chars: bool = True,
     strip_accents: bool | None = None,
     lowercase: bool = True,
+    special_tokens: tuple[str, ...] = DEFAULT_SPECIALS,
+    cls_token: str = "[CLS]",
+    sep_token: str = "[SEP]",
 ) -> str:
     """Serialize a trained vocab as a ``tokenizer.json`` that
     ``wordpiece.from_wordpiece_json`` / ``tokenio.load_tokenizer_
     spec`` loads back EXACTLY (the round-trip the tests pin):
     model.type WordPiece + BertNormalizer (the training flags) +
-    BertPreTokenizer."""
+    BertPreTokenizer.
+
+    Every in-vocab member of ``special_tokens`` is ALSO registered
+    in the ``added_tokens`` section with default matching flags
+    (review r19): without that, the trained specials' ids were
+    unreachable — running text containing '[MASK]' would lowercase
+    and punctuation-split it to UNKs (the HF trainer registers
+    specials as added tokens for exactly this reason). When both
+    ``cls_token`` and ``sep_token`` are in the vocab, the standard
+    BERT single-sequence TemplateProcessing ([CLS] A [SEP]) is
+    emitted too, so the loaded spec's ``add_special_tokens=`` path
+    works; pass None for either to omit it."""
     if unk_token not in vocab:
         raise ValueError(f"unk_token {unk_token!r} is not in the vocab")
     doc = {
@@ -268,6 +309,35 @@ def to_wordpiece_tokenizer_json(
             "vocab": dict(sorted(vocab.items(), key=lambda kv: kv[1])),
         },
     }
+    added = [
+        {
+            "id": vocab[t],
+            "content": t,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+            "special": True,
+        }
+        for t in special_tokens
+        if t in vocab
+    ]
+    if added:
+        doc["added_tokens"] = sorted(added, key=lambda d: d["id"])
+    if (
+        cls_token is not None
+        and sep_token is not None
+        and cls_token in vocab
+        and sep_token in vocab
+    ):
+        doc["post_processor"] = {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": cls_token, "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": sep_token, "type_id": 0}},
+            ],
+        }
     return json.dumps(doc, ensure_ascii=False, indent=1)
 
 
