@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+    encode_for_spec,
+)
+
 
 def vocab_utilization(
     df: DataFrame,
@@ -70,10 +74,6 @@ def vocab_utilization(
     # load_tokenizer_spec may hand callers a WordPieceSpec); both
     # kernels share the (id_col, token_ids) contract this report
     # consumes, and the cache_cap knob applies where a cache exists
-    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
-        encode_for_spec,
-    )
-
     enc = encode_for_spec(
         base.select(F.col(id_col), text.alias(text_col)),
         spec,
