@@ -154,3 +154,109 @@ def test_template_specials_survive_unused(spark):
     assert "<s>" in pruned.vocab and "</s>" in pruned.vocab
     assert pruned.special_prefix == [remap[50]]
     assert pruned.special_suffix == [remap[51]]
+
+
+# ------------------------------------------------- WordPiece (r19)
+
+
+def _wp_spec():
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+
+    toks = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+        "the", "quick", "brown", "fox", "jump", "jumper",
+        "##s", "##ed", "##ing", "##er", "over", "lazy", "dog",
+        "t", "h", "e", "q", "u", "i", "c", "k", "b", "r", "o", "w",
+        "n", "f", "x", "j", "m", "p", "s", "l", "a", "z", "y", "d", "g",
+        "##t", "##h", "##e", "##q", "##u", "##i", "##c", "##k", "##b",
+        "##r", "##o", "##w", "##n", "##f", "##x", "##j", "##m", "##p",
+        "##l", "##a", "##z", "##y", "##d", "##g",
+    ]
+    vocab = {t: i for i, t in enumerate(toks)}
+    return WordPieceSpec(
+        vocab=vocab,
+        added_tokens={"[PAD]": vocab["[PAD]"]},
+        special_prefix=[vocab["[CLS]"]],
+        special_suffix=[vocab["[SEP]"]],
+    )
+
+
+def test_wordpiece_prune_reencode_identity_and_floor(spark):
+    """The subset-vocab greedy theorem, WordPiece edition: measured
+    docs re-encode to identical pieces (ids remapped); the ##-aware
+    single-char floor keeps every text encodable; unk/added/template
+    specials survive."""
+    from utc_cuip_kafka_aws_connector_spark.operators.vocabprune import (
+        prune_to_corpus,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        encode_text,
+    )
+
+    spec = _wp_spec()
+    texts = ["the quick fox jumps", "the lazy dog"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pruned, remap = prune_to_corpus(df, spec)
+    # shrank: 'jumper'/'##ed'/'##ing'/'##er'/'brown'/'over' unused
+    # (multi-char, not floor) must be gone
+    for gone in ("jumper", "##ed", "##ing", "##er", "brown", "over"):
+        assert gone not in pruned.vocab
+    # identity on the measured corpus
+    for t in texts:
+        assert encode_text(t, pruned) == [
+            remap[i] for i in encode_text(t, spec)
+        ]
+    # floor: both positions' single chars survive, so unseen text
+    # still encodes (to smaller pieces, never a crash)
+    assert "w" in pruned.vocab and "##w" in pruned.vocab
+    got = encode_text("brown", pruned)
+    assert got == [pruned.vocab["b"]] + [
+        pruned.vocab["##" + c] for c in "rown"
+    ]
+    # unk/added/template specials survive with remapped ids
+    assert pruned.unk_token == "[UNK]" and "[UNK]" in pruned.vocab
+    assert pruned.added_tokens == {"[PAD]": remap[spec.added_tokens["[PAD]"]]}
+    assert pruned.special_prefix == [remap[spec.special_prefix[0]]]
+    assert pruned.special_suffix == [remap[spec.special_suffix[0]]]
+    # ids dense in original order
+    assert sorted(pruned.vocab.values()) == list(range(len(pruned.vocab)))
+
+
+def test_wordpiece_pruned_spec_round_trips_through_json(spark):
+    """wordpiece_spec_json(pruned) loads back to an equal spec — the
+    CLI's write path is the loader's own round-trip writer."""
+    from utc_cuip_kafka_aws_connector_spark.operators.vocabprune import (
+        prune_to_corpus,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        from_wordpiece_json,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+        wordpiece_spec_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox")], "doc_id long, text string"
+    )
+    pruned, _ = prune_to_corpus(df, _wp_spec())
+    back = from_wordpiece_json(wordpiece_spec_json(pruned))
+    assert back == pruned
+
+
+def test_wordpiece_spec_json_refuses_inexpressible_templates():
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+        wordpiece_spec_json,
+    )
+
+    v = {"[UNK]": 0, "[CLS]": 1, "a": 2}
+    with pytest.raises(ValueError, match="template"):
+        wordpiece_spec_json(
+            WordPieceSpec(vocab=v, special_prefix=[1], special_suffix=[])
+        )

@@ -474,13 +474,34 @@ def test_cli_tokenizer_wordpiece_lifecycle(spark, tmp_path, capsys):
     ) == 0
     assert "coverage" in capsys.readouterr().out
 
-    # prune: loud refusal
-    with pytest.raises(SystemExit) as exc:
-        cli.main(
-            ["tokenizer", "--op", "prune", "--model", str(model),
-             "--input", src, "--output", str(tmp_path / "pruned.json")]
-        )
-    assert exc.value.code == 2
+    # prune (r19): real support — the pruned file loads back and
+    # re-encodes the measured corpus to the identical pieces with
+    # remapped ids (the subset-vocab greedy theorem; pinned in depth
+    # by tests/test_vocabprune.py's WordPiece cases)
+    pruned_path = str(tmp_path / "pruned.json")
+    remap_path = str(tmp_path / "remap")
+    assert cli.main(
+        ["tokenizer", "--op", "prune", "--model", str(model),
+         "--input", src, "--output", pruned_path,
+         "--remap-output", remap_path]
+    ) == 0
+    assert "pruned WordPiece vocab" in capsys.readouterr().out
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        load_tokenizer_spec,
+    )
+
+    pruned = load_tokenizer_spec(spark, pruned_path)
+    assert isinstance(pruned, WordPieceSpec)
+    assert len(pruned.vocab) <= len(VOCAB) + 1  # +1: [MASK] added token
+    remap = {
+        r["old_id"]: r["new_id"]
+        for r in spark.read.parquet(remap_path).collect()
+    }
+    spec = from_wordpiece_json(json.dumps(_doc()))
+    for t in ("the quick fox", "jumps over the lazy dog"):
+        assert encode_text(t, pruned) == [
+            remap[i] for i in encode_text(t, spec)
+        ]
 
     # --sample-seed is BPE/Unigram subword regularization
     with pytest.raises(SystemExit) as exc:

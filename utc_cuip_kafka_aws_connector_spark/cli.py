@@ -3713,12 +3713,33 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             if isinstance(spec, _WPSpec):
-                parser.error(
-                    "tokenizer --op prune operates on BPE/Unigram merge "
-                    "tables; WordPiece models have no merges to prune "
-                    "(supported WordPiece ops: encode, decode, report, "
-                    "utilization)"
+                # WordPiece prune (r19): same measured-ids contract,
+                # its own survival floor (##-continuation alphabet,
+                # no merge closure), serialized back through the
+                # loader's own round-trip writer
+                from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+                    _fs_write_text as _fsw_wp,
                 )
+                from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+                    wordpiece_spec_json,
+                )
+
+                pruned, remap = prune_to_corpus(
+                    df, spec, id_col=args.id_col, text_col=args.text_col
+                )
+                _fsw_wp(spark, args.output, wordpiece_spec_json(pruned))
+                if args.remap_output:
+                    spark.createDataFrame(
+                        sorted(remap.items()), "old_id int, new_id int"
+                    ).write.mode("overwrite").parquet(args.remap_output)
+                print(
+                    f"pruned WordPiece vocab {len(spec.vocab)} -> "
+                    f"{len(pruned.vocab)} to this corpus; "
+                    f"model={args.output}"
+                    + (f"; id remap -> {args.remap_output}"
+                       if args.remap_output else "")
+                )
+                return 0
             # save_tokenizer writes merges/vocab/byte_level/
             # add_prefix_space/unk ONLY — refuse specs whose other
             # sections it would silently drop (a written file that

@@ -50,9 +50,11 @@ def used_token_ids(
 ) -> list[int]:
     """Distinct token ids the corpus actually produces under
     ``spec`` — one encode pass + a vocab-bounded distinct (the
-    tokeval scale shape)."""
-    from utc_cuip_kafka_aws_connector_spark.operators.bytelevel import (
-        spec_encode,
+    tokeval scale shape). The encode leg is ``tokenio.encode_for_
+    spec``'s family dispatch (r19), so WordPiece specs measure
+    through the same path as BPE/Unigram ones."""
+    from utc_cuip_kafka_aws_connector_spark.operators.tokenio import (
+        encode_for_spec as spec_encode,
     )
 
     enc = spec_encode(
@@ -149,11 +151,92 @@ def prune_spec(
     return pruned, remap
 
 
+def prune_wordpiece_spec(spec, used_ids):
+    """(pruned WordPieceSpec, old-id -> new-id mapping) — the
+    WordPiece twin of ``prune_spec`` (r19). The same re-encoding
+    theorem holds for greedy longest-match-first: the pruned vocab is
+    a SUBSET, so at every scan position matches can only shrink, and
+    the originally chosen (longest) piece is kept because the corpus
+    used it — by induction every measured document re-encodes to the
+    identical piece sequence, ids remapped; unseen words split into
+    smaller kept pieces or unk, exactly the BPE trade.
+
+    Survival floor: every single-character token in BOTH positions
+    (word-initial ``c`` and continuation ``##c`` are distinct
+    symbols), the unk token, added/control tokens, and the
+    TemplateProcessing specials. No merge-closure walk is needed:
+    WordPiece vocab entries are free-standing strings, not merge
+    products."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+
+    if not isinstance(spec, WordPieceSpec):
+        raise ValueError(
+            f"prune_wordpiece_spec needs a WordPieceSpec, got "
+            f"{type(spec).__name__}"
+        )
+    used = set(int(u) for u in used_ids)
+    by_id = {i: t for t, i in spec.vocab.items()}
+    unknown = used - set(by_id)
+    if unknown:
+        raise ValueError(
+            f"used_ids not in the spec vocab: {sorted(unknown)[:5]}..."
+            if len(unknown) > 5
+            else f"used_ids not in the spec vocab: {sorted(unknown)}"
+        )
+    prefix = spec.continuing_subword_prefix
+    kept = {t for t, i in spec.vocab.items() if i in used}
+    kept |= {
+        t
+        for t in spec.vocab
+        if len(t) == 1
+        or (t.startswith(prefix) and len(t) == len(prefix) + 1)
+    }
+    kept.add(spec.unk_token)
+    kept |= set(spec.added_tokens)
+    for i in (*spec.special_prefix, *spec.special_suffix):
+        if i in by_id:
+            kept.add(by_id[i])
+
+    old_ids = sorted(spec.vocab[t] for t in kept)
+    remap = {old: new for new, old in enumerate(old_ids)}
+    vocab = {by_id[old]: remap[old] for old in old_ids}
+    pruned = WordPieceSpec(
+        vocab=vocab,
+        unk_token=spec.unk_token,
+        continuing_subword_prefix=prefix,
+        max_input_chars_per_word=spec.max_input_chars_per_word,
+        clean_text=spec.clean_text,
+        handle_chinese_chars=spec.handle_chinese_chars,
+        strip_accents=spec.strip_accents,
+        lowercase=spec.lowercase,
+        added_tokens={
+            t: remap[i] for t, i in spec.added_tokens.items() if i in remap
+        },
+        special_prefix=[remap[i] for i in spec.special_prefix if i in remap],
+        special_suffix=[remap[i] for i in spec.special_suffix if i in remap],
+    )
+    return pruned, remap
+
+
 def prune_to_corpus(
     df: DataFrame,
     spec,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> tuple[TokenizerSpec, dict[int, int]]:
-    """One-call form: measure the corpus' used ids, prune to them."""
-    return prune_spec(spec, used_token_ids(df, spec, id_col, text_col))
+):
+    """One-call form: measure the corpus' used ids, prune to them —
+    dispatching on the spec family like every r19 tokenizer entry
+    point (BPE -> ``prune_spec``; WordPiece ->
+    ``prune_wordpiece_spec``; Unigram still refuses inside
+    prune_spec: its pruning is score-mass-based, a different
+    operation)."""
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        WordPieceSpec,
+    )
+
+    used = used_token_ids(df, spec, id_col, text_col)
+    if isinstance(spec, WordPieceSpec):
+        return prune_wordpiece_spec(spec, used)
+    return prune_spec(spec, used)

@@ -272,6 +272,7 @@ def to_wordpiece_tokenizer_json(
     special_tokens: tuple[str, ...] = DEFAULT_SPECIALS,
     cls_token: str = "[CLS]",
     sep_token: str = "[SEP]",
+    max_input_chars_per_word: int = 100,
 ) -> str:
     """Serialize a trained vocab as a ``tokenizer.json`` that
     ``wordpiece.from_wordpiece_json`` / ``tokenio.load_tokenizer_
@@ -305,7 +306,7 @@ def to_wordpiece_tokenizer_json(
             "type": "WordPiece",
             "unk_token": unk_token,
             "continuing_subword_prefix": continuing_subword_prefix,
-            "max_input_chars_per_word": 100,
+            "max_input_chars_per_word": int(max_input_chars_per_word),
             "vocab": dict(sorted(vocab.items(), key=lambda kv: kv[1])),
         },
     }
@@ -350,4 +351,41 @@ def save_wordpiece_tokenizer(
 
     _fs_write_text(
         spark, path, to_wordpiece_tokenizer_json(vocab, **kwargs)
+    )
+
+
+def wordpiece_spec_json(spec: WordPieceSpec) -> str:
+    """Serialize an arbitrary in-memory ``WordPieceSpec`` (a pruned
+    one, a hand-built one) as a tokenizer.json that
+    ``from_wordpiece_json`` loads back to an EQUAL spec. The
+    normalizer always re-emits as an explicit all-flags
+    BertNormalizer — semantics-preserving for every loadable input
+    (a Lowercase-normalizer file loads as lowercase=True with every
+    other flag False; an absent normalizer as all-False — both
+    round-trip exactly through the explicit form). Refuses template
+    shapes ``to_wordpiece_tokenizer_json`` cannot express (multi-
+    token prefixes/suffixes, a prefix without a suffix)."""
+    rev = {i: t for t, i in spec.vocab.items()}
+    if len(spec.special_prefix) > 1 or len(spec.special_suffix) > 1 or (
+        bool(spec.special_prefix) != bool(spec.special_suffix)
+    ):
+        raise ValueError(
+            "wordpiece_spec_json writes the single-sequence "
+            "[CLS] A [SEP] template only; this spec's specials are "
+            f"prefix={spec.special_prefix} suffix={spec.special_suffix}"
+        )
+    cls = rev[spec.special_prefix[0]] if spec.special_prefix else None
+    sep = rev[spec.special_suffix[0]] if spec.special_suffix else None
+    return to_wordpiece_tokenizer_json(
+        spec.vocab,
+        unk_token=spec.unk_token,
+        continuing_subword_prefix=spec.continuing_subword_prefix,
+        clean_text=spec.clean_text,
+        handle_chinese_chars=spec.handle_chinese_chars,
+        strip_accents=spec.strip_accents,
+        lowercase=spec.lowercase,
+        special_tokens=tuple(spec.added_tokens),
+        cls_token=cls,
+        sep_token=sep,
+        max_input_chars_per_word=spec.max_input_chars_per_word,
     )
