@@ -179,18 +179,18 @@ def test_staged_q128_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q128_NAME)
 
 
-def test_q128_registered_and_reattesting():
-    """Registered at r18 (green CORRECTNESS_r18 row); at r19 it does
-    NOT rest on that row — it is PULLED back into the window (the r15
-    rebalance precedent) because this round edits
-    operators/negatives.py under it (the no-op distinct() removal,
-    VERDICT r18 #1), which drifts its fingerprint."""
+def test_q128_registered_and_resting():
+    """Registered at r18, PULLED and re-attested at r19 (the r15
+    rebalance precedent — the negatives.py no-op-distinct removal
+    routed through the gate); at r20 it RESTS on its fresh green
+    CORRECTNESS_r19 row inside the 2-round contract — in the catalog,
+    window membership governed by the rotation, never silently
+    dropped."""
     assert STAGED_Q128_NAME in queries()
-    assert STAGED_Q128_NAME in _GATE_PRIORITY
     import json
     import os
 
-    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r18.json")
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r19.json")
     row = json.load(open(corr))[STAGED_Q128_NAME]
     assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
@@ -208,12 +208,19 @@ def test_staged_q129_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q129_NAME)
 
 
-def test_q129_registered_at_r19():
-    """The r18 staging contract's inverse, flipped at registration:
-    q129 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option)."""
+def test_q129_registered_and_resting():
+    """Registered at r19 (it held a window slot there and got its
+    green CORRECTNESS_r19 row); from r20 it RESTS on that row inside
+    the 2-round contract like any other cohort member — in the
+    catalog, window membership governed by the rotation, never
+    silently dropped."""
     assert STAGED_Q129_NAME in queries()
-    assert STAGED_Q129_NAME in _GATE_PRIORITY
+    import json
+    import os
+
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r19.json")
+    row = json.load(open(corr))[STAGED_Q129_NAME]
+    assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
 
 def test_staged_q130_matches_oracle(spark, sf_dir):
@@ -236,14 +243,14 @@ def test_staged_q130_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q130_NAME)
 
 
-def test_q130_staged_not_registered():
-    """The pre-registration contract (flips to its inverse at r20):
-    staged means NOT in the catalog and NOT holding a window slot —
-    registration must be a deliberate rotation event, never a
-    side-effect of importing the staged builder."""
+def test_q130_registered_at_r20():
+    """The r19 staging contract's inverse, flipped at registration:
+    q130 is in the catalog AND holds a gate-window slot (it has never
+    received a driver row, so resting is not an option). r20 is the
+    final round, so this is the catalog's last registration."""
     from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
         STAGED_Q130_NAME,
     )
 
-    assert STAGED_Q130_NAME not in queries()
-    assert STAGED_Q130_NAME not in _GATE_PRIORITY
+    assert STAGED_Q130_NAME in queries()
+    assert STAGED_Q130_NAME in _GATE_PRIORITY
