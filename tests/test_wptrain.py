@@ -271,3 +271,142 @@ def test_cli_train_flag_exclusivity_all_pairs(spark, tmp_path):
                  "--model", str(tmp_path / "m.json"), "--input", src]
             )
         assert exc.value.code == 2, flags
+
+
+def test_added_token_special_flag_round_trips_verbatim():
+    """ADVICE r19: a loaded file carrying a NON-special added token
+    used to round-trip through wordpiece_spec_json with the flag
+    flipped to true (behavior-neutral here, metadata drift for HF
+    interop consumers of the written file). The per-token flag now
+    re-emits verbatim, both ways."""
+    import json
+
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        from_wordpiece_json,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+        wordpiece_spec_json,
+    )
+
+    vocab = {"[UNK]": 0, "[MASK]": 1, "<extra>": 2, "a": 3, "##a": 4}
+    doc = {
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##", "vocab": vocab},
+        "added_tokens": [
+            {"content": "[MASK]", "id": 1, "special": True},
+            {"content": "<extra>", "id": 2, "special": False},
+        ],
+    }
+    spec = from_wordpiece_json(json.dumps(doc))
+    assert spec.added_specials == frozenset({"[MASK]"})
+    written = json.loads(wordpiece_spec_json(spec))
+    flags = {t["content"]: t["special"] for t in written["added_tokens"]}
+    assert flags == {"[MASK]": True, "<extra>": False}
+    # and the reload is an equal spec (the round-trip law unchanged)
+    assert from_wordpiece_json(wordpiece_spec_json(spec)) == spec
+    # the trainer path is unaffected: its added tokens ARE specials
+    trained = json.loads(to_wordpiece_tokenizer_json(vocab))
+    assert all(t["special"] for t in trained["added_tokens"])
+
+
+def test_added_specials_survive_wordpiece_prune(spark):
+    """The per-token special flags ride through prune_wordpiece_spec
+    untouched (every added token is on the survival floor)."""
+    import json
+
+    from utc_cuip_kafka_aws_connector_spark.operators.vocabprune import (
+        prune_to_corpus,
+    )
+    from utc_cuip_kafka_aws_connector_spark.operators.wordpiece import (
+        from_wordpiece_json,
+    )
+
+    vocab = {"[UNK]": 0, "[MASK]": 1, "<extra>": 2,
+             "a": 3, "##a": 4, "b": 5, "##b": 6, "ab": 7}
+    doc = {
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##", "vocab": vocab},
+        "added_tokens": [
+            {"content": "[MASK]", "id": 1, "special": True},
+            {"content": "<extra>", "id": 2, "special": False},
+        ],
+    }
+    spec = from_wordpiece_json(json.dumps(doc))
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    pruned, _ = prune_to_corpus(df, spec)
+    assert "ab" not in pruned.vocab  # it actually pruned something
+    assert set(pruned.added_tokens) == {"[MASK]", "<extra>"}
+    assert pruned.added_specials == frozenset({"[MASK]"})
+
+
+def test_cli_prune_refuses_inexpressible_template_before_corpus_scan(
+    spark, tmp_path, capsys
+):
+    """ADVICE r19: the WordPiece prune branch used to discover an
+    unserializable TemplateProcessing shape only AFTER the corpus
+    encode pass (wordpiece_spec_json's raise); the CLI now refuses
+    up front via the writer's own wordpiece_template_refusal law —
+    exit code 2 like the BPE branch's guard, BEFORE the corpus scan
+    (the input parquet has no text column, so any encode attempt
+    would crash with a column error instead)."""
+    import json
+
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+
+    # a prefix-only template ([CLS] A, no [SEP]) — loadable, but
+    # outside the single-sequence shape the writer emits
+    vocab = {"[UNK]": 0, "[CLS]": 1, "a": 2, "##a": 3}
+    doc = {
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##", "vocab": vocab},
+        "post_processor": {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+            ],
+        },
+    }
+    model = str(tmp_path / "wp.json")
+    with open(model, "w") as fh:
+        fh.write(json.dumps(doc))
+    src = str(tmp_path / "textless")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(src)
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["tokenizer", "--op", "prune", "--model", model,
+                  "--input", src,
+                  "--output", str(tmp_path / "out.json")])
+    assert exc.value.code == 2
+    assert "template" in capsys.readouterr().err
+
+
+def test_cli_encode_wordpiece_knob_refusal_is_usage_error_only(
+    spark, tmp_path, capsys
+):
+    """ADVICE r19: only the WordPiece sampling-knob refusal routes
+    through parser.error (exit 2); it fires as an up-front pre-check
+    BEFORE the encoder touches the corpus (the input parquet has no
+    text column, so reaching encode_for_spec would raise a column
+    error, not this message)."""
+    import utc_cuip_kafka_aws_connector_spark.cli as cli
+    from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
+        save_wordpiece_tokenizer,
+        wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a")], "doc_id long, text string"
+    )
+    model = str(tmp_path / "wp.json")
+    save_wordpiece_tokenizer(
+        spark, model, wordpiece_train(docs, vocab_size=30)
+    )
+    src = str(tmp_path / "textless")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(src)
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["tokenizer", "--op", "encode", "--model", model,
+                  "--input", src,
+                  "--output", str(tmp_path / "ids"),
+                  "--sample-alpha", "0.2"])
+    assert exc.value.code == 2
+    assert "deterministic" in capsys.readouterr().err

@@ -3677,17 +3677,37 @@ def main(argv: list[str] | None = None) -> int:
             # encode_for_spec owns the family dispatch + the
             # sampling-knob refusal for the deterministic kernel
             spec = load_tokenizer_spec(spark, args.model)
-            try:
-                ids = encode_for_spec(
-                    df,
-                    spec,
-                    id_col=args.id_col,
-                    text_col=args.text_col,
-                    sample_alpha=args.sample_alpha,
-                    sample_seed=args.sample_seed,
-                )
-            except ValueError as e:
-                parser.error(str(e))
+            # the one encode_for_spec refusal that IS CLI misuse —
+            # asking the deterministic WordPiece kernel for BPE/
+            # Unigram sampling knobs — routes through parser.error
+            # as an explicit pre-check; every other ValueError out
+            # of the encoder is a genuine internal error and must
+            # propagate, not masquerade as usage (ADVICE r19: the
+            # old blanket `except ValueError` masked both alike)
+            if isinstance(spec, WordPieceSpec):
+                knobs = [
+                    name
+                    for name, v in (
+                        ("--sample-alpha", args.sample_alpha),
+                        ("--sample-seed", args.sample_seed),
+                    )
+                    if v is not None
+                ]
+                if knobs:
+                    parser.error(
+                        f"{'/'.join(knobs)} only appl"
+                        f"{'y' if len(knobs) > 1 else 'ies'} to "
+                        "BPE/Unigram models (subword regularization); "
+                        "WordPiece encoding is deterministic"
+                    )
+            ids = encode_for_spec(
+                df,
+                spec,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                sample_alpha=args.sample_alpha,
+                sample_seed=args.sample_seed,
+            )
             shape = (
                 "WordPiece"
                 if isinstance(spec, WordPieceSpec)
@@ -3722,8 +3742,22 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 from utc_cuip_kafka_aws_connector_spark.operators.wptrain import (
                     wordpiece_spec_json,
+                    wordpiece_template_refusal,
                 )
 
+                # refuse unserializable template shapes BEFORE the
+                # corpus encode pass, the same up-front discipline as
+                # the BPE branch below (ADVICE r19: the writer's own
+                # raise only fired after prune_to_corpus had already
+                # scanned the whole corpus); the message is the
+                # writer's, so the two guards can never diverge
+                refusal = wordpiece_template_refusal(spec)
+                if refusal is not None:
+                    parser.error(
+                        f"tokenizer --op prune: {refusal}; prune "
+                        "programmatically via operators.vocabprune."
+                        "prune_to_corpus instead"
+                    )
                 pruned, remap = prune_to_corpus(
                     df, spec, id_col=args.id_col, text_col=args.text_col
                 )

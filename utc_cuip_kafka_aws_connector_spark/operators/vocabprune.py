@@ -214,6 +214,15 @@ def prune_wordpiece_spec(spec, used_ids):
         added_tokens={
             t: remap[i] for t, i in spec.added_tokens.items() if i in remap
         },
+        # per-token special flags survive verbatim (ADVICE r19) —
+        # every added token is on the survival floor, so this is a
+        # copy, but filter anyway to keep the field an invariant
+        # subset of added_tokens
+        added_specials=frozenset(
+            t
+            for t in spec.added_specials
+            if spec.added_tokens.get(t) in remap
+        ),
         special_prefix=[remap[i] for i in spec.special_prefix if i in remap],
         special_suffix=[remap[i] for i in spec.special_suffix if i in remap],
     )

@@ -78,6 +78,12 @@ class WordPieceSpec:
     strip_accents: bool | None = None  # None: follow lowercase (HF)
     lowercase: bool = True
     added_tokens: dict[str, int] = field(default_factory=dict)
+    # which added tokens the source file marked "special": true —
+    # matching is identical either way (this engine's added-token
+    # scan ignores the flag), but a serialized spec must re-emit each
+    # token's flag VERBATIM or HF-interop consumers of the written
+    # file see drifted metadata (ADVICE r19)
+    added_specials: frozenset[str] = frozenset()
     special_prefix: list[int] = field(default_factory=list)
     special_suffix: list[int] = field(default_factory=list)
 
@@ -418,6 +424,11 @@ def from_wordpiece_json(text: str) -> WordPieceSpec:
             )
         added[content] = tid
         vocab[content] = tid
+    added_specials = frozenset(
+        str(tok["content"])
+        for tok in doc.get("added_tokens") or []
+        if tok.get("special")
+    )
     special_prefix, special_suffix = _parse_post_processor(
         doc.get("post_processor"), vocab
     )
@@ -438,6 +449,7 @@ def from_wordpiece_json(text: str) -> WordPieceSpec:
         strip_accents=strip_accents,
         lowercase=lowercase,
         added_tokens=added,
+        added_specials=added_specials,
         special_prefix=special_prefix,
         special_suffix=special_suffix,
     )

@@ -273,6 +273,7 @@ def to_wordpiece_tokenizer_json(
     cls_token: str = "[CLS]",
     sep_token: str = "[SEP]",
     max_input_chars_per_word: int = 100,
+    special_flags: dict[str, bool] | None = None,
 ) -> str:
     """Serialize a trained vocab as a ``tokenizer.json`` that
     ``wordpiece.from_wordpiece_json`` / ``tokenio.load_tokenizer_
@@ -289,7 +290,14 @@ def to_wordpiece_tokenizer_json(
     ``cls_token`` and ``sep_token`` are in the vocab, the standard
     BERT single-sequence TemplateProcessing ([CLS] A [SEP]) is
     emitted too, so the loaded spec's ``add_special_tokens=`` path
-    works; pass None for either to omit it."""
+    works; pass None for either to omit it.
+
+    ``special_flags`` overrides the per-token ``"special"`` value in
+    the added_tokens section (default: every entry True — right for
+    the trainer, whose added tokens ARE the trained specials);
+    ``wordpiece_spec_json`` passes the loaded file's verbatim flags
+    through it so non-special added tokens round-trip unflipped
+    (ADVICE r19)."""
     if unk_token not in vocab:
         raise ValueError(f"unk_token {unk_token!r} is not in the vocab")
     doc = {
@@ -318,7 +326,11 @@ def to_wordpiece_tokenizer_json(
             "lstrip": False,
             "rstrip": False,
             "normalized": False,
-            "special": True,
+            "special": (
+                True
+                if special_flags is None
+                else bool(special_flags.get(t, True))
+            ),
         }
         for t in special_tokens
         if t in vocab
@@ -354,6 +366,26 @@ def save_wordpiece_tokenizer(
     )
 
 
+def wordpiece_template_refusal(spec: WordPieceSpec) -> str | None:
+    """The refusal message ``wordpiece_spec_json`` raises for
+    TemplateProcessing shapes ``to_wordpiece_tokenizer_json`` cannot
+    express (multi-token prefixes/suffixes, a prefix without a
+    suffix), or None when the spec serializes faithfully. One place
+    so the CLI's up-front guard and the writer's raise can never
+    state different constraints (ADVICE r19: the CLI used to learn
+    about an unserializable shape only AFTER the corpus encode
+    pass)."""
+    if len(spec.special_prefix) > 1 or len(spec.special_suffix) > 1 or (
+        bool(spec.special_prefix) != bool(spec.special_suffix)
+    ):
+        return (
+            "wordpiece_spec_json writes the single-sequence "
+            "[CLS] A [SEP] template only; this spec's specials are "
+            f"prefix={spec.special_prefix} suffix={spec.special_suffix}"
+        )
+    return None
+
+
 def wordpiece_spec_json(spec: WordPieceSpec) -> str:
     """Serialize an arbitrary in-memory ``WordPieceSpec`` (a pruned
     one, a hand-built one) as a tokenizer.json that
@@ -363,17 +395,15 @@ def wordpiece_spec_json(spec: WordPieceSpec) -> str:
     (a Lowercase-normalizer file loads as lowercase=True with every
     other flag False; an absent normalizer as all-False — both
     round-trip exactly through the explicit form). Refuses template
-    shapes ``to_wordpiece_tokenizer_json`` cannot express (multi-
-    token prefixes/suffixes, a prefix without a suffix)."""
+    shapes ``to_wordpiece_tokenizer_json`` cannot express (the
+    ``wordpiece_template_refusal`` law). Each added token's
+    ``special`` flag re-emits verbatim from ``spec.added_specials``
+    (ADVICE r19: flipping a loaded non-special added token to
+    special drifted HF-interop metadata)."""
     rev = {i: t for t, i in spec.vocab.items()}
-    if len(spec.special_prefix) > 1 or len(spec.special_suffix) > 1 or (
-        bool(spec.special_prefix) != bool(spec.special_suffix)
-    ):
-        raise ValueError(
-            "wordpiece_spec_json writes the single-sequence "
-            "[CLS] A [SEP] template only; this spec's specials are "
-            f"prefix={spec.special_prefix} suffix={spec.special_suffix}"
-        )
+    refusal = wordpiece_template_refusal(spec)
+    if refusal is not None:
+        raise ValueError(refusal)
     cls = rev[spec.special_prefix[0]] if spec.special_prefix else None
     sep = rev[spec.special_suffix[0]] if spec.special_suffix else None
     return to_wordpiece_tokenizer_json(
@@ -388,4 +418,7 @@ def wordpiece_spec_json(spec: WordPieceSpec) -> str:
         cls_token=cls,
         sep_token=sep,
         max_input_chars_per_word=spec.max_input_chars_per_word,
+        special_flags={
+            t: t in spec.added_specials for t in spec.added_tokens
+        },
     )
