@@ -34,25 +34,31 @@ def chunk_dedup_ratio(
     self-repeats within one document count too.
 
     Scale design: chunking is scan-local (zero shuffle); the
-    canonical pick is a map-side-combining groupBy on the md5 chunk
-    hash (uniformly distributed -- no skew) carrying only a 12-byte
-    (id, idx) struct, never the chunk text; the join back is an
-    equi-join on that same hash; the final rollup shuffles by doc id.
-    Chunk TEXT never rides through any shuffle."""
+    canonical pick is a min-of-(id, idx)-struct over a window
+    PARTITIONED BY the md5 chunk hash (uniformly distributed -- no
+    skew) carrying only a 12-byte (id, idx) struct, never the chunk
+    text; the final rollup shuffles by doc id. Chunk TEXT never rides
+    through any shuffle. (r20: the window replaces the previous
+    groupBy(hash) + join-back pair -- same values, but ONE exchange
+    of the hashed stream instead of two and ONE chunking pass instead
+    of two, since the join's probe side no longer re-derives the
+    chunk subtree.)"""
+    from pyspark.sql.window import Window as W
+
     chunks = content_defined_chunks(df, id_col, text_col, k, boundary_prefix)
     hashed = chunks.select(
         id_col,
         "chunk_idx",
         F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
     )
-    canon = hashed.groupBy("chunk_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("first")
+    first = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(
+        W.partitionBy("chunk_hash")
     )
     is_dup = (F.col(f"first.{id_col}") != F.col(id_col)) | (
         F.col("first.chunk_idx") != F.col("chunk_idx")
     )
     return (
-        hashed.join(canon, "chunk_hash")
+        hashed.withColumn("first", first)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_chunks"),

@@ -58,12 +58,22 @@ def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int, n_parts: int |
 
     if n_parts is None:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Fan out ONLY when the scan is actually narrower than the target
+    # parallelism (one local parquet file = one partition would
+    # serialize the CPU-bound n-gram stage). When the source already
+    # carries >= n_parts splits — every real corpus at scale — the
+    # round-robin repartition is a pure corpus-sized shuffle of raw
+    # text and is skipped (guide §2.4: remove shuffles outright).
+    # Row-level results are partitioning-independent here: generation
+    # is per-row and every downstream aggregate is orderless.
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
     # coalesce BEFORE split: NGram's Scala kernel NPEs on a null
     # token array, and eval-side inputs are read raw (never
     # quality-filtered), so one null-text benchmark row would kill
     # the whole decontam stage (review r14 — the same null->[]
     # contract as word_ngrams)
-    ws = df.repartition(n_parts).select(
+    ws = df.select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),

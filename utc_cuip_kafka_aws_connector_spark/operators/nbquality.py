@@ -74,14 +74,20 @@ def nb_train(
     count=0 (the per-label fallback every unseen feature scores)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    from pyspark import StorageLevel
+
     featurizer = featurizer or _features
     feats = df.select(
         F.col(label_col).alias("label"),
         F.explode(featurizer(text_col, n_features)).alias("feature"),
     )
+    # The token-count table is the expensive pass (explode + hash of
+    # every training token); likelihood AND both totals joins read it,
+    # and without the persist each broadcast subtree re-runs the
+    # explode-aggregate from the scan (r20; guide §5 reuse rule).
     counts = feats.groupBy("label", "feature").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
     denom = F.log(F.col("total") + F.lit(float(alpha) * n_features))
     likelihood = counts.join(F.broadcast(totals), "label").select(
@@ -91,8 +97,12 @@ def nb_train(
     )
     docs_per_label = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
-    n_total = df.count()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # n_total from the per-label histogram: the same integer the old
+    # full-scan df.count() produced (so math.log gets an identical
+    # input and log_prior stays bit-identical), without re-reading the
+    # training corpus a third time.
+    n_total = docs_per_label.agg(F.sum("n_docs")).collect()[0][0] or 0
     priors = docs_per_label.join(F.broadcast(totals), "label").select(
         "label",
         (F.log("n_docs") - F.lit(math.log(n_total))).alias(

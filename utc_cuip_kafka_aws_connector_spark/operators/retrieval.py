@@ -31,14 +31,18 @@ term order (F.aggregate over sort_array here; list_aggregate over
 ``list(... ORDER BY term)`` in the oracle), pinning float summation
 order exactly as operators/sampling.py::temperature_weights does.
 
-Scale shape:
-- postings (doc, term, tf): explode + map-side-combining groupBy.
-- df / N / avgdl: a second tiny aggregation; N and avgdl are two
-  scalars (crossJoin of a 1-row frame == broadcast).
+Scale shape (r20: ONE corpus pass, everything else derived):
+- postings (doc, term, tf): explode + map-side-combining groupBy —
+  the only corpus-sized pass; persisted (MEMORY_AND_DISK) because
+  dl, the corpus scalars and the probe slice all read it.
+- dl = per-doc sum(tf) over the index (identical integer to counting
+  the raw explode); N and avgdl are two scalars from dl (crossJoin
+  of a 1-row frame == broadcast).
 - query-term join: the probe query set is tiny -> BROADCAST to the
-  postings stream; the postings->df join keys on the Zipf-skewed
-  term column (the AQE skew-join case, vocabulary NOT broadcast —
-  open corpora overflow a broadcast).
+  postings stream FIRST; df is then a term-partitioned window count
+  over the matched slice only — the full-vocabulary dfreq aggregate
+  and its Zipf-skewed join never run (df of a term is the same
+  integer whether counted over the slice or the full index).
 - top-k per query: row_number window partitioned by query_id over
   at most |queries| * N scored rows, then filter — the standard
   distributed top-k.
@@ -68,13 +72,29 @@ def bm25_topk(
     Query terms absent from the corpus contribute 0 (inner join
     drops them); documents matching no query term are not scored.
     """
+    from pyspark import StorageLevel
+
     words = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
     )
     toks = docs.select(F.col(id_col), F.explode(words).alias("term"))
-    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # The corpus is exploded and aggregated EXACTLY ONCE; every other
+    # statistic derives from the postings index (guide-§2.3 "aggregate
+    # before you shuffle" + §2.4 shared-subtree reuse). The old shape
+    # re-ran the corpus explode for dl and the postings aggregate for
+    # df -- four corpus-sized passes where one suffices. Persisting the
+    # index is the classic build-once IR layout: postings is the
+    # smallest corpus-proportional frame in the operator (ints + one
+    # term string per distinct (doc, term)), and every consumer below
+    # reads it instead of the text.
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # dl = sum of tfs == count of word occurrences: same integer the
+    # old per-doc count(*) over the raw explode produced.
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     corpus = dl.select(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -105,9 +125,20 @@ def bm25_topk(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    # df (docs containing the term) is needed ONLY for probe terms:
+    # restrict the postings stream to them first (broadcast semi-shape)
+    # and compute df as a count over a term-partitioned window -- one
+    # Exchange over the matched slice replaces the full-corpus dfreq
+    # aggregation plus its join (guide §2.3: never aggregate rows the
+    # query provably discards). Same integers: the window counts every
+    # (doc, term) posting of the term corpus-wide.
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).withColumn(
+        "df", F.count("*").over(W.partitionBy("term"))
+    )
     contrib = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        matched.join(F.broadcast(qterms), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .select(

@@ -111,6 +111,8 @@ def prefix_filter_jaccard_join(
     (id_a, id_b, inter, union_n, jaccard) — inter/union_n BIGINT,
     jaccard one integer division (bit-deterministic).
     """
+    from pyspark import StorageLevel
+
     num, den = _rational(threshold)
 
     tok = sets.select("id", F.explode("toks").alias("tok"))
@@ -120,6 +122,16 @@ def prefix_filter_jaccard_join(
     # sort_array on struct<df,tok> orders lexicographically by field —
     # exactly the (df, tok) order, making the per-set order total and
     # deterministic even among equal-df tokens.
+    #
+    # Persisted (r20): three consumers read this frame — the prefix
+    # index and BOTH sides of the verification join — and each would
+    # otherwise re-derive the whole subtree (shingle scan, token
+    # explode, df histogram shuffle, order-attach join, collect_list
+    # shuffle: Catalyst does not share subtrees across join inputs).
+    # One materialization cuts the operator from 3x to 1x of that
+    # chain; MEMORY_AND_DISK because the frame is corpus-proportional
+    # (sorted shingle arrays) and spilling beats recomputing two
+    # shuffles + a join per extra consumer.
     ordered = (
         tok.join(dfreq, "tok")
         .groupBy("id")
@@ -130,6 +142,7 @@ def prefix_filter_jaccard_join(
             ).alias("toks")
         )
         .withColumn("sz", F.size("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Prefix length |s| - ceil(t*|s|) + 1, in integer arithmetic:

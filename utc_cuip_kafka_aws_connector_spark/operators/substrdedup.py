@@ -17,9 +17,10 @@ array; the Spark-native equivalent here is hash-windowed:
    costs O(n) regardless of window size. Output is (doc, start,
    whash) — the same O(total tokens) working set a suffix array
    carries, streamed through a shuffle instead of held in RAM.
-2. One groupBy(whash): a window repeated anywhere (across OR within
-   docs) has >= 2 rows; the minimum (doc, start) is canonical,
-   every other occurrence is marked for removal.
+2. One whash-partitioned analytic window: a span repeated anywhere
+   (across OR within docs) has >= 2 rows; the minimum (doc, start)
+   is canonical, every other occurrence is marked for removal. One
+   shuffle of the (doc, start, whash) stream total.
 3. ``strip_duplicate_spans`` — per doc, merge the marked starts into
    maximal intervals ([start, start+window) unions) and rebuild the
    text without the covered tokens (one Arrow pass; the canonical
@@ -128,12 +129,25 @@ def duplicate_windows(
     rows = df.select(id_col, text_col).mapInPandas(
         emit, schema="doc long, start long, whash long"
     )
-    stats = rows.groupBy("whash").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct("doc", "start")).alias("_first"),
-    )
+    # Repetition count and canonical pick over a whash-partitioned
+    # window: ONE exchange of the window stream and ONE Arrow pass.
+    # The previous groupBy(whash) + join-back pair shuffled the stream
+    # twice AND re-ran the mapInPandas kernel for the join's probe
+    # side (Catalyst cannot share a subtree across an aggregate and a
+    # join input) -- at corpus scale that doubled both the Python
+    # boundary cost and the shuffle bytes for identical output.
+    from pyspark.sql.window import Window as W
+
+    per_hash = W.partitionBy("whash")
     return (
-        rows.join(stats.filter(F.col("_n") >= 2), "whash")
+        rows.select(
+            "doc",
+            "start",
+            "whash",
+            F.count(F.lit(1)).over(per_hash).alias("_n"),
+            F.min(F.struct("doc", "start")).over(per_hash).alias("_first"),
+        )
+        .filter(F.col("_n") >= 2)
         .select(
             "doc",
             "start",
