@@ -31,13 +31,14 @@ term order (F.aggregate over sort_array here; list_aggregate over
 ``list(... ORDER BY term)`` in the oracle), pinning float summation
 order exactly as operators/sampling.py::temperature_weights does.
 
-Scale shape (r20: ONE corpus pass, everything else derived):
-- postings (doc, term, tf): explode + map-side-combining groupBy —
-  the only corpus-sized pass; persisted (MEMORY_AND_DISK) because
-  dl, the corpus scalars and the probe slice all read it.
-- dl = per-doc sum(tf) over the index (identical integer to counting
-  the raw explode); N and avgdl are two scalars from dl (crossJoin
-  of a 1-row frame == broadcast).
+Scale shape (r20: TWO corpus passes, was four):
+- postings (doc, term, tf): explode + map-side-combining groupBy,
+  consumed exactly once (by the probe-term slice) — no recompute,
+  no persist.
+- dl: explode + map-side-combining per-doc count, persisted
+  (MEMORY_AND_DISK — bytes per doc) because both the corpus scalars
+  and the contribution join read it; N and avgdl are two scalars
+  from dl (crossJoin of a 1-row frame == broadcast).
 - query-term join: the probe query set is tiny -> BROADCAST to the
   postings stream FIRST; df is then a term-partitioned window count
   over the matched slice only — the full-vocabulary dfreq aggregate
@@ -78,21 +79,19 @@ def bm25_topk(
         F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
     )
     toks = docs.select(F.col(id_col), F.explode(words).alias("term"))
-    # The corpus is exploded and aggregated EXACTLY ONCE; every other
-    # statistic derives from the postings index (guide-§2.3 "aggregate
-    # before you shuffle" + §2.4 shared-subtree reuse). The old shape
-    # re-ran the corpus explode for dl and the postings aggregate for
-    # df -- four corpus-sized passes where one suffices. Persisting the
-    # index is the classic build-once IR layout: postings is the
-    # smallest corpus-proportional frame in the operator (ints + one
-    # term string per distinct (doc, term)), and every consumer below
-    # reads it instead of the text.
-    postings = toks.groupBy(id_col, "term").agg(
-        F.count("*").alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # dl = sum of tfs == count of word occurrences: same integer the
-    # old per-doc count(*) over the raw explode produced.
-    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist(
+    # Two corpus passes total (was four): one builds the postings
+    # index -- whose ONLY consumer below is the probe-term slice, so
+    # it is never recomputed and needs no persist -- and one builds
+    # the per-doc length table. dl IS persisted: it is two-consumer
+    # (corpus scalars + the contribution join), a few bytes per
+    # document, and without the persist each consumer would re-run
+    # the corpus explode (r20; guide §5 reuse rule -- cache the tiny
+    # reused frame, recompute nothing corpus-sized twice). An earlier
+    # r20 variant persisted the postings index itself; measured
+    # SLOWER at bench scale (materialization stall beats the saved
+    # passes) and unnecessary once df comes from the window below.
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     corpus = dl.select(
