@@ -723,18 +723,28 @@ def run_curate(
     scan-local filter or a partial-agg groupBy (see
     plans/catalog.py::q99_curation_pipeline for the plan contract)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
-    from utc_cuip_kafka_aws_connector_spark.operators.dedup import exact_dedup
     from utc_cuip_kafka_aws_connector_spark.operators.sampling import stratified_sample
     from utc_cuip_kafka_aws_connector_spark.operators.text import quality_score
 
     docs = spark.read.parquet(input_path)
     n_read = docs.count()
     qual = quality_score(docs, text_col=text_col).filter(F.col("quality") >= min_quality)
-    keep = exact_dedup(qual, id_col=id_col, text_col=text_col).select(
-        F.col("keep_id").alias(id_col)
+    # Keep-lowest-id-per-content-hash as ONE window over md5(text) —
+    # identical survivor set to the old exact_dedup aggregate +
+    # LEFT SEMI join-back, but the quality-scored corpus is computed
+    # once instead of twice and only one full-row exchange remains
+    # (the old shape shuffled the hash/id pairs AND the corpus rows;
+    # r20, guide §2.4 — the q111 chunkdedup rewrite applied to the
+    # curate path). The shuffle key is the 32-hex md5 image, never
+    # the text payload (the q122 hygiene rule).
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    surv = (
+        qual.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
     )
-    surv = qual.join(keep, id_col, "left_semi")
     rates = {}
     for part in keep_rates.split(","):
         k, _, v = part.partition("=")

@@ -109,14 +109,22 @@ def leakage_safe_split(
 
 
 def split_report(assigned: DataFrame) -> DataFrame:
-    """(split, n_rows, n_components, fraction) — the realized cut."""
-    total = assigned.count()
+    """(split, n_rows, n_components, fraction) — the realized cut.
+
+    One pass: the corpus total is the sum of the per-split counts, so
+    it comes from the 3-row aggregate via a broadcast crossJoin instead
+    of a separate ``assigned.count()`` that re-ran the whole component
+    lineage a second time (r20; guide §2.4 shared subtrees). The
+    fraction is the same IEEE double: ``n_rows / total`` divides two
+    exactly-representable integers either way."""
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("component").alias("n_components"),
+    )
+    total = per_split.select(F.sum("n_rows").alias("_total"))
     return (
-        assigned.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("component").alias("n_components"),
-        )
-        .withColumn("fraction", F.col("n_rows") / F.lit(float(total)))
+        per_split.crossJoin(F.broadcast(total))
+        .withColumn("fraction", F.col("n_rows") / F.col("_total").cast("double"))
+        .drop("_total")
         .orderBy("split")
     )
