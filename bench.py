@@ -93,7 +93,7 @@ def main() -> None:
 
     def drop_all_blocks() -> None:
         """clearCache only drops table caches; localCheckpoint blocks
-        (q74/q20/connected-components rounds) persist until their RDD
+        (q74/connected-components rounds) persist until their RDD
         is GC'd and otherwise accumulate across the run, squeezing
         execution memory for later queries and skewing per-query
         numbers by run position. Unpersist every persistent RDD."""

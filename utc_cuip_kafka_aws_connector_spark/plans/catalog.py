@@ -659,25 +659,57 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     surplus copies) -- over the same two inputs, tagged (absorbs r2's
     q20_intersect + q21_except + q54_except_all + q68_intersect_all).
 
-    The two filtered single-column inputs are localCheckpointed: each
-    of the four set ops consumes both sides, and without the
-    materialization the union-of-four plan scans the orders table 8
-    times (verified via executedPlan) -- at 100 TB that is 8 full
-    scans for one logical query. Materialize once, shuffle four
-    times."""
+    Every one of the four semantics is a pure function of the per-key
+    multiplicities (cf, co) of the key in the two sides:
+
+        intersect       1 copy          iff cf > 0 and co > 0
+        except          1 copy          iff cf > 0 and co == 0
+        intersect_all   min(cf, co)     copies
+        except_all      max(cf - co, 0) copies
+
+    so the whole query is ONE scan + ONE map-side-combined aggregate
+    on the key + a scan-local explode of the four tagged copy counts.
+    The previous shape materialized both filtered inputs
+    (localCheckpoint) and ran the four set operators over them -- 8
+    Exchanges of the key column and four aggregate/join stages; at
+    100 TB that is eight corpus-column shuffles where one suffices.
+    Row-multiset verified identical against the set-operator form on
+    sf0.1 (tools/measure_r20_q20_setops.py)."""
     orders = T(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").localCheckpoint()
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").localCheckpoint()
-    tagged = [
-        f.intersect(o).select(F.lit("intersect").alias("op"), "o_custkey"),
-        f.subtract(o).select(F.lit("except").alias("op"), "o_custkey"),
-        f.intersectAll(o).select(F.lit("intersect_all").alias("op"), "o_custkey"),
-        f.exceptAll(o).select(F.lit("except_all").alias("op"), "o_custkey"),
-    ]
-    out = tagged[0]
-    for part in tagged[1:]:
-        out = out.unionByName(part)
-    return out
+    cnt = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cf"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("co"),
+        )
+    )
+    cf, co = F.col("cf"), F.col("co")
+    ops = F.array(
+        F.struct(
+            F.lit("intersect").alias("op"),
+            F.when((cf > 0) & (co > 0), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("reps"),
+        ),
+        F.struct(
+            F.lit("except").alias("op"),
+            F.when((cf > 0) & (co == 0), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("reps"),
+        ),
+        F.struct(F.lit("intersect_all").alias("op"), F.least(cf, co).cast("long").alias("reps")),
+        F.struct(
+            F.lit("except_all").alias("op"),
+            F.greatest(cf - co, F.lit(0)).cast("long").alias("reps"),
+        ),
+    )
+    return (
+        cnt.select("o_custkey", F.explode(ops).alias("e"))
+        .filter(F.col("e.reps") > 0)
+        .select(
+            F.col("e.op").alias("op"),
+            "o_custkey",
+            F.explode(F.sequence(F.lit(1), F.col("e.reps"))).alias("_i"),
+        )
+        .select("op", "o_custkey")
+    )
 
 
 @query(
