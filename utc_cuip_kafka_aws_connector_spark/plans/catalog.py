@@ -5310,93 +5310,83 @@ GATE_RETIRED: frozenset[str] = frozenset(
 )
 
 _GATE_PRIORITY = [
-    # r20 ROTATION — THE FINAL ROUND (the stamped r19 plan, executed
-    # on schedule; at r20 open: `--reconcile` first — 0 phantoms,
-    # CORRECTNESS_r19 was 50/50 green — then this window + `--round
-    # 20` in the same commit). Window: must-attest = the EXPIRING r18
-    # cohort MINUS q128_hard_negatives (pulled forward and
-    # re-attested at r19, so it is fresh on its r19 row and rests) =
-    # 49 members, leaving exactly ONE free slot — NO retirement
-    # needed. The stamped promotion takes it:
-    #   - q130_retention_curve registers (named at r16, staged r19;
-    #     its grid-join DuckDB oracle rehearsed on every pytest since
-    #     the staging, parity green at sf0.001 AND at sf0.01 in the
-    #     r19 judge's independent run; every float literal
-    #     DOUBLE-cast — the DuckDB DECIMAL-literal lesson).
-    # Module-freeze reality at r20 (re-derived from the dep scan at
-    # open): EDITABLE = the r18-resting families now in-window (asof,
-    # bpetrain, bucketing, chunkdedup, chunking, decontam,
-    # heavyhitters, nbquality, packing, ranges, retrieval, setjoin,
-    # skew, split, tokenizer, urlops, sources.sinks, sources.txlog)
-    # plus every module with no gated dependent (epochs/lenbatch/
-    # prefpairs/doremi/retention/wordpiece/wptrain/vocabprune/
-    # trainset/bitext/cli...); FROZEN = the r19 cohort's modules
-    # (the dedup family, tokenio, negatives, text, ngramlm,
-    # multimodal, boilerplate, ordering, sampling, diff, bytelevel,
-    # streaming.ops — all resting on fresh r19 rows), stats
-    # (two-cohort: q85 odd + q89 even), layout/skipread (two-cohort).
+    # r21 ROTATION (OPTIMIZATION round 2 of 2 — the r20 close-out
+    # expected no r21, but the driver scheduled one; the standing
+    # alternating-cohort policy covers it unchanged). At r21 open:
+    # `--reconcile` first — 0 phantoms, CORRECTNESS_r20 was 50/50
+    # green — then this window + `--round 21` in the same commit.
+    # Window: must-attest = the EXPIRING r19 cohort, exactly 50
+    # members — NO retirement, NO promotion (the catalog is feature-
+    # frozen in optimization rounds). This is also precisely the
+    # rotation VERDICT r20 directs ("rotate the frozen heavy family
+    # into the r21 window"): every module the r20 optimization round
+    # stamped for round-2 work (dedup, similarity, semdedup,
+    # clusterguard, negatives, ngramlm) has ALL of its gated
+    # dependents inside this cohort, so the freeze lifts for exactly
+    # the operators the round must edit.
+    # Module-freeze reality at r21 (re-derived from the dep scan at
+    # open): EDITABLE = the r19-cohort families now in-window (the
+    # dedup family incl. similarity/semdedup/clusterguard, negatives,
+    # ngramlm, text, tokenio, multimodal, boilerplate, ordering,
+    # sampling, diff, bytelevel, streaming.ops, stats, skipread)
+    # plus every module with no gated dependent; FROZEN = the r20
+    # cohort's modules, now resting on fresh r20 rows (asof, bpetrain,
+    # bucketing, chunkdedup, chunking, decontam, heavyhitters,
+    # nbquality, packing, ranges, retrieval, setjoin, skew, split,
+    # tokenizer, urlops, retention, sources.sinks, sources.txlog) and
+    # layout (two-cohort: q116 even + q117 odd).
     #
-    # CLOSE-OUT (r20 is round 20 of 20 — there is no r21): after this
-    # rotation every catalog entry's terminal evidence is either a
-    # fresh r20 row (this window), an r19 row inside the 2-round
-    # contract, or a retiree's pinned last-green row — all of them
-    # replayed by the local all-queries parity suite on every pytest
-    # forever. No staging block follows; remaining round effort goes
-    # to docs, certification, and the final bench envelope per the
-    # stamped plan.
-    #
-    # --- the expiring r18 cohort (50 minus the q128 rebalance pull) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_region",
-    "q04_semi_anti_join",
-    "q08_interval_join",
-    "q09_asof_join",
-    "q10_count_distinct",
-    "q11_multidim_agg",
-    "q15_topk_per_group",
-    "q16_window_frames",
-    "q17_lag_lead",
-    "q19_global_topk",
-    "q20_set_ops",
-    "q22_union_by_name",
-    "q23_predicates",
-    "q26_string_funcs",
-    "q27_date_funcs",
-    "q30_json_funcs",
-    "q31_map_funcs",
-    "q32_epoch_roundtrip",
-    "q33_calendar_month_agg",
-    "q34_file_scans",
-    "q36_partitioned_sink",
-    "q65_sessionize",
-    "q71_time_windows",
-    "q74_top_supplier",
-    "q75_promo_share",
-    "q77_explode_dimension_stats",
-    "q87_sequence_packing",
-    "q88_salted_join",
-    "q89_column_profile",
-    "q92_txlog_skipping",
-    "q93_change_feed",
-    "q94_decontamination",
-    "q96_cdc_incremental_agg",
-    "q98_token_shards",
-    "q100_bucketed_join",
-    "q106_document_chunking",
-    "q107_token_rarity",
-    "q109_content_defined_chunks",
-    "q111_chunk_dedup",
-    "q112_bpe_token_count",
-    "q113_prefix_jaccard_join",
-    "q114_bm25_retrieval",
-    "q116_hilbert_layout",
-    "q118_bpe_train",
-    "q119_heavy_hitters",
-    "q121_per_domain_cap",
-    "q122_leakage_safe_split",
-    "q126_nb_confusion",
-    # --- new this round (never attested; the stamped promotion) ---
-    "q130_retention_curve",
+    # --- the expiring r19 cohort (all 50) ---
+    "q03_order_count_distribution",
+    "q06_full_outer_join",
+    "q07_theta_self_join",
+    "q28_math_funcs",
+    "q29_array_funcs",
+    "q40_exact_dedup",
+    "q41_text_stats",
+    "q42_quality_score",
+    "q43_token_count",
+    "q44_language_id",
+    "q45_fingerprint",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash",
+    "q48_cosine_topk",
+    "q49_lsh_ann_pairs",
+    "q50_multimodal_features",
+    "q51_ngram_jaccard_pairs",
+    "q56_correlated_subquery",
+    "q58_approx_aggs",
+    "q60_streaming_tumbling",
+    "q61_python_udfs",
+    "q66_salted_aggregation",
+    "q67_null_safe_join",
+    "q73_nation_trade_volume",
+    "q79_ivf_ann_topk",
+    "q80_near_dup_clusters",
+    "q81_embedding_dedup",
+    "q84_tfidf_top_terms",
+    "q85_histogram",
+    "q86_snapshot_diff",
+    "q90_pii_redaction",
+    "q91_repetition_stats",
+    "q95_stream_stream_join",
+    "q97_budget_selection",
+    "q99_curation_pipeline",
+    "q101_stream_static_join",
+    "q102_image_decode",
+    "q103_near_dup_full_table",
+    "q104_audio_decode",
+    "q105_video_frame_sample",
+    "q108_mixture_weights",
+    "q110_semantic_dedup",
+    "q117_clustered_skipping_read",
+    "q120_boilerplate_strip",
+    "q123_curriculum_stages",
+    "q124_bigram_counts",
+    "q125_sb_match_profile",
+    "q127_bytelevel_encode",
+    "q128_hard_negatives",
+    "q129_preference_pairs",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in CATALOG]
