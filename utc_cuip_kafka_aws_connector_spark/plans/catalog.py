@@ -4847,22 +4847,30 @@ def staged_q127_bytelevel_encode(
 # ---------------------------------------------------------------------------
 # STAGED at r17, REGISTERED at r18 (the stamped rotation plan executed
 # on schedule; see the _GATE_PRIORITY comment block): the hard-negative
-# mining tier (operators/negatives.py::hard_negatives — §2.D
-# contrastive-training scope, added r16 pytest-grade as the largest
-# un-gated ANN-composition surface). The builder runs the REAL scale
-# path — the multi-probe cell kernel, the cell equi-join, the
-# multi-cell distinct, and the per-anchor rank window — at
+# mining tier (operators/negatives.py — §2.D contrastive-training
+# scope, added r16 pytest-grade as the largest un-gated
+# ANN-composition surface). The builder runs the REAL scale path at
 # nprobe == n_centroids, the exhaustive setting where IVF equals the
 # brute baseline ROW FOR ROW (tests/test_negatives.py pins that
 # equivalence independently), so the brute all-pairs SQL is an EXACT
 # oracle for the bucketed plan, q48's planted-recipe extended from
-# one query vector to every anchor. Float determinism: both engines
-# compute the cosine as an index-ordered double fold
-# (functions.dot's zip_with/aggregate == DuckDB list_dot_product),
-# so raw sims are bit-identical, ranks (raw desc, neg_id asc) are
-# integer-exact, and the emitted cos_sim is rounded to 4 decimals
-# per the catalog's irrational-float convention. Label exclusion is
-# null-safe on both sides (~eqNullSafe == IS DISTINCT FROM). At
+# one query vector to every anchor. Since r21 the declared query
+# routes through hard_negatives_gemm — the production cell kernel
+# (one numpy GEMM per cell, every vector through Arrow once per cell,
+# measured 2.9-7.9x over the per-pair fold) — per the r20
+# optimization stamp; the fold path (hard_negatives) remains the
+# oracle-exact verification kernel and test_negatives.py pins the
+# two kernels against each other. Float determinism across THIS
+# oracle: GEMM sums products in a different IEEE order than DuckDB's
+# list_dot_product fold, so raw sims may differ in last ulps, but the
+# emitted surface is integer rank + round(raw, 4) — ranks swap only
+# if two candidates' raw sims sit within summation-order error, and
+# exact ties (the planted duplicate vectors) yield bit-equal GEMM
+# rows resolved by the same (sim desc, neg_id asc) law both engines
+# apply. Verified empirically: the GEMM output is row-for-row equal
+# to the fold output AND to the DuckDB oracle at sf0.001, sf0.01 and
+# sf0.1 (tools/measure_r21_q128_gemm.py). Label exclusion is
+# null-safe on both sides (factorize-joint == IS DISTINCT FROM). At
 # production scale nprobe << n_centroids (the approximate trade the
 # module documents); the gate pins the machinery, the recall knob
 # stays covered by test_negatives.py's sweep.
@@ -4899,37 +4907,42 @@ def staged_q128_hard_negatives(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Hard-negative mining gate (operators/negatives.py::
-    hard_negatives — §2.D contrastive-training scope): for each
+    hard_negatives_gemm — §2.D contrastive-training scope): for each
     anchor in a deterministic 10% query set (vec_id % 10 == 0 — the
     production shape: queries << corpus, exercising the ``anchors=``
     subset path), its 5 most-cosine-similar corpus vectors that are
     not positives (self excluded; label == positive set, null-safe).
-    Runs the IVF scale path at the exhaustive nprobe == n_centroids
-    setting, where the bucketed plan provably equals the brute
-    baseline — giving the probe kernel (both sides), cell equi-join,
-    and rank window an exact all-pairs SQL oracle (the r18 plan's
-    distinct stage was removed at r19: the single-probed corpus side
-    makes pairs unique by construction). Scale
+    Runs the GEMM cell kernel — the PRODUCTION mining path (one numpy
+    GEMM per cell inside a cogrouped applyInPandas; every vector
+    crosses Arrow once per cell, never once per pair; measured
+    2.9-7.9x over the fold at d64-d768, and the r21 switch took the
+    gate from ~3.3 s to ~1.5 s at sf0.1) — at the exhaustive
+    nprobe == n_centroids setting, where the bucketed plan provably
+    equals the brute baseline, giving the probe kernel (both sides),
+    the cogrouped cell GEMM, and the rank window an exact all-pairs
+    SQL oracle. The emitted surface (integer rank, round(raw, 4)) is
+    verified row-for-row equal to both the fold kernel and the DuckDB
+    oracle at every test SF — see the registration comment above for
+    why GEMM summation order cannot shift it on this corpus. Scale
     shape (at production nprobe << n_centroids): one BLAS probe pass
-    per side, per-side norm folds before the join, one cell equi-join
-    (~|corpus|/n_centroids * nprobe candidates per anchor), one
-    per-anchor window — never |anchors| x |corpus|. (First bench of
-    the all-anchors exhaustive form read 86 s at sf0.1 — 4M pairs x 3
-    folds; the query-set gate pins identical machinery at the shape
-    the op exists for.)"""
+    per side, one cogrouped Python stage keyed by cell (parallelism =
+    n_centroids), one window over the pooled per-cell winners — never
+    |anchors| x |corpus| rows outside the kernel. (First bench of
+    the all-anchors exhaustive FOLD form read 86 s at sf0.1 — 4M
+    pairs x 3 folds; the query-set gate pins identical machinery at
+    the shape the op exists for.)"""
     from utc_cuip_kafka_aws_connector_spark.operators.negatives import (
-        hard_negatives,
+        hard_negatives_gemm,
     )
 
     emb = T(spark, sf_dir, "embeddings")
-    out = hard_negatives(
+    out = hard_negatives_gemm(
         emb,
         k=5,
         id_col="vec_id",
         vec_col="embedding",
         label_col="label",
         anchors=emb.filter(F.col("vec_id") % 10 == 0),
-        method="ivf",
         n_centroids=8,
         nprobe=8,
     )
