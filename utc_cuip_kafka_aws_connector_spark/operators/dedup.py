@@ -97,8 +97,15 @@ def sketch_documents(
     ``sig``  MinHash signature        (array<long>),
     ``simhash64``  SimHash fingerprint (long).
 
-    Input is repartitioned first so the CPU-bound sketching spreads
-    over all cores even when the scan is a single small file.
+    Input fans out to the default parallelism ONLY when the scan is
+    actually narrower (one local parquet file = one partition would
+    serialize the CPU-bound sketch kernel). When the source already
+    carries >= defaultParallelism splits — every real corpus at scale
+    — the round-robin repartition is a pure corpus-sized shuffle of
+    raw text and is skipped (guide §2.4 remove shuffles outright; the
+    q94/decontam precedent). Per-row outputs are partitioning-
+    independent: the kernel is deterministic per document and every
+    downstream consumer is an orderless join/aggregate.
     """
     a, b = _minhash_params(num_hashes)
 
@@ -201,10 +208,11 @@ def sketch_documents(
             )
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n_parts)
-        .mapInPandas(sketch, schema="doc long, sh array<long>, sig array<long>, simhash64 long")
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if narrow.rdd.getNumPartitions() < n_parts:
+        narrow = narrow.repartition(n_parts)
+    return narrow.mapInPandas(
+        sketch, schema="doc long, sh array<long>, sig array<long>, simhash64 long"
     )
 
 
@@ -370,6 +378,19 @@ def connected_components(
     graphs have tiny components, so 3-4 rounds typically suffice;
     the loop stops at the first round with zero label changes.
 
+    Each round runs as exactly ONE Spark job (r21, guide §1.2): the
+    zero-change test rides the round's checkpoint materialization as
+    an ``observe`` metric instead of a separate count job, and it
+    tests the NEIGHBOR-MIN step, before the jump -- a step no-op
+    means every edge's endpoints already share a label, so labels are
+    constant per component (labels only ever originate inside their
+    component) and the jump is provably a no-op too. The final round
+    therefore skips its jump join outright; non-final jumps evaluate
+    lazily off the round's checkpointed step frame. Round 1 needs no
+    seed-labels frame (comp == node makes the neighbor min just
+    min(b) per endpoint), so its init distinct + checkpoint and two
+    label joins collapse into one aggregate.
+
     100 TB design: every step is an equi-join/groupBy on the label
     key -- hash-partitioned, AQE-skew-splittable, no driver-side
     state. A checkpoint truncates the plan each round so the
@@ -441,51 +462,84 @@ def connected_components(
     # that is a tiny fraction of the corpus. Singleton nodes (no
     # edges) never change label, so they join in once at the end
     # instead of riding through every iteration.
-    labels, labels_blocks = _cut(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
+    #
+    # r21 loop shape (guide §1.2 the-distributed-algorithm first):
+    # ONE Spark job per round instead of three. (a) The convergence
+    # count rides the round's checkpoint materialization as an
+    # ``observe`` metric -- no separate count job. (b) Convergence is
+    # detected on the NEIGHBOR-MIN step, before the pointer jump:
+    # a step no-op means every edge's endpoints already share a label,
+    # which makes labels constant per component (labels only ever
+    # originate inside the component), so the jump is provably a no-op
+    # too -- the final round skips its jump join outright, and the
+    # checkpointed step result IS the fixed point. (c) The jump join
+    # itself is LAZY over the round's checkpointed step frame (it is
+    # re-evaluated by the next round's two consumers, a cheap self-join
+    # of two narrow checkpointed columns, instead of being its own
+    # eager materialization). (d) Round 1 needs no seed-labels frame
+    # at all: comp == node initially, so the neighbor min is just
+    # min(b) per endpoint -- the init distinct + checkpoint and the
+    # first round's two label joins collapse into one aggregate.
+    from pyspark.sql import Observation
 
+    labels = None
+    labels_blocks: list = []
     for _ in range(max_iter):
-        nb_min = (
-            sym.join(
-                labels.select(F.col("node").alias("b"), F.col("comp").alias("nb_comp")), "b"
+        if labels is None:
+            stepped = sym.groupBy("a").agg(F.min("b").alias("min_nb")).select(
+                F.col("a").alias("node"),
+                F.col("a").alias("old_comp"),
+                F.least("a", "min_nb").alias("comp"),
             )
-            .groupBy("a")
-            .agg(F.min("nb_comp").alias("min_nb"))
-        )
-        stepped = labels.join(
-            nb_min.select(F.col("a").alias("node"), "min_nb"), "node", "left"
-        ).select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least("comp", F.coalesce("min_nb", "comp")).alias("comp"),
-        )
-        # pointer jump: comp <- label(comp); compresses chains so a
-        # min label crosses 2^k hops after k rounds. old_comp rides
-        # along so convergence is a join-free filter on the
-        # checkpointed result, not another shuffle join.
-        jumped, jumped_blocks = _cut(
-            stepped.alias("s")
-            .join(
-                stepped.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("j"),
-                "comp",
-                "left",
+        else:
+            nb_min = (
+                sym.join(
+                    labels.select(F.col("node").alias("b"), F.col("comp").alias("nb_comp")), "b"
+                )
+                .groupBy("a")
+                .agg(F.min("nb_comp").alias("min_nb"))
             )
-            .select("node", "old_comp", F.coalesce("comp2", "comp").alias("comp"))
+            stepped = labels.join(
+                nb_min.select(F.col("a").alias("node"), "min_nb"), "node", "left"
+            ).select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("min_nb", "comp")).alias("comp"),
+            )
+        obs = Observation()
+        stepped_cut, stepped_blocks = _cut(
+            stepped.observe(
+                obs,
+                F.count(
+                    F.when(F.col("comp") != F.col("old_comp"), F.lit(1))
+                ).alias("changed"),
+            )
         )
-        changed = jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+        changed = obs.get["changed"]
         # The previous round's checkpoint blocks are dead now that
         # this round is materialized -- free them so a many-round run
         # over a big graph holds TWO rounds of label storage at peak,
         # not max_iter rounds' worth.
         _free_blocks(labels_blocks)
-        labels, labels_blocks = jumped.drop("old_comp"), jumped_blocks
+        labels_blocks = stepped_blocks
         if changed == 0:
+            labels = stepped_cut.drop("old_comp")
             break
+        # pointer jump: comp <- label(comp); compresses chains so a
+        # min label crosses 2^k hops after k rounds. Lazy on purpose:
+        # both next-round consumers re-derive it from the checkpointed
+        # step frame.
+        labels = (
+            stepped_cut.alias("s")
+            .join(
+                stepped_cut.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("j"),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+        )
     else:
         msg = (
             f"connected_components did not converge in max_iter={max_iter} rounds; "
@@ -499,6 +553,14 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if labels is None:  # max_iter == 0: the pre-loop identity labels
+            # cut (not lazy): the edge blocks are freed below, so the
+            # returned lineage must not reach through sym into them
+            labels, labels_blocks = _cut(
+                sym.select(F.col("a").alias("node"))
+                .distinct()
+                .withColumn("comp", F.col("node"))
+            )
     # The final labels are checkpointed (independent of the edge
     # materialization), so the edge blocks can be freed too.
     _free_blocks(e_blocks)
@@ -563,40 +625,89 @@ def ngram_jaccard_pairs(
     ``max_df`` (e.g. 1000) to drop stop-shingles (document frequency
     > max_df) from the *index* only: without it the self equi-join is
     O(sum df(s)^2) and one ubiquitous boilerplate shingle produces a
-    quadratic candidate set at 100 TB. Jaccard is still computed over
-    FULL shingle sets, so precision is exact regardless; recall loss
-    is confined to pairs whose shared shingles are ALL ultra-common
-    (df > max_df) -- for near-dup thresholds >= 0.5 such pairs share a
-    third of their shingles, so any non-boilerplate overlap keeps
-    them. Prefer minhash_lsh_pairs beyond small corpora.
+    quadratic candidate set at 100 TB. Jaccard is still EXACT over
+    full shingle sets regardless, so precision never degrades; recall
+    loss is confined to pairs whose shared shingles are ALL
+    ultra-common (df > max_df) -- for near-dup thresholds >= 0.5 such
+    pairs share a third of their shingles, so any non-boilerplate
+    overlap keeps them. Prefer minhash_lsh_pairs beyond small corpora.
+
+    Scoring is COUNT-BASED (the r20-verified rewrite, guide §2.3
+    shuffle-fewer-bytes): the co-count of the complete index IS
+    |A∩B|, and |A∪B| = |A|+|B|-|A∩B|, so the pair scorer joins two
+    narrow integer size columns instead of re-shipping both full
+    shingle arrays through the candidate joins. Under ``max_df`` the
+    rare co-count misses exactly the shared COMMON shingles, which
+    are counted back exactly from per-doc common-only arrays --
+    bounded by the (tiny, boilerplate-sized) common vocabulary, never
+    the full shingle sets. Same integers, same single IEEE division:
+    values are bit-identical to the array formulation.
     """
+    from pyspark.sql.window import Window as W
+
     docs = (
         sketch_documents(df, id_col, text_col, shingle_n, num_hashes=0)
         .select("doc", "sh")
         .cache()
     )
+    meta = docs.select("doc", F.size("sh").alias("n_sh"))
     inv = docs.select("doc", F.explode("sh").alias("s"))
-    if max_df is not None:
-        rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-        inv = inv.join(rare.select("s"), "s", "left_semi")
-    co = (
-        inv.alias("x")
-        .join(inv.alias("y"), "s")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_common_indexed"))
+    if max_df is None:
+        co = (
+            inv.alias("x")
+            .join(inv.alias("y"), "s")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        extra = F.lit(0)
+    else:
+        # ONE shuffle of the index (a shingle-partitioned window count)
+        # serves the rare filter, BOTH self-join sides (already
+        # partitioned on s -- the join adds no exchange and the second
+        # subtree plans as a ReusedExchange), and the common-shingle
+        # slice below.
+        inv_df = inv.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("s"))
+        )
+        inv_rare = inv_df.filter(F.col("df") <= max_df).select("doc", "s")
+        co = (
+            inv_rare.alias("x")
+            .join(inv_rare.alias("y"), "s")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        # exact correction for shared stop-shingles: per-doc arrays of
+        # COMMON (df > max_df) shingles only -- linear in the corpus to
+        # build, and each array is bounded by the common vocabulary
+        # (ubiquitous boilerplate is few DISTINCT shingles by
+        # definition). Fused into the sizes frame so the candidate
+        # stream still pays exactly two narrow joins.
+        common_arr = (
+            inv_df.filter(F.col("df") > max_df)
+            .groupBy("doc")
+            .agg(F.collect_list("s").alias("cm"))
+        )
+        empty = F.array().cast("array<long>")
+        meta = meta.join(common_arr, "doc", "left").select(
+            "doc", "n_sh", F.coalesce("cm", empty).alias("cm")
+        )
+        extra = F.size(F.array_intersect("cm_a", "cm_b"))
+    # narrow per-doc metadata (sizes + optional common-shingle arrays)
+    # joins back onto the candidate stream once per side
+    m_a = meta.toDF(*[f"{c}_a" for c in meta.columns])
+    m_b = meta.toDF(*[f"{c}_b" for c in meta.columns])
+    scored = (
+        co.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .withColumn("n_common", F.col("n_common") + extra)
     )
-    sh_a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jacc = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
     )
     return (
-        co.select("doc_a", "doc_b")
-        .join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", jacc)
+        scored.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

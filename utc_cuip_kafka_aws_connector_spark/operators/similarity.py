@@ -78,8 +78,18 @@ def lsh_buckets(
         keys = (bits * weights).sum(axis=2)  # (n, tables)
         return pd.Series(list(keys))
 
+    # Fan out ONLY when the scan is narrower than the target
+    # parallelism (one local parquet file = one partition would
+    # serialize the BLAS bucketing); when the source already carries
+    # >= defaultParallelism splits — every real corpus at scale — the
+    # round-robin repartition is a pure corpus-sized shuffle of the
+    # embedding payload and is skipped (guide §2.4; the q94/decontam
+    # precedent). Bucket keys are a pure per-row function, so results
+    # are partitioning-independent.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_parts).select(
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(bucket_keys(F.col(vec_col))).alias("table_id", "bucket"),
@@ -149,8 +159,14 @@ def ivf_assign(
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series((mat @ c_norm.T).argmax(axis=1).astype("int32"))
 
+    # Scale-conditional fan-out, as in lsh_buckets: skip the
+    # corpus-sized embedding shuffle whenever the scan already
+    # carries enough splits (guide §2.4). Assignment is per-row
+    # deterministic, so results are partitioning-independent.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_parts).select(
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
+    return df.select(
         F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id")
     )
 
