@@ -1096,6 +1096,61 @@ def test_sb_match_profile_matches_pure_python(spark):
     kn_unpersist(model)
 
 
+def test_sb_match_profile_membership_equals_score_tables(spark):
+    """The r21 membership-only profile path == the profile computed
+    through the FULL Stupid Backoff score tables (the pre-r21 shape),
+    exactly. Run at order=3 on purpose: that is where the score
+    tables' ctx joins and the all-BOS padding correction could in
+    principle diverge from raw-count membership — the proof that they
+    cannot (for grams an event can carry) is what this differential
+    pins. Covers bigram hits, unigram backoffs, OOV, empty docs, and
+    document-initial events whose context is the all-BOS run."""
+    from pyspark.sql import functions as F
+
+    from utc_cuip_kafka_aws_connector_spark.operators.ngramlm import (
+        _sb_events,
+        kn_unpersist,
+        sb_match_profile,
+        sb_train,
+        stupid_backoff_tables,
+    )
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on a rug",), ("",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # full trigram hits
+            (1, "cat the dog sat"),          # mixed backoff levels
+            (2, "zebra sat zebra"),          # OOV + unigram hits
+            (3, ""),                         # events exist (pads only)
+        ],
+        "doc_id long, text string",
+    )
+    model = sb_train(train, order=3)
+    order = model["order"]
+
+    # reference: the pre-r21 formulation through the score tables
+    tables, _n = stupid_backoff_tables(model)
+    events = _sb_events(docs, model, tables, "text", "doc_id", True)
+    level = F.lit(0)
+    for k in range(1, order + 1):
+        level = F.when(F.col(f"s{k}").isNotNull(), F.lit(k)).otherwise(level)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for k in range(order, 1, -1):
+        aggs.append(F.count(F.when(F.col("lvl") == k, F.lit(1))).alias(f"n_hits_{k}"))
+    aggs.append(F.count(F.when(F.col("lvl") == 1, F.lit(1))).alias("n_unigram_hits"))
+    aggs.append(F.count(F.when(F.col("lvl") == 0, F.lit(1))).alias("n_oov"))
+    want = sorted(
+        map(tuple, events.select("doc_id", level.alias("lvl")).groupBy("doc_id").agg(*aggs).collect())
+    )
+
+    got = sorted(map(tuple, sb_match_profile(docs, model).collect()))
+    assert got == want
+    kn_unpersist(model)
+
+
 def test_count_only_save_load_merge(spark, tmp_path):
     """Count-only (sb_train) model lifecycle: save/load round-trips
     the raw tables (sb_score identical), kn_merge of per-batch

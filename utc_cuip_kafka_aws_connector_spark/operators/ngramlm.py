@@ -884,6 +884,42 @@ def _sb_events(
     return events
 
 
+def _sb_membership_tables(model: dict) -> dict[int, DataFrame]:
+    """Per-order MEMBERSHIP tables ``{k: (gram, s=1.0)}`` — the
+    profile-path twin of ``stupid_backoff_tables`` that skips
+    everything the profiler never reads (r21, guide §1.2 don't-compute
+    -what-you-throw-away): the eager ``n_total`` first() (a whole
+    driver job), the unigram sum + persist, the ctx1 aggregate, and
+    one context join per order. Exactness: ``sb_match_profile``
+    consumes only the NULL-NESS of each per-event score, and for every
+    gram an EVENT can carry, null-ness ≡ raw-count membership —
+    - k >= 3: the score table inner-joins raw[k] with ctx raw[k-1],
+      and every k-gram's (k-1)-prefix is itself a counted (k-1)-gram
+      (document-initial grams' all-BOS prefixes included, since the
+      padding run is order-1 BOS), so the join drops nothing;
+    - k == 2: the ctx1 derivation excludes BOS-SUFFIXED bigrams, but
+      an event's g2 suffix is a predicted token, never BOS (literal
+      BOS in text is sentinel-escaped), so the discrepancy is
+      unreachable;
+    - k == 1: the unigram table is the BOS-free suffix set of raw[2],
+      reproduced here as a distinct instead of a sum.
+    The differential pin (tests/test_ngramlm.py) holds profile ==
+    the full-score-table formulation exactly."""
+    order = model["order"]
+    tables: dict[int, DataFrame] = {
+        1: (
+            model["raw"][2]
+            .select(F.substring_index(F.col("gram"), " ", -1).alias("gram"))
+            .where(F.col("gram") != BOS)
+            .distinct()
+            .withColumn("s", F.lit(1.0))
+        )
+    }
+    for k in range(2, order + 1):
+        tables[k] = model["raw"][k].select("gram", F.lit(1.0).alias("s"))
+    return tables
+
+
 def sb_match_profile(
     df: DataFrame,
     model: dict,
@@ -904,9 +940,12 @@ def sb_match_profile(
     (gate q125) instead of epsilon differentials. Plan shape:
     identical to sb_score (shared ``_sb_events``) with the float fold
     replaced by a codegen'd when-chain + one map-side-combined
-    groupBy."""
+    groupBy — but joined against MEMBERSHIP tables derived straight
+    from the raw counts (``_sb_membership_tables``), since the
+    profiler reads only score null-ness: no n_total driver action, no
+    unigram sum/persist, no context aggregates or joins."""
     order = model["order"]
-    tables, _n_total = stupid_backoff_tables(model)
+    tables = _sb_membership_tables(model)
     events = _sb_events(df, model, tables, text_col, id_col, broadcast_model)
     level = F.lit(0)
     for k in range(1, order + 1):
