@@ -138,6 +138,37 @@ def test_connected_components_pair_graph_job_budget(spark):
     assert n_jobs <= 12, f"CC build ran {n_jobs} jobs (pre-r21 loop: 18)"
 
 
+def test_cli_runners_release_operator_persists(spark, tmp_path):
+    """Composed-pipeline block hygiene (VERDICT r20 #7): the setjoin
+    and retrieval operators persist internal frames and leave the
+    release to the terminal caller; the CLI runners are that caller,
+    so after each runner completes NO persisted block it created may
+    survive — a daemon chaining simjoin -> retrieve must not
+    accumulate MEMORY_AND_DISK blocks across stages."""
+    from utc_cuip_kafka_aws_connector_spark.cli import run_retrieve, run_simjoin
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} x{i} y{i} z{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+
+    out = run_simjoin(spark, corpus, str(tmp_path / "pairs"), threshold=0.5)
+    assert out["read"] == 40
+    assert set(jsc.getPersistentRDDs().keys()) == before, (
+        "run_simjoin leaked persisted blocks"
+    )
+
+    rows = run_retrieve(spark, corpus, "alpha w3", k=5)
+    assert len(rows) == 5
+    assert set(jsc.getPersistentRDDs().keys()) == before, (
+        "run_retrieve leaked persisted blocks"
+    )
+
+
 def test_fanouts_are_scale_conditional(spark):
     """sketch_documents / lsh_buckets / ivf_assign fan a NARROW scan
     out to the default parallelism but leave an already-parallel

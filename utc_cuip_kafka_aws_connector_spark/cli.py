@@ -1139,6 +1139,35 @@ def run_curate_full(
     return {"stages": stages, "read": n_read, "survived": survived}
 
 
+class _released_operator_blocks:
+    """Release every RDD block persisted inside the ``with`` body once
+    it exits. Some operators persist internal frames that several of
+    their own consumers share (setjoin's rarest-first ordered-set
+    frame, retrieval's per-document length table) and leave the
+    release to whoever runs the terminal action — a lazy return value
+    cannot unpersist its own lineage without recomputing it. The CLI
+    runners are those terminal callers, so they wrap the operator
+    call + action in this guard: a long-running composed pipeline
+    then never accumulates MEMORY_AND_DISK blocks across stages
+    (guide §5 unpersist-when-done; VERDICT r20 #7). unpersist is a
+    hint-removal, never a correctness risk — worst case a block is
+    dropped before a re-read and recomputes."""
+
+    def __init__(self, spark: SparkSession):
+        self._jsc = spark.sparkContext._jsc
+
+    def __enter__(self):
+        self._before = set(self._jsc.getPersistentRDDs().keys())
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        blocks = self._jsc.getPersistentRDDs()
+        for key in blocks.keys():
+            if key not in self._before:
+                blocks[key].unpersist()
+        return False
+
+
 def run_simjoin(
     spark: SparkSession,
     input_path: str,
@@ -1166,8 +1195,9 @@ def run_simjoin(
         if shingle == 1
         else shingle_sets(docs, id_col=id_col, text_col=text_col, n=shingle)
     )
-    pairs = prefix_filter_jaccard_join(sets, threshold=threshold)
-    pairs.write.mode("overwrite").parquet(output_path)
+    with _released_operator_blocks(spark):
+        pairs = prefix_filter_jaccard_join(sets, threshold=threshold)
+        pairs.write.mode("overwrite").parquet(output_path)
     return {"read": n_read, "pairs": spark.read.parquet(output_path).count()}
 
 
@@ -1186,11 +1216,12 @@ def run_retrieve(
 
     docs = spark.read.parquet(input_path)
     probes = spark.createDataFrame([("q0", query)], "query_id string, query string")
-    return (
-        bm25_topk(docs, probes, k=k, id_col=id_col, text_col=text_col)
-        .orderBy("rnk")
-        .collect()
-    )
+    with _released_operator_blocks(spark):
+        return (
+            bm25_topk(docs, probes, k=k, id_col=id_col, text_col=text_col)
+            .orderBy("rnk")
+            .collect()
+        )
 
 
 def run_layout(
