@@ -706,6 +706,12 @@ def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("e.op").alias("op"),
             "o_custkey",
+            # ADVICE r20: explode(sequence(1, reps)) materializes a
+            # length-reps array per (key, op) row. Safe here because
+            # reps is bounded by a customer's order count (TPC-H: tens),
+            # but do NOT reuse this replication shape on keys with
+            # unbounded multiplicities — sequence() also caps at ~2^31
+            # elements; prefer a repeat/posexplode pattern there.
             F.explode(F.sequence(F.lit(1), F.col("e.reps"))).alias("_i"),
         )
         .select("op", "o_custkey")
