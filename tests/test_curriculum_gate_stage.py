@@ -34,7 +34,6 @@ from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
     STAGED_Q128_ORACLE,
     STAGED_Q129_NAME,
     STAGED_Q129_ORACLE,
-    _GATE_PRIORITY,
     queries,
     staged_q125_sb_match_profile,
     staged_q126_nb_confusion,
@@ -243,14 +242,22 @@ def test_staged_q130_matches_oracle(spark, sf_dir):
     compare(got, want, STAGED_Q130_NAME)
 
 
-def test_q130_registered_at_r20():
-    """The r19 staging contract's inverse, flipped at registration:
-    q130 is in the catalog AND holds a gate-window slot (it has never
-    received a driver row, so resting is not an option). r20 is the
-    final round, so this is the catalog's last registration."""
+def test_q130_registered_and_verified():
+    """Registered at r20 (it held a window slot there — before its
+    first driver row, resting was not an option) and now resting on
+    its green CORRECTNESS_r20 row inside the 2-round contract like
+    any other cohort member: in the catalog, window membership
+    governed by the rotation, never silently dropped. (Until the r20
+    driver run landed, this test instead pinned the window slot
+    itself.)"""
     from utc_cuip_kafka_aws_connector_spark.plans.catalog import (
         STAGED_Q130_NAME,
     )
 
     assert STAGED_Q130_NAME in queries()
-    assert STAGED_Q130_NAME in _GATE_PRIORITY
+    import json
+    import os
+
+    corr = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r20.json")
+    row = json.load(open(corr))[STAGED_Q130_NAME]
+    assert row["rows_match"] and row["schema_match"] and row["hash_match"]

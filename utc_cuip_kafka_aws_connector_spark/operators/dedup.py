@@ -663,10 +663,11 @@ def ngram_jaccard_pairs(
         extra = F.lit(0)
     else:
         # ONE shuffle of the index (a shingle-partitioned window count)
-        # serves the rare filter, BOTH self-join sides (already
-        # partitioned on s -- the join adds no exchange and the second
-        # subtree plans as a ReusedExchange), and the common-shingle
-        # slice below.
+        # serves the rare filter, BOTH self-join sides, and the
+        # common-shingle slice below. At scale the self-join reuses
+        # that hash partitioning on s (no further index exchange;
+        # identical shuffle subtrees dedupe at runtime); at local
+        # fixture sizes AQE broadcasts the smaller side instead.
         inv_df = inv.withColumn(
             "df", F.count(F.lit(1)).over(W.partitionBy("s"))
         )
