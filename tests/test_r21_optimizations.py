@@ -112,13 +112,13 @@ def test_ngram_jaccard_count_scorer_matches_array_reference(spark):
 
 
 def test_connected_components_pair_graph_job_budget(spark):
-    """The r21 loop runs ONE Spark job per round (the convergence
-    count rides the checkpoint as an observe metric; the jump is lazy;
-    round 1 needs no seed frame). A 50-pair graph converges in two
+    """The r21 loop checkpoints only the neighbor-min step (the jump
+    is lazy, round 1 needs no seed frame, the change count is a block
+    scan of the checkpointed step). A 50-pair graph converges in two
     rounds; with AQE stage-materialization jobs included the whole
-    build took 18 jobs before the rewrite and 9 after — pin a ceiling
-    between the two so a regression to a count-job-per-round (or a
-    revived init checkpoint) fails loudly."""
+    build took 18 jobs before the rewrite and 13 after — pin a
+    ceiling between the two so a regression to the
+    eager-jump-plus-init-checkpoint shape fails loudly."""
     from utc_cuip_kafka_aws_connector_spark.operators.dedup import (
         connected_components,
     )
@@ -135,7 +135,7 @@ def test_connected_components_pair_graph_job_budget(spark):
     finally:
         sc.setJobGroup(None, None)
     assert {r["component"] for r in out.collect()} == {2 * i for i in range(50)}
-    assert n_jobs <= 12, f"CC build ran {n_jobs} jobs (pre-r21 loop: 18)"
+    assert n_jobs <= 15, f"CC build ran {n_jobs} jobs (pre-r21 loop: 18)"
 
 
 def test_cli_runners_release_operator_persists(spark, tmp_path):
@@ -154,17 +154,20 @@ def test_cli_runners_release_operator_persists(spark, tmp_path):
     ).write.parquet(corpus)
 
     jsc = spark.sparkContext._jsc
+    # compare NEW blocks only: blocks left by earlier tests in the
+    # shared session can be reaped by the ContextCleaner mid-test, so
+    # full set equality would flake
     before = set(jsc.getPersistentRDDs().keys())
 
     out = run_simjoin(spark, corpus, str(tmp_path / "pairs"), threshold=0.5)
     assert out["read"] == 40
-    assert set(jsc.getPersistentRDDs().keys()) == before, (
+    assert not set(jsc.getPersistentRDDs().keys()) - before, (
         "run_simjoin leaked persisted blocks"
     )
 
     rows = run_retrieve(spark, corpus, "alpha w3", k=5)
     assert len(rows) == 5
-    assert set(jsc.getPersistentRDDs().keys()) == before, (
+    assert not set(jsc.getPersistentRDDs().keys()) - before, (
         "run_retrieve leaked persisted blocks"
     )
 

@@ -209,7 +209,11 @@ def sketch_documents(
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(F.col(id_col), F.col(text_col))
-    if narrow.rdd.getNumPartitions() < n_parts:
+    # Streaming inputs (the incremental-dedup monitor feeds micro-
+    # batches through here) cannot be partition-probed (.rdd raises on
+    # an unstarted streaming plan) and their micro-batches are small
+    # by construction — keep the unconditional fan-out there.
+    if narrow.isStreaming or narrow.rdd.getNumPartitions() < n_parts:
         narrow = narrow.repartition(n_parts)
     return narrow.mapInPandas(
         sketch, schema="doc long, sh array<long>, sig array<long>, simhash64 long"
@@ -378,18 +382,17 @@ def connected_components(
     graphs have tiny components, so 3-4 rounds typically suffice;
     the loop stops at the first round with zero label changes.
 
-    Each round runs as exactly ONE Spark job (r21, guide §1.2): the
-    zero-change test rides the round's checkpoint materialization as
-    an ``observe`` metric instead of a separate count job, and it
-    tests the NEIGHBOR-MIN step, before the jump -- a step no-op
-    means every edge's endpoints already share a label, so labels are
-    constant per component (labels only ever originate inside their
-    component) and the jump is provably a no-op too. The final round
-    therefore skips its jump join outright; non-final jumps evaluate
-    lazily off the round's checkpointed step frame. Round 1 needs no
-    seed-labels frame (comp == node makes the neighbor min just
-    min(b) per endpoint), so its init distinct + checkpoint and two
-    label joins collapse into one aggregate.
+    The r21 loop shape (guide §1.2): each round is one checkpoint
+    materialization of the NEIGHBOR-MIN step plus a block-scan change
+    count over it -- the zero-change test runs BEFORE the jump, since
+    a step no-op means every edge's endpoints already share a label,
+    so labels are constant per component (labels only ever originate
+    inside their component) and the jump is provably a no-op too. The
+    final round therefore skips its jump join outright; non-final
+    jumps evaluate lazily off the round's checkpointed step frame.
+    Round 1 needs no seed-labels frame (comp == node makes the
+    neighbor min just min(b) per endpoint), so its init distinct +
+    checkpoint and two label joins collapse into one aggregate.
 
     100 TB design: every step is an equi-join/groupBy on the label
     key -- hash-partitioned, AQE-skew-splittable, no driver-side
@@ -464,24 +467,28 @@ def connected_components(
     # instead of riding through every iteration.
     #
     # r21 loop shape (guide §1.2 the-distributed-algorithm first):
-    # ONE Spark job per round instead of three. (a) The convergence
-    # count rides the round's checkpoint materialization as an
-    # ``observe`` metric -- no separate count job. (b) Convergence is
-    # detected on the NEIGHBOR-MIN step, before the pointer jump:
-    # a step no-op means every edge's endpoints already share a label,
-    # which makes labels constant per component (labels only ever
-    # originate inside the component), so the jump is provably a no-op
-    # too -- the final round skips its jump join outright, and the
-    # checkpointed step result IS the fixed point. (c) The jump join
-    # itself is LAZY over the round's checkpointed step frame (it is
-    # re-evaluated by the next round's two consumers, a cheap self-join
-    # of two narrow checkpointed columns, instead of being its own
-    # eager materialization). (d) Round 1 needs no seed-labels frame
-    # at all: comp == node initially, so the neighbor min is just
-    # min(b) per endpoint -- the init distinct + checkpoint and the
-    # first round's two label joins collapse into one aggregate.
-    from pyspark.sql import Observation
-
+    # (a) Each round checkpoints the NEIGHBOR-MIN step result and
+    # detects convergence on it, before the pointer jump: a step
+    # no-op means every edge's endpoints already share a label, which
+    # makes labels constant per component (labels only ever originate
+    # inside the component), so the jump is provably a no-op too --
+    # the final round skips its jump join outright, and the
+    # checkpointed step result IS the fixed point. The change count
+    # is a limit(1).count() over the ALREADY-CHECKPOINTED step frame
+    # -- a block scan, not a recompute. (An observe()-metric fusion
+    # that eliminated even that job was built and REVERTED: a
+    # CollectMetrics node left in a session intermittently poisoned
+    # LATER unrelated jobs with `NotSerializableException:
+    # ObservationManager` -- reproduced against Spark 4.1 on the
+    # MLlib path; do not resurrect without a fix upstream.)
+    # (b) The jump join is LAZY over the round's checkpointed step
+    # frame (it is re-evaluated by the next round's two consumers, a
+    # cheap self-join of two narrow checkpointed columns, instead of
+    # being its own eager materialization). (c) Round 1 needs no
+    # seed-labels frame at all: comp == node initially, so the
+    # neighbor min is just min(b) per endpoint -- the init distinct +
+    # checkpoint and the first round's two label joins collapse into
+    # one aggregate.
     labels = None
     labels_blocks: list = []
     for _ in range(max_iter):
@@ -506,16 +513,12 @@ def connected_components(
                 F.col("comp").alias("old_comp"),
                 F.least("comp", F.coalesce("min_nb", "comp")).alias("comp"),
             )
-        obs = Observation()
-        stepped_cut, stepped_blocks = _cut(
-            stepped.observe(
-                obs,
-                F.count(
-                    F.when(F.col("comp") != F.col("old_comp"), F.lit(1))
-                ).alias("changed"),
-            )
+        stepped_cut, stepped_blocks = _cut(stepped)
+        changed = (
+            stepped_cut.filter(F.col("comp") != F.col("old_comp"))
+            .limit(1)
+            .count()
         )
-        changed = obs.get["changed"]
         # The previous round's checkpoint blocks are dead now that
         # this round is materialized -- free them so a many-round run
         # over a big graph holds TWO rounds of label storage at peak,

@@ -85,9 +85,10 @@ def lsh_buckets(
     # round-robin repartition is a pure corpus-sized shuffle of the
     # embedding payload and is skipped (guide §2.4; the q94/decontam
     # precedent). Bucket keys are a pure per-row function, so results
-    # are partitioning-independent.
+    # are partitioning-independent. Streaming inputs cannot be
+    # partition-probed (.rdd raises) — keep the unconditional fan-out.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
+    if df.isStreaming or df.rdd.getNumPartitions() < n_parts:
         df = df.repartition(n_parts)
     return df.select(
         F.col(id_col),
@@ -163,8 +164,9 @@ def ivf_assign(
     # corpus-sized embedding shuffle whenever the scan already
     # carries enough splits (guide §2.4). Assignment is per-row
     # deterministic, so results are partitioning-independent.
+    # Streaming inputs cannot be partition-probed — fan out as before.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
+    if df.isStreaming or df.rdd.getNumPartitions() < n_parts:
         df = df.repartition(n_parts)
     return df.select(
         F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id")
