@@ -140,6 +140,19 @@ def lr_train(
         df.select(F.col(label_col).cast("double").alias(label_col), text_col),
         text_col,
     )
+    # Right-size the training partitions before the fit (guide §2.6 /
+    # §5): every L-BFGS iteration is one job over the instances frame,
+    # and each TASK ships a dense n_features-dim gradient back to the
+    # driver (2 MB at the 2^18 default) — partitions far in excess of
+    # the row count multiply that traffic and the per-task overhead by
+    # max_iter for nothing. Down-coalesce (narrow, no shuffle) toward
+    # ~5k rows per partition; corpora big enough to need parallelism
+    # keep it. Measured: an 80-row train at 32 scan partitions fit in
+    # 257 s, coalesced 49 s, with identical scores.
+    cur = base.rdd.getNumPartitions()
+    target = max(1, min(cur, base.count() // 5000))
+    if target < cur:
+        base = base.coalesce(target)
     return pipe.fit(base)
 
 
